@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Expression, MillisToTimestamp, SecondsToTimestamp, Size}
+
+/** DuckDB-dialect function shims (SURVEY.md §2.8, §4.3.5).
+  *
+  * Gold-job SQL written for the reference uses DuckDB names
+  * (`transformation_agent/.../analyzer.py:42-72`): `epoch_ms`,
+  * `list_contains`, `len`, `to_timestamp`-on-seconds. Spark has the same
+  * semantics under different names; we register thin aliases straight onto
+  * the native Catalyst expressions so they stay inside whole-stage codegen
+  * (no UDF, no extra serialization — identical performance to the
+  * built-ins they alias).
+  */
+object Dialect {
+  private val aliases: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // DuckDB epoch_ms(BIGINT) -> TIMESTAMP  == Spark timestamp_millis
+    "epoch_ms" -> ((es: Seq[Expression]) => MillisToTimestamp(es.head)),
+    // DuckDB to_timestamp(seconds) == Spark timestamp_seconds
+    "epoch_s" -> ((es: Seq[Expression]) => SecondsToTimestamp(es.head)),
+    // DuckDB list_contains(arr, v) == Spark array_contains
+    "list_contains" -> ((es: Seq[Expression]) => ArrayContains(es(0), es(1))),
+    // DuckDB len(list) == Spark size (arrays & maps)
+    "list_len" -> ((es: Seq[Expression]) => Size(es.head, legacySizeOfNull = false))
+  )
+
+  def register(spark: SparkSession): Unit =
+    aliases.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

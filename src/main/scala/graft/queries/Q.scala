@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One verifiable query: a Spark build function plus (optionally) the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Column names MUST match between the two — the driver sorts
+  * columns by name and hashes values.
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** headline queries run in Bench at sf0.1 */
+    bench: Boolean = false)
+
+/** Shared helpers for oracle-exact arithmetic.
+  *
+  * Cross-engine hash-matching rules used throughout:
+  *   - money/quantity sums: cast to DECIMAL first (exact, order-free),
+  *     cast the final aggregate back to DOUBLE;
+  *   - ratios: divide two exactly-computed numbers in DOUBLE (IEEE754
+  *     division is deterministic — unlike summing doubles in shuffle order);
+  *   - hashes: md5 hex (identical in Spark and DuckDB), 32-bit ints derived
+  *     from md5 prefixes so all sketch math stays in exact int64;
+  *   - timestamps: truncate/convert to DATE or derive from integer epochs.
+  */
+object Q {
+  /** Exact decimal view of a double money/quantity column. */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  def dec4(c: Column): Column = c.cast(DecimalType(14, 4))
+
+  /** Deterministic 32-bit unsigned hash as long: first 8 hex chars of md5.
+    * DuckDB equivalent: ('0x' || substr(md5(x),1,8))::BIGINT  */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** DuckDB SQL fragment for h32. */
+  def h32Sql(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+
+  /** Whitespace tokenization, identical in Spark and DuckDB:
+    * regexp_split_to_array(trim(x), '\s+') */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  val tokensSql: String = raw"regexp_split_to_array(trim(text), '\s+')"
+}

@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import Q._
+
+/** Core relational operator inventory (SURVEY.md §2.2–§2.8) expressed
+  * Spark-first: declarative DataFrame plans that Catalyst turns into
+  * pushed-down scans, broadcast joins and whole-stage codegen.
+  *
+  * Scale notes (100 TB):
+  *  - every aggregation here is a partial (map-side) + final hash agg —
+  *    no driver-side collection anywhere;
+  *  - dimension joins (`region`, `nation`, `customer`, `supplier`)
+  *    broadcast explicitly; the fact-fact joins shuffle on their join key,
+  *    which AQE re-plans at runtime (skew split + partition coalescing);
+  *  - window dedups partition by the dedup key, so the shuffle is the
+  *    theoretical minimum one pass.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- A1: grouped aggregation (TPC-H Q1 pricing summary) -------------
+    "q01_pricing_summary" -> QueryDef(
+      build = (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+        val one = lit(new java.math.BigDecimal("1.00"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+              .cast(DoubleType).as("sum_disc_price"),
+            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+              * (one + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+          COUNT(*) AS count_order,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // ---- P1/P2: projection + filter, pushed to the parquet scan ---------
+    "q02_filter_project" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1996-12-31"))
+            && col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+            col("l_quantity"), to_date(col("l_shipdate")).as("ship_date"))
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber")),
+      oracle = Some("""
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+               CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 00:00:00'
+          AND l_quantity > 45
+        ORDER BY l_orderkey, l_partkey, l_linenumber""")),
+
+    // ---- J1: multi-way join + agg; dims broadcast (TPC-H Q5 shape) ------
+    "q03_join_revenue_by_nation" -> QueryDef(
+      build = (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        val o = t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01")
+            && col("o_orderdate") < lit("1998-01-01"))
+        val c = t(spark, dir, "customer")
+        val n = t(spark, dir, "nation")
+        val r = t(spark, dir, "region")
+        val one = lit(new java.math.BigDecimal("1.00"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+              .cast(DoubleType).as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      oracle = Some("""
+        SELECT r_name, n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+          COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name"""),
+      bench = true),
+
+    // ---- J2 family: semi join (EXISTS) ----------------------------------
+    "q04_semi_join" -> QueryDef(
+      build = (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey""")),
+
+    // ---- J2 family: anti join (NOT EXISTS) ------------------------------
+    "q05_anti_join" -> QueryDef(
+      build = (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+          .orderBy(col("c_custkey"))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey""")),
+
+    // ---- W1 (latest-wins direction): row_number dedup --------------------
+    "q06_window_latest_order" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        t(spark, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"))
+          .orderBy(col("o_custkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+               o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        WHERE rn = 1
+        ORDER BY o_custkey"""),
+      bench = true),
+
+    // ---- W1 (faithful reference direction: EARLIEST _insert_date wins
+    //      within a batch — serverless_processing_iceberg/main.py:64-74) ---
+    "q07_dedup_earliest_event" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(spark, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      oracle = Some("""
+        SELECT user_id, event_type, event_id, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY ts ASC, event_id ASC) AS rn FROM events)
+        WHERE rn = 1
+        ORDER BY user_id, event_type""")),
+
+    // ---- J2-J4: key-based upsert (left-anti + union), aggregated --------
+    "q08_upsert_merge" -> QueryDef(
+      build = (spark, dir) => {
+        val orders = t(spark, dir, "orders")
+        val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+        val src = orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice",
+            (dec(col("o_totalprice")) * lit(2)).cast(DoubleType))
+        val merged = graft.silver.Upsert.merge(base, src, Seq("o_orderkey"))
+        merged.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      oracle = Some("""
+        WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS o_totalprice,
+                  o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 2 = 0),
+        merged AS (
+          SELECT * FROM src
+          UNION ALL
+          SELECT * FROM base
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- §2.7: schema-evolving union (unionByName allowMissingColumns) --
+    "q09_union_evolution" -> QueryDef(
+      build = (spark, dir) => {
+        val orders = t(spark, dir, "orders")
+        val a = orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val b = orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        a.unionByName(b, allowMissingColumns = true)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("o_totalprice")).as("n_price"),
+            count(col("o_orderpriority")).as("n_priority"))
+      },
+      oracle = Some("""
+        SELECT COUNT(*) AS n_rows, COUNT(o_totalprice) AS n_price,
+               COUNT(o_orderpriority) AS n_priority
+        FROM (
+          SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, NULL, o_orderpriority
+          FROM orders WHERE o_orderkey % 2 = 1)""")),
+
+    // ---- Gold-job pattern: daily revenue (date_trunc day) ---------------
+    "q10_gold_daily_revenue" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "orders")
+          .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("order_day"))
+          .agg(sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("order_day")),
+      oracle = Some("""
+        SELECT date_trunc('day', o_orderdate) AS order_day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Dialect shim: epoch_ms (DuckDB name, registered via
+    //      FunctionRegistry as MillisToTimestamp) --------------------------
+    "q11_epoch_ms" -> QueryDef(
+      build = (spark, dir) => {
+        graft.functions.Dialect.register(spark)
+        Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+        spark.sql("""
+          SELECT l_linenumber,
+                 epoch_ms(l_linenumber * 3600123456) AS ts_from_ms
+          FROM (SELECT DISTINCT l_linenumber FROM lineitem)
+          ORDER BY l_linenumber""")
+      },
+      oracle = Some("""
+        SELECT l_linenumber,
+               epoch_ms(l_linenumber * 3600123456) AS ts_from_ms
+        FROM (SELECT DISTINCT l_linenumber FROM lineitem)
+        ORDER BY l_linenumber""")),
+
+    // ---- A4: lateral UNNEST + COUNT(DISTINCT) over tokens ----------------
+    "q12_unnest_tokens" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_distinct"))
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+        SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+        FROM tok GROUP BY doc_id ORDER BY doc_id"""),
+      bench = true),
+
+    // ---- json scalar path: get_json_object over the opaque json column --
+    "q13_json_extract" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- A3: per-column null-rate / completeness metrics -----------------
+    "q14_null_metrics" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "events")
+          .select(
+            avg(when(col("props").isNull, 1.0).otherwise(0.0)).as("null_rate_props"),
+            avg(when(nullif(col("event_type"), lit("error")).isNull, 1.0)
+              .otherwise(0.0)).as("null_rate_nonerror"),
+            count(lit(1)).as("n_rows")),
+      oracle = Some("""
+        SELECT AVG(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END) AS null_rate_props,
+               AVG(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1.0 ELSE 0.0 END) AS null_rate_nonerror,
+               COUNT(*) AS n_rows
+        FROM events""")),
+
+    // ---- L1/L2: top-k (ORDER BY + LIMIT) ---------------------------------
+    "q15_topk_orders" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100),
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // ---- A1: COUNT(DISTINCT) per group -----------------------------------
+    "q16_count_distinct" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority")),
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- P4: validation predicate (try_cast coercion + domain checks) ----
+    "q17_validation_predicate" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "events")
+          .withColumn("k_ok",
+            expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").isNotNull)
+          .withColumn("type_ok", col("event_type")
+            .isin("view", "click", "purchase", "signup", "error"))
+          .withColumn("value_ok", col("value").isNotNull && col("value") >= 0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("k_ok") && col("type_ok") && col("value_ok"), 1L)
+              .otherwise(0L)).as("n_valid"))
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+                    AND event_type IN ('view','click','purchase','signup','error')
+                    AND value IS NOT NULL AND value >= 0
+                   THEN 1 ELSE 0 END) AS n_valid
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- §2.4 note: ROLLUP (Catalyst freebie the engine exposes) ---------
+    "q18_rollup" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+            col("n"), col("sum_qty"))
+          .orderBy(col("returnflag"), col("linestatus")),
+      oracle = Some("""
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    // ---- W2: running window aggregate ------------------------------------
+    "q20_window_running_sum" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(spark, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            sum(dec(col("o_totalprice"))).over(w).cast(DoubleType)
+              .as("running_total"))
+          .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS running_total
+        FROM orders
+        ORDER BY o_custkey, order_date, o_orderkey"""),
+      bench = true),
+
+    // ---- §2.9 analog: tumbling-window aggregation over event time --------
+    "q21_hourly_events" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+          .orderBy(col("hour")),
+      oracle = Some("""
+        SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1 ORDER BY 1"""))
+  )
+}
