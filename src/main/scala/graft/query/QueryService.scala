@@ -1,0 +1,56 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.Lake
+
+/** Interactive query execution — the engine equivalent of
+  * `GET /consumption/query` (lambdas/query_api/main.py:210-237).
+  *
+  * Lifecycle (§3.1): validate (text + parsed plan) → rewrite names →
+  * Catalyst → truncate at 10 000 rows with a `truncated` flag → rows as
+  * maps; errors are sanitized (paths redacted, missing-table rewritten).
+  *
+  * Unlike the reference there is no per-request engine cold start — the
+  * long-lived SparkSession's catalog, code cache and AQE statistics are
+  * reused across queries (SURVEY §4.1).
+  */
+final class QueryService(lake: Lake) {
+  val MaxResultRows = 10000 // query_api/main.py:20
+
+  final case class QueryResult(
+      columns: Seq[String],
+      rows: Seq[Seq[Any]],
+      rowCount: Int,
+      truncated: Boolean,
+      maxRows: Int)
+
+  def run(sql: String): Either[String, QueryResult] = {
+    val verdict = QueryGuard.validate(lake.spark, sql)
+    if (!verdict.ok) return Left(verdict.reason)
+    try {
+      val df = dataFrame(sql)
+      val taken: Array[Row] = df.take(MaxResultRows + 1)
+      val truncated = taken.length > MaxResultRows
+      val rows = taken.take(MaxResultRows).toSeq.map(_.toSeq)
+      Right(QueryResult(df.columns.toSeq, rows, rows.length, truncated, MaxResultRows))
+    } catch {
+      case e: Exception => Left(friendlyError(e))
+    }
+  }
+
+  /** The unguarded, untruncated DataFrame (for internal composition). */
+  def dataFrame(sql: String): DataFrame =
+    lake.spark.sql(NameRewriter.rewrite(lake, sql))
+
+  /** Error sanitization (query_api/main.py:186-207): missing relations →
+    * "table does not exist"; filesystem paths redacted. */
+  private[graft] def friendlyError(e: Exception): String = {
+    val msg = Option(e.getMessage).getOrElse("query failed")
+    val m =
+      if (msg.contains("TABLE_OR_VIEW_NOT_FOUND") || msg.contains("PATH_NOT_FOUND"))
+        "Table does not exist. Check available tables with the catalog API."
+      else msg
+    m.replaceAll("""(file:)?(/[\w.\-]+)+""", "<path>").take(2000)
+  }
+}

@@ -43,10 +43,11 @@ object Upsert {
     val spark = source.sparkSession
     val path = Paths.get(tablePath)
     val merged =
-      if (Files.exists(path) && Files.list(path).findFirst().isPresent) {
+      if (keys.nonEmpty && Files.exists(path) &&
+          Files.list(path).findFirst().isPresent) {
         val target = spark.read.parquet(tablePath)
         merge(target, source, keys)
-      } else source
+      } else source // no keys = full replace (overwrite semantics)
     val tmp = tablePath + ".tmp-" + System.nanoTime()
     merged.write.mode("overwrite").parquet(tmp)
     atomicSwap(Paths.get(tmp), path)

@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.gold.GoldJob
+
+/** End-to-end engine tests: ingest → bronze → silver (dedup/upsert/schema
+  * evolution) → gold jobs → query API (SURVEY §3.1-§3.3). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def newLake(): Lake = {
+    val root = Files.createTempDirectory("graft-test-").toString
+    new Lake(spark, root)
+  }
+
+  private val ordersSchema = EndpointSchema("orders", "sales", 1,
+    SchemaMode.Manual, SchemaDefinition(Seq(
+      ColumnDefinition("order_id", RefType.IntegerT, required = true, primaryKey = true),
+      ColumnDefinition("customer_id", RefType.IntegerT, required = true),
+      ColumnDefinition("total_amount", RefType.DoubleT, required = true),
+      ColumnDefinition("status", RefType.StringT),
+      ColumnDefinition("created_at", RefType.TimestampT))))
+
+  test("ingest → silver: validation, metadata, schema cast, registration") {
+    val lake = newLake()
+    lake.registry.create(ordersSchema)
+    val res = lake.ingest.ingest("sales", "orders", Seq(
+      """{"order_id": 1, "customer_id": 10, "total_amount": 99.5, "status": "new", "created_at": "2024-01-15T10:30:00"}""",
+      """{"order_id": "2", "customer_id": "11", "total_amount": "5.25"}"""))
+    assert(res.accepted == 2)
+    lake.ingest.flushAll()
+    val df = lake.silver.processEndpoint("sales", "orders").get
+    assert(df.count() == 2)
+    assert(df.schema("created_at").dataType.typeName == "timestamp")
+    assert(df.schema("order_id").dataType.typeName == "integer")
+    assert(!df.columns.contains("_insert_date")) // metadata stripped
+    assert(lake.registry.listSilver("sales") == Seq("orders"))
+    assert(spark.catalog.tableExists("sales_silver.orders"))
+  }
+
+  test("within-batch dedup keeps EARLIEST _insert_date per PK (W1)") {
+    val lake = newLake()
+    lake.registry.create(ordersSchema)
+    lake.ingest.ingest("sales", "orders", Seq(
+      """{"order_id": 1, "customer_id": 1, "total_amount": 1.0, "status": "first"}""",
+      """{"order_id": 1, "customer_id": 1, "total_amount": 2.0, "status": "second"}"""))
+    lake.ingest.flushAll()
+    val df = lake.silver.processEndpoint("sales", "orders").get
+    assert(df.count() == 1)
+    assert(df.select("status").head().getString(0) == "first") // earliest wins
+  }
+
+  test("cross-batch upsert makes the LATEST batch win (J3)") {
+    val lake = newLake()
+    lake.registry.create(ordersSchema)
+    lake.ingest.ingest("sales", "orders",
+      Seq("""{"order_id": 1, "customer_id": 1, "total_amount": 1.0, "status": "old"}"""))
+    lake.ingest.flushAll()
+    lake.silver.processEndpoint("sales", "orders")
+    lake.ingest.ingest("sales", "orders", Seq(
+      """{"order_id": 1, "customer_id": 1, "total_amount": 9.0, "status": "new"}""",
+      """{"order_id": 2, "customer_id": 2, "total_amount": 3.0}"""))
+    lake.ingest.flushAll()
+    val df = lake.silver.processEndpoint("sales", "orders").get
+    assert(df.count() == 2)
+    assert(df.filter("order_id = 1").select("status").head().getString(0) == "new")
+  }
+
+  test("schema evolution: new column appears, old rows null (union by name)") {
+    val lake = newLake()
+    val v1 = lake.registry.create(ordersSchema)
+    lake.ingest.ingest("sales", "orders",
+      Seq("""{"order_id": 1, "customer_id": 1, "total_amount": 1.0}"""))
+    lake.ingest.flushAll()
+    lake.silver.processEndpoint("sales", "orders")
+    // evolve: add a column (registry v2), ingest a row using it
+    lake.registry.update(v1.copy(schema = SchemaDefinition(
+      v1.schema.columns :+ ColumnDefinition("channel", RefType.StringT))))
+    lake.ingest.ingest("sales", "orders",
+      Seq("""{"order_id": 2, "customer_id": 2, "total_amount": 2.0, "channel": "web"}"""))
+    lake.ingest.flushAll()
+    val df = lake.silver.processEndpoint("sales", "orders").get
+    assert(df.columns.contains("channel"))
+    assert(df.filter("order_id = 1").select("channel").head().isNullAt(0))
+    assert(df.filter("order_id = 2").select("channel").head().getString(0) == "web")
+  }
+
+  test("strict mode rejects with per-field errors (main.py:204-219)") {
+    val lake = newLake()
+    lake.registry.create(ordersSchema)
+    val res = lake.ingest.ingest("sales", "orders",
+      Seq("""{"order_id": "bad"}"""), strict = true)
+    assert(res.accepted == 0 && res.rejected == 1)
+    assert(res.errors.head._2.map(_.field).toSet == Set("order_id", "customer_id", "total_amount"))
+  }
+
+  test("gold jobs: overwrite/append/upsert + dependency ordering + status") {
+    val lake = newLake()
+    lake.registry.create(ordersSchema)
+    lake.ingest.ingest("sales", "orders", Seq(
+      """{"order_id": 1, "customer_id": 1, "total_amount": 10.0, "status": "paid"}""",
+      """{"order_id": 2, "customer_id": 1, "total_amount": 5.0, "status": "open"}""",
+      """{"order_id": 3, "customer_id": 2, "total_amount": 7.5, "status": "paid"}"""))
+    lake.ingest.flushAll()
+    lake.silver.processEndpoint("sales", "orders")
+
+    val byCust = GoldJob("sales", "by_customer",
+      "SELECT customer_id, SUM(total_amount) AS revenue FROM sales.silver.orders GROUP BY customer_id",
+      writeMode = "upsert", uniqueKey = Seq("customer_id"))
+    val top = GoldJob("sales", "top_customer",
+      "SELECT customer_id, revenue FROM sales.gold.by_customer ORDER BY revenue DESC LIMIT 1",
+      scheduleType = "dependency", cronSchedule = None,
+      dependencies = Seq("by_customer"))
+    lake.registry.saveGoldJob(byCust)
+    lake.registry.saveGoldJob(top)
+
+    // dependency job must run AFTER its upstream, in one scheduled pass
+    val results = lake.gold.runScheduled("sales", "daily")
+    assert(results.map(_.job.jobName) == Seq("by_customer", "top_customer"))
+    val topRow = spark.table("sales_gold.top_customer").head()
+    assert(topRow.getAs[Int]("customer_id") == 1)
+    assert(topRow.getAs[Double]("revenue") == 15.0)
+
+    // upsert write mode: re-run after new data updates keys in place
+    lake.ingest.ingest("sales", "orders",
+      Seq("""{"order_id": 4, "customer_id": 2, "total_amount": 100.0}"""))
+    lake.ingest.flushAll()
+    lake.silver.processEndpoint("sales", "orders")
+    lake.gold.runJob(byCust)
+    spark.catalog.refreshTable("sales_gold.by_customer")
+    val c2 = spark.table("sales_gold.by_customer")
+      .filter("customer_id = 2").head().getAs[Double]("revenue")
+    assert(c2 == 107.5)
+
+    // status file written
+    val status = java.nio.file.Paths.get(lake.root, "registry", "schemas",
+      "sales", "gold", "by_customer", "last_execution.yaml")
+    assert(Files.readString(status).contains("status: success"))
+  }
+
+  test("query API: rewrite + truncation flag + guard + friendly errors") {
+    val lake = newLake()
+    lake.registry.create(ordersSchema)
+    val recs = (1 to 50).map(i =>
+      s"""{"order_id": $i, "customer_id": ${i % 5}, "total_amount": $i.0}""")
+    lake.ingest.ingest("sales", "orders", recs)
+    lake.ingest.flushAll()
+    lake.silver.processEndpoint("sales", "orders")
+
+    val ok = lake.query.run("SELECT order_id FROM sales.silver.orders ORDER BY order_id")
+    assert(ok.toOption.get.rowCount == 50)
+    assert(!ok.toOption.get.truncated)
+
+    // bronze layer directly queryable (S1)
+    val bronze = lake.query.run(
+      "SELECT COUNT(*) AS n FROM sales.bronze.orders")
+    assert(bronze.toOption.get.rows.head.head == 50L)
+
+    assert(lake.query.run("DROP TABLE sales_silver.orders").isLeft)
+    assert(lake.query.run("INSERT INTO x VALUES (1)").isLeft)
+
+    val err = lake.query.run("SELECT * FROM sales.silver.nope")
+    assert(err.isLeft)
+    assert(err.swap.toOption.get.contains("Table does not exist"))
+
+    // catalog listing (C6)
+    val tables = lake.catalog.listTables("sales")
+    assert(tables.exists(t => t.layer == "silver" && t.table == "orders"))
+    assert(tables.find(_.table == "orders").get.columns
+      .exists(_._1 == "order_id"))
+  }
+
+  test("truncation at 10k rows sets the flag (L1)") {
+    val lake = newLake()
+    // register a big silver table directly (avoid 10k-record ingest loop)
+    import spark.implicits._
+    val df = (1 to 10500).toDF("n")
+    val path = lake.silverPath("big", "nums")
+    df.write.parquet(path)
+    lake.registry.registerSilver("big", "nums", path)
+    lake.registerTable("big", "silver", "nums", path)
+    val res = lake.query.run("SELECT n FROM big.silver.nums").toOption.get
+    assert(res.truncated && res.rowCount == 10000 && res.maxRows == 10000)
+  }
+}
