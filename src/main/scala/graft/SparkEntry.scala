@@ -15,7 +15,8 @@ object SparkEntry {
   /** All query definitions, grouped by area. */
   def allDefs: Map[String, QueryDef] =
     graft.queries.Relational.defs ++
-    graft.queries.EngineChecks.defs
+    graft.queries.EngineChecks.defs ++
+    graft.queries.LlmOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q.{h32, tokens}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All operators are single-pass DataFrame transforms built from codegen'd
+  * built-ins (no UDFs): at 100 TB each is one scan + one hash aggregation
+  * keyed by document, with every arithmetic step in exact integer math so
+  * results are reproducible across engines, partitionings and retries.
+  */
+object TextOps {
+
+  /** Tiny per-language stopword markers for the n-gram-free heuristic
+    * language ID (the real lists would be longer; the operator shape —
+    * token-set intersection scoring — is the same). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Explode to one row per token (whitespace tokenization). */
+  def tokenized(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+
+  /** Per-document aggregate stats over tokens: counts, exact length sums,
+    * stopword hits — the shared base for quality scoring and language ID. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val enSet = stopwords("en")
+    tokenized(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("sum_tok_len"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(when(col("tok").isin(enSet: _*), 1L).otherwise(0L)).as("en_hits"))
+  }
+
+  /** Quality scoring: length / punctuation / stopword ratios plus a
+    * bucketed verdict — ratios are IEEE divisions of exact integers. */
+  def quality(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      length(col("text")).as("n_chars_text"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("punct_count"))
+    tokenStats(docs).join(base, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("punct_count"),
+        (col("sum_tok_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("en_hits").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"))
+      .withColumn("quality_bucket",
+        when(col("n_tokens") >= 20 && col("stop_ratio") >= 0.01 &&
+          col("distinct_ratio") >= 0.2, "good").otherwise("low"))
+  }
+
+  /** Heuristic language ID by stopword-set hit counts. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokenized(docs)
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as(s"${lang}_hits")
+    }
+    val agg = toks.groupBy(col("doc_id"))
+      .agg(scores.head, scores.tail: _*)
+    // predicted = argmax with alphabetical tie-break; 'unknown' if no hits
+    val langs = stopwords.keys.toSeq.sorted
+    val best = langs.foldLeft((lit("unknown"), lit(0L))) { case ((bl, bs), l) =>
+      val s = col(s"${l}_hits")
+      (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    agg.withColumn("predicted", best._1)
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / punctuation runs). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))).as("bpe_ish_tokens"))
+
+  /** Document fingerprinting: md5 of whitespace-normalized text plus a
+    * position-weighted rolling hash (order-sensitive, exact int math). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = docs.select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("norm_fp"))
+    val rolling = docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        ((col("pos") + 1) * (h32(col("tok")) % 1000003)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("term")) % 2147483647L).as("rolling_hash"))
+    norm.join(rolling, "doc_id")
+  }
+}

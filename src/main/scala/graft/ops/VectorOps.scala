@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q.h32
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exactness baseline, and a random-
+  * hyperplane LSH bucketing as the scale path.
+  *
+  * Numeric discipline: components are floor-quantized to int64
+  * (`floor(x * 1e5)`) so dot products and norms are EXACT integer sums —
+  * order-free, shuffle-safe, and bit-identical to the DuckDB oracle. The
+  * only floating-point steps (sqrt, one division) are deterministic IEEE
+  * ops on those exact integers.
+  *
+  * Scale design (100 TB of vectors):
+  *  - brute force is one broadcast of the (small) query set against a
+  *    partitioned candidate scan — no shuffle of the big side; per-pair
+  *    work is a codegen'd array fold, top-k via per-query window;
+  *  - LSH buckets reduce the candidate set to one bucket per query
+  *    (multi-probe = adjacent buckets); bucket assignment is per-row map
+  *    work and the join is an equi-join on the bucket id, AQE-skew-safe.
+  */
+object VectorOps {
+
+  /** int64 floor-quantization of a float vector column (exact: float →
+    * double is lossless and both engines floor the same double). */
+  def quantized(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast("double") * lit(100000)).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k: every query row against every candidate.
+    * Returns (qid, cid, cosine, rank) with rank ≤ k. */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      quantized(col("embedding")).as("qv"))
+    val c = candidates.select(col("vec_id").as("cid"),
+      quantized(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")).cast("double") /
+          (sqrt(dot(col("qv"), col("qv")).cast("double")) *
+           sqrt(dot(col("cv"), col("cv")).cast("double")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket id (nPlanes sign bits). Plane
+    * components are md5-derived ints in [-1000, 1000] — deterministic and
+    * reproducible in any engine, no RNG state. */
+  def lshBuckets(vectors: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val spark = vectors.sparkSession
+    // plane matrix: tiny (nPlanes × dim rows) → broadcast to the big side
+    val planes = spark.range(nPlanes).toDF("j")
+      .select(col("j"), explode(sequence(lit(1), lit(dim))).as("g"))
+      .select(col("j"), col("g"),
+        (h32(concat(col("j").cast("string"), lit(","), col("g").cast("string")))
+          % 2001 - 1000).as("p"))
+    val xv = vectors
+      .select(col("vec_id"), posexplode(quantized(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("g"), col("x"))
+    val proj = xv.join(broadcast(planes), "g")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("x") * col("p")).as("s"))
+    proj.groupBy(col("vec_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("bucket"))
+  }
+
+  /** Bucketed ANN: top-k within the query's LSH bucket only. */
+  def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 8): DataFrame = {
+    val buckets = lshBuckets(vectors, nPlanes)
+    val qb = queries.select(col("vec_id").as("qid"),
+        quantized(col("embedding")).as("qv"))
+      .join(buckets.withColumnRenamed("vec_id", "qid"), "qid")
+    val cb = vectors.select(col("vec_id").as("cid"),
+        quantized(col("embedding")).as("cv"))
+      .join(buckets.withColumnRenamed("vec_id", "cid"), "cid")
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")).cast("double") /
+          (sqrt(dot(col("qv"), col("qv")).cast("double")) *
+           sqrt(dot(col("cv"), col("cv")).cast("double")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * restricted to LSH-bucket collisions (the scale path for near-dup
+    * detection over embeddings). */
+  def cosineNearDups(vectors: DataFrame, threshold: Double,
+      nPlanes: Int = 6): DataFrame = {
+    val buckets = lshBuckets(vectors, nPlanes)
+    val v = vectors.select(col("vec_id"), quantized(col("embedding")).as("qv"))
+      .join(buckets, "vec_id")
+    v.as("x").join(v.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        (dot(col("x.qv"), col("y.qv")).cast("double") /
+          (sqrt(dot(col("x.qv"), col("x.qv")).cast("double")) *
+           sqrt(dot(col("y.qv"), col("y.qv")).cast("double")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

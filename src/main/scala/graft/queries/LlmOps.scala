@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, Multimodal, TextOps, VectorOps}
+import graft.sources.Tables
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing) as oracle-checked queries over the
+  * `documents` / `embeddings` tables.
+  *
+  * Every sketch/hash is md5-derived and every aggregate is exact integer
+  * math, so the distributed Spark computation hash-matches the
+  * single-threaded DuckDB oracle exactly (see ops/ scaladocs for the
+  * 100 TB design rationale of each operator).
+  */
+object LlmOps {
+
+  // shared oracle CTE: distinct char-8-gram shingles per document
+  private val shinglesCte = raw"""
+    sh AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS s
+      FROM (SELECT doc_id, text,
+              unnest(generate_series(1, greatest(len(text) - 7, 1))) AS g
+            FROM documents))"""
+
+  // shared oracle CTE: 12-hash minhash signature (lexicographic min of
+  // salted md5 per shingle set)
+  private val sigCte = raw"""
+    h AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
+      FROM (SELECT doc_id, s, unnest(generate_series(0, 11)) AS i FROM sh)
+      GROUP BY doc_id, i),
+    sig AS (SELECT doc_id,
+      min(CASE WHEN i = 0 THEN m END) AS s0, min(CASE WHEN i = 1 THEN m END) AS s1,
+      min(CASE WHEN i = 2 THEN m END) AS s2, min(CASE WHEN i = 3 THEN m END) AS s3,
+      min(CASE WHEN i = 4 THEN m END) AS s4, min(CASE WHEN i = 5 THEN m END) AS s5,
+      min(CASE WHEN i = 6 THEN m END) AS s6, min(CASE WHEN i = 7 THEN m END) AS s7,
+      min(CASE WHEN i = 8 THEN m END) AS s8, min(CASE WHEN i = 9 THEN m END) AS s9,
+      min(CASE WHEN i = 10 THEN m END) AS s10, min(CASE WHEN i = 11 THEN m END) AS s11
+      FROM h GROUP BY doc_id)"""
+
+  // shared oracle CTE: int64 floor-quantized embedding components, 1-based
+  private val quantCte = raw"""
+    xv AS (SELECT vec_id, g,
+        CAST(floor(CAST(embedding[g] AS DOUBLE) * 100000) AS BIGINT) AS x
+      FROM (SELECT vec_id, embedding,
+              unnest(generate_series(1, 64)) AS g FROM embeddings))"""
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- exact dedup (hash-groupBy on content fingerprint) --------------
+    "q22_dedup_exact" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        val withDups = docs.select(col("doc_id"), col("text")).unionByName(
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        DedupOps.exactDedup(withDups)
+          .filter(col("n_copies") > 1)
+          .orderBy(col("keep_id"))
+      },
+      oracle = Some("""
+        WITH docs2 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+        SELECT md5(lower(text)) AS fp, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM docs2 GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""")),
+
+    // ---- MinHash signatures ---------------------------------------------
+    "q23_minhash_signature" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.minhashSignatures(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        WITH $shinglesCte, $sigCte
+        SELECT * FROM sig ORDER BY doc_id"""),
+      bench = true),
+
+    // ---- MinHash LSH candidate pairs + estimated similarity -------------
+    "q24_lsh_candidates" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.lshCandidates(Tables.load(spark, dir, "documents"))
+          .orderBy(col("a"), col("b")),
+      oracle = Some(s"""
+        WITH $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+        SELECT a, b,
+          ((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s8 = sb.s8 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s9 = sb.s9 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s10 = sb.s10 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s11 = sb.s11 THEN 1 ELSE 0 END)) * 1.0 / 12 AS est_sim
+        FROM pairs JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+        ORDER BY a, b""")),
+
+    // ---- exact n-gram Jaccard pairs -------------------------------------
+    "q25_jaccard_pairs" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.jaccardPairs(Tables.load(spark, dir, "documents"))
+          .orderBy(col("a"), col("b")),
+      oracle = Some(s"""
+        WITH $shinglesCte,
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, i * 1.0 / (sa.n_sh + sb.n_sh - i) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
+        ORDER BY a, b"""),
+      bench = true),
+
+    // ---- SimHash ---------------------------------------------------------
+    "q26_simhash" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.simhash(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH tok AS (SELECT DISTINCT doc_id, tok FROM
+          (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents)),
+        h AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT) AS h FROM tok),
+        bits AS (SELECT doc_id, j,
+            SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+          FROM (SELECT doc_id, h, unnest(generate_series(0, 31)) AS j FROM h)
+          GROUP BY doc_id, j)
+        SELECT doc_id,
+          SUM(CASE WHEN sv > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- brute-force cosine top-k (ANN baseline) ------------------------
+    "q27_cosine_topk" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.load(spark, dir, "embeddings")
+        VectorOps.cosineTopK(emb.filter(col("vec_id") < 10), emb, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(s"""
+        WITH $quantCte,
+        q AS (SELECT vec_id AS qid, g, x FROM xv WHERE vec_id < 10),
+        dots AS (SELECT qid, xv.vec_id AS cid, SUM(q.x * xv.x) AS dot
+          FROM q JOIN xv USING (g) WHERE qid <> xv.vec_id GROUP BY 1, 2),
+        norms AS (SELECT vec_id, SUM(x * x) AS nn FROM xv GROUP BY vec_id),
+        scored AS (SELECT qid, cid,
+            dot / (sqrt(nq.nn * 1.0) * sqrt(nc.nn * 1.0)) AS cosine
+          FROM dots JOIN norms nq ON nq.vec_id = qid
+                    JOIN norms nc ON nc.vec_id = cid),
+        ranked AS (SELECT qid, cid, cosine, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
+        SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3
+        ORDER BY qid, rank"""),
+      bench = true),
+
+    // ---- random-hyperplane LSH buckets (ANN scale path) -----------------
+    "q28_lsh_buckets" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.lshBuckets(Tables.load(spark, dir, "embeddings"))
+          .orderBy(col("vec_id")),
+      oracle = Some(s"""
+        WITH $quantCte,
+        pl AS (SELECT j, g,
+            ((('0x' || substr(md5(CAST(j AS VARCHAR) || ',' || CAST(g AS VARCHAR)), 1, 8))::BIGINT)
+              % 2001 - 1000) AS p
+          FROM (SELECT unnest(generate_series(0, 7)) AS j) a,
+               (SELECT unnest(generate_series(1, 64)) AS g) b),
+        proj AS (SELECT vec_id, j, SUM(x * p) AS s
+          FROM xv JOIN pl USING (g) GROUP BY vec_id, j)
+        SELECT vec_id,
+          SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- heuristic language ID ------------------------------------------
+    "q29_language_id" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.languageId(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH tok AS (SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        s AS (SELECT doc_id,
+          SUM(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS de_hits,
+          SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END) AS en_hits,
+          SUM(CASE WHEN tok IN ('el','la','los','de','y','es') THEN 1 ELSE 0 END) AS es_hits,
+          SUM(CASE WHEN tok IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS fr_hits
+          FROM tok GROUP BY doc_id)
+        SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+          CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'unknown'
+               WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
+               WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
+               WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
+               ELSE 'fr' END AS predicted
+        FROM s ORDER BY doc_id""")),
+
+    // ---- quality scoring -------------------------------------------------
+    "q30_text_quality" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.quality(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH tok AS (SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+            SUM(len(tok)) AS sum_tok_len,
+            COUNT(DISTINCT tok) AS n_distinct,
+            SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                THEN 1 ELSE 0 END) AS en_hits
+          FROM tok GROUP BY doc_id),
+        base AS (SELECT doc_id,
+            len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_count
+          FROM documents)
+        SELECT st.doc_id, n_tokens, n_distinct, punct_count,
+          sum_tok_len * 1.0 / n_tokens AS avg_token_len,
+          en_hits * 1.0 / n_tokens AS stop_ratio,
+          n_distinct * 1.0 / n_tokens AS distinct_ratio,
+          CASE WHEN n_tokens >= 20 AND en_hits * 1.0 / n_tokens >= 0.01
+                AND n_distinct * 1.0 / n_tokens >= 0.2
+               THEN 'good' ELSE 'low' END AS quality_bucket
+        FROM st JOIN base ON base.doc_id = st.doc_id
+        ORDER BY st.doc_id""")),
+
+    // ---- token counting ---------------------------------------------------
+    "q31_token_count" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.tokenCounts(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        SELECT doc_id,
+          len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))
+            AS bpe_ish_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- document fingerprinting ------------------------------------------
+    "q32_fingerprint" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.fingerprint(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH arr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+          FROM documents),
+        pos AS (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS g FROM arr),
+        roll AS (SELECT doc_id,
+            SUM(g * ((('0x' || substr(md5(a[g]), 1, 8))::BIGINT) % 1000003))
+              % 2147483647 AS rolling_hash
+          FROM pos GROUP BY doc_id)
+        SELECT d.doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_fp,
+          rolling_hash
+        FROM documents d JOIN roll ON roll.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---- multimodal binary plumbing (stubbed decode) ----------------------
+    "q33_multimodal_meta" -> QueryDef(
+      build = (spark, dir) =>
+        Multimodal.mediaMetadata(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id,
+          octet_length(CAST(text AS BLOB)) AS n_bytes,
+          octet_length(CAST(text AS BLOB)) % 640 AS width,
+          (octet_length(CAST(text AS BLOB)) * 7) % 480 AS height,
+          octet_length(CAST(text AS BLOB)) % 30 + 1 AS frames
+        FROM documents ORDER BY doc_id"""))
+  )
+}

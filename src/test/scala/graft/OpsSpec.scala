@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, VectorOps}
+import graft.sources.Tables
+
+/** Tests for the ops-library paths not covered by oracle queries: the
+  * bucketed ANN search, simhash near-dup pairs, and cosine near-dups —
+  * checked for internal consistency against the brute-force baselines. */
+class OpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bucketed ANN returns a subset of brute-force candidates with equal cosine") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = VectorOps.cosineTopK(queries, emb, k = 500)
+      .select(col("qid"), col("cid"), col("cosine"))
+    val ann = VectorOps.annTopK(emb, queries, k = 3)
+    assert(ann.count() > 0)
+    // every ANN hit's cosine must equal the brute-force cosine for that pair
+    val joined = ann.alias("a").join(brute.alias("b"),
+      col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid"))
+    assert(joined.count() == ann.count())
+    assert(joined.filter(col("a.cosine") =!= col("b.cosine")).count() == 0)
+  }
+
+  test("simhash near-dup pairs have small hamming distance and high jaccard overlap") {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = DedupOps.simhashPairs(docs, maxHamming = 6)
+    val jacc = DedupOps.jaccardPairs(docs, threshold = 0.5)
+    // the planted near-duplicates (jaccard >= 0.5) should largely surface
+    // via simhash banding too
+    val found = pairs.select(col("a"), col("b"))
+      .join(jacc.select(col("a"), col("b")), Seq("a", "b")).count()
+    assert(found > 0, "simhash banding found none of the planted near-dups")
+  }
+
+  test("cosine near-dups: all returned pairs exceed threshold, bucket-restricted") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dups = VectorOps.cosineNearDups(emb, threshold = 0.95)
+    assert(dups.filter(col("cosine") < 0.95).count() == 0)
+  }
+
+  test("minhash est_sim approximates exact jaccard on candidate pairs") {
+    val docs = Tables.load(spark, dir, "documents")
+    val cand = DedupOps.lshCandidates(docs)
+    val exact = DedupOps.jaccardPairs(docs, threshold = 0.0)
+    val both = cand.join(exact, Seq("a", "b"))
+    val offBy = both
+      .filter(abs(col("est_sim") - col("jaccard")) > 0.35).count()
+    assert(both.count() > 0)
+    assert(offBy.toDouble / both.count() < 0.2,
+      "minhash estimate deviates wildly from exact jaccard")
+  }
+}
