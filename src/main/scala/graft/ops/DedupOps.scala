@@ -31,27 +31,66 @@ object DedupOps {
     docs.groupBy(md5(lower(col(textCol))).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Spread a (possibly few-file) input across all cores before an
+    * expansion-heavy stage — a small parquet table arrives as one
+    * partition, which would serialize the explode/hash work onto a single
+    * task. On a cluster this is the same idiom used to fan work out after
+    * a selective filter. */
+  private[graft] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct character n-gram shingles per document: (doc_id, s). */
   def charShingles(docs: DataFrame, n: Int = 8): DataFrame =
-    docs.select(col("doc_id"), col("text"),
+    spread(docs).select(col("doc_id"), col("text"),
       explode(sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))))
         .as("pos"))
       .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("s"))
       .distinct()
 
-  /** MinHash signature: k independent permutations approximated by
-    * min(md5(i ':' shingle)) — the lexicographic min of a salted md5 is an
-    * engine-portable uniform hash min. Returns one row per doc with
-    * columns s0..s{k-1}. */
-  def minhashSignatures(docs: DataFrame, k: Int = 12): DataFrame = {
-    val salted = charShingles(docs)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(k - 1))).as("i"), col("s"))
-      .select(col("doc_id"), col("i"),
-        md5(concat(col("i").cast("string"), lit(":"), col("s"))).as("m"))
+  /** MinHash permutation constants: hash i of shingle-hash h is the
+    * classic affine permutation ((2i+1)·h + i·12582917) mod (2^31-1).
+    * One md5 per shingle, k cheap integer mixes — exact int64 math that
+    * any engine reproduces bit-for-bit. */
+  private[graft] def permHash(h: Column, i: Int): Column =
+    (h * (2 * i + 1) + lit(i.toLong * 12582917L)) % 2147483647L
+
+  /** Per-document distinct shingle SET as an array column:
+    * (doc_id, shset, n_sh). ONE shuffle (the collect_set aggregation,
+    * with map-side partial sets); every downstream minhash/LSH step is
+    * then per-row array math with no further exchange. */
+  def docShingleSets(docs: DataFrame, n: Int = 8): DataFrame =
+    spread(docs).select(col("doc_id"), col("text"),
+      explode(sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))))
+        .as("pos"))
+      .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("s"))
+      // hash map-side, ONCE per shingle, so signature permutations later
+      // traverse a ready int array (Catalyst does not share subexpressions
+      // across aggregate expressions — hashing inside each of the k
+      // array_min lambdas would md5 every shingle k times)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("shset"),
+        collect_set(h32(col("s"))).as("hset"))
+      .select(col("doc_id"), col("shset"), col("hset"),
+        size(col("shset")).as("n_sh"))
+
+  /** MinHash signature over the distinct shingle set. Returns one row per
+    * doc with int64 columns s0..s{k-1}.
+    *
+    * Computed as k per-row `array_min(transform(...))` folds over the
+    * shingle-set column — after the one collect_set shuffle there is NO
+    * exchange at all: each of the k permutation minima is a codegen'd
+    * array traversal. (Shuffling n_shingles·k exploded rows instead is
+    * the difference between moving KBs and TBs at 100 TB scale.) */
+  def minhashSignatures(docs: DataFrame, k: Int = 12): DataFrame =
+    signaturesFromSets(docShingleSets(docs), k)
+      .select(col("doc_id") +: (0 until k).map(i => col(s"s$i")): _*)
+
+  /** Append s0..s{k-1} minhash columns to a (doc_id, shset, hset, …)
+    * frame: k per-row array traversals over the pre-hashed int array. */
+  private[graft] def signaturesFromSets(sets: DataFrame, k: Int): DataFrame = {
     val sigCols = (0 until k).map(i =>
-      min(when(col("i") === i, col("m"))).as(s"s$i"))
-    salted.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      array_min(transform(col("hset"), h => permHash(h, i))).as(s"s$i"))
+    sets.select(col("*") +: sigCols: _*)
   }
 
   /** LSH banding over a signature frame: band b hashes signature positions
@@ -67,8 +106,17 @@ object DedupOps {
 
   /** Candidate pairs from band collisions + estimated similarity =
     * fraction of matching signature positions. Returns (a, b, est_sim). */
-  def lshCandidates(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
-    val sig = minhashSignatures(docs, k)
+  def lshCandidates(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    candidatesFromSignatures(minhashSignatures(docs, k), k, rowsPerBand)
+
+  private[graft] def candidatesFromSignatures(sig0: DataFrame, k: Int,
+      rowsPerBand: Int): DataFrame = {
+    // sig is read three times (banding + both sides of the est_sim join)
+    // and is tiny (one k-int row per doc) — project to just the signature
+    // columns and persist instead of recomputing the pipeline per reference
+    val sig = sig0
+      .select(col("doc_id") +: (0 until k).map(i => col(s"s$i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = lshBands(sig, k, rowsPerBand)
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -89,8 +137,11 @@ object DedupOps {
         (matchCount.cast("double") / k).as("est_sim"))
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
-    * intersection / union in exact ints; one equi-join on the shingle. */
+  /** Exact n-gram Jaccard for ALL pairs sharing ≥1 shingle. O(Σ df²) —
+    * quadratic in document frequency of shared shingles, so this is the
+    * exhaustive small-corpus baseline. At scale use `nearDuplicates`
+    * (LSH candidates → exact Jaccard verification), which is linear in
+    * candidate count. */
   def jaccardPairs(docs: DataFrame, n: Int = 8, threshold: Double = 0.2): DataFrame = {
     val sh = charShingles(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -106,23 +157,52 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The scale path: MinHash-LSH candidate generation, then EXACT Jaccard
+    * computed only on candidate pairs. The intersection join is driven
+    * from the (small) candidate list — pairs × shingles-per-doc rows, not
+    * the Σ df² all-pairs blowup — so cost is linear in candidates. */
+  def nearDuplicates(docs: DataFrame, n: Int = 8, threshold: Double = 0.2,
+      k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    // one collect_set shuffle builds the per-doc shingle sets; signatures
+    // and sizes derive per-row from it; persist instead of recomputing
+    val sets = signaturesFromSets(docShingleSets(docs, n), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatesFromSignatures(sets, k, rowsPerBand)
+      .select(col("a"), col("b"))
+    // exact verification: intersection via per-pair array_intersect on the
+    // two (small) shingle-set arrays — work is linear in candidate count,
+    // never the Σ df² all-pairs shingle join
+    val sa = sets.select(col("doc_id").as("a"), col("shset").as("seta"),
+      col("n_sh").as("na"))
+    val sb = sets.select(col("doc_id").as("b"), col("shset").as("setb"),
+      col("n_sh").as("nb"))
+    pairs.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("seta"), col("setb"))).as("i"),
+        col("na"), col("nb"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 32-bit SimHash over distinct whitespace tokens: per bit, the sign of
-    * the +1/-1 vote sum; all engine-portable integer math. */
+    * the +1/-1 vote sum; all engine-portable integer math.
+    *
+    * The 32 bit-votes are 32 parallel sum() COLUMNS (not a 32× row
+    * explosion): partial aggregation shuffles one 32-int row per doc. */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .distinct()
       .select(col("doc_id"), h32(col("tok")).as("h"))
-    val bits = toks
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("j"))
-      .select(col("doc_id"), col("j"),
-        when(expr("(shiftright(h, j) & 1) = 1"), 1L).otherwise(-1L).as("v"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("v")).as("sv"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("sv") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
+    val voteCols = (0 until 32).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L))
+        .as(s"v$j"))
+    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val hash = (0 until 32)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), hash.as("simhash"))
   }
 
   /** SimHash near-dup pairs within a Hamming radius, bucketed by the high

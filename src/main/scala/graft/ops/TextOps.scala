@@ -24,10 +24,15 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "de", "y", "es"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
+  /** Spread a few-file input across all cores before exploding (see
+    * DedupOps.spread). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Explode to one row per token (whitespace tokenization). */
   def tokenized(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    spread(docs).select(col(idCol), explode(tokens(col(textCol))).as("tok"))
 
   /** Per-document aggregate stats over tokens: counts, exact length sums,
     * stopword hits — the shared base for quality scoring and language ID. */
@@ -90,7 +95,7 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame = {
     val norm = docs.select(col("doc_id"),
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("norm_fp"))
-    val rolling = docs
+    val rolling = spread(docs)
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"),

@@ -25,6 +25,11 @@ import graft.queries.Q.h32
   */
 object VectorOps {
 
+  /** Spread a few-file input across all cores before per-row-heavy
+    * stages (see DedupOps.spread). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** int64 floor-quantization of a float vector column (exact: float →
     * double is lossless and both engines floor the same double). */
   def quantized(vecCol: Column): Column =
@@ -38,7 +43,7 @@ object VectorOps {
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"),
       quantized(col("embedding")).as("qv"))
-    val c = candidates.select(col("vec_id").as("cid"),
+    val c = spread(candidates).select(col("vec_id").as("cid"),
       quantized(col("embedding")).as("cv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -61,7 +66,7 @@ object VectorOps {
       .select(col("j"), col("g"),
         (h32(concat(col("j").cast("string"), lit(","), col("g").cast("string")))
           % 2001 - 1000).as("p"))
-    val xv = vectors
+    val xv = spread(vectors)
       .select(col("vec_id"), posexplode(quantized(col("embedding"))).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).as("g"), col("x"))
     val proj = xv.join(broadcast(planes), "g")

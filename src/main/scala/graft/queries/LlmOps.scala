@@ -23,20 +23,18 @@ object LlmOps {
               unnest(generate_series(1, greatest(len(text) - 7, 1))) AS g
             FROM documents))"""
 
-  // shared oracle CTE: 12-hash minhash signature (lexicographic min of
-  // salted md5 per shingle set)
-  private val sigCte = raw"""
-    h AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
-      FROM (SELECT doc_id, s, unnest(generate_series(0, 11)) AS i FROM sh)
-      GROUP BY doc_id, i),
+  // shared oracle CTE: 12-hash minhash signature — affine permutations
+  // ((2i+1)·h + i·12582917) mod (2^31-1) of the md5-derived shingle hash
+  private val sigCte = {
+    val mins = (0 until 12).map { i =>
+      s"min((h * ${2 * i + 1} + ${i.toLong * 12582917L}) % 2147483647) AS s$i"
+    }.mkString(",\n      ")
+    raw"""
     sig AS (SELECT doc_id,
-      min(CASE WHEN i = 0 THEN m END) AS s0, min(CASE WHEN i = 1 THEN m END) AS s1,
-      min(CASE WHEN i = 2 THEN m END) AS s2, min(CASE WHEN i = 3 THEN m END) AS s3,
-      min(CASE WHEN i = 4 THEN m END) AS s4, min(CASE WHEN i = 5 THEN m END) AS s5,
-      min(CASE WHEN i = 6 THEN m END) AS s6, min(CASE WHEN i = 7 THEN m END) AS s7,
-      min(CASE WHEN i = 8 THEN m END) AS s8, min(CASE WHEN i = 9 THEN m END) AS s9,
-      min(CASE WHEN i = 10 THEN m END) AS s10, min(CASE WHEN i = 11 THEN m END) AS s11
-      FROM h GROUP BY doc_id)"""
+      $mins
+      FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh)
+      GROUP BY doc_id)"""
+  }
 
   // shared oracle CTE: int64 floor-quantized embedding components, 1-based
   private val quantCte = raw"""
@@ -108,17 +106,27 @@ object LlmOps {
         FROM pairs JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
         ORDER BY a, b""")),
 
-    // ---- exact n-gram Jaccard pairs -------------------------------------
-    "q25_jaccard_pairs" -> QueryDef(
+    // ---- exact n-gram Jaccard, verified on LSH candidates (scale path) --
+    "q25_jaccard_neardups" -> QueryDef(
       build = (spark, dir) =>
-        DedupOps.jaccardPairs(Tables.load(spark, dir, "documents"))
+        DedupOps.nearDuplicates(Tables.load(spark, dir, "documents"))
           .orderBy(col("a"), col("b")),
       oracle = Some(s"""
-        WITH $shinglesCte,
+        WITH $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-          GROUP BY 1, 2)
+        inter AS (SELECT a, b, COUNT(*) AS i
+          FROM pairs
+          JOIN sh x ON x.doc_id = a
+          JOIN sh y ON y.doc_id = b AND y.s = x.s
+          GROUP BY a, b)
         SELECT a, b, i * 1.0 / (sa.n_sh + sb.n_sh - i) AS jaccard
         FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2

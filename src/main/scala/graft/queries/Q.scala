@@ -27,6 +27,14 @@ final case class QueryDef(
   *   - timestamps: truncate/convert to DATE or derive from integer epochs.
   */
 object Q {
+  /** Fan a few-row-group scan out across all cores before compute-heavy
+    * per-row work (decimal aggregation, hashing). Local test files have a
+    * single row group, so without this the scan+partial-agg stage runs on
+    * one task; on a real cluster multi-row-group files split natively and
+    * this becomes a cheap no-op-sized shuffle. */
+  def fan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact decimal view of a double money/quantity column. */
   def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 

@@ -31,8 +31,8 @@ object Relational {
     // ---- A1: grouped aggregation (TPC-H Q1 pricing summary) -------------
     "q01_pricing_summary" -> QueryDef(
       build = (spark, dir) => {
-        val li = t(spark, dir, "lineitem")
-          .filter(col("l_shipdate") <= lit("1998-09-02"))
+        val li = Q.fan(t(spark, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02")))
         val one = lit(new java.math.BigDecimal("1.00"))
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(

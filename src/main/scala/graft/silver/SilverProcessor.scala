@@ -54,12 +54,16 @@ final class SilverProcessor(lake: Lake) {
     Some(df)
   }
 
-  /** Process a specific batch of bronze files (the S3-event path, S3). */
-  def processFiles(domain: String, name: String, files: Seq[String]): DataFrame = {
+  /** Process a specific batch of bronze files (the S3-event path). */
+  def processFiles(domain: String, name: String, files: Seq[String]): DataFrame =
+    processBatch(domain, name, lake.spark.read.json(files: _*))
+
+  /** Process one raw bronze batch (shared by the batch and streaming
+    * paths — foreachBatch calls this per micro-batch). */
+  def processBatch(domain: String, name: String, raw: DataFrame): DataFrame = {
     val spark = lake.spark
     val schema = lake.registry.get(domain, name).getOrElse(
       throw new NoSuchElementException(s"endpoint $domain/$name not found"))
-    val raw = spark.read.json(files: _*)
     val batch = applySchema(raw, schema)
     val pks = schema.schema.primaryKeys
     val deduped =

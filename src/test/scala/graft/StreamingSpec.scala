@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.streaming.BronzeStream
+
+/** Structured-Streaming bronze→silver pipeline tests (SURVEY §2.9). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = EndpointSchema("clicks", "web", 1, SchemaMode.Manual,
+    SchemaDefinition(Seq(
+      ColumnDefinition("click_id", RefType.IntegerT, required = true, primaryKey = true),
+      ColumnDefinition("page", RefType.StringT))))
+
+  test("streaming bronze->silver applies the same dedup+upsert per micro-batch") {
+    val lake = new Lake(spark, Files.createTempDirectory("graft-stream-").toString)
+    lake.registry.create(schema)
+    lake.ingest.ingest("web", "clicks", Seq(
+      """{"click_id": 1, "page": "home"}""",
+      """{"click_id": 1, "page": "home-dup"}""",
+      """{"click_id": 2, "page": "about"}"""))
+    lake.ingest.flushAll()
+
+    val stream = new BronzeStream(lake)
+      .start("web", "clicks", trigger = Trigger.AvailableNow())
+    stream.awaitTermination(60000)
+
+    val silver = spark.read.parquet(lake.silverPath("web", "clicks"))
+    assert(silver.count() == 2)
+    // W1: earliest _insert_date wins within the batch
+    assert(silver.filter("click_id = 1").select("page").head().getString(0) == "home")
+
+    // second batch arrives -> upsert makes the new batch win
+    lake.ingest.ingest("web", "clicks", Seq(
+      """{"click_id": 2, "page": "about-v2"}""",
+      """{"click_id": 3, "page": "blog"}"""))
+    lake.ingest.flushAll()
+    val stream2 = new BronzeStream(lake)
+      .start("web", "clicks", trigger = Trigger.AvailableNow())
+    stream2.awaitTermination(60000)
+
+    val silver2 = spark.read.parquet(lake.silverPath("web", "clicks"))
+    assert(silver2.count() == 3)
+    assert(silver2.filter("click_id = 2").select("page").head().getString(0) == "about-v2")
+  }
+
+  test("event-time tumbling window agg with watermark") {
+    val lake = new Lake(spark, Files.createTempDirectory("graft-stream-").toString)
+    import spark.implicits._
+    val events = Seq(
+      ("2024-01-01 00:10:00", "view", 1.0),
+      ("2024-01-01 00:50:00", "view", 2.0),
+      ("2024-01-01 01:10:00", "click", 3.0))
+      .toDF("ts_s", "event_type", "value")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    // batch-mode execution of the same streaming plan shape
+    val out = new BronzeStream(lake).windowedCounts(events)
+      .selectExpr("window.start AS ws", "event_type", "n", "total_value")
+      .collect()
+    assert(out.length == 2)
+    assert(out.exists(r => r.getAs[Long]("n") == 2))
+  }
+}
