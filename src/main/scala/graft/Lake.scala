@@ -27,6 +27,11 @@ import graft.silver.SilverProcessor
 final class Lake(val spark: SparkSession, val root: String) {
   val registry = new SchemaRegistry(s"$root/registry")
 
+  // enable Catalyst-level three-part-name resolution for sessions built
+  // with graft.plans.LakeExtensions (string-level rewrite stays the
+  // default path for foreign sessions)
+  graft.plans.LakeResolutionRule.setRoot(spark, root)
+
   def bronzePath(domain: String, name: String): String = s"$root/bronze/$domain/$name"
   def silverPath(domain: String, name: String): String = s"$root/silver/$domain/$name"
   def goldPath(domain: String, name: String): String = s"$root/gold/$domain/$name"

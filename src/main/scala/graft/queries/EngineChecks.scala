@@ -29,6 +29,7 @@ object EngineChecks {
     val body = rows.map(_.map {
       case s: String => "'" + s.replace("'", "''") + "'"
       case b: Boolean => b.toString.toUpperCase
+      case d: Double => s"CAST($d AS DOUBLE)"
       case other => other.toString
     }.mkString("(", ", ", ")")).mkString(", ")
     s"SELECT * FROM (VALUES $body) AS t(${cols.mkString(", ")}) ORDER BY ${cols.head}"
@@ -173,6 +174,7 @@ object EngineChecks {
       case (c, _: Boolean) => StructField(c, BooleanType)
       case (c, _: Long)    => StructField(c, LongType)
       case (c, _: Int)     => StructField(c, IntegerType)
+      case (c, _: Double)  => StructField(c, DoubleType)
       case (c, _)          => StructField(c, StringType)
     }
     spark.createDataFrame(
@@ -231,6 +233,83 @@ object EngineChecks {
         validationRows),
       oracle = Some(valuesOracle(Seq("case_id", "valid", "n_errors"),
         validationExpected))),
+
+    // ---- O8: chart-type heuristics (chat_api/tools.py:85-119) -----------
+    "q42_chart_heuristics" -> QueryDef(
+      build = (spark, _) => {
+        val cases: Seq[(String, Seq[(String, String)], String)] = Seq(
+          ("c1_bar", Seq("status" -> "string", "n" -> "bigint"),
+            "orders by status"),
+          ("c2_line", Seq("order_day" -> "date", "revenue" -> "double"),
+            "daily revenue"),
+          ("c3_pie", Seq("segment" -> "string", "pct" -> "double"),
+            "market share by segment"),
+          ("c4_3y", Seq("name" -> "string", "a" -> "double", "b" -> "bigint",
+            "c" -> "int", "d" -> "double"), "compare metrics"),
+          ("c5_numeric_x", Seq("n1" -> "bigint", "n2" -> "double"),
+            "correlation"))
+        df(spark, Seq("case_id", "chart_type", "x_col", "y_cols"),
+          cases.map { case (id, cols, q) =>
+            val s = graft.query.ChartHeuristics.suggest(cols, q)
+            Seq[Any](id, s.chartType, s.x, s.ys.mkString("+"))
+          })
+      },
+      oracle = Some(valuesOracle(Seq("case_id", "chart_type", "x_col", "y_cols"),
+        Seq(
+          Seq("c1_bar", "bar", "status", "n"),
+          Seq("c2_line", "line", "order_day", "revenue"),
+          Seq("c3_pie", "pie", "segment", "pct"),
+          Seq("c4_3y", "bar", "name", "a+b+c"),
+          Seq("c5_numeric_x", "bar", "n1", "n1+n2"))))),
+
+    // ---- S8: data-path auto-detection (runner.py:221-289) ---------------
+    "q43_data_path" -> QueryDef(
+      build = (spark, _) => {
+        val cases = Seq(
+          "d1_bare_array" -> """[{"a": 1}, {"a": 2}]""",
+          "d2_preferred" -> """{"results": [{"a": 1}], "junk": [{"b": 1}, {"b": 2}]}""",
+          "d3_largest" -> """{"small": [{"a": 1}], "big": [{"b": 1}, {"b": 2}]}""",
+          "d4_nested" -> """{"payload": {"items": [{"a": 1}, {"a": 2}, {"a": 3}]}}""",
+          "d5_none" -> """{"n": 5}""")
+        df(spark, Seq("case_id", "path", "n_records"),
+          cases.map { case (id, json) =>
+            RestExtract.detectDataPath(mapper.readTree(json)) match {
+              case Some((p, recs)) =>
+                Seq[Any](id, if (p.isEmpty) "<root>" else p, recs.size.toLong)
+              case None => Seq[Any](id, "<none>", 0L)
+            }
+          })
+      },
+      oracle = Some(valuesOracle(Seq("case_id", "path", "n_records"), Seq(
+        Seq("d1_bare_array", "<root>", 2L),
+        Seq("d2_preferred", "results", 1L),
+        Seq("d3_largest", "big", 2L),
+        Seq("d4_nested", "payload.items", 3L),
+        Seq("d5_none", "<none>", 0L))))),
+
+    // ---- J5: Ratcliff/Obershelp fuzzy name matching (runner.py:560-611) -
+    "q44_fuzzy_match" -> QueryDef(
+      build = (spark, _) => {
+        val cases = Seq(
+          ("users", "user"), ("categories", "category"), ("boxes", "box"),
+          ("users", "planets"), ("order", "orders"))
+        df(spark, Seq("pair", "similarity", "matched"),
+          cases.map { case (a, b) =>
+            val sim = RestExtract.similarity(
+              RestExtract.singularize(a), RestExtract.singularize(b))
+            Seq[Any](s"$a~$b",
+              math.rint(sim * 10000) / 10000, RestExtract.namesMatch(a, b))
+          })
+      },
+      // hand-computed Ratcliff/Obershelp ratios after plural normalization:
+      // user~user = 1; category~category = 1; boxe~box = 2·3/7 ≈ 0.8571;
+      // user~planet shares only 'e' = 2·1/10 = 0.2; order~order = 1
+      oracle = Some(valuesOracle(Seq("pair", "similarity", "matched"), Seq(
+        Seq("users~user", 1.0, true),
+        Seq("categories~category", 1.0, true),
+        Seq("boxes~box", 0.8571, true),
+        Seq("users~planets", 0.2, false),
+        Seq("order~orders", 1.0, true))))),
 
     // ---- end-to-end: ingest → bronze JSONL → silver upsert → query ------
     // Batch 1 = all events; batch 2 = purchases with doubled value.

@@ -386,6 +386,27 @@ object Relational {
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus""")),
 
+    // ---- §2.4 note: CUBE (all grouping-set combinations) -----------------
+    "q19_cube" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+            coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("priority")),
+      oracle = Some("""
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
     // ---- W2: running window aggregate ------------------------------------
     "q20_window_running_sum" -> QueryDef(
       build = (spark, dir) => {
