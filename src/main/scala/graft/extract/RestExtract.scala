@@ -182,6 +182,16 @@ object RestExtract {
     out.result()
   }
 
+  /** Batched delivery (S14, runner.py:824-881): slice records into
+    * batches (reference default 25 per POST) and hand each batch to the
+    * transport. Returns the number of batches delivered. */
+  def deliverBatches(records: Seq[String], batchSize: Int = 25)
+      (deliver: Seq[String] => Unit): Int = {
+    val groups = records.grouped(batchSize).toSeq
+    groups.foreach(deliver)
+    groups.size
+  }
+
   private def buildUrl(base: String, path: String, params: Map[String, String]): String = {
     val b = base.stripSuffix("/") + "/" + path.stripPrefix("/")
     if (params.isEmpty) b

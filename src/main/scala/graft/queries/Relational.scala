@@ -430,6 +430,30 @@ object Relational {
         ORDER BY o_custkey, order_date, o_orderkey"""),
       bench = true),
 
+    // ---- dialect: from_json to typed list + list functions ---------------
+    "q45_from_json_array" -> QueryDef(
+      build = (spark, dir) => {
+        graft.functions.Dialect.register(spark)
+        t(spark, dir, "events")
+          .withColumn("j", concat(lit("[\""), col("event_type"), lit("\",\""),
+            (col("user_id") % 3).cast("string"), lit("\"]")))
+          .withColumn("arr", from_json(col("j"), ArrayType(StringType)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(size(col("arr"))).as("sum_len"),
+            sum(when(array_contains(col("arr"), "0"), 1L).otherwise(0L))
+              .as("n_bucket0"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+          SUM(len(from_json('["' || event_type || '","' ||
+            CAST(user_id % 3 AS VARCHAR) || '"]', '["VARCHAR"]'))) AS sum_len,
+          SUM(CASE WHEN list_contains(from_json('["' || event_type || '","' ||
+            CAST(user_id % 3 AS VARCHAR) || '"]', '["VARCHAR"]'), '0')
+              THEN 1 ELSE 0 END) AS n_bucket0
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- §2.9 analog: tumbling-window aggregation over event time --------
     "q21_hourly_events" -> QueryDef(
       build = (spark, dir) =>

@@ -23,6 +23,16 @@ final class CatalogService(lake: Lake) {
     silver ++ gold
   }
 
+  /** Sample rows for table preview / LLM context (L4,
+    * transformation_agent/.../main.py:152-192). */
+  def sampleRows(domain: String, layer: String, table: String,
+      n: Int = 5): Seq[Map[String, Any]] = {
+    val df = lake.query.dataFrame(s"SELECT * FROM $domain.$layer.$table")
+    val cols = df.columns
+    df.limit(n).collect().toSeq
+      .map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+  }
+
   private def columnsOf(qualified: String): Seq[(String, String)] =
     if (lake.spark.catalog.tableExists(qualified))
       lake.spark.table(qualified).schema.fields.toSeq
