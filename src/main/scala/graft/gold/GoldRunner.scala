@@ -32,7 +32,8 @@ final class GoldRunner(lake: Lake) {
     val spark = lake.spark
     val started = Instant.now()
     try {
-      val sql = NameRewriter.rewrite(lake, job.query)
+      val sql = NameRewriter.rewrite(lake,
+        graft.query.QualifyRewriter.rewrite(job.query))
       val result = spark.sql(sql)
       val path = lake.goldPath(job.domain, job.jobName)
       job.writeMode match {

@@ -26,10 +26,13 @@ final class QueryService(lake: Lake) {
       maxRows: Int)
 
   def run(sql: String): Either[String, QueryResult] = {
-    val verdict = QueryGuard.validate(lake.spark, sql)
+    // dialect shims first (QUALIFY → subquery) so the parsed-plan guard
+    // sees SQL Spark can actually parse
+    val sql2 = QualifyRewriter.rewrite(sql)
+    val verdict = QueryGuard.validate(lake.spark, sql2)
     if (!verdict.ok) return Left(verdict.reason)
     try {
-      val df = dataFrame(sql)
+      val df = dataFrame(sql2)
       val taken: Array[Row] = df.take(MaxResultRows + 1)
       val truncated = taken.length > MaxResultRows
       val rows = taken.take(MaxResultRows).toSeq.map(_.toSeq)
@@ -41,7 +44,7 @@ final class QueryService(lake: Lake) {
 
   /** The unguarded, untruncated DataFrame (for internal composition). */
   def dataFrame(sql: String): DataFrame =
-    lake.spark.sql(NameRewriter.rewrite(lake, sql))
+    lake.spark.sql(NameRewriter.rewrite(lake, QualifyRewriter.rewrite(sql)))
 
   /** Error sanitization (query_api/main.py:186-207): missing relations →
     * "table does not exist"; filesystem paths redacted. */

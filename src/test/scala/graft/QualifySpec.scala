@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.query.QualifyRewriter
+
+/** QUALIFY-clause rewrite (SURVEY §7.3): the gold dialect's
+  * `QUALIFY rn = 1` idiom must run on Spark. */
+class QualifySpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("string-level rewrite shapes") {
+    assert(QualifyRewriter.rewrite("SELECT a FROM t") == "SELECT a FROM t")
+    assert(QualifyRewriter.rewrite("SELECT a, rn FROM t QUALIFY rn = 1") ==
+      "SELECT * FROM (SELECT a, rn FROM t) __qualify WHERE rn = 1")
+    assert(QualifyRewriter.rewrite(
+      "SELECT a, rn FROM t QUALIFY rn <= 2 ORDER BY a LIMIT 5") ==
+      "SELECT * FROM (SELECT a, rn FROM t) __qualify WHERE rn <= 2 ORDER BY a LIMIT 5")
+    // quoted literal and subquery-depth QUALIFY untouched
+    assert(QualifyRewriter.rewrite("SELECT 'QUALIFY' AS s FROM t") ==
+      "SELECT 'QUALIFY' AS s FROM t")
+    assert(QualifyRewriter.rewrite("SELECT * FROM (SELECT 1 AS qualify_x) t") ==
+      "SELECT * FROM (SELECT 1 AS qualify_x) t")
+  }
+
+  test("QUALIFY runs end-to-end through the query service and gold jobs") {
+    val lake = new Lake(spark, Files.createTempDirectory("graft-qual-").toString)
+    lake.registry.create(EndpointSchema("orders", "sales", 1, SchemaMode.Manual,
+      SchemaDefinition(Seq(
+        ColumnDefinition("order_id", RefType.IntegerT, required = true, primaryKey = true),
+        ColumnDefinition("customer_id", RefType.IntegerT, required = true),
+        ColumnDefinition("total_amount", RefType.DoubleT)))))
+    lake.ingest.ingest("sales", "orders", Seq(
+      """{"order_id": 1, "customer_id": 1, "total_amount": 5.0}""",
+      """{"order_id": 2, "customer_id": 1, "total_amount": 9.0}""",
+      """{"order_id": 3, "customer_id": 2, "total_amount": 7.0}"""))
+    lake.ingest.flushAll()
+    lake.silver.processEndpoint("sales", "orders")
+
+    // the dialect's mandated latest-per-key idiom, verbatim QUALIFY
+    val res = lake.query.run("""
+      SELECT customer_id, order_id, total_amount,
+             row_number() OVER (PARTITION BY customer_id
+               ORDER BY total_amount DESC) AS rn
+      FROM sales.silver.orders QUALIFY rn = 1 ORDER BY customer_id""")
+    val rows = res.toOption.get.rows
+    assert(rows.map(_.take(2)) == Seq(Seq(1, 2), Seq(2, 3)))
+
+    // gold job using QUALIFY
+    val job = gold.GoldJob("sales", "top_order_per_customer",
+      """SELECT customer_id, order_id,
+           row_number() OVER (PARTITION BY customer_id ORDER BY total_amount DESC) AS rn
+         FROM sales.silver.orders QUALIFY rn = 1""")
+    assert(lake.gold.runJob(job).rows == 2)
+  }
+}
