@@ -40,10 +40,13 @@ object Q {
 
   def dec4(c: Column): Column = c.cast(DecimalType(14, 4))
 
-  /** Deterministic 32-bit unsigned hash as long: first 8 hex chars of md5.
-    * DuckDB equivalent: ('0x' || substr(md5(x),1,8))::BIGINT  */
-  def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+  /** Deterministic 32-bit unsigned hash as long: the first 4 md5 digest
+    * bytes, big-endian. DuckDB equivalent:
+    * ('0x' || substr(md5(x),1,8))::BIGINT. Implemented as the fused
+    * native expression [[graft.functions.Md5Prefix32]] (whole-stage
+    * codegen, no intermediate hex string); the composed built-in form is
+    * `conv(substring(md5(c),1,8),16,10).cast(long)`. */
+  def h32(c: Column): Column = graft.functions.Md5Prefix32(c)
 
   /** DuckDB SQL fragment for h32. */
   def h32Sql(expr: String): String =

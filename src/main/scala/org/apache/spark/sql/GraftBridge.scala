@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Package bridge to the `private[sql]` Column ⇄ Expression converters —
+  * the standard pattern for Spark extension libraries that define native
+  * Catalyst expressions (Spark 4 moved Column onto ColumnNode, so plain
+  * `new Column(expr)` no longer exists). */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -21,6 +21,10 @@ class BucketedSpec extends AnyFunSuite {
     s
   }
 
+  // unique db per run: the shared session may keep the default warehouse
+  // dir, where a previous run's managed-table location would collide
+  private val db = s"bdb${System.nanoTime()}"
+
   test("bucketed merge: correctness and no target-side exchange") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -30,7 +34,7 @@ class BucketedSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val base = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
-      BucketedTables.writeMerged(spark, "bdb", "items", base, Seq("id"))
+      BucketedTables.writeMerged(spark, db, "items", base, Seq("id"))
 
       // merge a batch: updates 1..100, inserts 1001..1100
       val batch = ((1 to 100) ++ (1001 to 1100))
@@ -39,14 +43,14 @@ class BucketedSpec extends AnyFunSuite {
       // plan property: the bucketed target side needs NO Exchange — only
       // the incoming batch is shuffled to the bucket layout
       val plan = BucketedTables
-        .mergePlan(spark, "bdb", "items", batch, Seq("id"))
+        .mergePlan(spark, db, "items", batch, Seq("id"))
         .queryExecution.executedPlan.toString
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
       assert(plan.contains("Bucketed: true"), plan)
       assert(exchanges == 1, s"expected 1 exchange (source side only):\n$plan")
 
-      BucketedTables.writeMerged(spark, "bdb", "items", batch, Seq("id"))
-      val after = spark.table("bdb.items")
+      BucketedTables.writeMerged(spark, db, "items", batch, Seq("id"))
+      val after = spark.table(s"$db.items")
       assert(after.count() == 1100)
       assert(after.filter($"id" === 50).head().getString(1) == "new50")
       assert(after.filter($"id" === 500).head().getString(1) == "v500")
