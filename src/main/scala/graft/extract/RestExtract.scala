@@ -57,48 +57,58 @@ object RestExtract {
       case _ => Nil
     }
 
-  /** Well-known wrapper keys, in preference order (runner.py:221-289). */
-  private val preferredKeys =
-    Seq("results", "data", "items", "records", "list", "rows", "entries")
+  /** Well-known wrapper keys, in the reference's preference order
+    * (runner.py:221-225 `_PREFERRED_DATA_KEYS`). */
+  private val preferredKeys = Seq("results", "data", "items", "records",
+    "entries", "content", "hits", "objects", "rows", "values")
 
-  /** Auto-detect the array-of-objects field: prefer well-known keys, fall
-    * back to the largest array of objects; search one level deep. */
+  /** Auto-detect the data array (runner.py:227-289), faithfully:
+    * 1. a list body → path "" as-is;
+    * 2. top-level non-empty arrays-of-objects: exactly one → take it;
+    * 3. several → first preferred name, else the largest;
+    * 4. none → one level deeper, first hit in field order;
+    * 5. still none → a non-empty object is a single record at path "". */
   def detectDataPath(body: JsonNode): Option[(String, Seq[JsonNode])] = {
-    def arrayOfObjects(n: JsonNode): Boolean =
-      n != null && n.isArray &&
-        (n.isEmpty || n.elements().asScala.forall(_.isObject))
+    def candidate(n: JsonNode): Boolean =
+      n != null && n.isArray && n.size() > 0 && n.get(0).isObject
 
-    if (body.isArray && arrayOfObjects(body))
+    if (body.isArray)
       return Some(("", body.elements().asScala.toSeq))
+    if (!body.isObject) return None
 
-    // preferred keys at the top level
-    preferredKeys.collectFirst {
-      case k if arrayOfObjects(body.get(k)) =>
-        (k, body.get(k).elements().asScala.toSeq)
-    }.orElse {
-      // largest array-of-objects at the top level
-      val top = body.properties().asScala.toSeq
-        .filter(e => arrayOfObjects(e.getValue) && e.getValue.size() > 0)
-      top.sortBy(-_.getValue.size()).headOption
-        .map(e => (e.getKey, e.getValue.elements().asScala.toSeq))
-    }.orElse {
-      // one level deep: obj.field
-      body.properties().asScala.toSeq.filter(_.getValue.isObject).flatMap { e =>
-        e.getValue.properties().asScala.toSeq.collect {
-          case f if arrayOfObjects(f.getValue) && f.getValue.size() > 0 =>
-            (s"${e.getKey}.${f.getKey}", f.getValue.elements().asScala.toSeq)
-        }
-      }.sortBy(-_._2.size).headOption
+    val candidates = body.properties().asScala.toSeq
+      .filter(e => candidate(e.getValue))
+      .map(e => (e.getKey, e.getValue.elements().asScala.toSeq))
+
+    if (candidates.size == 1) Some(candidates.head)
+    else if (candidates.size > 1) {
+      preferredKeys.collectFirst {
+        case k if candidates.exists(_._1 == k) => candidates.find(_._1 == k).get
+      }.orElse(Some(candidates.maxBy(_._2.size)))
+    } else {
+      // one level deep: first object field containing an array-of-objects
+      body.properties().asScala.toSeq.filter(_.getValue.isObject)
+        .flatMap { e =>
+          e.getValue.properties().asScala.toSeq.collectFirst {
+            case f if candidate(f.getValue) =>
+              (s"${e.getKey}.${f.getKey}", f.getValue.elements().asScala.toSeq)
+          }
+        }.headOption
+        // no nested arrays either — whole response is one record
+        .orElse(if (body.size() > 0) Some(("", Seq(body))) else None)
     }
   }
 
   /** PK-detection heuristic (runner.py:292-337):
-    * id → {singular}_id → unique *_id → name → url. */
+    * id → {singular}_id → unique *_id → name → url. The depluralization
+    * here is the reference's `rstrip("s")` (strip ALL trailing s), which
+    * differs from the fuzzy-match normalizer below — kept faithful. */
   def detectPrimaryKey(resourceName: String, sampleFields: Seq[String]): Option[String] = {
     val fields = sampleFields.toSet
-    val singular = singularize(resourceName)
+    val singular = resourceName.replaceAll("s+$", "")
     if (fields.contains("id")) Some("id")
-    else if (fields.contains(s"${singular}_id")) Some(s"${singular}_id")
+    else if (singular.nonEmpty && fields.contains(s"${singular}_id"))
+      Some(s"${singular}_id")
     else {
       val idFields = sampleFields.filter(_.endsWith("_id"))
       if (idFields.size == 1) Some(idFields.head)
@@ -108,13 +118,17 @@ object RestExtract {
     }
   }
 
-  /** Plural normalization (runner.py:560-576): categories→category,
-    * users→user; leaves non-plurals alone. */
+  /** Plural normalization (runner.py:560-576 `_normalize_name`): each
+    * underscore segment independently; ies→y (len>3), ses→drop one
+    * (len>3), trailing s (not ss, len>2) → drop. */
   def singularize(name: String): String =
-    if (name.endsWith("ies")) name.dropRight(3) + "y"
-    else if (name.endsWith("ses")) name.dropRight(2)
-    else if (name.endsWith("s") && !name.endsWith("ss")) name.dropRight(1)
-    else name
+    name.split('_').map { part =>
+      if (part.endsWith("ies") && part.length > 3) part.dropRight(3) + "y"
+      else if (part.endsWith("ses") && part.length > 3) part.dropRight(1)
+      else if (part.endsWith("s") && !part.endsWith("ss") && part.length > 2)
+        part.dropRight(1)
+      else part
+    }.mkString("_")
 
   /** Ratcliff/Obershelp similarity (difflib.SequenceMatcher.ratio) — used
     * to dedupe near-identical endpoint names at ≥0.8 (runner.py:560-611). */
@@ -149,13 +163,16 @@ object RestExtract {
     var page = 0
     var url: Option[String] = Some(first)
     var cursorVal: Option[String] = None
+    // like dlt, the data path is resolved ONCE (configured, or detected
+    // from the first page) and then applied to every page — a later page
+    // whose wrapper array is empty must read as "no records", not fall
+    // back to whole-body detection
+    var resolvedPath: Option[String] = ep.dataPath
     while (url.isDefined && page < maxPages) {
       val body = mapper.readTree(fetch(url.get))
-      val records = ep.dataPath match {
-        case Some(p) => extractData(body, p)
-        case None => detectDataPath(body).map(_._2)
-          .getOrElse(if (body.isObject) Seq(body) else Nil)
-      }
+      if (resolvedPath.isEmpty)
+        resolvedPath = Some(detectDataPath(body).map(_._1).getOrElse(""))
+      val records = extractData(body, resolvedPath.get)
       records.foreach(r => out += mapper.writeValueAsString(r))
       page += 1
       url = plan.pagination match {

@@ -270,7 +270,7 @@ object EngineChecks {
           "d2_preferred" -> """{"results": [{"a": 1}], "junk": [{"b": 1}, {"b": 2}]}""",
           "d3_largest" -> """{"small": [{"a": 1}], "big": [{"b": 1}, {"b": 2}]}""",
           "d4_nested" -> """{"payload": {"items": [{"a": 1}, {"a": 2}, {"a": 3}]}}""",
-          "d5_none" -> """{"n": 5}""")
+          "d5_single_record" -> """{"n": 5}""")
         df(spark, Seq("case_id", "path", "n_records"),
           cases.map { case (id, json) =>
             RestExtract.detectDataPath(mapper.readTree(json)) match {
@@ -285,7 +285,7 @@ object EngineChecks {
         Seq("d2_preferred", "results", 1L),
         Seq("d3_largest", "big", 2L),
         Seq("d4_nested", "payload.items", 3L),
-        Seq("d5_none", "<none>", 0L))))),
+        Seq("d5_single_record", "<root>", 1L))))),
 
     // ---- J5: Ratcliff/Obershelp fuzzy name matching (runner.py:560-611) -
     "q44_fuzzy_match" -> QueryDef(

@@ -77,7 +77,9 @@ class ExtractSpec extends AnyFunSuite {
     assert(detect("""{"small": [{"a": 1}], "big": [{"b": 1}, {"b": 2}]}""")
       .get._1 == "big")
     assert(detect("""{"payload": {"items": [{"a": 1}]}}""").get._1 == "payload.items")
-    assert(detect("""{"n": 5}""").isEmpty)
+    // no arrays anywhere: the non-empty object IS the single record
+    assert(detect("""{"n": 5}""").contains(("",
+      Seq(mapper.readTree("""{"n": 5}""")))))
   }
 
   test("dot-path extraction (runner.py:195-217)") {
