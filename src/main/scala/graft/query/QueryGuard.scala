@@ -11,26 +11,33 @@ import org.apache.spark.sql.catalyst.plans.logical.Command
 object QueryGuard {
   val MaxQueryLength = 10000 // query_api/main.py:19
 
-  // DDL/DML keyword blocklist (query_api/main.py:23-43)
-  private val forbiddenKeywords = Seq(
-    "insert", "update", "delete", "drop", "create", "alter", "truncate",
-    "attach", "detach", "install", "load", "copy", "set", "pragma",
-    "export", "import", "call", "vacuum", "checkpoint", "merge", "grant",
-    "revoke", "refresh", "cache", "uncache", "analyze", "msck")
+  // DDL/DML keyword blocklist — the reference's _BLOCKED_STATEMENTS list
+  // verbatim (query_api/main.py:23-32), plus Spark-specific command
+  // keywords the DuckDB-era list could not know about
+  private val forbiddenKeywords = (Seq(
+    "insert", "update", "delete", "drop", "alter", "create", "replace",
+    "truncate", "merge", "grant", "revoke", "commit", "rollback",
+    "savepoint", "attach", "detach", "install", "load", "export", "import",
+    "copy", "call", "set", "reset", "pragma", "checkpoint", "vacuum") ++
+    Seq("refresh", "cache", "uncache", "analyze", "msck"))
     .map(k => s"""(?is)(^|[^a-z0-9_])$k([^a-z0-9_]|$$)""".r)
 
-  // file/catalog-access function blocklist (query_api/main.py:33-43)
-  private val forbiddenFunctions = Seq(
-    "read_csv", "read_parquet", "read_json", "read_ndjson", "glob",
-    "parquet_scan", "delta_scan", "iceberg_scan", "input_file_name",
-    "reflect", "java_method")
+  // file/network-access function blocklist — the reference's
+  // _BLOCKED_FUNCTIONS (query_api/main.py:35-43) plus Spark equivalents
+  private val forbiddenFunctions = (Seq(
+    "read_csv_auto", "read_csv", "read_parquet", "read_json",
+    "read_json_auto", "read_blob", "read_text", "write_csv",
+    "write_parquet", "http_get", "http_post", "glob", "ls", "copy") ++
+    Seq("read_ndjson", "parquet_scan", "delta_scan", "iceberg_scan",
+      "input_file_name", "reflect", "java_method"))
     .map(k => s"""(?is)(^|[^a-z0-9_])$k\\s*\\(""".r)
 
   final case class Verdict(ok: Boolean, reason: String)
 
-  /** String-level validation (no parse) — faithful to the reference. */
+  /** String-level validation (no parse) — faithful to the reference,
+    * including the trailing-semicolon strip before the prefix check. */
   def validateText(sql: String): Verdict = {
-    val q = sql.trim
+    val q = sql.trim.replaceAll(";+\\s*$", "").trim
     if (q.isEmpty) Verdict(ok = false, "empty query")
     else if (q.length > MaxQueryLength)
       Verdict(ok = false, s"query exceeds $MaxQueryLength characters")

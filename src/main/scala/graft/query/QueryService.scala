@@ -47,13 +47,15 @@ final class QueryService(lake: Lake) {
     lake.spark.sql(NameRewriter.rewrite(lake, QualifyRewriter.rewrite(sql)))
 
   /** Error sanitization (query_api/main.py:186-207): missing relations →
-    * "table does not exist"; filesystem paths redacted. */
+    * "does not exist or has no data"; object-store URIs and internal
+    * filesystem paths replaced with `<redacted>`. */
   private[graft] def friendlyError(e: Exception): String = {
     val msg = Option(e.getMessage).getOrElse("query failed")
-    val m =
-      if (msg.contains("TABLE_OR_VIEW_NOT_FOUND") || msg.contains("PATH_NOT_FOUND"))
-        "Table does not exist. Check available tables with the catalog API."
-      else msg
-    m.replaceAll("""(file:)?(/[\w.\-]+)+""", "<path>").take(2000)
+    if (msg.contains("TABLE_OR_VIEW_NOT_FOUND") || msg.contains("PATH_NOT_FOUND"))
+      "Table does not exist or has no data."
+    else msg
+      .replaceAll("""s3://[^\s'"]+""", "<redacted>")
+      .replaceAll("""(file:)?(/tmp/|/var/|/opt/|/home/|/root/)[^\s'"]*""", "<redacted>")
+      .take(2000)
   }
 }
