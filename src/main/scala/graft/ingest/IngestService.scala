@@ -79,16 +79,38 @@ final class IngestService(lake: Lake, maxBufferBytes: Long = 5L * 1024 * 1024) {
   }
 
   /** Flush one endpoint's buffer to a new bronze JSONL object. Returns the
-    * written file path, if anything was buffered. */
+    * written file path, if anything was buffered. Write failures retry 5
+    * times with exponential backoff capped at 16 s — the reference's
+    * put_record policy (serverless_ingestion/main.py:141,157-176). */
   def flush(domain: String, name: String): Option[String] = synchronized {
     buffers.remove((domain, name)).filter(_.nonEmpty).map { buf =>
       val dir = Paths.get(lake.bronzePath(domain, name))
       Files.createDirectories(dir)
       val file = dir.resolve(f"part-${System.nanoTime()}%020d.jsonl")
-      Files.write(file, buf.toString.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW)
+      retry(attempts = 5) {
+        Files.write(file, buf.toString.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      }
       file.toString
     }
+  }
+
+  /** Exponential backoff 1,2,4,8,16 s (capped); `sleepFn` injectable so
+    * tests don't sleep. */
+  private[graft] var sleepFn: Long => Unit = millis => Thread.sleep(millis)
+
+  private[graft] def retry[A](attempts: Int)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= attempts) throw e
+          sleepFn(math.min(1000L << (attempt - 1), 16000L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def flushAll(): Seq[String] = synchronized {

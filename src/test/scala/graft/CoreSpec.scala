@@ -102,6 +102,27 @@ class CoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { reg.create(v1) }
   }
 
+  test("ingest retry: 5 attempts with capped exponential backoff (S9)") {
+    val lake = new Lake(null, Files.createTempDirectory("graft-retry-").toString)
+    val delays = scala.collection.mutable.Buffer.empty[Long]
+    lake.ingest.sleepFn = d => delays += d
+    var calls = 0
+    val out = lake.ingest.retry(5) {
+      calls += 1
+      if (calls < 4) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out == "ok" && calls == 4)
+    assert(delays.toSeq == Seq(1000L, 2000L, 4000L))
+    // exhausted attempts rethrow; backoff caps at 16 s
+    calls = 0
+    delays.clear()
+    intercept[RuntimeException] {
+      lake.ingest.retry(6) { calls += 1; throw new RuntimeException("down") }
+    }
+    assert(delays.toSeq == Seq(1000L, 2000L, 4000L, 8000L, 16000L))
+  }
+
   test("registry: gold job CRUD + silver markers") {
     val root = Files.createTempDirectory("graft-reg-").toString
     val reg = new core.SchemaRegistry(root)
