@@ -51,6 +51,23 @@ class OpsSpec extends AnyFunSuite {
     assert(dups.filter(col("cosine") < 0.95).count() == 0)
   }
 
+  test("nearDuplicates (LSH-verified) agrees with the exhaustive jaccard baseline") {
+    val docs = Tables.load(spark, dir, "documents")
+    val scale = DedupOps.nearDuplicates(docs, threshold = 0.2)
+    val exhaustive = DedupOps.jaccardPairs(docs, threshold = 0.2)
+    // every scale-path pair must exist in the exhaustive set with the
+    // IDENTICAL exact jaccard (same integer intersection math)
+    val joined = scale.alias("s").join(exhaustive.alias("e"), Seq("a", "b"))
+    assert(joined.count() == scale.count())
+    assert(joined.filter(col("s.jaccard") =!= col("e.jaccard")).count() == 0)
+    // and LSH with these parameters should recall the planted near-dups
+    // (jaccard >= 0.5 pairs) completely at this corpus size
+    val strong = exhaustive.filter(col("jaccard") >= 0.5)
+    val found = strong.join(scale.select(col("a"), col("b")), Seq("a", "b"))
+    assert(found.count() == strong.count(),
+      "LSH candidate generation missed a strong near-duplicate")
+  }
+
   test("minhash est_sim approximates exact jaccard on candidate pairs") {
     val docs = Tables.load(spark, dir, "documents")
     val cand = DedupOps.lshCandidates(docs)
