@@ -98,6 +98,51 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style cell assignment: the coarse quantizer is a deterministic
+    * seed set (the nCells lowest-id vectors — no RNG, no iterative
+    * k-means whose floating-point mean updates would be shuffle-order
+    * dependent); each vector goes to its nearest seed by EXACT integer
+    * squared distance on the quantized components, ties broken by cell
+    * id. Returns (vec_id, cell_id, dist2).
+    *
+    * Scale shape: seeds are tiny and broadcast; assignment is one
+    * map-side pass over the vectors + a per-vector argmin window. */
+  def ivfAssign(vectors: DataFrame, nCells: Int = 16): DataFrame = {
+    val seeds = vectors.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell_id"), quantized(col("embedding")).as("cv"))
+    val v = spread(vectors)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+    val d = v.join(broadcast(seeds))
+      .select(col("vec_id"), col("cell_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, t) => acc + t).as("dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell_id"))
+    d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"), col("dist2"))
+  }
+
+  /** IVF ANN (nprobe = 1): top-k within the query's cell only. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16): DataFrame = {
+    val cells = ivfAssign(vectors, nCells).select(col("vec_id"), col("cell_id"))
+    val qb = queries.select(col("vec_id").as("qid"),
+        quantized(col("embedding")).as("qv"))
+      .join(cells.withColumnRenamed("vec_id", "qid"), "qid")
+    val cb = vectors.select(col("vec_id").as("cid"),
+        quantized(col("embedding")).as("cv"))
+      .join(cells.withColumnRenamed("vec_id", "cid"), "cid")
+    val scored = cb.join(broadcast(qb), Seq("cell_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")).cast("double") /
+          (sqrt(dot(col("qv"), col("qv")).cast("double")) *
+           sqrt(dot(col("cv"), col("cv")).cast("double")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH-bucket collisions (the scale path for near-dup
     * detection over embeddings). */

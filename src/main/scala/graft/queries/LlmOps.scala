@@ -280,6 +280,52 @@ object LlmOps {
         SELECT a, b, cosine FROM scored WHERE cosine >= 0.95
         ORDER BY a, b""")),
 
+    // ---- IVF cell assignment (deterministic coarse quantizer) ------------
+    "q49_ivf_assign" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.ivfAssign(Tables.load(spark, dir, "embeddings"))
+          .orderBy(col("vec_id")),
+      oracle = Some(s"""
+        WITH $quantCte,
+        seeds AS (SELECT vec_id AS cell_id, g, x AS sx FROM xv
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        d AS (SELECT xv.vec_id, cell_id, SUM((x - sx) * (x - sx)) AS dist2
+          FROM xv JOIN seeds USING (g) GROUP BY 1, 2),
+        r AS (SELECT vec_id, cell_id, dist2, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist2, cell_id) AS rn FROM d)
+        SELECT vec_id, cell_id, dist2 FROM r WHERE rn = 1 ORDER BY vec_id""")),
+
+    // ---- language-ID accuracy against the labeled lang column ------------
+    "q50_langid_accuracy" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        TextOps.languageId(docs)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      oracle = Some(raw"""
+        WITH tok AS (SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        s AS (SELECT doc_id,
+          SUM(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS de_hits,
+          SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END) AS en_hits,
+          SUM(CASE WHEN tok IN ('el','la','los','de','y','es') THEN 1 ELSE 0 END) AS es_hits,
+          SUM(CASE WHEN tok IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS fr_hits
+          FROM tok GROUP BY doc_id),
+        p AS (SELECT doc_id,
+          CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'unknown'
+               WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
+               WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
+               WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
+               ELSE 'fr' END AS predicted
+          FROM s)
+        SELECT lang, predicted, COUNT(*) AS n
+        FROM p JOIN documents USING (doc_id)
+        GROUP BY lang, predicted ORDER BY lang, predicted""")),
+
     // ---- heuristic language ID ------------------------------------------
     "q29_language_id" -> QueryDef(
       build = (spark, dir) =>

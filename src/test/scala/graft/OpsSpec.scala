@@ -34,6 +34,23 @@ class OpsSpec extends AnyFunSuite {
     assert(joined.filter(col("a.cosine") =!= col("b.cosine")).count() == 0)
   }
 
+  test("IVF ANN returns a subset of brute-force candidates with equal cosine") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = VectorOps.cosineTopK(queries, emb, k = 500)
+      .select(col("qid"), col("cid"), col("cosine"))
+    val ivf = VectorOps.ivfTopK(emb, queries, k = 3)
+    assert(ivf.count() > 0)
+    val joined = ivf.alias("a").join(brute.alias("b"),
+      col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid"))
+    assert(joined.count() == ivf.count())
+    assert(joined.filter(col("a.cosine") =!= col("b.cosine")).count() == 0)
+    // every vector lands in exactly one cell
+    val assign = VectorOps.ivfAssign(emb)
+    assert(assign.count() == emb.count())
+    assert(assign.select(countDistinct(col("cell_id"))).head().getLong(0) > 1)
+  }
+
   test("simhash near-dup pairs have small hamming distance and high jaccard overlap") {
     val docs = Tables.load(spark, dir, "documents")
     val pairs = DedupOps.simhashPairs(docs, maxHamming = 6)
