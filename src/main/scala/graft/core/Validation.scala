@@ -36,8 +36,9 @@ object Validation {
       val v = payload.get(col.name)
       val missing = v == null || v.isNull
       if (missing) {
+        // absent optional fields are EXCLUDED from the validated payload
+        // (model_dump(exclude_none=True), models.py:239)
         if (col.required) errors += FieldError(col.name, "required field missing")
-        else out.putNull(col.name)
       } else coerce(col, v) match {
         case Right(node) => out.set[ObjectNode](col.name, node)
         case Left(msg)   => errors += FieldError(col.name, msg)
@@ -53,12 +54,25 @@ object Validation {
     Result(if (errs.isEmpty) out else payload, errs)
   }
 
+  // pydantic-v2 lax-mode boolean literals
+  private val boolTrue = Set("true", "t", "yes", "y", "on", "1")
+  private val boolFalse = Set("false", "f", "no", "n", "off", "0")
+
+  /** Coercion mirrors pydantic v2 LAX mode, which the reference's dynamic
+    * model uses (models.py:207-250): numeric strings coerce to numbers,
+    * integral floats to ints, lax literals to bool — but numbers do NOT
+    * coerce to strings (v2 dropped v1's int→str), so string/timestamp/
+    * date fields require textual JSON values. */
   private def coerce(col: ColumnDefinition, v: JsonNode): Either[String, JsonNode] =
     col.refType match {
       case RefType.StringT | RefType.VarcharT =>
-        Right(if (v.isTextual) v else f.textNode(v.asText()))
+        if (v.isTextual) Right(v)
+        else Left("input should be a valid string")
       case RefType.IntegerT | RefType.BigintT =>
         if (v.isIntegralNumber) Right(v)
+        else if (v.isFloatingPointNumber && v.asDouble() == v.asDouble().floor &&
+            !v.asDouble().isInfinite)
+          Right(f.numberNode(v.asDouble().toLong)) // 5.0 -> 5 (lax)
         else if (v.isTextual && Try(v.asText().trim.toLong).isSuccess)
           Right(f.numberNode(v.asText().trim.toLong))
         else Left(s"cannot coerce '${v.asText()}' to integer")
@@ -69,13 +83,17 @@ object Validation {
         else Left(s"cannot coerce '${v.asText()}' to float")
       case RefType.BooleanT =>
         if (v.isBoolean) Right(v)
-        else if (v.isTextual && Set("true", "false")(v.asText().toLowerCase))
-          Right(f.booleanNode(v.asText().toLowerCase == "true"))
+        else if (v.isIntegralNumber && (v.asLong() == 0L || v.asLong() == 1L))
+          Right(f.booleanNode(v.asLong() == 1L))
+        else if (v.isTextual && boolTrue(v.asText().toLowerCase))
+          Right(f.booleanNode(true))
+        else if (v.isTextual && boolFalse(v.asText().toLowerCase))
+          Right(f.booleanNode(false))
         else Left(s"cannot coerce '${v.asText()}' to boolean")
       case RefType.TimestampT | RefType.DateT =>
-        // kept as ISO string at bronze (models.py:218); just require text
+        // kept as ISO STRING at bronze (models.py:218); v2 str accepts
+        // only textual input
         if (v.isTextual) Right(v)
-        else if (v.isNumber) Right(f.textNode(v.asText()))
         else Left("timestamp/date must be a string at ingest")
       case RefType.JsonT =>
         if (v.isObject) Right(v) else Left("json field must be an object")

@@ -162,9 +162,9 @@ object EngineChecks {
     Seq("v03_missing_req", false, 2L),
     Seq("v04_bad_int", false, 1L),
     Seq("v05_extra_field", true, 0L),
-    // created_at as a number coerces to its string form (bronze keeps ISO
-    // strings loosely — models.py:218); still valid
-    Seq("v06_bad_ts", true, 0L))
+    // pydantic v2 does NOT coerce numbers to strings: a numeric
+    // created_at fails the str-typed timestamp field
+    Seq("v06_bad_ts", false, 1L))
 
   private def df(spark: SparkSession, cols: Seq[String], rows: Seq[Seq[Any]]): DataFrame = {
     import org.apache.spark.sql.Row
