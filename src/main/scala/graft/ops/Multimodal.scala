@@ -51,4 +51,68 @@ object Multimodal {
   /** End-to-end: attach binary, decode partition-wise, return metadata. */
   def mediaMetadata(docs: DataFrame): DataFrame =
     decode(withBinary(docs)).toDF()
+
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Long,
+      n_bytes: Long, checksum: String)
+
+  /** Frame sampling: slice each payload into fixed-size "frames" and keep
+    * every `stride`-th one — the video-pipeline shape (seek + decode only
+    * sampled frames). Partition-wise; emits one row per sampled frame with
+    * offset/length/checksum so downstream stages can fetch lazily instead
+    * of materializing every frame. A real codec replaces the byte slicing
+    * with keyframe-indexed seeks; the distributed shape is identical. */
+  def frameSample(docsWithBinary: DataFrame, frameBytes: Int = 64,
+      stride: Int = 4): Dataset[Frame] = {
+    val spark = docsWithBinary.sparkSession
+    import spark.implicits._
+    docsWithBinary.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+          (0 until nFrames).filter(_ % stride == 0).map { i =>
+            val off = i * frameBytes
+            val slice = bytes.slice(off, math.min(off + frameBytes, bytes.length))
+            Frame(id, i, off.toLong, slice.length.toLong,
+              toHex(java.security.MessageDigest.getInstance("MD5").digest(slice)))
+          }
+        }
+      }
+  }
+
+  final case class Features(doc_id: Long, n_bytes: Long, mean_byte: Double,
+      n_upper: Long, n_digit: Long, n_space: Long, entropy_proxy: Double)
+
+  /** Feature extraction: per-payload byte statistics as a typed feature
+    * row — the embed-the-blob stage shape (one model instance per
+    * partition, streamed inputs). The statistics are deterministic byte
+    * math so the distributed result is oracle-checkable; a real extractor
+    * swaps the body for a model forward pass. */
+  def featureExtract(docsWithBinary: DataFrame): Dataset[Features] = {
+    val spark = docsWithBinary.sparkSession
+    import spark.implicits._
+    docsWithBinary.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real code: val model = Model.load() — reused across the partition
+        rows.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          var sum = 0L; var upper = 0L; var digit = 0L; var space = 0L
+          val seen = new Array[Boolean](256)
+          bytes.foreach { b =>
+            val u = b & 0xff
+            sum += u
+            if (u >= 'A' && u <= 'Z') upper += 1
+            if (u >= '0' && u <= '9') digit += 1
+            if (u == ' ') space += 1
+            seen(u) = true
+          }
+          Features(id, n, if (n == 0) 0.0 else sum.toDouble / n,
+            upper, digit, space, seen.count(identity).toDouble / 256)
+        }
+      }
+  }
+
+  private def toHex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
 }

@@ -408,6 +408,47 @@ object LlmOps {
         FROM documents d JOIN roll ON roll.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    // ---- multimodal: strided frame sampling over binary payloads ---------
+    "q51_frame_sample" -> QueryDef(
+      build = (spark, dir) =>
+        Multimodal.frameSample(
+          Multimodal.withBinary(Tables.load(spark, dir, "documents")))
+          .toDF().orderBy(col("doc_id"), col("frame_idx")),
+      // documents text is pure ASCII (verified), so byte slices equal char
+      // substrings and the checksums line up with md5-of-substring
+      oracle = Some("""
+        WITH f AS (SELECT doc_id, text,
+            unnest(generate_series(0,
+              CAST(ceil(len(text) / 64.0) AS INT) - 1)) AS i
+          FROM documents)
+        SELECT doc_id, i AS frame_idx, CAST(i * 64 AS BIGINT) AS offset,
+               CAST(len(substr(text, i * 64 + 1, 64)) AS BIGINT) AS n_bytes,
+               md5(substr(text, i * 64 + 1, 64)) AS checksum
+        FROM f WHERE i % 4 = 0
+        ORDER BY doc_id, frame_idx""")),
+
+    // ---- multimodal: per-payload feature extraction -----------------------
+    "q52_feature_extract" -> QueryDef(
+      build = (spark, dir) =>
+        Multimodal.featureExtract(
+          Multimodal.withBinary(Tables.load(spark, dir, "documents")))
+          .toDF().orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH ch AS (SELECT doc_id, ascii(substr(text, g, 1)) AS c
+          FROM (SELECT doc_id, text,
+                  unnest(generate_series(1, len(text))) AS g FROM documents))
+        SELECT d.doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
+          s.mean_byte,
+          CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+          CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+          CAST(len(text) - len(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space,
+          s.entropy_proxy
+        FROM documents d JOIN (
+          SELECT doc_id, SUM(c) * 1.0 / COUNT(*) AS mean_byte,
+                 COUNT(DISTINCT c) / 256.0 AS entropy_proxy
+          FROM ch GROUP BY doc_id) s ON s.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // ---- multimodal binary plumbing (stubbed decode) ----------------------
     "q33_multimodal_meta" -> QueryDef(
       build = (spark, dir) =>

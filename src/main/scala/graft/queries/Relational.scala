@@ -454,6 +454,59 @@ object Relational {
               THEN 1 ELSE 0 END) AS n_bucket0
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- §2.7: INTERSECT / EXCEPT set operations -------------------------
+    "q53_intersect_except" -> QueryDef(
+      build = (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val y96 = o.filter(col("o_orderdate").between(
+          lit("1996-01-01"), lit("1996-12-31"))).select(col("o_custkey"))
+        val y97 = o.filter(col("o_orderdate").between(
+          lit("1997-01-01"), lit("1997-12-31"))).select(col("o_custkey"))
+        val both = y96.intersect(y97)
+          .withColumn("set_op", lit("both_years"))
+        val only96 = y96.except(y97)
+          .withColumn("set_op", lit("only_1996"))
+        both.unionByName(only96)
+          .groupBy(col("set_op"))
+          .agg(count(lit(1)).as("n_customers"), min(col("o_custkey")).as("min_key"),
+            max(col("o_custkey")).as("max_key"))
+          .orderBy(col("set_op"))
+      },
+      oracle = Some("""
+        WITH y96 AS (SELECT o_custkey FROM orders
+          WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                AND TIMESTAMP '1996-12-31 00:00:00'),
+        y97 AS (SELECT o_custkey FROM orders
+          WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                                AND TIMESTAMP '1997-12-31 00:00:00'),
+        u AS (
+          SELECT 'both_years' AS set_op, o_custkey
+          FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+          UNION ALL
+          SELECT 'only_1996', o_custkey
+          FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97))
+        SELECT set_op, COUNT(*) AS n_customers, MIN(o_custkey) AS min_key,
+               MAX(o_custkey) AS max_key
+        FROM u GROUP BY set_op ORDER BY set_op""")),
+
+    // ---- gold dialect: || synthetic-key pattern (analyzer.py:94-96) ------
+    "q54_synthetic_key" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "orders")
+          .withColumn("surrogate_key",
+            concat(col("o_custkey").cast("string"), lit("_"),
+              to_date(col("o_orderdate")).cast("string")))
+          .agg(countDistinct(col("surrogate_key")).as("n_keys"),
+            count(lit(1)).as("n_rows"),
+            min(col("surrogate_key")).as("min_key")),
+      oracle = Some("""
+        SELECT COUNT(DISTINCT CAST(o_custkey AS VARCHAR) || '_' ||
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS n_keys,
+               COUNT(*) AS n_rows,
+               MIN(CAST(o_custkey AS VARCHAR) || '_' ||
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS min_key
+        FROM orders""")),
+
     // ---- §2.9 analog: tumbling-window aggregation over event time --------
     "q21_hourly_events" -> QueryDef(
       build = (spark, dir) =>
