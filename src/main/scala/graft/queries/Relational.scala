@@ -489,6 +489,62 @@ object Relational {
                MAX(o_custkey) AS max_key
         FROM u GROUP BY set_op ORDER BY set_op""")),
 
+    // ---- J1 breadth: left / full outer joins with null-side accounting ---
+    "q55_outer_joins" -> QueryDef(
+      build = (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        val bigOrders = t(spark, dir, "orders")
+          .filter(col("o_totalprice") > 400000)
+        val fo = c.join(bigOrders, col("c_custkey") === col("o_custkey"),
+          "full_outer")
+        fo.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("n_customers_without"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("n_orphan_orders"),
+          sum(when(col("o_orderkey").isNotNull && col("c_custkey").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"))
+      },
+      oracle = Some("""
+        SELECT COUNT(*) AS n_rows,
+          SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_without,
+          SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphan_orders,
+          SUM(CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NOT NULL
+              THEN 1 ELSE 0 END) AS n_matched
+        FROM customer
+        FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+          ON c_custkey = o_custkey""")),
+
+    // ---- CTE + correlated-aggregate pattern (above-average-in-group) -----
+    "q56_above_group_avg" -> QueryDef(
+      build = (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        val n = t(spark, dir, "nation")
+        // exact group mean: decimal sum cast double / count (IEEE division)
+        val avgBal = c.groupBy(col("c_nationkey"))
+          .agg((sum(dec(col("c_acctbal"))).cast(DoubleType) /
+            count(lit(1))).as("avg_bal"))
+        c.join(avgBal, "c_nationkey")
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_above_avg"))
+          .orderBy(col("n_name"))
+      },
+      oracle = Some("""
+        WITH avg_bal AS (
+          SELECT c_nationkey,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+          FROM customer GROUP BY c_nationkey)
+        SELECT n_name, COUNT(*) AS n_above_avg
+        FROM customer
+        JOIN avg_bal USING (c_nationkey)
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > avg_bal
+        GROUP BY n_name ORDER BY n_name""")),
+
     // ---- gold dialect: || synthetic-key pattern (analyzer.py:94-96) ------
     "q54_synthetic_key" -> QueryDef(
       build = (spark, dir) =>
