@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.silver.PartitionedUpsert
+
+/** Partition-scoped upsert: correct merge semantics AND the physical
+  * property that untouched partitions' files are left as-is. */
+class PartitionedUpsertSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def listFiles(dir: String): Map[String, Long] =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+
+  test("merge rewrites only the touched partitions") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-part-").toString + "/t"
+    val base = Seq(
+      (1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c"), (4L, "2024-01-03", "d"))
+      .toDF("id", "day", "v")
+    PartitionedUpsert.writeMerged(base, path, Seq("id"), "day")
+    val before = listFiles(path)
+
+    // batch touches only 2024-01-01: update id=1, insert id=5
+    val batch = Seq((1L, "2024-01-01", "a2"), (5L, "2024-01-01", "e"))
+      .toDF("id", "day", "v")
+    PartitionedUpsert.writeMerged(batch, path, Seq("id"), "day")
+
+    val after = spark.read.parquet(path)
+    assert(after.count() == 5)
+    assert(after.filter($"id" === 1).select("v").head().getString(0) == "a2")
+    assert(after.filter($"id" === 2).select("v").head().getString(0) == "b")
+
+    // physical check: files under day=2024-01-02 / 03 are byte-for-byte
+    // untouched (same paths, same mtimes); day=2024-01-01 was rewritten
+    val post = listFiles(path)
+    val untouchedBefore = before.filter(!_._1.contains("day=2024-01-01"))
+    val untouchedAfter = post.filter(!_._1.contains("day=2024-01-01"))
+    assert(untouchedBefore == untouchedAfter, "untouched partitions changed")
+    assert(post.keys.exists(_.contains("day=2024-01-01")))
+    assert(before.keySet.filter(_.contains("day=2024-01-01")) !=
+      post.keySet.filter(_.contains("day=2024-01-01")))
+  }
+}
