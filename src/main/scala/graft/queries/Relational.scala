@@ -563,6 +563,21 @@ object Relational {
                  CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS min_key
         FROM orders""")),
 
+    // ---- §2.4 note: approx sketches exposed (no oracle — HLL sketches
+    //      differ across engines by construction; accuracy bound is
+    //      asserted in RelationalSpec instead) --------------------------
+    "q57_approx_distinct" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+              .as("price_percentiles"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      oracle = None),
+
     // ---- §2.9 analog: tumbling-window aggregation over event time --------
     "q21_hourly_events" -> QueryDef(
       build = (spark, dir) =>

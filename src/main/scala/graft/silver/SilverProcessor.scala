@@ -76,14 +76,26 @@ final class SilverProcessor(lake: Lake) {
       } else batch
     val clean = deduped.drop("_insert_date", "_domain", "_endpoint")
     val path = lake.silverPath(domain, name)
-    if (pks.nonEmpty) Upsert.writeMerged(clean, path, pks)
-    else { // no PKs: plain append (main.py:145-146)
+    if (pks.isEmpty) { // no PKs: plain append (main.py:145-146)
       clean.write.mode("append").parquet(path)
+    } else partitionColumn(schema) match {
+      // partition-scoped merge when a PK column doubles as the partition
+      // key (the 100 TB path — O(touched partitions) per batch)
+      case Some(p) => PartitionedUpsert.writeMerged(clean, path, pks, p)
+      case None    => Upsert.writeMerged(clean, path, pks)
     }
     lake.registry.registerSilver(domain, name, path)
     lake.registerTable(domain, "silver", name, path)
     spark.read.parquet(path)
   }
+
+  /** A column whose description carries the `partition` marker opts the
+    * table into partition-scoped upserts. Partition-stable by
+    * construction: only primary-key columns qualify. */
+  private def partitionColumn(schema: EndpointSchema): Option[String] =
+    schema.schema.columns
+      .find(c => c.primaryKey && c.description.exists(_.contains("partition")))
+      .map(_.name)
 
   /** Project to declared columns (+ metadata) and cast bronze's ISO
     * strings / loose numerics to the silver types. */

@@ -23,6 +23,34 @@ class PartitionedUpsertSpec extends AnyFunSuite {
       .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
       .toMap
 
+  test("silver processor routes to partition-scoped upsert when a PK column carries the partition marker") {
+    import graft.core._
+    val lake = new Lake(spark, Files.createTempDirectory("graft-psilver-").toString)
+    lake.registry.create(EndpointSchema("metrics", "ops", 1, SchemaMode.Manual,
+      SchemaDefinition(Seq(
+        ColumnDefinition("metric_id", RefType.IntegerT, required = true, primaryKey = true),
+        ColumnDefinition("day", RefType.StringT, required = true, primaryKey = true,
+          description = Some("partition column")),
+        ColumnDefinition("value", RefType.DoubleT)))))
+    lake.ingest.ingest("ops", "metrics", Seq(
+      """{"metric_id": 1, "day": "2024-01-01", "value": 1.0}""",
+      """{"metric_id": 2, "day": "2024-01-02", "value": 2.0}"""))
+    lake.ingest.flushAll()
+    lake.silver.processEndpoint("ops", "metrics")
+    // the silver table is physically partitioned by day
+    val dirs = Files.list(Paths.get(lake.silverPath("ops", "metrics")))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    assert(dirs.exists(_.startsWith("day=")))
+    // second batch updates one partition, inserts into it
+    lake.ingest.ingest("ops", "metrics", Seq(
+      """{"metric_id": 1, "day": "2024-01-01", "value": 9.0}""",
+      """{"metric_id": 3, "day": "2024-01-01", "value": 3.0}"""))
+    lake.ingest.flushAll()
+    val df = lake.silver.processEndpoint("ops", "metrics").get
+    assert(df.count() == 3)
+    assert(df.filter("metric_id = 1").select("value").head().getDouble(0) == 9.0)
+  }
+
   test("merge rewrites only the touched partitions") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-part-").toString + "/t"
