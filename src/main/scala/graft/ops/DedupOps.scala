@@ -221,7 +221,7 @@ object DedupOps {
     banded.as("x").join(banded.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -52,7 +52,7 @@ object Multimodal {
   def mediaMetadata(docs: DataFrame): DataFrame =
     decode(withBinary(docs)).toDF()
 
-  final case class Frame(doc_id: Long, frame_idx: Int, offset: Long,
+  final case class Frame(doc_id: Long, frame_idx: Long, offset: Long,
       n_bytes: Long, checksum: String)
 
   /** Frame sampling: slice each payload into fixed-size "frames" and keep
@@ -73,7 +73,7 @@ object Multimodal {
           (0 until nFrames).filter(_ % stride == 0).map { i =>
             val off = i * frameBytes
             val slice = bytes.slice(off, math.min(off + frameBytes, bytes.length))
-            Frame(id, i, off.toLong, slice.length.toLong,
+            Frame(id, i.toLong, off.toLong, slice.length.toLong,
               toHex(java.security.MessageDigest.getInstance("MD5").digest(slice)))
           }
         }

@@ -53,7 +53,8 @@ object TextOps {
     val base = docs.select(col("doc_id"),
       length(col("text")).as("n_chars_text"),
       (length(col("text")) -
-        length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("punct_count"))
+        length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .cast("long").as("punct_count"))
     tokenStats(docs).join(base, "doc_id")
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct"), col("punct_count"),
@@ -86,9 +87,10 @@ object TextOps {
     * (letter runs / digit runs / punctuation runs). */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(tokens(col("text"))).as("ws_tokens"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))).as("bpe_ish_tokens"))
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
+        .cast("long").as("bpe_ish_tokens"))
 
   /** Document fingerprinting: md5 of whitespace-normalized text plus a
     * position-weighted rolling hash (order-sensitive, exact int math). */

@@ -52,7 +52,8 @@ object VectorOps {
            sqrt(dot(col("cv"), col("cv")).cast("double")))).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Random-hyperplane LSH bucket id (nPlanes sign bits). Plane
@@ -95,7 +96,8 @@ object VectorOps {
            sqrt(dot(col("cv"), col("cv")).cast("double")))).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** IVF-style cell assignment: the coarse quantizer is a deterministic
@@ -140,7 +142,8 @@ object VectorOps {
            sqrt(dot(col("cv"), col("cv")).cast("double")))).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

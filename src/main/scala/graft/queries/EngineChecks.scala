@@ -30,6 +30,9 @@ object EngineChecks {
       case s: String => "'" + s.replace("'", "''") + "'"
       case b: Boolean => b.toString.toUpperCase
       case d: Double => s"CAST($d AS DOUBLE)"
+      // bare integer literals are INT32 in DuckDB; Spark-side rows carry
+      // Long → the driver's value-hash sees int32 vs int64. Cast to BIGINT.
+      case n: Long => s"CAST($n AS BIGINT)"
       case other => other.toString
     }.mkString("(", ", ", ")")).mkString(", ")
     s"SELECT * FROM (VALUES $body) AS t(${cols.mkString(", ")}) ORDER BY ${cols.head}"

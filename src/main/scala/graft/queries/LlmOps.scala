@@ -165,7 +165,7 @@ object LlmOps {
           FROM (SELECT doc_id, h, unnest(generate_series(0, 31)) AS j FROM h)
           GROUP BY doc_id, j)
         SELECT doc_id,
-          SUM(CASE WHEN sv > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+          CAST(SUM(CASE WHEN sv > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- brute-force cosine top-k (ANN baseline) ------------------------
@@ -206,7 +206,7 @@ object LlmOps {
         proj AS (SELECT vec_id, j, SUM(x * p) AS s
           FROM xv JOIN pl USING (g) GROUP BY vec_id, j)
         SELECT vec_id,
-          SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+          CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
         FROM proj GROUP BY vec_id ORDER BY vec_id""")),
 
     // ---- bucketed ANN: top-k within the query's LSH bucket ---------------
@@ -254,7 +254,7 @@ object LlmOps {
           FROM bits GROUP BY doc_id),
         banded AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh)
         SELECT x.doc_id AS a, y.doc_id AS b,
-               bit_count(xor(x.simhash, y.simhash)) AS hamming
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
         FROM banded x JOIN banded y
           ON x.bucket = y.bucket AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
@@ -293,7 +293,8 @@ object LlmOps {
           FROM xv JOIN seeds USING (g) GROUP BY 1, 2),
         r AS (SELECT vec_id, cell_id, dist2, row_number() OVER (
             PARTITION BY vec_id ORDER BY dist2, cell_id) AS rn FROM d)
-        SELECT vec_id, cell_id, dist2 FROM r WHERE rn = 1 ORDER BY vec_id""")),
+        SELECT vec_id, cell_id, CAST(dist2 AS BIGINT) AS dist2
+        FROM r WHERE rn = 1 ORDER BY vec_id""")),
 
     // ---- language-ID accuracy against the labeled lang column ------------
     "q50_langid_accuracy" -> QueryDef(
@@ -341,7 +342,9 @@ object LlmOps {
           SUM(CASE WHEN tok IN ('el','la','los','de','y','es') THEN 1 ELSE 0 END) AS es_hits,
           SUM(CASE WHEN tok IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS fr_hits
           FROM tok GROUP BY doc_id)
-        SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+        SELECT doc_id,
+          CAST(de_hits AS BIGINT) AS de_hits, CAST(en_hits AS BIGINT) AS en_hits,
+          CAST(es_hits AS BIGINT) AS es_hits, CAST(fr_hits AS BIGINT) AS fr_hits,
           CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'unknown'
                WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
                WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
@@ -404,7 +407,7 @@ object LlmOps {
           FROM pos GROUP BY doc_id)
         SELECT d.doc_id,
           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_fp,
-          rolling_hash
+          CAST(rolling_hash AS BIGINT) AS rolling_hash
         FROM documents d JOIN roll ON roll.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 

@@ -299,7 +299,7 @@ object Relational {
           .orderBy(col("event_type")),
       oracle = Some("""
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -359,10 +359,10 @@ object Relational {
           .orderBy(col("event_type")),
       oracle = Some("""
         SELECT event_type, COUNT(*) AS n,
-          SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+          CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
                     AND event_type IN ('view','click','purchase','signup','error')
                     AND value IS NOT NULL AND value >= 0
-                   THEN 1 ELSE 0 END) AS n_valid
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- §2.4 note: ROLLUP (Catalyst freebie the engine exposes) ---------
@@ -447,11 +447,11 @@ object Relational {
       },
       oracle = Some("""
         SELECT event_type, COUNT(*) AS n,
-          SUM(len(from_json('["' || event_type || '","' ||
-            CAST(user_id % 3 AS VARCHAR) || '"]', '["VARCHAR"]'))) AS sum_len,
-          SUM(CASE WHEN list_contains(from_json('["' || event_type || '","' ||
+          CAST(SUM(len(from_json('["' || event_type || '","' ||
+            CAST(user_id % 3 AS VARCHAR) || '"]', '["VARCHAR"]'))) AS BIGINT) AS sum_len,
+          CAST(SUM(CASE WHEN list_contains(from_json('["' || event_type || '","' ||
             CAST(user_id % 3 AS VARCHAR) || '"]', '["VARCHAR"]'), '0')
-              THEN 1 ELSE 0 END) AS n_bucket0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_bucket0
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- §2.7: INTERSECT / EXCEPT set operations -------------------------
@@ -508,10 +508,10 @@ object Relational {
       },
       oracle = Some("""
         SELECT COUNT(*) AS n_rows,
-          SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_without,
-          SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphan_orders,
-          SUM(CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NOT NULL
-              THEN 1 ELSE 0 END) AS n_matched
+          CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customers_without,
+          CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_orders,
+          CAST(SUM(CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NOT NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
         FROM customer
         FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
           ON c_custkey = o_custkey""")),
@@ -575,6 +575,12 @@ object Relational {
             expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
               .as("price_percentiles"),
             count(lit(1)).as("n"))
+          // scalar columns only: the driver's rows-only check sorts every
+          // output column in pandas, and array cells are unsortable there
+          .select(col("l_returnflag"), col("approx_orders"),
+            element_at(col("price_percentiles"), 1).as("p50"),
+            element_at(col("price_percentiles"), 2).as("p95"),
+            col("n"))
           .orderBy(col("l_returnflag")),
       oracle = None),
 
