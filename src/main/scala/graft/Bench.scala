@@ -16,7 +16,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -24,19 +24,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: run every headline query once at the smallest SF (untimed).
-    // The generated whole-stage code is schema-keyed, so this fills the
-    // codegen + JIT caches; the engine is a LONG-LIVED session by design
-    // (SURVEY §4.1 — the reference's per-request cold start is the
-    // anti-pattern we drop), so steady-state is the honest measurement.
+    // Warmup: run every headline query once at the bench SF (untimed).
+    // This fills the schema-keyed codegen cache, JIT-compiles the
+    // generated code, and faults the input parquet into the page cache;
+    // the engine is a LONG-LIVED session by design (SURVEY §4.1 — the
+    // reference's per-request cold start is the anti-pattern we drop),
+    // so steady-state is the honest measurement.
     val names = SparkEntry.benchQueries
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      names.foreach { name =>
-        try SparkEntry.queries(name)(spark, warmDir)
+    names.foreach { name =>
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
+      } catch { case _: Throwable => () }
+    }
     // best of two timed runs per query: steady-state throughput with the
     // occasional GC/scheduling hiccup filtered out
     val results = names.map { name =>

@@ -10,8 +10,18 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Static helper the generated code calls — one md5 + 4-byte fold, no
   * intermediate hex string. */
 object GraftHash {
+  // MessageDigest is stateful, not thread-safe, and costly to instantiate;
+  // this is called millions of times per batch from generated code, so
+  // reuse one instance per executor thread
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5Prefix32(b: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(b)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }

@@ -54,44 +54,66 @@ object DedupOps {
   private[graft] def permHash(h: Column, i: Int): Column =
     (h * (2 * i + 1) + lit(i.toLong * 12582917L)) % 2147483647L
 
-  /** Per-document distinct shingle SET as an array column:
-    * (doc_id, shset, n_sh). ONE shuffle (the collect_set aggregation,
-    * with map-side partial sets); every downstream minhash/LSH step is
-    * then per-row array math with no further exchange. */
-  def docShingleSets(docs: DataFrame, n: Int = 8): DataFrame =
-    spread(docs).select(col("doc_id"), col("text"),
-      explode(sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))))
-        .as("pos"))
-      .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("s"))
-      // hash map-side, ONCE per shingle, so signature permutations later
-      // traverse a ready int array (Catalyst does not share subexpressions
-      // across aggregate expressions — hashing inside each of the k
-      // array_min lambdas would md5 every shingle k times)
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("shset"),
-        collect_set(h32(col("s"))).as("hset"))
-      .select(col("doc_id"), col("shset"), col("hset"),
-        size(col("shset")).as("n_sh"))
+  /** Per-document distinct shingle set + full MinHash signature, computed
+    * in ONE imperative map-side pass (typed mapPartitions): shingling,
+    * hashing and all k permutation minima per document, with a reused
+    * MessageDigest per task. Returns
+    * (doc_id, shset, n_sh, s0..s{k-1}) with NO exchange at all — nothing
+    * shuffles until the (tiny) band keys downstream.
+    *
+    * mapPartitions is deliberate here (the documented last resort): the
+    * declarative forms — explode + collect_set (shuffles every shingle)
+    * or array_distinct/transform lambdas (higher-order functions evaluate
+    * interpreted, boxing n_shingles·k lambda calls) — both measured
+    * slower at sf0.1, and the signature math is opaque to Catalyst
+    * anyway. Shingles use code-unit substrings (= SQL substring for the
+    * ASCII corpus; see TESTDATA.md). */
+  private[graft] def setsWithSignatures(docs: DataFrame, n: Int,
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val out = spread(docs).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        rows.map { case (id, text) =>
+          val nPos = math.max(text.length - (n - 1), 1)
+          val set = new java.util.LinkedHashSet[String]()
+          var p = 0
+          while (p < nPos) {
+            set.add(text.substring(p, math.min(p + n, text.length)))
+            p += 1
+          }
+          val shset = set.toArray(new Array[String](set.size))
+          val mins = Array.fill(k)(Long.MaxValue)
+          shset.foreach { s =>
+            md.reset()
+            val d = md.digest(s.getBytes(utf8))
+            val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            var i = 0
+            while (i < k) {
+              val v = (h * (2 * i + 1) + i.toLong * 12582917L) % 2147483647L
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          (id, shset, shset.length, mins)
+        }
+      }
+      .toDF("doc_id", "shset", "n_sh", "sig")
+    out.select(col("doc_id") +: col("shset") +: col("n_sh") +:
+      (0 until k).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
+  }
 
   /** MinHash signature over the distinct shingle set. Returns one row per
-    * doc with int64 columns s0..s{k-1}.
-    *
-    * Computed as k per-row `array_min(transform(...))` folds over the
-    * shingle-set column — after the one collect_set shuffle there is NO
-    * exchange at all: each of the k permutation minima is a codegen'd
-    * array traversal. (Shuffling n_shingles·k exploded rows instead is
-    * the difference between moving KBs and TBs at 100 TB scale.) */
+    * doc with int64 columns s0..s{k-1}. Entirely map-side (see
+    * setsWithSignatures): shuffling n_shingles·k exploded rows instead is
+    * the difference between moving KBs and TBs at 100 TB scale. */
   def minhashSignatures(docs: DataFrame, k: Int = 12): DataFrame =
-    signaturesFromSets(docShingleSets(docs), k)
+    setsWithSignatures(docs, 8, k)
       .select(col("doc_id") +: (0 until k).map(i => col(s"s$i")): _*)
-
-  /** Append s0..s{k-1} minhash columns to a (doc_id, shset, hset, …)
-    * frame: k per-row array traversals over the pre-hashed int array. */
-  private[graft] def signaturesFromSets(sets: DataFrame, k: Int): DataFrame = {
-    val sigCols = (0 until k).map(i =>
-      array_min(transform(col("hset"), h => permHash(h, i))).as(s"s$i"))
-    sets.select(col("*") +: sigCols: _*)
-  }
 
   /** LSH banding over a signature frame: band b hashes signature positions
     * [b*r, (b+1)*r). Returns (doc_id, band, bk). */
@@ -170,9 +192,9 @@ object DedupOps {
     * the Σ df² all-pairs blowup — so cost is linear in candidates. */
   def nearDuplicates(docs: DataFrame, n: Int = 8, threshold: Double = 0.2,
       k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
-    // one collect_set shuffle builds the per-doc shingle sets; signatures
-    // and sizes derive per-row from it; persist instead of recomputing
-    val sets = signaturesFromSets(docShingleSets(docs, n), k)
+    // one map-side pass builds per-doc shingle sets + signatures; persist
+    // instead of recomputing (referenced by banding and both join sides)
+    val sets = setsWithSignatures(docs, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = pairsFromBands(sets, k, rowsPerBand)
     // exact verification: intersection via per-pair array_intersect on the

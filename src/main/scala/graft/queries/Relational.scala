@@ -31,8 +31,13 @@ object Relational {
     // ---- A1: grouped aggregation (TPC-H Q1 pricing summary) -------------
     "q01_pricing_summary" -> QueryDef(
       build = (spark, dir) => {
+        // project the 6 needed columns BEFORE the fan-out repartition so
+        // the shuffle moves a third of the bytes (pruning can't push
+        // through a repartition on its own)
         val li = Q.fan(t(spark, dir, "lineitem")
-          .filter(col("l_shipdate") <= lit("1998-09-02")))
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax")))
         val one = lit(new java.math.BigDecimal("1.00"))
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
