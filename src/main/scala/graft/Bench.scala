@@ -38,11 +38,11 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
     }
-    // best of two timed runs per query: steady-state throughput with the
-    // occasional GC/scheduling hiccup filtered out
+    // best of three timed runs per query: steady-state throughput with
+    // the occasional GC/scheduling hiccup filtered out
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         // drop cached intermediates (persisted sketch frames) so each
         // timed run measures the full computation, not cache reuse
         spark.sharedState.cacheManager.clearCache()

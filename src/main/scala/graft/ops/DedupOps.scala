@@ -132,14 +132,32 @@ object DedupOps {
     candidatesFromSignatures(minhashSignatures(docs, k), k, rowsPerBand)
 
   /** Just the distinct band-collision pairs (no similarity estimate) —
-    * the lean candidate-generation path `nearDuplicates` consumes. */
+    * the lean candidate-generation path `nearDuplicates` consumes.
+    *
+    * Shape: ONE shuffle (the bucket groupBy) instead of a band self-join
+    * (two exchanges) — pairs are expanded map-side from each bucket's
+    * sorted member list. A hot bucket lands in one task either way (the
+    * self-join hashes on the same key), so skew behavior is identical
+    * with one exchange less. */
   private[graft] def pairsFromBands(sig: DataFrame, k: Int,
       rowsPerBand: Int): DataFrame = {
-    val bands = lshBands(sig, k, rowsPerBand)
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val nBands = k / rowsPerBand
+    val keys = (0 until nBands).map { b =>
+      md5(concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i")): _*))
+    }
+    // one scan of sig: (doc_id, band, bk) via posexplode of the key array
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(keys: _*)).as(Seq("band", "bk")))
+    bands.groupBy(col("band"), col("bk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      // all i<j member pairs; sort_array above makes a < b
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+               struct(x AS a, y AS b))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 

@@ -34,7 +34,6 @@ object ProfileQ25 {
     println(s"[profile] total_shingles=${shingleStats.get(0)} avg=${shingleStats.get(1)}")
     spark.sharedState.cacheManager.clearCache()
     (1 to 3).foreach { i =>
-      spark.conf.set("spark.sql.adaptive.enabled", i <= 1)
       spark.sharedState.cacheManager.clearCache()
       time(s"full nearDuplicates run$i") {
         DedupOps.nearDuplicates(docs, threshold = 0.2)
