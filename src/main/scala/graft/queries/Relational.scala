@@ -192,6 +192,25 @@ object Relational {
         WHERE rn = 1
         ORDER BY user_id, event_type""")),
 
+    // ---- §2.9: stateful streaming dedup, verified in batch mode ---------
+    // (flatMapGroupsWithState runs over batch frames with empty state,
+    //  where first-seen reduces to W1 — the oracle is q07's SQL)
+    "q58_stateful_dedup" -> QueryDef(
+      build = (spark, dir) =>
+        graft.streaming.StatefulDedup.firstSeen(
+          t(spark, dir, "events"),
+          keyCols = Seq("user_id", "event_type"),
+          orderCols = Seq("ts", "event_id"))
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("value"))
+          .orderBy(col("user_id"), col("event_type")),
+      oracle = Some("""
+        SELECT user_id, event_type, event_id, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY ts ASC, event_id ASC) AS rn FROM events)
+        WHERE rn = 1
+        ORDER BY user_id, event_type""")),
+
     // ---- J2-J4: key-based upsert (left-anti + union), aggregated --------
     "q08_upsert_merge" -> QueryDef(
       build = (spark, dir) => {

@@ -71,4 +71,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.exists(r => r.getAs[Long]("n") == 2))
   }
+
+  test("stateful first-seen dedup emits each key once across micro-batches") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StatefulDedup
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, String, Long)]
+    val df = input.toDF().toDF("user_id", "event_type", "ts")
+    val deduped = StatefulDedup.firstSeen(df,
+      keyCols = Seq("user_id"), orderCols = Seq("ts"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    // batch 1: user 1 twice (later row first — earliest ts must win), user 2
+    input.addData((1L, "late", 200L), (1L, "first", 100L), (2L, "x", 10L))
+    q.processAllAvailable()
+    val r1 = spark.table("dedup_out").collect()
+    assert(r1.length == 2)
+    assert(r1.find(_.getLong(0) == 1L).get.getString(1) == "first")
+
+    // batch 2: user 1 again (suppressed), user 3 (new)
+    input.addData((1L, "again", 300L), (3L, "y", 1L))
+    q.processAllAvailable()
+    val r2 = spark.table("dedup_out").collect()
+    assert(r2.length == 3)
+    assert(!r2.exists(r => r.getLong(0) == 1L && r.getString(1) != "first"))
+    q.stop()
+  }
 }
