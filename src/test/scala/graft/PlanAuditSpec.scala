@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.DedupOps
+import graft.sources.Tables
+
+/** Plan-shape audits: assert the SCALE properties the engine is designed
+  * around, not just result correctness — filters and projections reach
+  * the parquet scan, dimension joins broadcast, sketch computation stays
+  * map-side. A plan regression here is a 100 TB problem that sf0.01
+  * results would never show.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filter is pushed to the parquet scan and columns are pruned") {
+    val p = plan("q02_filter_project")
+    // the plan string truncates long filter lists; the leading pushed
+    // filters are stable evidence that pushdown reached the scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)"),
+      "filters not pushed to the parquet scan")
+    // projection pruning: the 16-column lineitem scan must read only the
+    // 5 referenced columns — l_comment/l_tax etc. absent from ReadSchema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q03: all three dimension joins broadcast; no dim-side shuffle") {
+    val p = plan("q03_join_revenue_by_nation")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3,
+      s"expected customer/nation/region to broadcast, found $broadcasts")
+  }
+
+  test("minhash signatures are map-side: only the fan-out exchange") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = DedupOps.minhashSignatures(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"signature computation should shuffle ONLY for the initial spread, found $exchanges exchanges:\n$p")
+  }
+
+  test("LSH pair generation adds exactly one aggregation exchange") {
+    val docs = Tables.load(spark, dir, "documents")
+    val sig = DedupOps.setsWithSignatures(docs, 8, 12)
+    val p = DedupOps.pairsFromBands(sig, 12, 3)
+      .queryExecution.executedPlan.toString
+    // spread + bucket groupBy + final distinct = 3 exchanges
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 3,
+      s"pair generation grew extra shuffles ($exchanges):\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    // two HashAggregate nodes (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "grouped aggregation lost its partial (map-side) phase")
+  }
+}
