@@ -33,7 +33,8 @@ final class GoldRunner(lake: Lake) {
     val started = Instant.now()
     try {
       val sql = NameRewriter.rewrite(lake,
-        graft.query.QualifyRewriter.rewrite(job.query))
+        graft.query.StarRewriter.rewrite(
+          graft.query.QualifyRewriter.rewrite(job.query)))
       val result = spark.sql(sql)
       val path = lake.goldPath(job.domain, job.jobName)
       job.writeMode match {

@@ -80,6 +80,34 @@ object Multimodal {
       }
   }
 
+  final case class Resized(doc_id: Long, n_bytes: Long, resized_bytes: Long,
+      checksum: String)
+
+  /** Resize: downsample each payload by keeping every `stride`-th byte —
+    * the image-resize pipeline shape (decode → scale → re-encode) with the
+    * codec stubbed as deterministic byte striding. Partition-wise with the
+    * same one-resizer-per-partition reuse a real scaler needs; emits the
+    * resized size + checksum so downstream stages can verify content
+    * without re-fetching. */
+  def resize(docsWithBinary: DataFrame, stride: Int = 4): Dataset[Resized] = {
+    val spark = docsWithBinary.sparkSession
+    import spark.implicits._
+    docsWithBinary.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real code: val scaler = Codec.openScaler() — reused per partition
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          val resized = new Array[Byte]((bytes.length + stride - 1) / stride)
+          var i = 0
+          while (i < resized.length) { resized(i) = bytes(i * stride); i += 1 }
+          md.reset()
+          Resized(id, bytes.length.toLong, resized.length.toLong,
+            toHex(md.digest(resized)))
+        }
+      }
+  }
+
   final case class Features(doc_id: Long, n_bytes: Long, mean_byte: Double,
       n_upper: Long, n_digit: Long, n_space: Long, entropy_proxy: Double)
 

@@ -452,6 +452,24 @@ object LlmOps {
           FROM ch GROUP BY doc_id) s ON s.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    // ---- multimodal: stride resize over binary payloads -------------------
+    "q59_resize" -> QueryDef(
+      build = (spark, dir) =>
+        Multimodal.resize(
+          Multimodal.withBinary(Tables.load(spark, dir, "documents")))
+          .toDF().orderBy(col("doc_id")),
+      // ASCII corpus: byte striding equals char striding, so the oracle
+      // rebuilds the strided string and md5s it
+      oracle = Some("""
+        WITH pos AS (SELECT doc_id, text,
+            unnest(generate_series(1, len(text), 4)) AS g
+          FROM documents)
+        SELECT doc_id,
+          CAST(any_value(len(text)) AS BIGINT) AS n_bytes,
+          CAST(COUNT(*) AS BIGINT) AS resized_bytes,
+          md5(string_agg(substr(text, g, 1), '' ORDER BY g)) AS checksum
+        FROM pos GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- multimodal binary plumbing (stubbed decode) ----------------------
     "q33_multimodal_meta" -> QueryDef(
       build = (spark, dir) =>

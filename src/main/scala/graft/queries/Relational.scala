@@ -587,6 +587,22 @@ object Relational {
                  CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS min_key
         FROM orders""")),
 
+    // ---- dialect: DuckDB star modifiers EXCLUDE/REPLACE (rewritten to
+    //      Spark's native * EXCEPT; oracle runs the original syntax) ------
+    "q60_star_modifiers" -> QueryDef(
+      build = (spark, dir) => {
+        t(spark, dir, "orders").createOrReplaceTempView("orders")
+        val duckSql = """
+          SELECT * EXCLUDE (o_orderpriority)
+                   REPLACE (CAST(o_orderdate AS DATE) AS o_orderdate)
+          FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"""
+        spark.sql(graft.query.StarRewriter.rewrite(duckSql))
+      },
+      oracle = Some("""
+        SELECT * EXCLUDE (o_orderpriority)
+                 REPLACE (CAST(o_orderdate AS DATE) AS o_orderdate)
+        FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""")),
+
     // ---- §2.4 note: approx sketches exposed (no oracle — HLL sketches
     //      differ across engines by construction; accuracy bound is
     //      asserted in RelationalSpec instead) --------------------------

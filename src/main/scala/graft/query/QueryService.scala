@@ -26,9 +26,9 @@ final class QueryService(lake: Lake) {
       maxRows: Int)
 
   def run(sql: String): Either[String, QueryResult] = {
-    // dialect shims first (QUALIFY → subquery) so the parsed-plan guard
-    // sees SQL Spark can actually parse
-    val sql2 = QualifyRewriter.rewrite(sql)
+    // dialect shims first (QUALIFY → subquery, EXCLUDE/REPLACE → EXCEPT)
+    // so the parsed-plan guard sees SQL Spark can actually parse
+    val sql2 = StarRewriter.rewrite(QualifyRewriter.rewrite(sql))
     val verdict = QueryGuard.validate(lake.spark, sql2)
     if (!verdict.ok) return Left(verdict.reason)
     try {
@@ -44,7 +44,8 @@ final class QueryService(lake: Lake) {
 
   /** The unguarded, untruncated DataFrame (for internal composition). */
   def dataFrame(sql: String): DataFrame =
-    lake.spark.sql(NameRewriter.rewrite(lake, QualifyRewriter.rewrite(sql)))
+    lake.spark.sql(NameRewriter.rewrite(lake,
+      StarRewriter.rewrite(QualifyRewriter.rewrite(sql))))
 
   /** Error sanitization (query_api/main.py:186-207): missing relations →
     * "does not exist or has no data"; object-store URIs and internal

@@ -61,4 +61,35 @@ class QualifySpec extends AnyFunSuite {
          FROM sales.silver.orders QUALIFY rn = 1""")
     assert(lake.gold.runJob(job).rows == 2)
   }
+
+  test("star modifiers: EXCLUDE and REPLACE fold into Spark's EXCEPT") {
+    import graft.query.StarRewriter.rewrite
+    assert(rewrite("SELECT * EXCLUDE (b) FROM t")
+      == "SELECT * EXCEPT (b) FROM t")
+    assert(rewrite("SELECT * EXCLUDE b FROM t")
+      == "SELECT * EXCEPT (b) FROM t")
+    assert(rewrite("SELECT * REPLACE (a * 10 AS a) FROM t")
+      == "SELECT * EXCEPT (a), a * 10 AS a FROM t")
+    assert(rewrite("SELECT * EXCLUDE (b) REPLACE (CAST(d AS DATE) AS d) FROM t")
+      == "SELECT * EXCEPT (b, CAST(d AS DATE) AS d), CAST(d AS DATE) AS d FROM t"
+      || rewrite("SELECT * EXCLUDE (b) REPLACE (CAST(d AS DATE) AS d) FROM t")
+      == "SELECT * EXCEPT (b, d), CAST(d AS DATE) AS d FROM t")
+    // untouched: no star before the word, or quoted
+    assert(rewrite("SELECT exclude FROM t") == "SELECT exclude FROM t")
+    assert(rewrite("SELECT '* EXCLUDE (x)' AS s FROM t")
+      == "SELECT '* EXCLUDE (x)' AS s FROM t")
+    // subquery depth
+    assert(rewrite("SELECT 1 FROM (SELECT * EXCLUDE (c) FROM t) q")
+      == "SELECT 1 FROM (SELECT * EXCEPT (c) FROM t) q")
+  }
+
+  test("star modifiers execute through the query service rewrite chain") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sql("SELECT 1 AS a, 2 AS b, 3 AS c").createOrReplaceTempView("smt")
+    val out = spark.sql(graft.query.StarRewriter.rewrite(
+      "SELECT * EXCLUDE (b) REPLACE (a * 10 AS a) FROM smt"))
+    assert(out.columns.sorted.toSeq == Seq("a", "c"))
+    assert(out.head().getAs[Int]("a") == 10)
+  }
 }
