@@ -94,15 +94,22 @@ object Relational {
         val n = t(spark, dir, "nation")
         val r = t(spark, dir, "region")
         val one = lit(new java.math.BigDecimal("1.00"))
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        // reduce-before-join: pre-aggregate lineitem revenue per order key
+        // (map-side partial + one shuffle), so the fact-fact join moves one
+        // row per order instead of one per lineitem AND the final count of
+        // distinct orders becomes a plain count (no expand). Decimal
+        // partial sums re-aggregate exactly (associative).
+        val revPerOrder = li.groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .as("rev"))
+        revPerOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(
-            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-              .cast(DoubleType).as("revenue"),
-            countDistinct(col("o_orderkey")).as("n_orders"))
+            sum(col("rev")).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_orders"))
           .orderBy(col("r_name"), col("n_name"))
       },
       oracle = Some("""
