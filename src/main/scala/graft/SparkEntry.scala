@@ -16,7 +16,8 @@ object SparkEntry {
   def allDefs: Map[String, QueryDef] =
     graft.queries.Relational.defs ++
     graft.queries.EngineChecks.defs ++
-    graft.queries.LlmOps.defs
+    graft.queries.LlmOps.defs ++
+    graft.queries.CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

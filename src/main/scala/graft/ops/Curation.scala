@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q.{h32, tokens}
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * sampling, repetition/boilerplate scoring, identifier masking, sequence
+  * packing and benchmark-contamination checks.
+  *
+  * Scale design (100 TB):
+  *  - sampling and masking are stateless per-row filters/projections — no
+  *    shuffle, fully pushdown-friendly;
+  *  - repetition stats shuffle (doc_id, token) partials once, with
+  *    map-side combine, then reduce per doc;
+  *  - sequence packing needs a GLOBAL running total — implemented as the
+  *    two-phase cumulative sum (per-partition subtotals → tiny driver
+  *    prefix scan → broadcast offsets), never a single-partition window;
+  *  - contamination broadcasts the (small) benchmark shingle set and
+  *    semi-joins the corpus against it — the corpus never shuffles.
+  *
+  * All hashes are md5-derived (h32) so results match the DuckDB oracle
+  * bit-for-bit.
+  */
+object Curation {
+
+  /** Deterministic hash-bucket membership: stable across runs, engines and
+    * partitionings (unlike rand()-based .sample). Keep a row iff
+    * h32(key) % 100 < pct. */
+  def sampleBucket(key: Column, pct: Int): Column =
+    h32(key.cast("string")) % 100 < pct
+
+  /** Per-stratum sampling accounting at `pct`%: (stratum, n_total,
+    * n_sampled, rate). One small-cardinality aggregation, no extra pass
+    * over the sampled subset. */
+  def stratifiedSampleCounts(df: DataFrame, stratum: Column, key: Column,
+      pct: Int = 10): DataFrame =
+    df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(sampleBucket(key, pct), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate",
+        col("n_sampled").cast("double") / col("n_total"))
+
+  /** Gopher-style repetition signals per document: token count, distinct
+    * token count, duplicate-token ratio and most-frequent-token fraction.
+    * High dup_ratio / top_frac marks boilerplate and degenerate text. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_ratio"),
+        (col("max_c").cast("double") / col("n_tokens")).as("top_frac"))
+  }
+
+  /** Mask long digit runs (≥ minRun) — account numbers, row ids, phone
+    * numbers — with a fixed placeholder. Pattern is RE2-safe so the same
+    * regex runs in Spark (Java regex) and DuckDB (RE2). */
+  def maskIds(c: Column, minRun: Int = 6, replacement: String = "[ID]"): Column =
+    regexp_replace(c, s"[0-9]{$minRun,}", replacement)
+
+  /** Number of masked runs in a value (audit column for maskIds). */
+  def maskedRunCount(c: Column, minRun: Int = 6): Column =
+    size(regexp_extract_all(c, lit(s"[0-9]{$minRun,}"), lit(0)))
+
+  /** Concat-and-chunk sequence packing: documents are laid out in doc_id
+    * order and cut into fixed token-budget packs; a document's pack is its
+    * START offset divided by the budget (the packing used to build fixed-
+    * length LLM training sequences from variable-length documents).
+    *
+    * Needs a global exclusive running token total. A bare
+    * `Window.orderBy(doc_id)` would drag the whole corpus into ONE
+    * partition; instead:
+    *   1. range-partition by doc_id, count tokens per partition;
+    *   2. prefix-scan those ~numPartitions subtotals on the driver;
+    *   3. broadcast the offsets back and window only WITHIN partitions.
+    * Per-task state is one long; the corpus is touched exactly once.
+    *
+    * Returns (doc_id, n_tok, pack_id). */
+  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    val spark = docs.sparkSession
+    val parted = docs
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // materialize pid before it is observed twice (subtotals + join):
+      // spark_partition_id is only stable for a materialized partitioning
+      .persist()
+    try {
+      val subtotals = parted.groupBy(col("pid"))
+        .agg(sum(col("n_tok")).as("t"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._1)
+      val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+        (pid, acc + t)
+      }.tail.zip(subtotals).map { case ((pid, cumIncl), (_, t)) =>
+        (pid, cumIncl - t) // exclusive prefix: total BEFORE this partition
+      }
+      import spark.implicits._
+      val offsetDf = offsets.toSeq.toDF("pid", "offset")
+      val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parted.join(broadcast(offsetDf), "pid")
+        .withColumn("cum0",
+          sum(col("n_tok")).over(w) - col("n_tok") + col("offset"))
+        .select(col("doc_id"), col("n_tok"),
+          floor(col("cum0") / budget).as("pack_id"))
+    } finally parted.unpersist()
+  }
+
+  /** Pack-level accounting for packSequences: (pack_id, n_docs, n_tokens). */
+  def packStats(docs: DataFrame, budget: Int = 2048): DataFrame =
+    packSequences(docs, budget)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  /** Benchmark-contamination check: for each corpus document, the number
+    * of its distinct char-n-gram shingles that also occur in the benchmark
+    * (eval-set) documents. Docs with n_shared ≥ threshold should be
+    * dropped from training data.
+    *
+    * The benchmark shingle set is small by construction (eval sets are
+    * thousands of docs, not billions) — it broadcasts, and the corpus side
+    * stays where it is: a broadcast semi-join + one doc-keyed partial
+    * aggregation, no corpus shuffle. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      threshold: Long = 1L): DataFrame = {
+    val corpusSh = DedupOps.charShingles(corpus, n)
+    val benchSh = DedupOps.charShingles(benchmark, n)
+      .select(col("s")).distinct()
+    corpusSh.join(broadcast(benchSh), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= threshold)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+import graft.sources.Tables
+import Q._
+
+/** Dataset-curation operators (ops/Curation.scala) as oracle-checked
+  * queries: deterministic sampling, repetition scoring, identifier
+  * masking, sequence packing, benchmark contamination.
+  */
+object CurationQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- deterministic hash-bucket sampling, stratified accounting ------
+    "q61_sample_stratified" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.stratifiedSampleCounts(t(spark, dir, "documents"),
+            col("lang"), col("doc_id"), pct = 10)
+          .orderBy(col("stratum")),
+      oracle = Some(s"""
+        SELECT lang AS stratum, COUNT(*) AS n_total,
+          CAST(SUM(CASE WHEN ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+          CAST(SUM(CASE WHEN ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10
+                   THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / COUNT(*) AS rate
+        FROM documents GROUP BY lang ORDER BY stratum""")),
+
+    // ---- Gopher-style repetition / boilerplate signals ------------------
+    "q62_repetition_stats" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.repetitionStats(t(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, tok)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          COUNT(*) AS n_distinct,
+          (CAST(SUM(c) AS BIGINT) - COUNT(*)) * 1.0 / CAST(SUM(c) AS BIGINT)
+            AS dup_ratio,
+          MAX(c) * 1.0 / CAST(SUM(c) AS BIGINT) AS top_frac
+        FROM tc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- identifier masking (digit runs ≥6 → [ID]) ----------------------
+    "q63_mask_ids" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "customer")
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey"),
+            Curation.maskIds(col("c_name")).as("masked_name"),
+            Curation.maskedRunCount(col("c_name")).cast("long").as("n_masked"))
+          .orderBy(col("c_custkey")),
+      oracle = Some("""
+        SELECT c_custkey,
+          regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g') AS masked_name,
+          CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT) AS n_masked
+        FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""")),
+
+    // ---- concat-and-chunk sequence packing (two-phase global cumsum) ----
+    "q64_pack_sequences" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.packStats(t(spark, dir, "documents"), budget = 2048)
+          .orderBy(col("pack_id")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id, len($tokensSql) AS n_tok FROM documents),
+        cs AS (SELECT doc_id, n_tok,
+          SUM(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum0
+          FROM tk)
+        SELECT CAST(floor(cum0 / 2048.0) AS BIGINT) AS pack_id,
+          COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM cs GROUP BY pack_id ORDER BY pack_id""")),
+
+    // ---- benchmark-contamination check (shared char-8-gram shingles) ----
+    "q65_contamination" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        Curation.contamination(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH shc AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS s
+          FROM (SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(len(text) - 7, 1))) AS g
+                FROM documents WHERE source <> 'src0')),
+        shb AS (SELECT DISTINCT substr(text, g, 8) AS s
+          FROM (SELECT text,
+                  unnest(generate_series(1, greatest(len(text) - 7, 1))) AS g
+                FROM documents WHERE source = 'src0'))
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM shc JOIN shb USING (s)
+        GROUP BY doc_id HAVING COUNT(*) >= 1 ORDER BY doc_id"""))
+  )
+}
