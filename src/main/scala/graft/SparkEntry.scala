@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.defs ++
     graft.queries.EngineChecks.defs ++
     graft.queries.LlmOps.defs ++
-    graft.queries.CurationQueries.defs
+    graft.queries.CurationQueries.defs ++
+    graft.queries.Advanced.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

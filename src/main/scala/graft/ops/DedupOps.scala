@@ -231,6 +231,65 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node starts as its own component; each
+    * round, a node adopts the minimum label among itself and its
+    * neighbors; fixpoint = components labeled by their minimum node id.
+    *
+    * Scale notes: each round is one equi-join + one hash aggregation —
+    * both shuffle on node id, so AQE handles skewed hub nodes. Rounds
+    * needed = graph diameter; near-duplicate graphs are dense clusters
+    * with tiny diameters (every member shares an LSH bucket with the
+    * canonical), so propagation converges in 2-3 rounds. For adversarial
+    * long-chain graphs, the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) drops rounds to O(log n) with the same per-round join
+    * shape. `localCheckpoint` truncates the per-round lineage so the plan
+    * doesn't grow exponentially; convergence is checked with a scalar
+    * count, never a driver-side collect of the labels.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val prop = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.select(col("id"), col("comp").as("nc"))
+        .join(labels, "id")
+        .filter(col("nc") =!= col("comp"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** Near-duplicate clusters: LSH-verified Jaccard pairs as edges,
+    * connected components as cluster ids (minimum doc_id in the
+    * component), `keep` marking the canonical representative. Documents
+    * with no near-duplicate form singleton clusters of themselves. */
+  def duplicateClusters(docs: DataFrame, n: Int = 8, threshold: Double = 0.2,
+      k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val pairs = nearDuplicates(docs, n, threshold, k, rowsPerBand)
+      .select(col("a"), col("b"))
+    val comps = connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+    comps.select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+      (col("id") === col("comp")).as("keep"))
+  }
+
   /** 32-bit SimHash over distinct whitespace tokens: per bit, the sign of
     * the +1/-1 vote sum; all engine-portable integer math.
     *

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators the reference's DuckDB dialect exposes but Spark has
+  * no single built-in for: as-of joins (DuckDB `ASOF JOIN`) and gap-based
+  * sessionization.
+  *
+  * Scale design (100 TB):
+  *  - the as-of join is the UNION-SORT formulation: tag both inputs, union,
+  *    and run one `last(_, ignoreNulls)` window partitioned by the join
+  *    key — exactly ONE shuffle on the key, never a range-expanded join.
+  *    The naive inequality join (`l.key = r.key AND r.ts < l.ts` + argmax)
+  *    materializes O(|l|·matches) intermediate rows — quadratic per key —
+  *    and is how a 100 TB as-of dies; the union form moves each input row
+  *    exactly once.
+  *  - sessionization is a single keyed window pass (lag + running sum):
+  *    one shuffle by the session key, no self-join, no driver state.
+  */
+object Temporal {
+
+  /** Backward as-of join: for each left row, the single most recent right
+    * row with `right.tsCol < left.tsCol` (strictly before) and equal keys.
+    * Right-side value columns come back null when no prior row exists
+    * (LEFT OUTER semantics, like DuckDB `ASOF LEFT JOIN`).
+    *
+    * Ties inside the right table (equal key+ts) resolve to the row with
+    * the greatest `tieCol`, which the caller must make unique per
+    * (key, ts) — a monotone event id does.
+    *
+    * Both inputs are tagged and unioned; within the key-partitioned sort,
+    * right rows order before left rows at equal ts via the side flag so
+    * an equal-ts right row is NOT visible to the left row (strict <).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, tieCol: String,
+      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // side 1 = right, 2 = left; orderBy(ts, side) puts right rows first at
+    // equal ts — wait, strict < needs LEFT first at equal ts: side left=0
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(0))
+      .withColumn("_tie", lit(null).cast("long"))
+    val lPadded = rightVals.foldLeft(l)((d, c) =>
+      d.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
+    val r0 = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", col(tieCol).cast("long"))
+    val rPadded = leftCols.foldLeft(
+      rightVals.foldLeft(r0)((d, c) => d.withColumn(s"_r_$c", col(c))))(
+      (d, c) => if (d.columns.contains(c)) d else
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(lPadded.columns.map(col): _*)
+    val u = lPadded.unionByName(rPadded)
+    // strict-before: at equal ts the left row (side 0) sorts BEFORE right
+    // rows (side 1), so rowsBetween(unboundedPreceding, currentRow) at a
+    // left row sees only strictly-earlier right rows; right-side ties
+    // resolve to the last (greatest _tie) in sort order
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withVals = rightVals.foldLeft(u)((d, c) =>
+      d.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    withVals.filter(col("_side") === 0)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the previous event of the same key exceeds `gapSeconds`. Returns the
+    * input plus a `session_idx` column (1-based, per key, in time order;
+    * ties broken by `tieCol`). One keyed window pass — one shuffle. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    events.withColumn("_new", isNew)
+      .withColumn("session_idx",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("_new")
+  }
+}

@@ -92,6 +92,63 @@ object TextOps {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
         .cast("long").as("bpe_ish_tokens"))
 
+  /** BM25 relevance of every document against a fixed query-term set.
+    *
+    * Shape at scale: one tokenize pass → per-doc length aggregation; term
+    * frequencies only for the |terms| query terms (the isin filter prunes
+    * before the shuffle); document frequencies and corpus stats are
+    * term-count-sized aggregates broadcast back onto the per-doc frame.
+    * Nothing shuffles more than one row per (doc, query-term).
+    *
+    * Determinism: per-term contributions are summed as FIXED-ORDER column
+    * additions (conditional aggregation per term), never a groupBy over a
+    * double column whose addition order would depend on partitioning —
+    * bit-identical across engines and retries. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tok = tokenized(docs)
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = tok.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val joined = tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // constants combined as lit+lit so Catalyst folds them with the same
+    // IEEE additions the oracle's SQL literals produce
+    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    // fixed-order sum: one conditional-agg column per query term
+    val termCols = terms.map(t =>
+      max(when(col("tok") === t, contrib)).as(s"c_$t"))
+    val perDoc = joined.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+    val score = terms.map(t => coalesce(col(s"c_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    perDoc.select(col("doc_id"), round(score, 4).as("score"))
+  }
+
+  /** Corpus-wide top-k most frequent word n-grams (count desc, gram asc).
+    * Map-side n-gram expansion from the token array (no token-level
+    * self-join), partial-agg'd count, and a global top-k sort over the
+    * (already tiny) distinct-gram aggregate. */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 50): DataFrame = {
+    val gramExpr = "transform(sequence(0, size(w) - " + n + "), i -> " +
+      (0 until n).map(j => s"element_at(w, i + ${j + 1})")
+        .mkString("concat_ws(' ', ", ", ", "))")
+    val grams = spread(docs)
+      .select(tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(expr(gramExpr)).as("gram"))
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text plus a
     * position-weighted rolling hash (order-sensitive, exact int math). */
   def fingerprint(docs: DataFrame): DataFrame = {

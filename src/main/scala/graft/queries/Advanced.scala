@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{TextOps, Temporal}
+import graft.sources.Tables
+import Q._
+
+/** Advanced relational + text operators: as-of join, sessionization,
+  * pivot, BM25 relevance, corpus n-gram counts. Each query is the
+  * oracle-checked face of an operator in `graft.ops` (see the ops
+  * scaladocs for the 100 TB design rationale).
+  */
+object Advanced {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- As-of join (DuckDB ASOF JOIN; Spark union-sort formulation) ----
+    // For each purchase, the most recent strictly-earlier view by the
+    // same user. Right side pre-deduped to one row per (user, ts) so tie
+    // behavior is engine-independent.
+    "q67_asof_join" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"), col("ts"))
+              .orderBy(col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("ts"), col("event_id").as("v_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        Temporal.asofBackward(purchases, views, Seq("user_id"),
+            leftTs = "ts", rightTs = "ts", tieCol = "v_id",
+            rightVals = Seq("v_id", "ts"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_v_id").as("view_id"), col("asof_ts").as("view_ts"),
+            (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(raw"""
+        WITH v AS (
+          SELECT user_id, ts, event_id AS v_id FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view')
+          WHERE rn = 1),
+        p AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts,
+               v.v_id AS view_id, v.ts AS view_ts,
+               epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.ts < p.ts
+        ORDER BY p.event_id""")),
+
+    // ---- Gap-based sessionization (30-min inactivity) -------------------
+    "q68_sessionize" -> QueryDef(
+      build = (spark, dir) => {
+        val s = Temporal.sessionize(t(spark, dir, "events"),
+          keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          gapSeconds = 1800L)
+        val perSession = s.groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+              .as("dur_us"))
+        perSession.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L))
+              .as("singleton_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            sum(col("dur_us")).as("total_dur_us"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(raw"""
+        WITH x AS (
+          SELECT user_id, ts, event_id, epoch_us(ts) AS tus,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+          FROM events),
+        s AS (
+          SELECT user_id, tus,
+                 SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM x),
+        p AS (
+          SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MAX(tus) - MIN(tus) AS dur_us
+          FROM s GROUP BY user_id, session_idx)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS singleton_sessions,
+               CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+               CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+        FROM p GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- Pivot: day × event_type -> count + exact value sum -------------
+    "q69_pivot_daily" -> QueryDef(
+      build = (spark, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t(spark, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)).as("n"),
+            (sum(cents(col("value"))) / 100.0).as("v"))
+          .orderBy(col("day"))
+      },
+      oracle = Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val cols = types.flatMap { ty =>
+          Seq(
+            s"CAST(COUNT(CASE WHEN event_type = '$ty' THEN 1 END) AS BIGINT) AS ${ty}_n",
+            s"CAST(SUM(CASE WHEN event_type = '$ty' THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT) / 100.0 AS ${ty}_v")
+        }.mkString(", ")
+        s"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, $cols
+        FROM events GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // ---- BM25 relevance over a fixed query-term set ---------------------
+    "q70_bm25" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.bm25(t(spark, dir, "documents"),
+            terms = Seq("table", "hash", "merge"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             FROM documents),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM tok GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok WHERE tok IN ('table', 'hash', 'merge')
+               GROUP BY doc_id, tok),
+        dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY tok),
+        c AS (SELECT tf.doc_id, tf.tok,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75
+                     + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) AS c
+              FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
+              CROSS JOIN stats),
+        per AS (SELECT doc_id,
+                 MAX(CASE WHEN tok = 'table' THEN c END) AS c0,
+                 MAX(CASE WHEN tok = 'hash'  THEN c END) AS c1,
+                 MAX(CASE WHEN tok = 'merge' THEN c END) AS c2
+                FROM c GROUP BY doc_id)
+        SELECT doc_id,
+               round(COALESCE(c0, 0.0) + COALESCE(c1, 0.0)
+                     + COALESCE(c2, 0.0), 4) AS score
+        FROM per ORDER BY doc_id""")),
+
+    // ---- Corpus-wide top-50 bigrams -------------------------------------
+    "q71_top_bigrams" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.topNgrams(t(spark, dir, "documents"), n = 2, k = 50),
+      oracle = Some(raw"""
+        WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+                   FROM documents),
+        g AS (SELECT list_extract(w, i) || ' ' || list_extract(w, i + 1) AS gram
+              FROM (SELECT w, unnest(range(1, len(w))) AS i
+                    FROM w WHERE len(w) >= 2))
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g GROUP BY gram
+        ORDER BY n DESC, gram ASC LIMIT 50"""))
+  )
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, Temporal, TextOps}
+
+/** Tests for the temporal operators (as-of join, sessionization), the
+  * connected-components clustering, and the BM25 / n-gram text ops —
+  * semantics checked against naive reference formulations on fixtures.
+  */
+class TemporalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofBackward picks the most recent strictly-earlier right row per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00"))) // key 20 has no prior right row
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:30:00")),
+      (101L, 10L, ts("2024-01-01 11:59:59")),
+      (102L, 10L, ts("2024-01-01 12:00:00")), // equal ts: strict < excludes
+      (103L, 20L, ts("2024-01-01 09:30:00"))) // after left's 09:00
+      .toDF("v_id", "user_id", "ts")
+    val out = Temporal.asofBackward(left, right, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", tieCol = "v_id",
+        rightVals = Seq("v_id"))
+      .select($"event_id", $"asof_v_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) == Some(100L))
+    assert(out(2L) == Some(101L)) // NOT 102 (equal ts is not earlier)
+    assert(out(3L) == None)
+  }
+
+  test("asofBackward matches the naive inequality-join argmax on real data") {
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("v_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val fast = Temporal.asofBackward(purchases, views, Seq("user_id"),
+      "ts", "ts", "v_id", Seq("v_id"))
+    // naive: range join + max(ts), tie-break max v_id — O(n·m) per key
+    val naive = purchases.as("p").join(views.as("v"),
+        col("p.user_id") === col("v.user_id") && col("v.ts") < col("p.ts"),
+        "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(max(struct(col("v.ts"), col("v.v_id"))).as("m"))
+      .select(col("event_id"), col("m.v_id").as("naive_v_id"))
+    val diff = fast.join(naive, "event_id")
+      .filter(coalesce(col("asof_v_id"), lit(-1L)) =!=
+        coalesce(col("naive_v_id"), lit(-1L)))
+    assert(diff.count() == 0)
+  }
+
+  test("sessionize splits on gaps greater than the threshold") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:10:00")), // same session (10 min)
+      (3L, 1L, ts("2024-01-01 11:00:00")), // new session (50 min gap)
+      (4L, 2L, ts("2024-01-01 10:00:00"))) // other user
+      .toDF("event_id", "user_id", "ts")
+    val s = Temporal.sessionize(ev, "user_id", "ts", "event_id", 1800L)
+      .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+    assert(s(1L) == 1L && s(2L) == 1L && s(3L) == 2L && s(4L) == 1L)
+  }
+
+  test("connectedComponents labels chains and singletons correctly") {
+    import spark.implicits._
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3, pair 5-6, singletons 4 and 7
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val comps = DedupOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("bm25 scores more term-frequent docs higher, zero-term docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "table table table row"),
+      (2L, "table row scan merge"),
+      (3L, "scan row scan value"))
+      .toDF("doc_id", "text")
+    val scores = TextOps.bm25(docs, Seq("table", "merge"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.contains(1L) && scores.contains(2L) && !scores.contains(3L))
+    assert(scores(1L) > 0 && scores(2L) > 0)
+    // doc 2 hits both terms; doc 1 only 'table' but with tf=3
+    assert(scores(2L) > scores(1L))
+  }
+
+  test("topNgrams counts bigrams with deterministic ordering") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "x")) // too short for bigrams
+      .toDF("doc_id", "text")
+    val top = TextOps.topNgrams(docs, n = 2, k = 10)
+      .as[(String, Long)].collect().toList
+    assert(top.head == ("a b", 3L))
+    assert(top.toMap == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+}
