@@ -70,6 +70,39 @@ object Temporal {
         rightVals.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
   }
 
+  /** Bucketed range join: match point rows to interval rows with equal
+    * keys and `start <= pt < end`, without a range-expanded join.
+    *
+    * The naive formulation — an equi-join on keys with the range predicate
+    * as a join filter — hash-partitions ONLY on the key, so every
+    * (point, interval) pair under a key is generated before filtering:
+    * O(points·intervals) per key, which at 100 TB is a cross join in
+    * disguise. Instead the timeline is cut into fixed buckets of
+    * `bucketUs`: each interval replicates to the buckets it overlaps
+    * (≤ len/bucket + 1 copies), each point hashes to exactly one bucket,
+    * and the join key becomes (keys, bucket) — equi-join, AQE-splittable,
+    * with the exact range predicate applied after the match. Each
+    * matching pair is produced exactly once (a point lives in one
+    * bucket), so no dedup pass is needed.
+    *
+    * `ptUs`, `startUs`, `endUs` are epoch-microsecond long columns
+    * (end exclusive); intervals with end <= start match nothing.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      ptUs: String, startUs: String, endUs: String,
+      bucketUs: Long): DataFrame = {
+    val iv = intervals
+      .filter(col(endUs) > col(startUs))
+      .withColumn("_bucket", explode(sequence(
+        floor(col(startUs) / bucketUs).cast("long"),
+        floor((col(endUs) - 1) / bucketUs).cast("long"))))
+    val pt = points
+      .withColumn("_bucket", floor(col(ptUs) / bucketUs).cast("long"))
+    pt.join(iv, keys :+ "_bucket")
+      .filter(col(ptUs) >= col(startUs) && col(ptUs) < col(endUs))
+      .drop("_bucket")
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gapSeconds`. Returns the
     * input plus a `session_idx` column (1-based, per key, in time order;

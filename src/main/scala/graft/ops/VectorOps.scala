@@ -162,4 +162,65 @@ object VectorOps {
            sqrt(dot(col("y.qv"), col("y.qv")).cast("double")))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Lloyd (k-means) refinement of the IVF coarse quantizer: start from
+    * the deterministic seed centroids (`ivfAssign`'s quantizer), then
+    * alternate assignment and centroid recomputation for `iters` rounds.
+    * Returns the final (vec_id, cell_id, dist2) assignment.
+    *
+    * Scale shape per round: centroids are nCells·dim doubles — broadcast
+    * to the assignment map stage (no shuffle of the vectors); the
+    * recompute is a posexplode + two-level hash aggregation keyed by
+    * (cell, dim), i.e. one shuffle of nCells·dim partial sums per task,
+    * never the raw vectors.
+    *
+    * Determinism: per-dimension sums are EXACT int64 sums of the
+    * quantized components (order-free); means divide those exact sums
+    * (IEEE division, deterministic); per-vector distances fold the
+    * 64 dimensions in fixed array order; argmin ties break by cell_id.
+    * The result is bit-identical across partitionings, retries and
+    * cluster sizes. Empty cells keep their previous centroid. */
+  def kmeansRefine(vectors: DataFrame, nCells: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val v = spread(vectors)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed centroids: the first nCells vectors, as exact-int means
+    var centroids = v.orderBy(col("vec_id")).limit(nCells)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))).cast("long").as("cell_id"),
+        transform(col("qv"), x => x.cast("double")).as("cm"))
+    def assign(cents: DataFrame): DataFrame = {
+      val d = v.join(broadcast(cents))
+        .select(col("vec_id"), col("cell_id"),
+          aggregate(zip_with(col("qv"), col("cm"),
+              (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+            lit(0.0), (acc, t) => acc + t).as("dist2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell_id"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell_id"), col("dist2"))
+    }
+    (1 to iters).foreach { _ =>
+      val asg = assign(centroids)
+      // exact per-(cell, dim) int64 sums -> double means, rebuilt into
+      // dimension-ordered arrays
+      val sums = asg.join(v, "vec_id")
+        .select(col("cell_id"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+      val fresh = sums.groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"),
+            col("c")))), t => t.getField("s").cast("double") / t.getField("c"))
+          .as("cm"))
+      // empty cells keep the previous centroid
+      centroids = centroids.select(col("cell_id"), col("cm").as("old_cm"))
+        .join(fresh, Seq("cell_id"), "left")
+        .select(col("cell_id"), coalesce(col("cm"), col("old_cm")).as("cm"))
+        .localCheckpoint()
+    }
+    val out = assign(centroids)
+    v.unpersist()
+    out
+  }
 }

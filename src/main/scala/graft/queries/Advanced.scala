@@ -164,6 +164,38 @@ object Advanced {
                      + COALESCE(c2, 0.0), 4) AS score
         FROM per ORDER BY doc_id""")),
 
+    // ---- Bucketed range join: clicks inside 10-min error windows --------
+    "q72_range_join" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"),
+            unix_micros(col("ts")).as("w_start"),
+            (unix_micros(col("ts")) + 600000000L).as("w_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("c_us"))
+        val matched = Temporal.rangeJoin(clicks, errors, Seq("user_id"),
+          ptUs = "c_us", startUs = "w_start", endUs = "w_end",
+          bucketUs = 600000000L)
+        errors.select(col("error_id"))
+          .join(matched.groupBy(col("error_id"))
+              .agg(count(lit(1)).as("cnt")),
+            Seq("error_id"), "left")
+          .select(col("error_id"),
+            coalesce(col("cnt"), lit(0L)).as("n_clicks"))
+          .orderBy(col("error_id"))
+      },
+      oracle = Some(raw"""
+        SELECT e.event_id AS error_id,
+               CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+        FROM events e LEFT JOIN events c
+          ON c.event_type = 'click' AND c.user_id = e.user_id
+          AND epoch_us(c.ts) >= epoch_us(e.ts)
+          AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id ORDER BY e.event_id""")),
+
     // ---- Corpus-wide top-50 bigrams -------------------------------------
     "q71_top_bigrams" -> QueryDef(
       build = (spark, dir) =>

@@ -104,6 +104,42 @@ class TemporalSpec extends AnyFunSuite {
     assert(scores(2L) > scores(1L))
   }
 
+  test("rangeJoin matches the naive inequality join on real data") {
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + 600000000L).as("w_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val fast = Temporal.rangeJoin(clicks, errors, Seq("user_id"),
+        "c_us", "w_start", "w_end", bucketUs = 600000000L)
+      .select(col("click_id"), col("error_id"))
+    val naive = clicks.as("c").join(errors.as("e"),
+        col("c.user_id") === col("e.user_id") &&
+        col("c.c_us") >= col("e.w_start") && col("c.c_us") < col("e.w_end"))
+      .select(col("click_id"), col("error_id"))
+    assert(fast.count() == naive.count())
+    assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
+  }
+
+  test("kmeansRefine reduces inertia and is partition-independent") {
+    import graft.ops.VectorOps
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val seedInertia = VectorOps.kmeansRefine(emb, nCells = 8, iters = 0)
+      .agg(sum(col("dist2"))).head.getDouble(0)
+    val refined = VectorOps.kmeansRefine(emb, nCells = 8, iters = 2)
+    val refinedInertia = refined.agg(sum(col("dist2"))).head.getDouble(0)
+    assert(refinedInertia <= seedInertia)
+    assert(refined.count() == emb.count()) // every vector assigned once
+    // bit-identical result regardless of input partitioning
+    val again = VectorOps.kmeansRefine(emb.repartition(7), nCells = 8, iters = 2)
+    assert(refined.except(again).count() == 0 &&
+      again.except(refined).count() == 0)
+  }
+
   test("topNgrams counts bigrams with deterministic ordering") {
     import spark.implicits._
     val docs = Seq(
