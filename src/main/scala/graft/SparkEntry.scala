@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.EngineChecks.defs ++
     graft.queries.LlmOps.defs ++
     graft.queries.CurationQueries.defs ++
-    graft.queries.Advanced.defs
+    graft.queries.Advanced.defs ++
+    graft.queries.Statistics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import Q._
+
+/** Statistical / analytical operators: exact-arithmetic correlation and
+  * dispersion, ntile bucketing, lead/lag deltas, grouping sets,
+  * time-series gap filling, range-frame moving windows, dictionary-level
+  * fuzzy matching, and the Lloyd-refined IVF quantizer (rows-only).
+  *
+  * Cross-engine determinism strategy (see [[Q]]): every aggregate that
+  * feeds a DOUBLE result is first computed as an EXACT integer/decimal
+  * sum (order-free under any shuffle schedule), and only the final
+  * arithmetic happens in IEEE754 — identical in Spark and DuckDB.
+  */
+object Statistics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- Lloyd-refined IVF assignment (no SQL oracle: iterative ML) -----
+    // Rows-only check; cross-engine determinism is instead proven by the
+    // TemporalSpec partition-independence test (bit-identical under
+    // repartition), and the IVF subset property in OpsSpec.
+    "q73_kmeans_refine" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.VectorOps.kmeansRefine(t(spark, dir, "embeddings"),
+            nCells = 8, iters = 2)
+          .select(col("vec_id"), col("cell_id"), round(col("dist2"), 4)
+            .as("dist2"))
+          .orderBy(col("vec_id")),
+      oracle = None),
+
+    // ---- Exact-arithmetic correlation / stddev ---------------------------
+    // corr/stddev from single-pass integer co-moments: cent-scaled
+    // quantities and prices summed under DECIMAL(38,0) (exact at any SF;
+    // the int64 products are bounded by 1e14 per row). The final formula
+    // runs on doubles converted from exact integers — totals stay under
+    // 2^63 through sf1, where both engines' integer->double conversion is
+    // round-to-nearest — so the result is bit-identical and the round(6)
+    // is belt-and-braces.
+    "q74_stats_moments" -> QueryDef(
+      build = (spark, dir) => {
+        val q = cents(col("l_quantity"))
+        val p = cents(col("l_extendedprice"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+        fan(t(spark, dir, "lineitem"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast(LongType).as("n"),
+            sum(q.cast(DecimalType(38, 0))).as("sq"),
+            sum(p.cast(DecimalType(38, 0))).as("sp"),
+            sum((q * q).cast(DecimalType(38, 0))).as("sqq"),
+            sum((p * p).cast(DecimalType(38, 0))).as("spp"),
+            sum((q * p).cast(DecimalType(38, 0))).as("sqp"))
+          .select(col("l_returnflag"), col("n"),
+            round((d(col("n")) * d(col("sqp")) - d(col("sq")) * d(col("sp")))
+              / sqrt((d(col("n")) * d(col("sqq")) - d(col("sq")) * d(col("sq")))
+                * (d(col("n")) * d(col("spp")) - d(col("sp")) * d(col("sp")))),
+              6).as("corr_qty_price"),
+            round(sqrt((d(col("n")) * d(col("sqq")) - d(col("sq")) * d(col("sq")))
+                / (d(col("n")) * (d(col("n")) - lit(1.0)))) / 100.0, 6)
+              .as("stddev_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some(raw"""
+        WITH m AS (
+          SELECT l_returnflag,
+                 COUNT(*)::BIGINT AS n,
+                 SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sq,
+                 SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sp,
+                 SUM(CAST(round(l_quantity*100) AS BIGINT)
+                   * CAST(round(l_quantity*100) AS BIGINT)) AS sqq,
+                 SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * CAST(round(l_extendedprice*100) AS BIGINT)) AS spp,
+                 SUM(CAST(round(l_quantity*100) AS BIGINT)
+                   * CAST(round(l_extendedprice*100) AS BIGINT)) AS sqp
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((n::DOUBLE * sqp::DOUBLE - sq::DOUBLE * sp::DOUBLE)
+                 / sqrt((n::DOUBLE * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE)
+                      * (n::DOUBLE * spp::DOUBLE - sp::DOUBLE * sp::DOUBLE)),
+                 6) AS corr_qty_price,
+               round(sqrt((n::DOUBLE * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE)
+                 / (n::DOUBLE * (n::DOUBLE - 1.0))) / 100.0, 6) AS stddev_qty
+        FROM m ORDER BY l_returnflag""")),
+
+    // ---- Ntile decile bucketing -----------------------------------------
+    // Both engines implement SQL-standard NTILE (first (rows mod k)
+    // buckets get the extra row); the (price, orderkey) sort is total, so
+    // bucket boundaries are engine-independent.
+    "q75_ntile_deciles" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "orders")
+          .withColumn("decile", ntile(10).over(
+            Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy(col("decile")),
+      oracle = Some("""
+        SELECT decile, COUNT(*) AS n,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM (SELECT o_totalprice,
+                     NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS decile
+              FROM orders)
+        GROUP BY decile ORDER BY decile""")),
+
+    // ---- Lead/lag inter-event gaps --------------------------------------
+    // Per-user event cadence: microsecond gaps from LAG over the total
+    // (ts, event_id) order; the mean divides an exact int64 gap sum.
+    "q76_event_gaps" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(spark, dir, "events")
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("gap_us")).as("total_gap"),
+            max(col("gap_us")).as("max_gap_us"))
+          .select(col("user_id"), col("n_events"),
+            round(col("total_gap").cast(DoubleType)
+              / (col("n_events") - lit(1)).cast(DoubleType), 4)
+              .as("avg_gap_us"),
+            col("max_gap_us"))
+          .filter(col("n_events") > 1)
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events)
+        SELECT user_id, COUNT(*) AS n_events,
+               round(SUM(gap_us)::DOUBLE / (COUNT(*) - 1)::DOUBLE, 4)
+                 AS avg_gap_us,
+               MAX(gap_us) AS max_gap_us
+        FROM g GROUP BY user_id HAVING COUNT(*) > 1
+        ORDER BY user_id""")),
+
+    // ---- GROUPING SETS (beyond ROLLUP/CUBE: a chosen subset) ------------
+    "q77_grouping_sets" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderpriority")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).cast(DoubleType).as("rev_cents"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+            coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+            col("n"), (col("rev_cents") / 100.0).as("revenue"))
+          .orderBy(col("status"), col("priority")),
+      oracle = Some("""
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        ORDER BY status, priority""")),
+
+    // ---- Time-series gap filling ----------------------------------------
+    // Dense daily spine via sequence() over the global [min, max] date
+    // range (two scalars broadcast from a tiny agg — no driver collect),
+    // left-joined to the daily rollup; missing days surface as 0.
+    // At 100 TB the spine is still only O(days) rows — the join
+    // broadcasts the spine, so the fact side never shuffles.
+    "q78_gap_fill" -> QueryDef(
+      build = (spark, dir) => {
+        val orders = t(spark, dir, "orders")
+        val daily = orders
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(cents(col("o_totalprice"))).as("rev_cents"))
+        val bounds = orders.agg(
+          to_date(min(col("o_orderdate"))).as("d0"),
+          to_date(max(col("o_orderdate"))).as("d1"))
+        val spine = bounds
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("cnt"), lit(0L)).as("n_orders"),
+            (coalesce(col("rev_cents"), lit(0L)).cast(DoubleType) / 100.0)
+              .as("revenue"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH bounds AS (
+          SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+                 CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+        spine AS (
+          SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+            AS day FROM bounds),
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS cnt,
+                 SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_cents
+          FROM orders GROUP BY 1)
+        SELECT s.day, COALESCE(d.cnt, 0) AS n_orders,
+               COALESCE(d.rev_cents, 0)::DOUBLE / 100.0 AS revenue
+        FROM spine s LEFT JOIN daily d USING (day)
+        ORDER BY s.day""")),
+
+    // ---- Range-frame moving window (7-day revenue) ----------------------
+    // RANGE frame over integer epoch-days: the moving sum adds exact
+    // int64 cent totals, so shuffle order can't change the result. A
+    // single unpartitioned window over O(days) pre-aggregated rows —
+    // the full-table aggregation upstream is what scales, the window
+    // input stays tiny at any SF.
+    "q79_moving_revenue" -> QueryDef(
+      build = (spark, dir) => {
+        val daily = t(spark, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+          .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")))
+        val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+        daily
+          .select(col("day"),
+            (col("rev_cents").cast(DoubleType) / 100.0).as("revenue"),
+            (sum(col("rev_cents")).over(w).cast(DoubleType) / 100.0)
+              .as("rev_7d"),
+            count(lit(1)).over(w).as("days_in_window"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_cents,
+                 CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS epoch_day
+          FROM orders GROUP BY 1, 3)
+        SELECT day, rev_cents::DOUBLE / 100.0 AS revenue,
+               (SUM(rev_cents) OVER (ORDER BY epoch_day
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))::DOUBLE
+                 / 100.0 AS rev_7d,
+               COUNT(*) OVER (ORDER BY epoch_day
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS days_in_window
+        FROM daily ORDER BY day""")),
+
+    // ---- Dictionary-level fuzzy match (edit distance) -------------------
+    // Fuzzy joins at scale run on the DISTINCT value dictionary, not the
+    // fact table: distinct p_name is O(vocabulary) regardless of row
+    // count, the pairwise pass is dictionary², and results broadcast
+    // back. Both engines implement classic Levenshtein.
+    "q80_fuzzy_pairs" -> QueryDef(
+      build = (spark, dir) => {
+        val dict = t(spark, dir, "part").select(col("p_name")).distinct()
+        dict.as("a").join(dict.select(col("p_name").as("b_name")).as("b"),
+            col("p_name") < col("b_name"))
+          .select(col("p_name").as("name_a"), col("b_name").as("name_b"),
+            levenshtein(col("p_name"), col("b_name")).as("dist"))
+          .filter(col("dist") <= 3)
+          .orderBy(col("name_a"), col("name_b"))
+      },
+      oracle = Some("""
+        WITH dict AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM dict a JOIN dict b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+        ORDER BY name_a, name_b"""))
+  )
+}
