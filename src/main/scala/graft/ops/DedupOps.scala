@@ -310,6 +310,42 @@ object DedupOps {
     votes.select(col("doc_id"), hash.as("simhash"))
   }
 
+  /** C4-style passage-level exact dedup: cut each document into
+    * non-overlapping `width`-token passages, keep only the globally FIRST
+    * occurrence of each distinct passage (ordered by (doc_id, position)),
+    * and reconstruct the surviving text per document.
+    *
+    * Scale shape: one shuffle, hash-partitioned by passage content (the
+    * row_number window); passages are bounded-size strings so the state
+    * per key is tiny, and skew is impossible unless one literal passage
+    * dominates the corpus — in which case the win condition (rn=1) is
+    * still a single-pass top-1 per key, not a collect. The reconstruction
+    * groups by doc_id — a second shuffle of only the SURVIVING passages.
+    */
+  def passageDedup(docs: DataFrame, width: Int = 8): DataFrame = {
+    val chunks = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), ((size(col("tk")) - 1) / width).cast("int")))
+          .as("pos"),
+        col("tk"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("tk"), col("pos") * width + 1, lit(width)))
+          .as("passage"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("passage")).orderBy(col("doc_id"), col("pos"))
+    val kept = chunks
+      .withColumn("rn", row_number().over(w))
+      .withColumn("keep", col("rn") === 1)
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("passage"))))),
+          t => t.getField("passage"))).as("kept_text"))
+  }
+
   /** SimHash near-dup pairs within a Hamming radius, bucketed by the high
     * 16 bits so the self-join is band-limited (docs differing only in low
     * bits collide; two-table OR-band variant would catch the rest). */

@@ -275,6 +275,96 @@ object Statistics {
                levenshtein(a.p_name, b.p_name) AS dist
         FROM dict a JOIN dict b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 3
-        ORDER BY name_a, name_b"""))
+        ORDER BY name_a, name_b""")),
+
+    // ---- C4-style passage-level exact dedup -----------------------------
+    "q81_passage_dedup" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.DedupOps.passageDedup(t(spark, dir, "documents"), width = 8)
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents),
+        chunks AS (
+          SELECT doc_id, g AS pos,
+                 array_to_string(tk[(g*8+1):((g+1)*8)], ' ') AS passage
+          FROM (SELECT doc_id, tk,
+                       unnest(generate_series(0, (len(tk)-1)//8)) AS g
+                FROM toks)),
+        ranked AS (
+          SELECT doc_id, pos, passage,
+                 row_number() OVER (PARTITION BY passage
+                                    ORDER BY doc_id, pos) AS rn
+          FROM chunks)
+        SELECT doc_id, COUNT(*) AS n_passages,
+               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' '
+                 ORDER BY pos), '') AS kept_text
+        FROM ranked GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Z-order (Morton) clustering key --------------------------------
+    // The write-side layout op is Layout.zorderBy (range-partition +
+    // sort on the interleaved key); this query checks the z-value math
+    // itself: per high-order z-bucket, the row count and the bounding
+    // box of both source columns — exactly the per-file zonemap a
+    // z-ordered write produces.
+    "q82_zorder_buckets" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "orders")
+          .select(
+            graft.ops.Layout.zValue(
+              col("o_custkey").bitwiseAND(lit(65535L)),
+              col("o_orderkey").bitwiseAND(lit(65535L))).as("z"),
+            col("o_custkey"), col("o_orderkey"))
+          .groupBy(shiftright(col("z"), 16).as("z_bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_custkey")).as("min_cust"),
+            max(col("o_custkey")).as("max_cust"),
+            min(col("o_orderkey")).as("min_order"),
+            max(col("o_orderkey")).as("max_order"))
+          .orderBy(col("z_bucket")),
+      oracle = Some(s"""
+        WITH z AS (
+          SELECT ${graft.ops.Layout.zValueSql(
+            "(o_custkey & 65535)", "(o_orderkey & 65535)")} AS z,
+                 o_custkey, o_orderkey
+          FROM orders)
+        SELECT (z >> 16) AS z_bucket, COUNT(*) AS n,
+               MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+               MIN(o_orderkey) AS min_order, MAX(o_orderkey) AS max_order
+        FROM z GROUP BY 1 ORDER BY z_bucket""")),
+
+    // ---- Native session windows (Structured-Streaming-compatible) ------
+    // Spark's session_window in batch mode — the same operator runs
+    // unchanged under readStream + watermark (see streaming.BronzeStream).
+    // Oracle reconstructs gap sessions with LAG + running break count.
+    "q83_session_window" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "events")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"), col("n_events"))
+          .orderBy(col("user_id"), col("session_start")),
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        m AS (
+          SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                           OR us - LAG(us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        s AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""))
   )
 }

@@ -60,4 +60,20 @@ final class BronzeStream(lake: Lake) {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Event-time SESSION windows (dynamic gap-close windows) over a
+    * streaming source: a session ends `gap` after its last event; the
+    * watermark closes and emits sessions once no earlier event can
+    * arrive. Identical semantics to the batch q83 operator — the same
+    * `session_window` expression runs in both modes. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), gap)
+          .as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
 }

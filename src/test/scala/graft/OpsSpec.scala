@@ -96,4 +96,49 @@ class OpsSpec extends AnyFunSuite {
     assert(offBy.toDouble / both.count() < 0.2,
       "minhash estimate deviates wildly from exact jaccard")
   }
+
+  test("passageDedup keeps first occurrence and reconstructs text in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z"),       // passages: [a..h], [x y z]
+      (2L, "a b c d e f g h q r s"),       // first passage duplicates doc 1
+      (3L, "q r s"))                        // unique (width-3 tail differs)
+      .toDF("doc_id", "text")
+    val out = DedupOps.passageDedup(docs, width = 8)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 2L, 2L, "a b c d e f g h x y z")))
+    // doc 2 loses the duplicated first passage, keeps its own tail
+    assert(out(1) == ((2L, 2L, 1L, "q r s")))
+    // doc 3's passage "q r s" already appeared (doc 2, pos 1) -> dropped
+    assert(out(2) == ((3L, 1L, 0L, "")))
+  }
+
+  test("zValue interleaves bits; zorderBy clusters both columns") {
+    import spark.implicits._
+    import graft.ops.Layout
+    // z(0b11, 0b01) = a bits at even positions, b bits at odd:
+    // a=3 -> 1 at pos0, 1 at pos2; b=1 -> 1 at pos1 => 0b0111 = 7
+    val z = Seq((3L, 1L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b")).as("z")).head.getLong(0)
+    assert(z == 7L)
+    // clustering: after zorderBy, each partition's bounding box over BOTH
+    // columns is much smaller than the global range
+    val n = 1 << 10
+    val grid = spark.range(n.toLong).select(
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+    val parts = Layout.zorderBy(grid, "x", "y", bits = 5, numPartitions = 16)
+      .select(spark_partition_id().as("p"), col("x"), col("y"))
+      .groupBy("p")
+      .agg((max(col("x")) - min(col("x"))).as("dx"),
+        (max(col("y")) - min(col("y"))).as("dy"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    assert(parts.map(_.getAs[Long]("cnt")).sum == n)
+    val avgDx = parts.map(_.getAs[Long]("dx")).sum.toDouble / parts.length
+    val avgDy = parts.map(_.getAs[Long]("dy")).sum.toDouble / parts.length
+    assert(avgDx < 16 && avgDy < 16,
+      s"z-order should bound both dims (avgDx=$avgDx avgDy=$avgDy)")
+  }
 }

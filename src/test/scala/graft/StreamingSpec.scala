@@ -105,4 +105,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(!r2.exists(r => r.getLong(0) == 1L && r.getString(1) != "first"))
     q.stop()
   }
+
+  test("streaming session windows merge within gap and close on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val lake = new Lake(spark, Files.createTempDirectory("graft-sess-").toString)
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF().toDF("user_id", "ts_s")
+      .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    val q = new BronzeStream(lake).sessionCounts(events, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    // user 1: two events 10 min apart (one session), then a 40-min gap
+    // (second session); user 2: one event
+    input.addData((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 00:50:00"), (2L, "2024-01-01 00:05:00"))
+    q.processAllAvailable()
+    // advance the watermark far enough to close every session
+    input.addData((9L, "2024-01-01 23:00:00"))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+    assert(rows.count(_._1 == 1L) == 2)
+    val s1 = rows.filter(_._1 == 1L).minBy(_._2)
+    assert(s1._4 == 2) // merged two events
+    assert(s1._2.startsWith("2024-01-01 00:00:00"))
+    assert(s1._3.startsWith("2024-01-01 00:40:00")) // last event + gap
+    assert(rows.count(_._1 == 2L) == 1)
+    q.stop()
+  }
 }
