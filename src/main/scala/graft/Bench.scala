@@ -38,11 +38,15 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
     }
-    // best of three timed runs per query: steady-state throughput with
-    // the occasional GC/scheduling hiccup filtered out
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to 3).map { _ =>
+    // Best of five timed runs per query, ROUND-ROBIN interleaved: the
+    // noise on this shared box comes in multi-second stretches (GC,
+    // co-tenant CPU), so back-to-back repeats of one query can all land
+    // in the same bad window. Interleaving decorrelates the repeats;
+    // the per-query min is the honest steady-state.
+    val best = scala.collection.mutable.Map[String, Double]()
+    (1 to 5).foreach { _ =>
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
         // drop cached intermediates (persisted sketch frames) so each
         // timed run measures the full computation, not cache reuse
         spark.sharedState.cacheManager.clearCache()
@@ -51,10 +55,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       }
-      name -> times.min
     }
+    val results = names.map(n => n -> best(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

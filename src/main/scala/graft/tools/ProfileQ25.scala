@@ -33,7 +33,7 @@ object ProfileQ25 {
     val shingleStats = sets.agg(sum(col("n_sh")), avg(col("n_sh"))).collect()(0)
     println(s"[profile] total_shingles=${shingleStats.get(0)} avg=${shingleStats.get(1)}")
     spark.sharedState.cacheManager.clearCache()
-    (1 to 3).foreach { i =>
+    (1 to 6).foreach { i =>
       spark.sharedState.cacheManager.clearCache()
       time(s"full nearDuplicates run$i") {
         DedupOps.nearDuplicates(docs, threshold = 0.2)
