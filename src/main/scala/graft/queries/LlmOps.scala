@@ -37,7 +37,7 @@ object LlmOps {
   }
 
   // shared oracle CTE: int64 floor-quantized embedding components, 1-based
-  private val quantCte = raw"""
+  private[queries] val quantCte = raw"""
     xv AS (SELECT vec_id, g,
         CAST(floor(CAST(embedding[g] AS DOUBLE) * 100000) AS BIGINT) AS x
       FROM (SELECT vec_id, embedding,

@@ -365,6 +365,167 @@ object Statistics {
                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                COUNT(*) AS n_events
         FROM s GROUP BY user_id, sid
-        ORDER BY user_id, session_start"""))
+        ORDER BY user_id, session_start""")),
+
+    // ---- Per-dimension embedding statistics ------------------------------
+    // Column-wise corpus stats over the vector column: one posexplode +
+    // a (dim)-keyed aggregation — 64·n rows shuffled as partial sums
+    // only. Means divide exact int64 sums of the quantized components
+    // (overflow at ~9e13 vectors per dim; widen to DECIMAL(38,0) past
+    // that), so the doubles are bit-identical cross-engine.
+    "q84_dim_stats" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "embeddings")
+          .select(posexplode(graft.ops.VectorOps.quantized(col("embedding")))
+            .as(Seq("pos0", "x")))
+          .select((col("pos0") + 1).as("dim"), col("x"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            min(col("x")).as("min_q"),
+            max(col("x")).as("max_q"))
+          .select(col("dim").cast(LongType).as("dim"), col("n"),
+            round(col("sx").cast(DoubleType) / col("n").cast(DoubleType)
+              / 100000.0, 6).as("mean"),
+            col("min_q"), col("max_q"))
+          .orderBy(col("dim")),
+      oracle = Some(s"""
+        WITH ${LlmOps.quantCte}
+        SELECT g AS dim, COUNT(*) AS n,
+               round(SUM(x)::DOUBLE / COUNT(*)::DOUBLE / 100000.0, 6)
+                 AS mean,
+               MIN(x) AS min_q, MAX(x) AS max_q
+        FROM xv GROUP BY g ORDER BY dim""")),
+
+    // ---- Ordered funnel (view -> click -> purchase) ----------------------
+    // Three keyed passes over events, each a conditional-min aggregation;
+    // no window, no self-join explosion — the per-user state is three
+    // timestamps regardless of event count.
+    "q85_funnel" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        val s1 = ev.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"))
+        val s2 = ev.join(s1, "user_id").groupBy(col("user_id"), col("tv"))
+          .agg(min(when(col("event_type") === "click"
+            && col("ts") > col("tv"), col("ts"))).as("tc"))
+        val s3 = ev.join(s2, "user_id")
+          .groupBy(col("user_id"), col("tv"), col("tc"))
+          .agg(min(when(col("event_type") === "purchase"
+            && col("ts") > col("tc"), col("ts"))).as("tp"))
+        s3.agg(
+          sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
+          sum(when(col("tp").isNotNull, 1L).otherwise(0L))
+            .as("n_view_click_purchase"))
+      },
+      oracle = Some("""
+        WITH s1 AS (
+          SELECT user_id,
+                 MIN(ts) FILTER (WHERE event_type = 'view') AS tv
+          FROM events GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, s1.tv,
+                 MIN(e.ts) FILTER (WHERE e.event_type = 'click'
+                                     AND e.ts > s1.tv) AS tc
+          FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id, s1.tv),
+        s3 AS (
+          SELECT e.user_id, s2.tv, s2.tc,
+                 MIN(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                                     AND e.ts > s2.tc) AS tp
+          FROM events e JOIN s2 USING (user_id)
+          GROUP BY e.user_id, s2.tv, s2.tc)
+        SELECT SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_view,
+               SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_view_click,
+               SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_view_click_purchase
+        FROM s3""")),
+
+    // ---- Cohort retention matrix ----------------------------------------
+    // Cohort = a user's first active day; cell (cohort_day, offset) =
+    // distinct users active `offset` days after their cohort day. Pure
+    // integer date arithmetic — deterministic by construction.
+    "q86_retention" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = t(spark, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        ev.join(cohort, "user_id")
+          .select(col("user_id"), col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("offset"))
+          .filter(col("offset") <= 7)
+          .distinct()
+          .groupBy(col("cohort_day"), col("offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select(col("cohort_day"), col("offset").cast(LongType)
+            .as("offset"), col("n_users"))
+          .orderBy(col("cohort_day"), col("offset"))
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohort AS (SELECT user_id, MIN(day) AS cohort_day
+                   FROM ev GROUP BY user_id)
+        SELECT cohort_day, (day - cohort_day)::BIGINT AS "offset",
+               COUNT(DISTINCT user_id) AS n_users
+        FROM ev JOIN cohort USING (user_id)
+        WHERE day - cohort_day <= 7
+        GROUP BY cohort_day, "offset"
+        ORDER BY cohort_day, "offset" """)),
+
+    // ---- Hopping (sliding) windows in batch ------------------------------
+    // window(ts, 1h, 30m): every event lands in exactly two windows.
+    // The same expression runs under readStream + watermark. Window
+    // starts exported as epoch-microsecond ints to sidestep engine
+    // timestamp rendering.
+    "q87_hopping_window" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(unix_micros(col("w.start")).as("w_start_us"),
+            col("event_type"), col("n"), col("n_users"))
+          .orderBy(col("w_start_us"), col("event_type")),
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, user_id,
+                 (epoch_us(ts) // 1800000000) * 1800000000
+                   - j * 1800000000 AS w_start_us
+          FROM events,
+               (SELECT unnest(generate_series(0, 1)) AS j))
+        SELECT w_start_us, event_type, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM e GROUP BY 1, 2 ORDER BY w_start_us, event_type""")),
+
+    // ---- UNPIVOT (wide metrics -> long) ----------------------------------
+    "q88_unpivot" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(cents(col("l_quantity"))).cast(DoubleType).as("qty_c"),
+            sum(cents(col("l_extendedprice"))).cast(DoubleType).as("price_c"),
+            count(lit(1)).cast(DoubleType).as("cnt"))
+          .select(col("l_returnflag"),
+            expr("""stack(3, 'sum_qty', qty_c / 100.0,
+                             'sum_price', price_c / 100.0,
+                             'n_rows', cnt) AS (metric, value)"""))
+          .orderBy(col("l_returnflag"), col("metric")),
+      oracle = Some("""
+        WITH wide AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_qty,
+                 CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+                   AS DOUBLE) / 100.0 AS sum_price,
+                 COUNT(*)::DOUBLE AS n_rows
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, metric, value
+        FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))
+        ORDER BY l_returnflag, metric"""))
   )
 }
