@@ -71,4 +71,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "grouped aggregation lost its partial (map-side) phase")
   }
+
+  test("q72 range join: equi-join on (keys, bucket), never a cartesian/NL join") {
+    val p = plan("q72_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a non-equi join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "range join lost its equi-join formulation")
+  }
+
+  test("q78 gap fill: the date spine broadcasts; the fact side never shuffles for the join") {
+    val p = plan("q78_gap_fill")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"spine join should broadcast the O(days) side:\n$p")
+  }
+
+  test("q80 fuzzy match: distance runs on the DISTINCT dictionary, not the fact table") {
+    val df = SparkEntry.queries("q80_fuzzy_pairs")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the dictionary self-join must be preceded by distinct aggregation
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "fuzzy join lost its dictionary (distinct) reduction")
+  }
+
+  test("passage dedup op: spread + passage-rank + doc-regroup, no extra shuffles") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = DedupOps.passageDedup(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 3, s"passage dedup grew extra shuffles ($exchanges):\n$p")
+  }
+
+  test("q85 funnel: per-stage joins stay partial-aggregated, no window explosion") {
+    val p = plan("q85_funnel")
+    assert(!p.contains("CartesianProduct"), "funnel produced a cartesian join")
+    assert(!p.contains("Window"), "funnel should use conditional aggs, not windows")
+  }
 }
