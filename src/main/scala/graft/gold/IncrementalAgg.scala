@@ -1,0 +1,72 @@
+package graft.gold
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.silver.Upsert
+
+/** Incremental aggregate maintenance: keep a gold aggregate fresh by
+  * merging each new fact batch's PARTIAL aggregates into persisted
+  * state, instead of re-aggregating the whole history.
+  *
+  * Why it matters at 100 TB: a scheduled gold rebuild (the reference's
+  * dbt full-refresh path, containers/dbt_runner/entrypoint.py:495-580)
+  * re-reads every historical row on every run — O(history) per refresh.
+  * Mergeable state makes the refresh O(batch): count and sum combine by
+  * addition, min/max by comparison, and averages derive from (sum, n)
+  * at read time. The merge shuffles only |state| + |batch-partials|
+  * rows — both tiny next to the fact table.
+  *
+  * Determinism: measures are summed as EXACT int64 (cent-scaled by the
+  * caller); the result after any batch split is bit-identical to the
+  * one-shot aggregation, which is what the q89 oracle checks.
+  */
+object IncrementalAgg {
+
+  /** Partial aggregates of one batch: keys -> (n, sum/min/max per
+    * measure). `measures` map output-name -> exact-integer column. */
+  def partials(batch: DataFrame, keys: Seq[String],
+      measures: Map[String, Column]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      measures.toSeq.sortBy(_._1).flatMap { case (name, c) =>
+        Seq(sum(c).as(s"sum_$name"), min(c).as(s"min_$name"),
+          max(c).as(s"max_$name"))
+      }
+    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge partial-aggregate frames (same schema): counts and sums add,
+    * min/min and max/max compose. */
+  def merge(state: DataFrame, delta: DataFrame, keys: Seq[String],
+      measureNames: Seq[String]): DataFrame = {
+    val aggs = sum(col("n")).as("n") +:
+      measureNames.sorted.flatMap { name =>
+        Seq(sum(col(s"sum_$name")).as(s"sum_$name"),
+          min(col(s"min_$name")).as(s"min_$name"),
+          max(col(s"max_$name")).as(s"max_$name"))
+      }
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold one batch into the persisted state at `statePath` (atomic
+    * swap), returning the refreshed state. */
+  def update(spark: SparkSession, statePath: String, batch: DataFrame,
+      keys: Seq[String], measures: Map[String, Column]): DataFrame = {
+    val delta = partials(batch, keys, measures)
+    val path = Paths.get(statePath)
+    val merged =
+      if (Files.exists(path) && Files.list(path).findFirst().isPresent) {
+        val state = spark.read.parquet(statePath)
+        merge(state, delta, keys, measures.keys.toSeq)
+      } else delta
+    // localCheckpoint cuts the lineage before the swap deletes the old
+    // state files the plan would otherwise still reference
+    val materialized = merged.localCheckpoint()
+    Upsert.writeMerged(materialized, statePath, keys = Nil)
+    spark.read.parquet(statePath)
+  }
+}

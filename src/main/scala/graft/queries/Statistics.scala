@@ -526,6 +526,41 @@ object Statistics {
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, metric, value
         FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))
-        ORDER BY l_returnflag, metric"""))
+        ORDER BY l_returnflag, metric""")),
+
+    // ---- Incremental aggregate maintenance ------------------------------
+    // Daily revenue built by folding THREE disjoint batches into
+    // persisted mergeable state (gold.IncrementalAgg) — the oracle is
+    // the one-shot aggregation, so a hash match proves incremental ==
+    // full recompute, bit-exact.
+    "q89_incremental_agg" -> QueryDef(
+      build = (spark, dir) => {
+        val orders = t(spark, dir, "orders")
+        val statePath = java.nio.file.Files
+          .createTempDirectory("graft-incagg-").toString + "/state"
+        val measures = Map("price_c" -> cents(col("o_totalprice")))
+        var state: DataFrame = null
+        (0 until 3).foreach { i =>
+          val batch = orders.filter(col("o_orderkey") % 3 === i)
+            .select(to_date(col("o_orderdate")).as("day"),
+              col("o_totalprice"))
+          state = graft.gold.IncrementalAgg.update(
+            spark, statePath, batch, Seq("day"), measures)
+        }
+        state.select(col("day"), col("n"),
+          (col("sum_price_c").cast(DoubleType) / 100.0).as("revenue"),
+          (col("min_price_c").cast(DoubleType) / 100.0).as("min_price"),
+          (col("max_price_c").cast(DoubleType) / 100.0).as("max_price"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+               SUM(CAST(round(o_totalprice*100) AS BIGINT))::DOUBLE / 100.0
+                 AS revenue,
+               MIN(CAST(round(o_totalprice*100) AS BIGINT))::DOUBLE / 100.0
+                 AS min_price,
+               MAX(CAST(round(o_totalprice*100) AS BIGINT))::DOUBLE / 100.0
+                 AS max_price
+        FROM orders GROUP BY 1 ORDER BY day"""))
   )
 }

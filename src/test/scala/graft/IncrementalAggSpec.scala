@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gold.IncrementalAgg
+import graft.queries.Q.cents
+import graft.sources.Tables
+
+class IncrementalAggSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("incremental state equals one-shot aggregation for any batch split") {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+    val measures = Map("price_c" -> cents(col("o_totalprice")))
+
+    // 5-way split on an unrelated hash -> uneven, arbitrary batches
+    val statePath = Files.createTempDirectory("inc-").toString + "/s"
+    (0 until 5).foreach { i =>
+      IncrementalAgg.update(spark, statePath,
+        orders.filter(abs(hash(col("o_totalprice"))) % 5 === i),
+        Seq("day"), measures)
+    }
+    val incremental = spark.read.parquet(statePath)
+
+    val oneShot = IncrementalAgg.partials(orders, Seq("day"), measures)
+    assert(incremental.count() == oneShot.count())
+    assert(incremental.except(oneShot).count() == 0
+      && oneShot.except(incremental).count() == 0,
+      "incremental merge diverged from one-shot aggregation")
+  }
+
+  test("empty-batch update is a no-op on the state") {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+    val measures = Map("price_c" -> cents(col("o_totalprice")))
+    val statePath = Files.createTempDirectory("inc-").toString + "/s"
+    IncrementalAgg.update(spark, statePath, orders, Seq("day"), measures)
+    val before = spark.read.parquet(statePath).collect().toSet
+    IncrementalAgg.update(spark, statePath, orders.limit(0),
+      Seq("day"), measures)
+    val after = spark.read.parquet(statePath).collect().toSet
+    assert(before == after)
+  }
+}
