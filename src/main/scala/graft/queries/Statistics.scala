@@ -561,6 +561,132 @@ object Statistics {
                  AS min_price,
                MAX(CAST(round(o_totalprice*100) AS BIGINT))::DOUBLE / 100.0
                  AS max_price
-        FROM orders GROUP BY 1 ORDER BY day"""))
+        FROM orders GROUP BY 1 ORDER BY day""")),
+
+    // ---- Column profiling (DuckDB SUMMARIZE analog) ---------------------
+    // One pass computes every column's profile as parallel aggregate
+    // COLUMNS (no per-column re-scan), then pivots long via stack —
+    // n-columns × O(1) aggregates, a single partial-agg shuffle.
+    "q90_profile" -> QueryDef(
+      build = (spark, dir) => {
+        val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        val aggs = cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+            countDistinct(col(c)).as(s"dist_$c"),
+            min(length(col(c).cast(StringType))).cast(LongType)
+              .as(s"minl_$c"),
+            max(length(col(c).cast(StringType))).cast(LongType)
+              .as(s"maxl_$c"))
+        } :+ count(lit(1)).as("n_rows")
+        val stacked = cols.map(c =>
+          s"'$c', null_$c, dist_$c, minl_$c, maxl_$c").mkString(", ")
+        t(spark, dir, "customer")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("n_rows"), expr(s"""stack(${cols.size}, $stacked)
+            AS (column_name, n_null, n_distinct, min_len, max_len)"""))
+          .select(col("column_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_len"), col("max_len"))
+          .orderBy(col("column_name"))
+      },
+      oracle = Some(Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .map(c => s"""
+          SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+                 SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_null,
+                 COUNT(DISTINCT $c) AS n_distinct,
+                 MIN(length($c::VARCHAR))::BIGINT AS min_len,
+                 MAX(length($c::VARCHAR))::BIGINT AS max_len
+          FROM customer""")
+        .mkString("", " UNION ALL ", " ORDER BY column_name"))),
+
+    // ---- Constraint / data-quality suite --------------------------------
+    // PK uniqueness, FK orphans (left-anti), domain ranges — each check
+    // an aggregate or anti-join count, unioned into one report. The
+    // anti-joins broadcast the PK side when it fits, else shuffle on
+    // the key — never a full cross comparison.
+    "q91_constraints" -> QueryDef(
+      build = (spark, dir) => {
+        val orders = t(spark, dir, "orders")
+        val lineitem = t(spark, dir, "lineitem")
+        val customer = t(spark, dir, "customer")
+        val nation = t(spark, dir, "nation")
+        def one(name: String, n: DataFrame) = n.select(lit(name)
+          .as("check_name"), col("n_violations"))
+        val pkDup = orders.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(count(lit(1)).as("n_violations"))
+        val fkOrphanLi = lineitem.join(orders,
+            lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        val fkOrphanCust = customer.join(nation,
+            customer("c_nationkey") === nation("n_nationkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        val rangeQty = lineitem.filter(col("l_quantity") <= 0
+            || col("l_quantity") > 50)
+          .agg(count(lit(1)).as("n_violations"))
+        val nullName = customer.filter(col("c_name").isNull)
+          .agg(count(lit(1)).as("n_violations"))
+        one("pk_orders_unique", pkDup)
+          .unionByName(one("fk_lineitem_orders", fkOrphanLi))
+          .unionByName(one("fk_customer_nation", fkOrphanCust))
+          .unionByName(one("range_quantity", rangeQty))
+          .unionByName(one("null_customer_name", nullName))
+          .orderBy(col("check_name"))
+      },
+      oracle = Some("""
+        SELECT 'pk_orders_unique' AS check_name,
+               (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                 GROUP BY 1 HAVING COUNT(*) > 1)) AS n_violations
+        UNION ALL
+        SELECT 'fk_lineitem_orders',
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+                 (SELECT o_orderkey FROM orders))
+        UNION ALL
+        SELECT 'fk_customer_nation',
+               (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+                 (SELECT n_nationkey FROM nation))
+        UNION ALL
+        SELECT 'range_quantity',
+               (SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity <= 0 OR l_quantity > 50)
+        UNION ALL
+        SELECT 'null_customer_name',
+               (SELECT COUNT(*) FROM customer WHERE c_name IS NULL)
+        ORDER BY check_name""")),
+
+    // ---- SCD2 interval building (change stream -> validity ranges) ------
+    // Each user's events become type-2 history rows: valid_from = event
+    // ts, valid_to = next event's ts (open for the latest). One keyed
+    // window pass; state per key is one row lookahead.
+    "q92_scd2" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(w).as("valid_to"))
+          .withColumn("is_current", col("valid_to").isNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+            sum(when(col("valid_to").isNotNull,
+              unix_micros(col("valid_to")) - unix_micros(col("valid_from")))
+              .otherwise(0L)).as("total_covered_us"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT user_id, ts AS valid_from,
+                 LEAD(ts, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS valid_to
+          FROM events)
+        SELECT user_id, COUNT(*) AS n_versions,
+               SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_current,
+               SUM(CASE WHEN valid_to IS NOT NULL
+                   THEN epoch_us(valid_to) - epoch_us(valid_from)
+                   ELSE 0 END)::BIGINT AS total_covered_us
+        FROM v GROUP BY user_id ORDER BY user_id"""))
   )
 }
