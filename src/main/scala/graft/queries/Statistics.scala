@@ -687,6 +687,26 @@ object Statistics {
                SUM(CASE WHEN valid_to IS NOT NULL
                    THEN epoch_us(valid_to) - epoch_us(valid_from)
                    ELSE 0 END)::BIGINT AS total_covered_us
-        FROM v GROUP BY user_id ORDER BY user_id"""))
+        FROM v GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- Stream-stream interval join (batch face) -----------------------
+    // The SAME StreamJoin.attribute plan runs under two watermarked
+    // MemoryStreams in StreamingSpec; here the batch mode is
+    // oracle-checked: clicks attributed to the same user's error within
+    // the preceding 10 minutes.
+    "q93_stream_attribution" -> QueryDef(
+      build = (spark, dir) =>
+        graft.streaming.StreamJoin.attribute(t(spark, dir, "events"),
+            causeType = "error", effectType = "click", gapSeconds = 600L)
+          .select(col("cause_id"), col("effect_id"), col("user_id"))
+          .orderBy(col("cause_id"), col("effect_id")),
+      oracle = Some("""
+        SELECT e.event_id AS cause_id, c.event_id AS effect_id, e.user_id
+        FROM events e JOIN events c
+          ON c.user_id = e.user_id AND c.event_type = 'click'
+          AND c.ts >= e.ts
+          AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+        WHERE e.event_type = 'error'
+        ORDER BY cause_id, effect_id"""))
   )
 }

@@ -141,4 +141,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count(_._1 == 2L) == 1)
     q.stop()
   }
+
+  test("stream-stream interval join matches within gap, bounded by watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamJoin
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long, String, String)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts_s")
+      .selectExpr("event_id", "user_id", "event_type",
+        "CAST(ts_s AS TIMESTAMP) AS ts")
+    val q = StreamJoin.attribute(events, "error", "click",
+        gapSeconds = 600L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    input.addData(
+      (1L, 7L, "error", "2024-01-01 00:00:00"),
+      (2L, 7L, "click", "2024-01-01 00:05:00"),  // within 10 min -> match
+      (3L, 7L, "click", "2024-01-01 00:20:00"),  // outside gap -> no match
+      (4L, 8L, "click", "2024-01-01 00:05:00"))  // other user -> no match
+    q.processAllAvailable()
+    val pairs = spark.table("attr_out")
+      .select("cause_id", "effect_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    q.stop()
+  }
 }
