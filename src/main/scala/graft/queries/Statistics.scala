@@ -707,6 +707,48 @@ object Statistics {
           AND c.ts >= e.ts
           AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
         WHERE e.event_type = 'error'
-        ORDER BY cause_id, effect_id"""))
+        ORDER BY cause_id, effect_id""")),
+
+    // ---- Salted skew join, oracle-checked -------------------------------
+    // Fact side salted by a row hash; the small side replicates
+    // saltFactor ways so every (key, salt) bucket equi-joins — the skewed
+    // key's rows spread over saltFactor reducers instead of one straggler.
+    // The oracle is the PLAIN join: salting must be invisible in results.
+    "q94_salted_join" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        val userDim = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("user_events"))
+        graft.ops.Skew.saltedJoin(
+            ev.select(col("event_id"), col("user_id"), col("event_type")),
+            userDim, key = "user_id", saltFactor = 8)
+          .groupBy(col("event_type"), col("user_events"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("user_events"))
+      },
+      oracle = Some("""
+        WITH dim AS (SELECT user_id, COUNT(*) AS user_events
+                     FROM events GROUP BY user_id)
+        SELECT e.event_type, dim.user_events, COUNT(*) AS n
+        FROM events e JOIN dim USING (user_id)
+        GROUP BY 1, 2 ORDER BY event_type, user_events""")),
+
+    // ---- Exact median / quantiles (interpolated, deterministic) ---------
+    // percentile() sorts exactly; both engines interpolate continuous
+    // quantiles as v[lo] + frac·(v[hi]−v[lo]) at index p·(n−1) over
+    // exact 2-dp doubles, so results are bit-identical.
+    "q95_exact_median" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(o_totalprice, 0.5)").as("median_price"),
+            expr("percentile(o_totalprice, 0.9)").as("p90_price"))
+          .orderBy(col("o_orderstatus")),
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               quantile_cont(o_totalprice, 0.5) AS median_price,
+               quantile_cont(o_totalprice, 0.9) AS p90_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
