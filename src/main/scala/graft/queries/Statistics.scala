@@ -749,6 +749,42 @@ object Statistics {
         SELECT o_orderstatus, COUNT(*) AS n,
                quantile_cont(o_totalprice, 0.5) AS median_price,
                quantile_cont(o_totalprice, 0.9) AS p90_price
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- Snapshot time travel -------------------------------------------
+    // Build a versioned daily-revenue table in two commits (1996, then a
+    // keyed merge of 1997); read BOTH versions back. The oracle derives
+    // each version's content from the base table — a hash match proves
+    // version-0 reads are untouched by the later commit.
+    "q96_time_travel" -> QueryDef(
+      build = (spark, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-tt-").toString + "/daily"
+        val orders = t(spark, dir, "orders")
+        def dailyRev(yr: Int) = orders
+          .filter(year(col("o_orderdate")) === yr)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+        graft.silver.Snapshots.commit(dailyRev(1996), table)
+        graft.silver.Snapshots.commitMerged(dailyRev(1997), table,
+          keys = Seq("day"))
+        def summary(v: Long) = graft.silver.Snapshots
+          .readVersion(spark, table, v)
+          .agg(count(lit(1)).as("n_days"),
+            (sum(col("rev_c")).cast(DoubleType) / 100.0).as("revenue"))
+          .select(lit(v).as("version"), col("n_days"), col("revenue"))
+        summary(0).unionByName(summary(1)).orderBy(col("version"))
+      },
+      oracle = Some("""
+        SELECT 0::BIGINT AS version, COUNT(DISTINCT CAST(o_orderdate AS DATE))
+                 AS n_days,
+               SUM(CAST(round(o_totalprice*100) AS BIGINT))::DOUBLE / 100.0
+                 AS revenue
+        FROM orders WHERE year(o_orderdate) = 1996
+        UNION ALL
+        SELECT 1::BIGINT, COUNT(DISTINCT CAST(o_orderdate AS DATE)),
+               SUM(CAST(round(o_totalprice*100) AS BIGINT))::DOUBLE / 100.0
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        ORDER BY version"""))
   )
 }
