@@ -785,6 +785,51 @@ object Statistics {
         SELECT 1::BIGINT, COUNT(DISTINCT CAST(o_orderdate AS DATE)),
                SUM(CAST(round(o_totalprice*100) AS BIGINT))::DOUBLE / 100.0
         FROM orders WHERE year(o_orderdate) IN (1996, 1997)
-        ORDER BY version"""))
+        ORDER BY version""")),
+
+    // ---- Change-data feed between snapshot versions ---------------------
+    // v0 = daily revenue over even order keys; v1 = keyed merge of the
+    // full aggregate. The diff tags each day insert (odd-only day),
+    // update (value changed) or unchanged (dropped). The oracle
+    // reclassifies from the base table; exact cent values make the
+    // update comparison deterministic.
+    "q97_change_feed" -> QueryDef(
+      build = (spark, dir) => {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-cdc-").toString + "/daily"
+        val orders = t(spark, dir, "orders")
+        def dailyRev(df: DataFrame) = df
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+        graft.silver.Snapshots.commit(
+          dailyRev(orders.filter(col("o_orderkey") % 2 === 0)), table)
+        graft.silver.Snapshots.commitMerged(dailyRev(orders), table,
+          keys = Seq("day"))
+        graft.silver.Snapshots.changes(spark, table, 0L, 1L, Seq("day"))
+          .groupBy(col("op"))
+          .agg(count(lit(1)).as("n_days"),
+            (sum(col("after.rev_c")).cast(DoubleType) / 100.0)
+              .as("after_revenue"))
+          .orderBy(col("op"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_c
+          FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        f AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_c
+          FROM orders GROUP BY 1),
+        d AS (
+          SELECT COALESCE(e.day, f.day) AS day,
+                 CASE WHEN e.day IS NULL THEN 'insert'
+                      WHEN f.day IS NULL THEN 'delete'
+                      WHEN e.rev_c <> f.rev_c THEN 'update' END AS op,
+                 f.rev_c AS after_rev
+          FROM e FULL OUTER JOIN f ON e.day = f.day)
+        SELECT op, COUNT(*) AS n_days,
+               SUM(after_rev)::DOUBLE / 100.0 AS after_revenue
+        FROM d WHERE op IS NOT NULL GROUP BY op ORDER BY op"""))
   )
 }

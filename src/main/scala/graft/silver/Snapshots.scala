@@ -90,6 +90,31 @@ object Snapshots {
   def rollback(spark: SparkSession, table: String, v: Long): Long =
     commit(readVersion(spark, table, v), table)
 
+  /** Change-data feed between two versions: one row per key whose
+    * content changed, tagged insert/update/delete. A single full-outer
+    * join on the key — both sides shuffle once on the key (or the
+    * smaller version broadcasts); nothing is compared row-by-row on the
+    * driver. Non-key columns are compared null-safely via a struct
+    * equality. */
+  def changes(spark: SparkSession, table: String, fromV: Long, toV: Long,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val before = readVersion(spark, table, fromV)
+    val after = readVersion(spark, table, toV)
+    val valueCols = after.columns.filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+
+        struct(valueCols.map(col): _*).as(as): _*)
+    packed(before, "_before").join(packed(after, "_after"), keys, "full_outer")
+      .withColumn("op",
+        when(col("_before").isNull, lit("insert"))
+          .when(col("_after").isNull, lit("delete"))
+          .when(!(col("_before") <=> col("_after")), lit("update")))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) :+ col("op") :+
+        col("_before").as("before") :+ col("_after").as("after"): _*)
+  }
+
   /** Drop all but the newest `keep` versions. */
   def vacuum(table: String, keep: Int): Unit = {
     val vs = versions(table)

@@ -51,4 +51,16 @@ class SnapshotsSpec extends AnyFunSuite {
       Snapshots.readVersion(spark, table, 0)
     }
   }
+
+  test("changes() tags inserts, updates, deletes; unchanged rows absent") {
+    import spark.implicits._
+    val table = tmp()
+    Snapshots.commit(
+      Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "s"), table)
+    Snapshots.commit(
+      Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("id", "s"), table)
+    val ch = Snapshots.changes(spark, table, 0L, 1L, Seq("id"))
+      .select("id", "op").as[(Long, String)].collect().toSet
+    assert(ch == Set((2L, "update"), (3L, "delete"), (4L, "insert")))
+  }
 }
