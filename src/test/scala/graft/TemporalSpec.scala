@@ -122,6 +122,16 @@ class TemporalSpec extends AnyFunSuite {
       .select(col("click_id"), col("error_id"))
     assert(fast.count() == naive.count())
     assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
+    // bucket width much smaller than the interval (intervals replicate to
+    // ~11 buckets) and much larger (most intervals in one bucket) — the
+    // result must be identical for ANY bucket size
+    Seq(60000000L, 3600000000L).foreach { b =>
+      val alt = Temporal.rangeJoin(clicks, errors, Seq("user_id"),
+          "c_us", "w_start", "w_end", bucketUs = b)
+        .select(col("click_id"), col("error_id"))
+      assert(alt.except(naive).count() == 0 && naive.except(alt).count() == 0,
+        s"rangeJoin diverged at bucketUs=$b")
+    }
   }
 
   test("kmeansRefine reduces inertia and is partition-independent") {
