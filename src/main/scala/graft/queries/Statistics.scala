@@ -100,7 +100,8 @@ object Statistics {
       build = (spark, dir) =>
         t(spark, dir, "orders")
           .withColumn("decile", ntile(10).over(
-            Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+            Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+            .cast(LongType))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"),
             min(col("o_totalprice")).as("min_price"),
@@ -265,7 +266,8 @@ object Statistics {
         dict.as("a").join(dict.select(col("p_name").as("b_name")).as("b"),
             col("p_name") < col("b_name"))
           .select(col("p_name").as("name_a"), col("b_name").as("name_b"),
-            levenshtein(col("p_name"), col("b_name")).as("dist"))
+            levenshtein(col("p_name"), col("b_name")).cast(LongType)
+              .as("dist"))
           .filter(col("dist") <= 3)
           .orderBy(col("name_a"), col("name_b"))
       },
