@@ -162,10 +162,11 @@ object LlmOps {
         FROM reach GROUP BY src ORDER BY doc_id"""),
       bench = false),
 
+    // No ORDER BY: the driver's compare sorts rows itself, and a global
+    // sort here would range-sample the whole LSH pipeline a second time.
     "q25_jaccard_neardups" -> QueryDef(
       build = (spark, dir) =>
-        DedupOps.nearDuplicates(Tables.load(spark, dir, "documents"))
-          .orderBy(col("a"), col("b")),
+        DedupOps.nearDuplicates(Tables.load(spark, dir, "documents")),
       oracle = Some(s"""
         WITH $shinglesCte, $sigCte,
         bands AS (
