@@ -85,8 +85,7 @@ object LlmOps {
     // ---- MinHash signatures ---------------------------------------------
     "q23_minhash_signature" -> QueryDef(
       build = (spark, dir) =>
-        DedupOps.minhashSignatures(Tables.load(spark, dir, "documents"))
-          .orderBy(col("doc_id")),
+        DedupOps.minhashSignatures(Tables.load(spark, dir, "documents")),
       oracle = Some(s"""
         WITH $shinglesCte, $sigCte
         SELECT * FROM sig ORDER BY doc_id"""),
@@ -212,7 +211,6 @@ object LlmOps {
       build = (spark, dir) => {
         val emb = Tables.load(spark, dir, "embeddings")
         VectorOps.cosineTopK(emb.filter(col("vec_id") < 10), emb, k = 3)
-          .orderBy(col("qid"), col("rank"))
       },
       oracle = Some(s"""
         WITH $quantCte,
