@@ -32,6 +32,26 @@ object Curation {
   def sampleBucket(key: Column, pct: Int): Column =
     h32(key.cast("string")) % 100 < pct
 
+  /** Deterministic train/val/test assignment from the same hash-bucket
+    * machinery: bucket < testPct → "test", < testPct+valPct → "val",
+    * else "train". Stable across runs, engines, partitionings and
+    * incremental re-runs — a document never migrates between splits when
+    * new data arrives, which rand()-based splitting cannot guarantee. */
+  def splitAssign(key: Column, valPct: Int = 20, testPct: Int = 10): Column = {
+    val b = h32(key.cast("string")) % 100
+    when(b < testPct, "test")
+      .when(b < testPct + valPct, "val")
+      .otherwise("train")
+  }
+
+  /** Split accounting per stratum: (stratum, split, n_docs, n_chars).
+    * One small-cardinality aggregation over the corpus. */
+  def splitCounts(df: DataFrame, stratum: Column, key: Column,
+      sizeCol: Column, valPct: Int = 20, testPct: Int = 10): DataFrame =
+    df.groupBy(stratum.as("stratum"),
+        splitAssign(key, valPct, testPct).as("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeCol).as("n_chars"))
+
   /** Per-stratum sampling accounting at `pct`%: (stratum, n_total,
     * n_sampled, rate). One small-cardinality aggregation, no extra pass
     * over the sampled subset. */

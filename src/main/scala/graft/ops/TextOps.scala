@@ -149,6 +149,38 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-document top-k terms by tf-idf. The idf factor is the ln-free
+    * rational (N+1)/(df+1): monotone in the classic log form (log is
+    * monotone), so top-k ranking is IDENTICAL, and the arithmetic —
+    * integer counts combined with one double divide and one multiply —
+    * is bit-reproducible across engines, where ln() is not.
+    *
+    * Scale shape: tf is a (doc, token) aggregation (shuffles one row per
+    * distinct doc-term), df is a vocabulary-sized aggregation of THAT
+    * (not the raw token stream), N broadcasts as a one-row frame, and the
+    * final top-k window partitions by doc over tokens-per-doc-bounded
+    * groups. No stage touches more than the distinct doc-term pairs. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("score"))
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text plus a
     * position-weighted rolling hash (order-sensitive, exact int math). */
   def fingerprint(docs: DataFrame): DataFrame = {

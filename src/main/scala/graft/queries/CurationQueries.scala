@@ -97,6 +97,75 @@ object CurationQueries {
                 FROM documents WHERE source = 'src0'))
         SELECT doc_id, COUNT(*) AS n_shared
         FROM shc JOIN shb USING (s)
-        GROUP BY doc_id HAVING COUNT(*) >= 1 ORDER BY doc_id"""))
+        GROUP BY doc_id HAVING COUNT(*) >= 1 ORDER BY doc_id""")),
+
+    // ---- deterministic stratified train/val/test split ------------------
+    "q98_train_split" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.splitCounts(t(spark, dir, "documents"),
+          col("source"), col("doc_id"), col("n_chars")),
+      oracle = Some(s"""
+        SELECT source AS stratum,
+          CASE WHEN ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10 THEN 'test'
+               WHEN ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 30 THEN 'val'
+               ELSE 'train' END AS split,
+          COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY stratum, split""")),
+
+    // ---- corpus length histogram (fixed-width integer buckets) ----------
+    "q99_char_histogram" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "documents")
+          .groupBy(expr("n_chars div 25").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars")),
+      oracle = Some("""
+        SELECT n_chars // 25 AS bucket, COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY bucket""")),
+
+    // ---- per-source corpus accounting incl. exact-duplicate rate --------
+    "q100_source_stats" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"),
+            (sum(col("n_chars")).cast("double") / count(lit(1)))
+              .as("avg_chars")),
+      oracle = Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY source""")),
+
+    // ---- per-document top-k terms by tf-idf -----------------------------
+    // idf uses the ln-free rational (N+1)/(df+1): same ranking as the log
+    // form (log is monotone) with bit-reproducible arithmetic; see
+    // TextOps.tfIdfTopK.
+    "q101_tfidf_topk" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.TextOps.tfIdfTopK(t(spark, dir, "documents"), k = 3),
+      oracle = Some(raw"""
+        WITH tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+          GROUP BY doc_id, tok),
+        dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tok, tf,
+                 tf * ((n_docs + 1.0) / (df + 1.0)) AS score
+          FROM tf JOIN dfr USING (tok) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, tok, tf, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, tok ASC) AS rank
+          FROM scored)
+        SELECT doc_id, rank, tok, tf, score
+        FROM ranked WHERE rank <= 3"""))
   )
 }

@@ -33,12 +33,33 @@ object ProfileQ25 {
     val shingleStats = sets.agg(sum(col("n_sh")), avg(col("n_sh"))).collect()(0)
     println(s"[profile] total_shingles=${shingleStats.get(0)} avg=${shingleStats.get(1)}")
     spark.sharedState.cacheManager.clearCache()
-    (1 to 6).foreach { i =>
+    (1 to 3).foreach { i =>
       spark.sharedState.cacheManager.clearCache()
       time(s"full nearDuplicates run$i") {
         DedupOps.nearDuplicates(docs, threshold = 0.2)
           .write.format("noop").mode("overwrite").save()
       }
+    }
+    // ---- stage breakdown (fresh cache per phase) ------------------------
+    (1 to 3).foreach { i =>
+      spark.sharedState.cacheManager.clearCache()
+      val s2 = DedupOps.setsWithSignatures(docs, 8, 12)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"stage sets+persist run$i")(s2.count())
+      val p2 = DedupOps.pairsFromBands(s2, 12, 3)
+      time(s"stage pairs run$i")(p2.write.format("noop").mode("overwrite").save())
+      val sa = s2.select(col("doc_id").as("a"), col("shset").as("seta"),
+        col("n_sh").as("na"))
+      val sb = s2.select(col("doc_id").as("b"), col("shset").as("setb"),
+        col("n_sh").as("nb"))
+      val joined = p2.join(sa, "a").join(sb, "b")
+        .select(col("a"), col("b"),
+          size(array_intersect(col("seta"), col("setb"))).as("i"),
+          col("na"), col("nb"))
+        .select(col("a"), col("b"),
+          (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+      time(s"stage verify-join run$i")(joined.write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }

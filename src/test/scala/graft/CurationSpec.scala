@@ -106,4 +106,39 @@ class CurationSpec extends AnyFunSuite {
     assert(m(1L)._1 > 0.8 && m(1L)._2 == 1.0)
     assert(m(2L)._1 == 0.0 && m(2L)._2 == 0.125)
   }
+
+  test("splitAssign: total, disjoint, and stable under corpus growth") {
+    val docs = Tables.load(spark, dir, "documents")
+    val assigned = docs.select(col("doc_id"),
+      Curation.splitAssign(col("doc_id")).as("split"))
+    // total: every doc gets exactly one of the three labels
+    val n = docs.count()
+    assert(assigned.filter(col("split").isin("train", "val", "test"))
+      .count() == n)
+    // stable: the assignment of a doc does not depend on which other rows
+    // are present (hash of the key only) — recompute on a half-corpus
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val again = half.select(col("doc_id"),
+      Curation.splitAssign(col("doc_id")).as("split2"))
+    val moved = assigned.join(again, "doc_id")
+      .filter(col("split") =!= col("split2")).count()
+    assert(moved == 0)
+    // rough proportions at default 70/20/10
+    val frac = assigned.filter(col("split") === "train").count().toDouble / n
+    assert(frac > 0.6 && frac < 0.8, s"train fraction $frac")
+  }
+
+  test("tfIdfTopK: rare term outranks common term at equal tf") {
+    import spark.implicits._
+    // 'rare' appears in 1 doc; every other token appears in all 4 docs
+    val df = Seq(
+      (1L, "rare common extra"),
+      (2L, "common extra pad"),
+      (3L, "common extra pad"),
+      (4L, "common extra pad")
+    ).toDF("doc_id", "text")
+    val top = graft.ops.TextOps.tfIdfTopK(df, k = 1)
+      .filter(col("doc_id") === 1L).collect()
+    assert(top.length == 1 && top(0).getAs[String]("tok") == "rare")
+  }
 }

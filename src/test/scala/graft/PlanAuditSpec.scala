@@ -108,4 +108,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "funnel produced a cartesian join")
     assert(!p.contains("Window"), "funnel should use conditional aggs, not windows")
   }
+
+  test("q12 token stats: row-local, zero exchanges") {
+    val p = plan("q12_unnest_tokens")
+    assert(!p.contains("Exchange"),
+      s"per-document token stats must not shuffle (row-local size/array_distinct):\n$p")
+    assert(!p.contains("Generate"),
+      s"token stats should not explode rows:\n$p")
+  }
+
+  test("q06 latest-order: partial-aggregated max_by, no window sort") {
+    val p = plan("q06_window_latest_order")
+    assert(!p.contains("Window"),
+      s"top-1-per-group should be max_by aggregation, not a window sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2
+      || "ObjectHashAggregate".r.findAllIn(p).length >= 2
+      || "SortAggregate".r.findAllIn(p).length >= 2,
+      s"latest-order aggregation lost its partial (map-side) phase:\n$p")
+  }
 }
