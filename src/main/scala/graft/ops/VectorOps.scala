@@ -223,4 +223,61 @@ object VectorOps {
     v.unpersist()
     out
   }
+
+  /** Label-consistency check by exact nearest-centroid classification:
+    * build the per-label centroid of the quantized embeddings, assign
+    * every vector to its nearest centroid, and report per-label
+    * (n, n_correct, accuracy). Low accuracy for a label flags noisy or
+    * overlapping labels — the standard embedding-space QA pass before
+    * training on labeled data.
+    *
+    * Exactness: comparing ||x − s/n||² across labels multiplies through
+    * by n² — argmin of Σ_g (n·x_g − s_g)² / n²,  with n, s, x all exact
+    * int64. Per-dim squared terms fit int64 (|n·x − s| ≤ 2^31 here);
+    * the 64-term sum is accumulated as DECIMAL(38,0) (HUGEINT in the
+    * oracle), exact at any corpus size. Ties break by label id. The n²
+    * denominators differ per label, so the comparison divides exactly:
+    * d2·(n'²) vs d2'·(n²) — again decimal-exact.
+    *
+    * Scale shape: centroids are a (labels × dims) aggregation — partial
+    * map-side sums, tiny shuffle — then broadcast; assignment is one
+    * map-side pass per (vector, label) with partial aggregation down to
+    * one row per pair before any exchange; the argmin is a window over
+    * labels-per-vector-bounded groups. */
+  def nearestCentroid(vectors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val xv = spread(vectors)
+      .select(col("vec_id"), col("label").cast("long").as("true_label"),
+        posexplode(quantized(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("true_label"), (col("pos") + 1).as("g"),
+        col("x"))
+    // per-label per-dim exact sums + label sizes (labels × dims rows)
+    val cent = xv.groupBy(col("true_label").as("label"), col("g"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("nl"))
+    // distance of every vector to every label centroid, scaled by nl²;
+    // cross-label comparison multiplies through by the other nl²
+    val wide = DecimalType(38, 0)
+    val term = col("nl") * col("x") - col("s")
+    val d = xv.join(broadcast(cent), "g")
+      .groupBy(col("vec_id"), col("true_label"), col("label"), col("nl"))
+      .agg(sum((term * term).cast(wide)).as("d2"))
+    // sort key divides out this label's nl²: d2/nl² as DOUBLE. Both casts
+    // are correctly-rounded (BigDecimal.doubleValue / HUGEINT→DOUBLE) and
+    // the IEEE division is then identical in both engines; exact-decimal
+    // division would instead round at an engine-chosen scale. Residual
+    // double ties break by label id, deterministically.
+    val pred = d
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy((col("d2").cast("double") /
+            (col("nl") * col("nl")).cast("double")).asc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("true_label"), col("label").as("pred_label"))
+    pred.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy", col("n_correct").cast("double") / col("n"))
+  }
 }

@@ -333,6 +333,35 @@ object LlmOps {
         SELECT vec_id, cell_id, CAST(dist2 AS BIGINT) AS dist2
         FROM r WHERE rn = 1 ORDER BY vec_id""")),
 
+    // ---- label-consistency: exact nearest-centroid classification -------
+    "q102_nearest_centroid" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.nearestCentroid(Tables.load(spark, dir, "embeddings")),
+      oracle = Some(s"""
+        WITH $quantCte,
+        lab AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label
+                FROM embeddings),
+        cent AS (SELECT true_label AS label, g, SUM(x) AS s, COUNT(*) AS nl
+          FROM xv JOIN lab USING (vec_id) GROUP BY 1, 2),
+        d AS (SELECT xv.vec_id, lab.true_label, cent.label, cent.nl,
+            SUM(CAST((cent.nl * xv.x - cent.s) * (cent.nl * xv.x - cent.s)
+                AS HUGEINT)) AS d2
+          FROM xv JOIN lab USING (vec_id) JOIN cent USING (g)
+          GROUP BY 1, 2, 3, 4),
+        pred AS (SELECT vec_id, true_label, label AS pred_label
+          FROM (SELECT vec_id, true_label, label, row_number() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY CAST(d2 AS DOUBLE) / CAST(nl * nl AS DOUBLE),
+                           label) AS rn
+                FROM d)
+          WHERE rn = 1)
+        SELECT true_label AS label, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+          CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS accuracy
+        FROM pred GROUP BY 1""")),
+
     // ---- language-ID accuracy against the labeled lang column ------------
     "q50_langid_accuracy" -> QueryDef(
       build = (spark, dir) => {
