@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Static helpers the generated code calls: tight primitive loops over
+  * two long-array columns, no per-element boxing. */
+object GraftVec {
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  def dist2(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
+/** Base for fused long-vector kernels over `ArrayType(LongType)` columns.
+  *
+  * Exists per the custom-operator preference order (SURVEY §7.3): the
+  * composed built-in form `aggregate(zip_with(a, b, ...), 0L, ...)` runs
+  * the lambda INTERPRETED per element (higher-order functions don't join
+  * whole-stage codegen and box every element); these expressions compile
+  * to one static-call primitive loop inside the generated code. Used by
+  * every similarity-search operator (brute-force/LSH/IVF ANN) on the
+  * int64-quantized embedding arrays — candidates × 64 evaluations per
+  * query batch. Inputs are the engine's quantized vectors: equal-length,
+  * null-free (see VectorOps.quantized); like the composed form with such
+  * inputs, extra elements past the shorter length are ignored.
+  */
+sealed abstract class LongVecKernel extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(LongType, containsNull = false) ||
+        left.dataType == ArrayType(LongType, containsNull = true)) {
+      if (right.dataType.isInstanceOf[ArrayType] &&
+          right.dataType.asInstanceOf[ArrayType].elementType == LongType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<BIGINT> inputs, got ${right.dataType.simpleString}")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> inputs, got ${left.dataType.simpleString}")
+}
+
+/** Σ aᵢ·bᵢ over two int64 arrays (exact; caller guarantees range). */
+case class DotLong(left: Expression, right: Expression) extends LongVecKernel {
+  override def prettyName: String = "dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVec.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVec.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotLong = copy(left = newLeft, right = newRight)
+}
+
+/** Σ (aᵢ−bᵢ)² over two int64 arrays (exact squared L2 distance). */
+case class Dist2Long(left: Expression, right: Expression) extends LongVecKernel {
+  override def prettyName: String = "dist2_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVec.dist2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVec.dist2($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Dist2Long = copy(left = newLeft, right = newRight)
+}
+
+object LongVec {
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def dist2(a: Column, b: Column): Column =
+    GraftBridge.column(Dist2Long(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

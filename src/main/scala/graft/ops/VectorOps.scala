@@ -35,8 +35,11 @@ object VectorOps {
   def quantized(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast("double") * lit(100000)).cast("long"))
 
+  // fused native kernel (functions.LongVec): whole-stage-codegen'd
+  // primitive loop, where aggregate(zip_with(...)) interprets its lambda
+  // per element
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.LongVec.dot(a, b)
 
   /** Brute-force cosine top-k: every query row against every candidate.
     * Returns (qid, cid, cosine, rank) with rank ≤ k. */
@@ -116,8 +119,7 @@ object VectorOps {
       .select(col("vec_id"), quantized(col("embedding")).as("qv"))
     val d = v.join(broadcast(seeds))
       .select(col("vec_id"), col("cell_id"),
-        aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, t) => acc + t).as("dist2"))
+        graft.functions.LongVec.dist2(col("qv"), col("cv")).as("dist2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell_id"))
     d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

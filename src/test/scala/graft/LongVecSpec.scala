@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.LongVec
+import graft.ops.VectorOps
+
+/** The fused long-vector kernels must be bit-identical to the composed
+  * higher-order-function forms they replace, on real quantized embedding
+  * data and on nulls. */
+class LongVecSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("dot and dist2 match the composed aggregate(zip_with) forms") {
+    val emb = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = emb.select(col("vec_id").as("ai"),
+      VectorOps.quantized(col("embedding")).as("av"))
+    val b = emb.select(col("vec_id").as("bi"),
+      VectorOps.quantized(col("embedding")).as("bv"))
+    val pairs = a.join(b, col("ai") < col("bi") && col("ai") % 7 === 0)
+    val cmp = pairs.select(
+      LongVec.dot(col("av"), col("bv")).as("fd"),
+      aggregate(zip_with(col("av"), col("bv"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("cd"),
+      LongVec.dist2(col("av"), col("bv")).as("f2"),
+      aggregate(zip_with(col("av"), col("bv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("c2"))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("fd") =!= col("cd") || col("f2") =!= col("c2"))
+      .count() == 0)
+  }
+
+  test("null arrays propagate to null") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]]))
+      .toDF("a", "b")
+    val r = df.select(LongVec.dot(col("a"), col("b")).as("d"),
+      LongVec.dist2(col("a"), col("b")).as("d2")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
