@@ -106,16 +106,18 @@ object Relational {
         // row per order instead of one per lineitem AND the final count of
         // distinct orders becomes a plain count (no expand). Revenue on
         // scaled longs (Q.cents — exact, codegen-friendly; int64-safe to
-        // ~9e9 lineitems per order). The orders side is unhinted: both
-        // sides arrive keyed on orderkey, AQE broadcasts the filtered
-        // orders when it is small and shuffle-joins at scale; nation and
-        // region are genuine broadcast dims at any scale.
+        // ~9e9 lineitems per order). The orders AND customer sides are
+        // unhinted: AQE broadcasts each when its runtime size allows and
+        // shuffle-joins at scale — customer is NOT a guaranteed-small
+        // dimension (it grows with the fact data), so a static broadcast
+        // hint there would be wrong at 100 TB. Only nation and region are
+        // genuine broadcast dims at any scale.
         val revPerOrder = li
           .select(col("l_orderkey"), (cents(col("l_extendedprice"))
             * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
           .groupBy(col("l_orderkey")).agg(sum(col("rev_c")).as("rev_c"))
         revPerOrder.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
