@@ -22,7 +22,43 @@ import graft.queries.Q.{h32, tokens}
   *  - all hashes are md5-derived and engine-agnostic (no JVM hashCode):
   *    signatures computed here match the DuckDB oracle bit-for-bit.
   */
-object DedupOps {
+object DedupOps extends Serializable {
+
+  /** Distinct character n-gram shingles of one document, first-occurrence
+    * order. Shared by the signature pass and the candidate-verification
+    * pass so both see the identical set. */
+  private def distinctShingles(text: String, n: Int): Array[String] = {
+    val nPos = math.max(text.length - (n - 1), 1)
+    val set = new java.util.LinkedHashSet[String]()
+    var p = 0
+    while (p < nPos) {
+      set.add(text.substring(p, math.min(p + n, text.length)))
+      p += 1
+    }
+    set.toArray(new Array[String](set.size))
+  }
+
+  /** MinHash minima of one shingle set: top-32-bits-of-md5 shingle hash
+    * through k affine permutations — exact int64 math any engine
+    * reproduces bit-for-bit (see permHash). */
+  private def signatureOf(shset: Array[String], k: Int,
+      md: java.security.MessageDigest): Array[Long] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val mins = Array.fill(k)(Long.MaxValue)
+    shset.foreach { s =>
+      md.reset()
+      val d = md.digest(s.getBytes(utf8))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var i = 0
+      while (i < k) {
+        val v = (h * (2 * i + 1) + i.toLong * 12582917L) % 2147483647L
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    mins
+  }
 
   /** Exact dedup: group by md5 of normalized text, keep the minimum id.
     * Returns (fingerprint, keep_id, n_copies). */
@@ -76,30 +112,9 @@ object DedupOps {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val utf8 = java.nio.charset.StandardCharsets.UTF_8
         rows.map { case (id, text) =>
-          val nPos = math.max(text.length - (n - 1), 1)
-          val set = new java.util.LinkedHashSet[String]()
-          var p = 0
-          while (p < nPos) {
-            set.add(text.substring(p, math.min(p + n, text.length)))
-            p += 1
-          }
-          val shset = set.toArray(new Array[String](set.size))
-          val mins = Array.fill(k)(Long.MaxValue)
-          shset.foreach { s =>
-            md.reset()
-            val d = md.digest(s.getBytes(utf8))
-            val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-            var i = 0
-            while (i < k) {
-              val v = (h * (2 * i + 1) + i.toLong * 12582917L) % 2147483647L
-              if (v < mins(i)) mins(i) = v
-              i += 1
-            }
-          }
-          (id, shset, shset.length, mins)
+          val shset = distinctShingles(text, n)
+          (id, shset, shset.length, signatureOf(shset, k, md))
         }
       }
       .toDF("doc_id", "shset", "n_sh", "sig")
@@ -107,13 +122,50 @@ object DedupOps {
       (0 until k).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
   }
 
+  /** Signatures WITHOUT the shingle-set arrays: the variant every
+    * at-scale caller wants — one (doc_id, k longs) row per document, so a
+    * persist of the output holds KBs per million docs instead of the full
+    * shingled corpus. The shingle sets are still built per-row (they
+    * define the signature) but never leave the task. */
+  private[graft] def signaturesOnly(docs: DataFrame, n: Int,
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val out = spread(docs).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          (id, signatureOf(distinctShingles(text, n), k, md))
+        }
+      }
+      .toDF("doc_id", "sig")
+    out.select(col("doc_id") +:
+      (0 until k).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
+  }
+
+  /** Per-document shingle set only (doc_id, shset, n_sh) — the
+    * verification-side pass, run over the (few) candidate documents, not
+    * the corpus. No spread: callers feed an already-filtered frame. */
+  private[graft] def shingleSets(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val s = distinctShingles(text, n); (id, s, s.length)
+        }
+      }
+      .toDF("doc_id", "shset", "n_sh")
+  }
+
   /** MinHash signature over the distinct shingle set. Returns one row per
     * doc with int64 columns s0..s{k-1}. Entirely map-side (see
-    * setsWithSignatures): shuffling n_shingles·k exploded rows instead is
+    * signaturesOnly): shuffling n_shingles·k exploded rows instead is
     * the difference between moving KBs and TBs at 100 TB scale. */
   def minhashSignatures(docs: DataFrame, k: Int = 12): DataFrame =
-    setsWithSignatures(docs, 8, k)
-      .select(col("doc_id") +: (0 until k).map(i => col(s"s$i")): _*)
+    signaturesOnly(docs, 8, k)
 
   /** LSH banding over a signature frame: band b hashes signature positions
     * [b*r, (b+1)*r). Returns (doc_id, band, bk). */
@@ -210,14 +262,33 @@ object DedupOps {
     * the Σ df² all-pairs blowup — so cost is linear in candidates. */
   def nearDuplicates(docs: DataFrame, n: Int = 8, threshold: Double = 0.2,
       k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
-    // one map-side pass builds per-doc shingle sets + signatures; persist
-    // instead of recomputing (referenced by banding and both join sides)
-    val sets = setsWithSignatures(docs, n, k)
+    // Pass 1 (map-side, corpus-wide): signatures ONLY — one (doc_id,
+    // k longs) row per doc. The round-2 version persisted the full
+    // shingle-set string arrays here and joined them against EVERY doc;
+    // that fat persist+join was 54% of the whole bench. Signatures are
+    // KBs where shingle sets are the corpus itself.
+    val sig = signaturesOnly(docs, n, k)
+    // candidate pairs from band collisions — persisted: consumed twice
+    // (candidate-id set below + the final verification join)
+    val pairs = pairsFromBands(sig, k, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = pairsFromBands(sets, k, rowsPerBand)
-    // exact verification: intersection via per-pair array_intersect on the
-    // two (small) shingle-set arrays — work is linear in candidate count,
-    // never the Σ df² all-pairs shingle join
+    // Pass 2 (map-side, CANDIDATES only): recompute shingle sets for just
+    // the docs that appear in a candidate pair — a tiny fraction of the
+    // corpus at any scale. The broadcast semi-join pushes the id filter
+    // into the docs scan, so the fat arrays exist only for candidates;
+    // spread() re-fans the filtered survivors across cores (a selective
+    // semi-join leaves them in the scan's few partitions), and the persist
+    // holds candidate sets only — both verification sides read it.
+    // no distinct: the broadcast-hash build side dedups ids anyway, and
+    // skipping it saves a shuffle in the broadcast subtree
+    val candIds = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id")))
+    val sets = shingleSets(
+      spread(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact verification: per-pair array_intersect on the two (small)
+    // shingle-set arrays — linear in candidate count, never the Σ df²
+    // all-pairs shingle join
     val sa = sets.select(col("doc_id").as("a"), col("shset").as("seta"),
       col("n_sh").as("na"))
     val sb = sets.select(col("doc_id").as("b"), col("shset").as("setb"),

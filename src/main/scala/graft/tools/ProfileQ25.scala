@@ -24,15 +24,9 @@ object ProfileQ25 {
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
     val docs = Tables.load(spark, sfDir, "documents")
-    val sets = DedupOps.setsWithSignatures(docs, 8, 12)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"[profile] sets=${sets.count()}")
-    val pairs = DedupOps.pairsFromBands(sets, 12, 3)
-    println(s"[profile] pairs=${pairs.count()}")
-    println(s"[profile] participants=${pairs.select(col("a")).union(pairs.select(col("b"))).distinct().count()}")
-    val shingleStats = sets.agg(sum(col("n_sh")), avg(col("n_sh"))).collect()(0)
-    println(s"[profile] total_shingles=${shingleStats.get(0)} avg=${shingleStats.get(1)}")
-    spark.sharedState.cacheManager.clearCache()
+    // warmup full path once
+    DedupOps.nearDuplicates(docs, threshold = 0.2)
+      .write.format("noop").mode("overwrite").save()
     (1 to 3).foreach { i =>
       spark.sharedState.cacheManager.clearCache()
       time(s"full nearDuplicates run$i") {
@@ -40,17 +34,23 @@ object ProfileQ25 {
           .write.format("noop").mode("overwrite").save()
       }
     }
-    // ---- stage breakdown (fresh cache per phase) ------------------------
+    // ---- NEW-path stage breakdown (fresh cache per phase) ----------------
     (1 to 3).foreach { i =>
       spark.sharedState.cacheManager.clearCache()
-      val s2 = DedupOps.setsWithSignatures(docs, 8, 12)
+      val sig = DedupOps.signaturesOnly(docs, 8, 12)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      time(s"stage sets+persist run$i")(s2.count())
-      val p2 = DedupOps.pairsFromBands(s2, 12, 3)
-      time(s"stage pairs run$i")(p2.write.format("noop").mode("overwrite").save())
-      val sa = s2.select(col("doc_id").as("a"), col("shset").as("seta"),
+      time(s"stage sig+persist run$i")(sig.count())
+      val p2 = DedupOps.pairsFromBands(sig, 12, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"stage pairs+persist run$i")(p2.count())
+      val candIds = p2.select(col("a").as("doc_id"))
+        .union(p2.select(col("b").as("doc_id"))).distinct()
+      val cand = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      val sets = DedupOps.shingleSets(cand, 8)
+      time(s"stage candsets run$i")(sets.write.format("noop").mode("overwrite").save())
+      val sa = sets.select(col("doc_id").as("a"), col("shset").as("seta"),
         col("n_sh").as("na"))
-      val sb = s2.select(col("doc_id").as("b"), col("shset").as("setb"),
+      val sb = sets.select(col("doc_id").as("b"), col("shset").as("setb"),
         col("n_sh").as("nb"))
       val joined = p2.join(sa, "a").join(sb, "b")
         .select(col("a"), col("b"),
