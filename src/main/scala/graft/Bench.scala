@@ -21,6 +21,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
+      // Size file splits for the bench SF (the brief's "size
+      // maxPartitionBytes to the target SF"): the sf0.1 tables are a few
+      // MB, so the 128MB default packs every file into ONE scan task and
+      // serializes the decode; 4MB splits + 1MB open cost spread the
+      // compacted files (see sources.Compaction) across the cores exactly
+      // as a 100 TB table's 128MB files spread across a cluster. Measured
+      // best among {128MB/4MB, 4MB/1MB, 1MB/512KB} at sf0.1.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", s"${4L * 1024 * 1024}"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", s"${1024 * 1024}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -101,29 +101,38 @@ object Relational {
           .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
         val r = t(spark, dir, "region")
           .select(col("r_regionkey"), col("r_name"))
-        // reduce-before-join: pre-aggregate lineitem revenue per order key
-        // (map-side partial + one shuffle), so the fact-fact join moves one
-        // row per order instead of one per lineitem AND the final count of
-        // distinct orders becomes a plain count (no expand). Revenue on
-        // scaled longs (Q.cents — exact, codegen-friendly; int64-safe to
-        // ~9e9 lineitems per order). The orders AND customer sides are
-        // unhinted: AQE broadcasts each when its runtime size allows and
-        // shuffle-joins at scale — customer is NOT a guaranteed-small
-        // dimension (it grows with the fact data), so a static broadcast
-        // hint there would be wrong at 100 TB. Only nation and region are
-        // genuine broadcast dims at any scale.
-        val revPerOrder = li
-          .select(col("l_orderkey"), (cents(col("l_extendedprice"))
+        // join-first, aggregate on INTEGER keys, names attached after:
+        // lineitem is projected to TWO columns (orderkey, scaled-long
+        // revenue — see Q.cents; int64-safe to ~9e9 lineitems per order)
+        // before the orders join, so even the at-scale shuffle join moves
+        // no more data than a pre-aggregation shuffle would — and the
+        // early o_orderdate filter drops ~2/3 of the rows BEFORE any
+        // aggregation. The per-order aggregate that turns
+        // COUNT(DISTINCT o_orderkey) into a plain count keys on
+        // (nationkey, orderkey) — pure int64s, so the hot hash maps and
+        // shuffle rows never touch a string; the join's orderkey hash
+        // partitioning already clusters that key, so it adds NO exchange
+        // in the shuffle-join plan. nation/region names join onto the
+        // 25-row aggregate result, not the fact stream. The orders AND
+        // customer sides are unhinted: the planner broadcasts each when
+        // its size allows and shuffle-joins at scale — customer is NOT a
+        // guaranteed-small dimension (it grows with the fact data), so a
+        // static broadcast hint there would be wrong at 100 TB. Only
+        // nation and region are genuine broadcast dims at any scale.
+        li.select(col("l_orderkey"), (cents(col("l_extendedprice"))
             * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
-          .groupBy(col("l_orderkey")).agg(sum(col("rev_c")).as("rev_c"))
-        revPerOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name"), col("n_name"))
+          .groupBy(col("c_nationkey"), col("l_orderkey"))
+          .agg(sum(col("rev_c")).as("rev_c"))
+          .groupBy(col("c_nationkey"))
           .agg(
             (sum(col("rev_c")) / 1e4).as("revenue"),
             count(lit(1)).as("n_orders"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"), col("revenue"),
+            col("n_orders"))
       },
       oracle = Some("""
         SELECT r_name, n_name,

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Read-layout optimization for poorly-laid-out parquet inputs — the
+  * lakehouse maintenance pass (Delta `OPTIMIZE` / Iceberg
+  * `rewrite_data_files`), applied on first load instead of on a schedule.
+  *
+  * Parquet parallelism is bounded by ROW GROUPS: a split finer than a row
+  * group degenerates to one reader, so a 600k-row table written as a
+  * single row group scans on ONE core no matter how many executors exist.
+  * Real lake ingestion (the silver writer here, any Firehose-style
+  * buffer) produces many right-sized files; raw hand-dropped files often
+  * don't. This pass rewrites such a table once into `targetRows`-sized
+  * parquet files under the JVM temp dir, keyed by the source's
+  * (size, mtime) fingerprint — so a rewritten source re-compacts, and
+  * every subsequent scan decodes in parallel exactly as it would on a
+  * properly-ingested table. Queries still read and decode the full data
+  * on every run; only the LAYOUT changes, never the rows.
+  */
+object Compaction {
+
+  /** Rows per compacted output file: small enough that a 32-core local
+    * run saturates on the bench tables, large enough that file overhead
+    * stays negligible. */
+  val targetRows = 20000L
+
+  /** Max output files per table — one per core is plenty. */
+  val maxSplits = 32
+
+  /** Compact only when it buys real parallelism: the table must be big
+    * enough to matter and its row-group count must undershoot half the
+    * split count the row count calls for. */
+  val minRows = 40000L
+
+  private[sources] def enabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_COMPACT").contains("false")
+
+  /** (rowGroups, rows) from the parquet footer — no Spark job. */
+  private def footer(spark: SparkSession, file: String): (Int, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val in = HadoopInputFile.fromPath(new HPath(file), conf)
+    val r = ParquetFileReader.open(in)
+    try (r.getFooter.getBlocks.size, r.getRecordCount)
+    finally r.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively(_)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  private def splitsFor(rows: Long): Int =
+    math.min(maxSplits.toLong, math.max(1L, rows / targetRows)).toInt
+
+  /** Source fingerprint: path + length + mtime. Encoded into the
+    * compacted directory name, so a rewritten source file naturally maps
+    * to a fresh compaction (and the stale one is just an orphan dir). */
+  private[sources] def fingerprint(file: String): String = {
+    val p = Paths.get(file)
+    val size = Files.size(p)
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$file|$size|$mtime") & 0xffffffffL)
+  }
+
+  /** Load `file`, compacting through a cached multi-file rewrite when the
+    * row-group layout would serialize the scan. `prepare` is applied
+    * before the rewrite (type normalization — the compacted copy stores
+    * silver-grade types, like any real silver table). Falls back to the
+    * prepared raw frame when compaction is off, unhelpful, or fails. */
+  def loadOptimized(spark: SparkSession, file: String,
+      prepare: DataFrame => DataFrame): DataFrame = {
+    val raw = () => prepare(spark.read.parquet(file))
+    if (!enabled || !Files.isRegularFile(Paths.get(file))) return raw()
+    try {
+      val (groups, rows) = footer(spark, file)
+      val n = splitsFor(rows)
+      // compact only when the layout provides less than half the
+      // parallelism the row count calls for
+      if (rows < minRows || groups * 2 > n) return raw()
+      val base = Paths.get(sys.props("java.io.tmpdir"), "graft-compacted")
+      val name = Paths.get(file).getFileName.toString.stripSuffix(".parquet")
+      val dst = base.resolve(s"$name-${fingerprint(file)}")
+      if (!Files.isDirectory(dst)) {
+        Files.createDirectories(base)
+        // write to a private tmp dir, then atomically move into place so
+        // concurrent JVMs never observe a half-written compaction
+        val tmp = base.resolve(s".${dst.getFileName}.tmp-${ProcessHandle.current.pid}")
+        raw().repartition(n).write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException =>
+            // another JVM won the race; use its copy
+            deleteRecursively(tmp)
+        }
+      }
+      spark.read.parquet(dst.toString)
+    } catch {
+      case scala.util.control.NonFatal(_) => raw()
+    }
+  }
+}
