@@ -69,20 +69,18 @@ final class SchemaRegistry(root: String) {
 
   def listVersions(domain: String, name: String): Seq[Int] = {
     val dir = endpointDir(domain, name)
-    if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
+    Fs.children(dir)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".yaml") =>
         s.stripPrefix("v").stripSuffix(".yaml").toInt }
-      .toSeq.sorted
+      .sorted
   }
 
   def listEndpoints(domain: String): Seq[String] = {
     val dir = Paths.get(root, "schemas", domain)
-    if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
+    Fs.children(dir)
       .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).filterNot(_ == "gold").toSeq.sorted
+      .map(_.getFileName.toString).filterNot(_ == "gold").sorted
   }
 
   def delete(domain: String, name: String): Boolean = {
@@ -107,9 +105,8 @@ final class SchemaRegistry(root: String) {
 
   def listSilver(domain: String): Seq[String] = {
     val dir = Paths.get(root, "silver", domain)
-    if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString.stripSuffix(".yaml")).toSeq.sorted
+    Fs.children(dir)
+      .map(_.getFileName.toString.stripSuffix(".yaml")).sorted
   }
 
   // ---- gold job configs (C7) ------------------------------------------
@@ -129,9 +126,8 @@ final class SchemaRegistry(root: String) {
 
   def listGoldJobs(domain: String): Seq[GoldJob] = {
     val dir = Paths.get(root, "schemas", domain, "gold")
-    if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
-      .flatMap(d => getGoldJob(domain, d.getFileName.toString)).toSeq
+    Fs.children(dir).filter(Files.isDirectory(_))
+      .flatMap(d => getGoldJob(domain, d.getFileName.toString))
       .sortBy(_.jobName)
   }
 

@@ -10,11 +10,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** Static helpers the generated code calls: tight primitive loops over
   * two long-array columns, no per-element boxing. */
 object GraftVec {
+  // ArrayData.getLong on a null slot returns an undefined value; the
+  // contract is null-free quantized vectors, so a null element is a bug in
+  // the caller — fail loudly instead of folding garbage into the sum.
+  private def nullElement(op: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$op: null element at index $i — inputs must be null-free quantized vectors")
+
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement("dot_long", i)
+      s += a.getLong(i) * b.getLong(i); i += 1
+    }
     s
   }
 
@@ -23,6 +33,7 @@ object GraftVec {
     var s = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement("dist2_long", i)
       val d = a.getLong(i) - b.getLong(i)
       s += d * d
       i += 1
@@ -42,7 +53,10 @@ object GraftVec {
   * int64-quantized embedding arrays — candidates × 64 evaluations per
   * query batch. Inputs are the engine's quantized vectors: equal-length,
   * null-free (see VectorOps.quantized); like the composed form with such
-  * inputs, extra elements past the shorter length are ignored.
+  * inputs, extra elements past the shorter length are ignored. A null
+  * ELEMENT violates that contract and raises IllegalArgumentException
+  * (ArrayData.getLong on a null slot would otherwise silently yield an
+  * undefined long).
   */
 sealed abstract class LongVecKernel extends BinaryExpression {
   override def dataType: DataType = LongType

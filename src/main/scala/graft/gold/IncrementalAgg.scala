@@ -53,13 +53,20 @@ object IncrementalAgg {
   }
 
   /** Fold one batch into the persisted state at `statePath` (atomic
-    * swap), returning the refreshed state. */
+    * swap), returning the refreshed state.
+    *
+    * Crash-safety caveat: `localCheckpoint` materializes to EXECUTOR-local
+    * blocks, which is sufficient in local mode (one JVM) but not durable
+    * on a cluster — losing an executor between the checkpoint and the
+    * swap makes the write unrecoverable. A multi-executor deployment must
+    * configure a reliable checkpoint dir and use `df.checkpoint()` (or
+    * write the merged state to a staging path) instead. */
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
       keys: Seq[String], measures: Map[String, Column]): DataFrame = {
     val delta = partials(batch, keys, measures)
     val path = Paths.get(statePath)
     val merged =
-      if (Files.exists(path) && Files.list(path).findFirst().isPresent) {
+      if (graft.core.Fs.nonEmpty(path)) {
         val state = spark.read.parquet(statePath)
         merge(state, delta, keys, measures.keys.toSeq)
       } else delta

@@ -38,24 +38,28 @@ object Temporal {
       leftTs: String, rightTs: String, tieCol: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    // side 1 = right, 2 = left; orderBy(ts, side) puts right rows first at
-    // equal ts — wait, strict < needs LEFT first at equal ts: side left=0
+    // All rightVals travel as ONE struct column, so the single
+    // last(_, ignoreNulls) picks one matched right ROW and every value —
+    // nulls included — comes from it. Per-column last() would instead
+    // backfill a null field from an OLDER row (and different columns from
+    // different rows), diverging from ASOF JOIN row semantics.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(0))
       .withColumn("_tie", lit(null).cast("long"))
-    val lPadded = rightVals.foldLeft(l)((d, c) =>
-      d.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
+      .withColumn("_r", lit(null).cast(rStructType))
     val r0 = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(1))
       .withColumn("_tie", col(tieCol).cast("long"))
-    val rPadded = leftCols.foldLeft(
-      rightVals.foldLeft(r0)((d, c) => d.withColumn(s"_r_$c", col(c))))(
+      .withColumn("_r", struct(rightVals.map(col): _*))
+    val rPadded = leftCols.foldLeft(r0)(
       (d, c) => if (d.columns.contains(c)) d else
         d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select(lPadded.columns.map(col): _*)
-    val u = lPadded.unionByName(rPadded)
+      .select(l.columns.map(col): _*)
+    val u = l.unionByName(rPadded)
     // strict-before: at equal ts the left row (side 0) sorts BEFORE right
     // rows (side 1), so rowsBetween(unboundedPreceding, currentRow) at a
     // left row sees only strictly-earlier right rows; right-side ties
@@ -63,11 +67,10 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withVals = rightVals.foldLeft(u)((d, c) =>
-      d.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
-    withVals.filter(col("_side") === 0)
+    u.withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
       .select(leftCols.map(col) ++
-        rightVals.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+        rightVals.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 
   /** Bucketed range join: match point rows to interval rows with equal

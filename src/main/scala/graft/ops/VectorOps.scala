@@ -235,9 +235,11 @@ object VectorOps {
     *
     * Exactness: comparing ||x − s/n||² across labels multiplies through
     * by n² — argmin of Σ_g (n·x_g − s_g)² / n²,  with n, s, x all exact
-    * int64. Per-dim squared terms fit int64 (|n·x − s| ≤ 2^31 here);
-    * the 64-term sum is accumulated as DECIMAL(38,0) (HUGEINT in the
-    * oracle), exact at any corpus size. Ties break by label id. The n²
+    * int64. The per-dim term and its square are computed in DECIMAL(38,0)
+    * (HUGEINT in the oracle): |n·x − s| ≤ 2·n·10⁵, so an int64 square
+    * would overflow once a label exceeds ~15k members — the decimal
+    * widening keeps the distance exact at any corpus size (squares stay
+    * under 10³⁸ for n up to ~10¹⁶ rows). Ties break by label id. The n²
     * denominators differ per label, so the comparison divides exactly:
     * d2·(n'²) vs d2'·(n²) — again decimal-exact.
     *
@@ -259,10 +261,12 @@ object VectorOps {
     // distance of every vector to every label centroid, scaled by nl²;
     // cross-label comparison multiplies through by the other nl²
     val wide = DecimalType(38, 0)
-    val term = col("nl") * col("x") - col("s")
+    // widen BEFORE the multiply-and-square: nl*x and (nl*x - s)² must
+    // never pass through int64
+    val term = col("nl").cast(wide) * col("x") - col("s")
     val d = xv.join(broadcast(cent), "g")
       .groupBy(col("vec_id"), col("true_label"), col("label"), col("nl"))
-      .agg(sum((term * term).cast(wide)).as("d2"))
+      .agg(sum(term * term).as("d2"))
     // sort key divides out this label's nl²: d2/nl² as DOUBLE. Both casts
     // are correctly-rounded (BigDecimal.doubleValue / HUGEINT→DOUBLE) and
     // the IEEE division is then identical in both engines; exact-decimal

@@ -344,8 +344,8 @@ object LlmOps {
         cent AS (SELECT true_label AS label, g, SUM(x) AS s, COUNT(*) AS nl
           FROM xv JOIN lab USING (vec_id) GROUP BY 1, 2),
         d AS (SELECT xv.vec_id, lab.true_label, cent.label, cent.nl,
-            SUM(CAST((cent.nl * xv.x - cent.s) * (cent.nl * xv.x - cent.s)
-                AS HUGEINT)) AS d2
+            SUM((CAST(cent.nl AS HUGEINT) * xv.x - cent.s)
+              * (CAST(cent.nl AS HUGEINT) * xv.x - cent.s)) AS d2
           FROM xv JOIN lab USING (vec_id) JOIN cent USING (g)
           GROUP BY 1, 2, 3, 4),
         pred AS (SELECT vec_id, true_label, label AS pred_label

@@ -28,7 +28,7 @@ object PartitionedUpsert {
       partitionCol: String): Unit = {
     val spark = source.sparkSession
     val path = Paths.get(tablePath)
-    if (!Files.exists(path) || !Files.list(path).findFirst().isPresent) {
+    if (!graft.core.Fs.nonEmpty(path)) {
       source.write.partitionBy(partitionCol).mode("overwrite").parquet(tablePath)
       return
     }

@@ -46,8 +46,8 @@ final class SilverProcessor(lake: Lake) {
     val done: Set[String] =
       if (Files.exists(manifest)) Files.readAllLines(manifest).asScala.toSet
       else Set.empty
-    val pending = Files.list(dir).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".jsonl")).filterNot(done).toSeq.sorted
+    val pending = graft.core.Fs.children(dir)
+      .map(_.toString).filter(_.endsWith(".jsonl")).filterNot(done).sorted
     if (pending.isEmpty) return None
     val df = processFiles(domain, name, pending)
     Files.write(manifest, (done ++ pending).toSeq.sorted.asJava)

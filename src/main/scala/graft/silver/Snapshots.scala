@@ -38,12 +38,12 @@ object Snapshots {
     val dir = Paths.get(table)
     if (!Files.exists(dir)) return Nil
     val latest = latestVersion(table)
-    Files.list(dir).iterator().asScala
+    graft.core.Fs.children(dir)
       .map(_.getFileName.toString)
       .filter(_.matches("_v\\d{6}"))
       .map(_.drop(2).toLong)
       .filter(_ <= latest) // a crashed write past the pointer is invisible
-      .toSeq.sorted
+      .sorted
   }
 
   /** Commit `df` as the next version and move the pointer. Returns the

@@ -43,8 +43,7 @@ object Upsert {
     val spark = source.sparkSession
     val path = Paths.get(tablePath)
     val merged =
-      if (keys.nonEmpty && Files.exists(path) &&
-          Files.list(path).findFirst().isPresent) {
+      if (keys.nonEmpty && graft.core.Fs.nonEmpty(path)) {
         val target = spark.read.parquet(tablePath)
         merge(target, source, keys)
       } else source // no keys = full replace (overwrite semantics)
