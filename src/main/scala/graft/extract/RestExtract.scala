@@ -14,20 +14,96 @@ import scala.jdk.CollectionConverters._
   * egress); tests replay recorded fixture pages.
   */
 object RestExtract {
+  /** Body-only transport (legacy shape; headers lost). */
   type Fetcher = String => String
+
+  /** Full transport: request with headers in, body + response headers
+    * out. Response header NAMES are matched case-insensitively. */
+  final case class Request(url: String, headers: Map[String, String] = Map.empty)
+  final case class Response(body: String, headers: Map[String, String] = Map.empty)
+  type HttpFetcher = Request => Response
+
   private val mapper = new ObjectMapper()
 
-  /** Pagination strategies (models.py:73-149). */
+  /** Pagination strategies (models.py:73-149; all seven of the
+    * reference's `PaginationConfig.type` values). */
   sealed trait Pagination
   case object SinglePage extends Pagination
   /** follow a next-URL found at `nextUrlPath` (dot path) in the body */
   final case class JsonLink(nextUrlPath: String) extends Pagination
+  /** `totalPath` (models.py:91-97): dot path to the body's declared TOTAL
+    * PAGE COUNT — pagination stops once that many pages are fetched, even
+    * if the final page is full (an API that 404s past the end would
+    * otherwise surface the error instead of terminating). */
   final case class PageNumber(param: String = "page", start: Int = 1,
-      maxPages: Int = 1000) extends Pagination
+      maxPages: Int = 1000, totalPath: Option[String] = None) extends Pagination
+  /** `totalPath`: dot path to the body's declared TOTAL ITEM COUNT —
+    * stops once the next offset reaches it. */
   final case class Offset(param: String = "offset", limit: Int = 100,
-      limitParam: String = "limit") extends Pagination
+      limitParam: String = "limit", totalPath: Option[String] = None)
+      extends Pagination
   final case class Cursor(cursorPath: String, param: String = "cursor")
       extends Pagination
+  /** RFC 5988 `Link: <url>; rel="next"` response-header pagination. */
+  case object HeaderLink extends Pagination
+  /** The reference's DEFAULT (models.py:77): detect from the first page —
+    * a well-known body next-URL → json_link; a Link header with
+    * rel="next" → header_link; otherwise a single page. */
+  case object Auto extends Pagination
+
+  /** Authentication (models.py:181-235: auth_type bearer/api_key/basic/
+    * oauth2 + auth_header). Applied as request headers by the fetch
+    * composition — the transport stays a pure function. */
+  sealed trait Auth
+  case object NoAuth extends Auth
+  final case class Bearer(token: String, header: String = "Authorization")
+      extends Auth
+  final case class ApiKey(key: String, header: String = "Authorization")
+      extends Auth
+  final case class Basic(user: String, password: String) extends Auth
+  /** OAuth2 ROPC (models.py OAuth2Config): the token endpoint is called
+    * with Basic(client_id:client_secret) and a password-grant form body;
+    * the returned access token then authenticates as Bearer. The exchange
+    * itself goes through the injected transport (`oauth2Token`). */
+  final case class OAuth2(tokenUrl: String, clientId: String,
+      clientSecret: String, username: String, password: String) extends Auth
+
+  private def basicValue(user: String, password: String): String =
+    "Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$user:$password".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Headers the auth config adds to every request. OAuth2 must be
+    * exchanged for a Bearer first (`oauth2Token`). */
+  def authHeaders(auth: Auth): Map[String, String] = auth match {
+    case NoAuth => Map.empty
+    case Bearer(t, h) => Map(h -> s"Bearer $t")
+    case ApiKey(k, h) => Map(h -> k)
+    case Basic(u, p) => Map("Authorization" -> basicValue(u, p))
+    case _: OAuth2 => throw new IllegalArgumentException(
+      "OAuth2 must be exchanged for a Bearer token first (oauth2Token)")
+  }
+
+  /** ROPC token exchange: POSTs the password-grant form to the token URL
+    * (Basic client auth) via the injected transport and returns the plan
+    * auth rewritten as Bearer. `post(url, headers, form)` is the only
+    * side-effecting step, so tests replay a fixture. */
+  def oauth2Token(cfg: OAuth2,
+      post: (String, Map[String, String], String) => String): Bearer = {
+    val form = Seq(
+      "grant_type" -> "password",
+      "username" -> cfg.username,
+      "password" -> cfg.password)
+      .map { case (k, v) => s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
+      .mkString("&")
+    val body = post(cfg.tokenUrl,
+      Map("Authorization" -> basicValue(cfg.clientId, cfg.clientSecret),
+        "Content-Type" -> "application/x-www-form-urlencoded"), form)
+    val tok = Option(mapper.readTree(body).get("access_token"))
+      .filter(_.isTextual).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException(
+        "token response has no access_token"))
+    Bearer(tok)
+  }
 
   final case class Endpoint(
       path: String,
@@ -39,8 +115,9 @@ object RestExtract {
 
   final case class IngestionPlan(
       baseUrl: String,
-      pagination: Pagination = SinglePage,
-      endpoints: Seq[Endpoint] = Nil)
+      pagination: Pagination = Auto,
+      endpoints: Seq[Endpoint] = Nil,
+      auth: Auth = NoAuth)
 
   /** Dot-path navigation into a JSON tree (runner.py:195-217). */
   def atPath(node: JsonNode, path: String): Option[JsonNode] =
@@ -155,45 +232,99 @@ object RestExtract {
   def namesMatch(a: String, b: String): Boolean =
     similarity(singularize(a.toLowerCase), singularize(b.toLowerCase)) >= 0.8
 
-  /** Run one endpoint's pagination loop, returning raw record JSON. */
+  /** First URL in a case-insensitive `Link` header with rel="next"
+    * (RFC 5988: `<url>; rel="next", <url2>; rel="prev", ...`). */
+  private[extract] def nextFromLinkHeader(headers: Map[String, String]): Option[String] = {
+    val linkRe = """<([^>]*)>\s*;([^,]*)""".r
+    headers.collectFirst { case (k, v) if k.equalsIgnoreCase("link") => v }
+      .flatMap { value =>
+        linkRe.findAllMatchIn(value).collectFirst {
+          case m if m.group(2).toLowerCase.replace("\"", "")
+            .split(';').exists(_.trim == "rel=next") => m.group(1)
+        }.filter(_.nonEmpty)
+      }
+  }
+
+  /** Well-known body locations of a next-page URL, in the order the
+    * reference documents them (models.py:87-89). */
+  private val autoNextPaths = Seq("next", "info.next", "paging.next", "links.next")
+
+  /** Auto-detection (the reference's default paginator type): a textual
+    * next-URL at a well-known body path → json_link; a Link header with
+    * rel="next" → header_link; otherwise single page. */
+  private[extract] def detectPagination(body: JsonNode,
+      headers: Map[String, String]): Pagination =
+    autoNextPaths.collectFirst {
+      case p if atPath(body, p).exists(n => n.isTextual
+        && n.asText().startsWith("http")) => JsonLink(p): Pagination
+    }.getOrElse(
+      if (nextFromLinkHeader(headers).isDefined) HeaderLink else SinglePage)
+
+  /** Run one endpoint's pagination loop (body-only transport). */
   def fetchEndpoint(plan: IngestionPlan, ep: Endpoint, fetch: Fetcher,
+      maxPages: Int = 1000): Seq[String] =
+    fetchEndpointHttp(plan, ep, req => Response(fetch(req.url)), maxPages)
+
+  /** Run one endpoint's pagination loop, returning raw record JSON. The
+    * plan's auth headers ride on every request; `auto` pagination is
+    * resolved ONCE from the first page and then pinned. */
+  def fetchEndpointHttp(plan: IngestionPlan, ep: Endpoint, fetch: HttpFetcher,
       maxPages: Int = 1000): Seq[String] = {
+    val auth = authHeaders(plan.auth)
     val first = buildUrl(plan.baseUrl, ep.path, ep.params)
     val out = Seq.newBuilder[String]
     var page = 0
     var url: Option[String] = Some(first)
-    var cursorVal: Option[String] = None
     // like dlt, the data path is resolved ONCE (configured, or detected
     // from the first page) and then applied to every page — a later page
     // whose wrapper array is empty must read as "no records", not fall
     // back to whole-body detection
     var resolvedPath: Option[String] = ep.dataPath
+    var pagination = plan.pagination
+    // dot-path value read as a non-negative count (ints or numeric strings)
+    def countAt(body: JsonNode, path: String): Option[Long] =
+      atPath(body, path).flatMap { n =>
+        if (n.isNumber) Some(n.asLong())
+        else if (n.isTextual && n.asText().matches("\\d+")) Some(n.asText().toLong)
+        else None
+      }
     while (url.isDefined && page < maxPages) {
-      val body = mapper.readTree(fetch(url.get))
+      val resp = fetch(Request(url.get, auth))
+      val body = mapper.readTree(resp.body)
+      if (pagination == Auto)
+        pagination = detectPagination(body, resp.headers)
       if (resolvedPath.isEmpty)
         resolvedPath = Some(detectDataPath(body).map(_._1).getOrElse(""))
       val records = extractData(body, resolvedPath.get)
       records.foreach(r => out += mapper.writeValueAsString(r))
       page += 1
-      url = plan.pagination match {
-        case SinglePage => None
+      url = pagination match {
+        case SinglePage | Auto => None
         case JsonLink(p) =>
           atPath(body, p).filter(n => n.isTextual && n.asText().nonEmpty)
             .map(_.asText())
-        case PageNumber(param, start, mp) =>
-          if (records.isEmpty || page >= mp) None
+        case HeaderLink => nextFromLinkHeader(resp.headers)
+        case PageNumber(param, start, mp, totalPath) =>
+          // declared page total bounds the loop even when the final page
+          // is full (an API that errors past the end never gets hit);
+          // without a total, an empty page terminates
+          val doneByTotal = totalPath.exists(tp =>
+            countAt(body, tp).exists(total => page >= total))
+          if (records.isEmpty || doneByTotal || page >= mp) None
           else Some(buildUrl(plan.baseUrl, ep.path,
             ep.params + (param -> (start + page).toString)))
-        case Offset(param, limit, limitParam) =>
-          if (records.size < limit) None
+        case Offset(param, limit, limitParam, totalPath) =>
+          // declared item total: stop once the next offset reaches it
+          val doneByTotal = totalPath.exists(tp =>
+            countAt(body, tp).exists(total => page.toLong * limit >= total))
+          if (records.size < limit || doneByTotal) None
           else Some(buildUrl(plan.baseUrl, ep.path,
             ep.params ++ Map(param -> (page * limit).toString,
               limitParam -> limit.toString)))
         case Cursor(cursorPath, param) =>
-          val next = atPath(body, cursorPath)
+          atPath(body, cursorPath)
             .filter(n => n.isTextual && n.asText().nonEmpty).map(_.asText())
-          cursorVal = next
-          next.map(c => buildUrl(plan.baseUrl, ep.path, ep.params + (param -> c)))
+            .map(c => buildUrl(plan.baseUrl, ep.path, ep.params + (param -> c)))
       }
     }
     out.result()

@@ -107,4 +107,103 @@ class ExtractSpec extends AnyFunSuite {
     assert(detectPrimaryKey("planets", Seq("climate", "url")).contains("url"))
     assert(detectPrimaryKey("x", Seq("a")).isEmpty)
   }
+
+  private def fakeHttp(pages: Map[String, Response]): HttpFetcher =
+    req => pages.getOrElse(req.url, throw new RuntimeException(s"404 ${req.url}"))
+
+  test("header_link pagination follows the Link rel=next chain (github shape)") {
+    val plan = IngestionPlan("https://api.test", HeaderLink,
+      Seq(Endpoint("repos", "repos")))
+    val fetch = fakeHttp(Map(
+      "https://api.test/repos" -> Response("""[{"id": 1}, {"id": 2}]""",
+        Map("Link" -> """<https://api.test/repos?page=2>; rel="next", <https://api.test/repos?page=9>; rel="last"""")),
+      "https://api.test/repos?page=2" -> Response("""[{"id": 3}]""",
+        Map("link" -> """<https://api.test/repos?page=1>; rel="prev""""))))
+    assert(fetchEndpointHttp(plan, plan.endpoints.head, fetch).size == 3)
+  }
+
+  test("page_number total_path stops at the declared page count even on a full final page") {
+    val plan = IngestionPlan("https://api.test",
+      PageNumber("page", 1, totalPath = Some("info.pages")),
+      Seq(Endpoint("items", "items", dataPath = Some("items"))))
+    // page 3 does NOT exist (would 404); the declared total must stop us
+    val fetch = fakeApi(Map(
+      "https://api.test/items" ->
+        """{"info": {"pages": 2}, "items": [{"i": 1}, {"i": 2}]}""",
+      "https://api.test/items?page=2" ->
+        """{"info": {"pages": 2}, "items": [{"i": 3}, {"i": 4}]}"""))
+    assert(fetchEndpoint(plan, plan.endpoints.head, fetch).size == 4)
+  }
+
+  test("offset total_path stops at the declared item count even on a full final page") {
+    val plan = IngestionPlan("https://api.test",
+      Offset("offset", 2, "limit", totalPath = Some("total")),
+      Seq(Endpoint("rows", "rows", dataPath = Some("data"))))
+    val fetch = fakeApi(Map(
+      "https://api.test/rows" -> """{"total": 4, "data": [{"i": 1}, {"i": 2}]}""",
+      "https://api.test/rows?limit=2&offset=2" ->
+        """{"total": 4, "data": [{"i": 3}, {"i": 4}]}"""))
+    assert(fetchEndpoint(plan, plan.endpoints.head, fetch).size == 4)
+  }
+
+  test("auto pagination resolves json_link from a well-known body path") {
+    val plan = IngestionPlan("https://api.test", Auto,
+      Seq(Endpoint("people", "people", dataPath = Some("results"))))
+    val fetch = fakeApi(Map(
+      "https://api.test/people" ->
+        """{"next": "https://api.test/people?page=2", "results": [{"n": 1}]}""",
+      "https://api.test/people?page=2" ->
+        """{"next": null, "results": [{"n": 2}]}"""))
+    assert(fetchEndpoint(plan, plan.endpoints.head, fetch).size == 2)
+  }
+
+  test("auto pagination falls back to the Link header, then to single page") {
+    val planH = IngestionPlan("https://api.test", Auto,
+      Seq(Endpoint("repos", "repos")))
+    val fetchH = fakeHttp(Map(
+      "https://api.test/repos" -> Response("""[{"id": 1}]""",
+        Map("Link" -> """<https://api.test/repos?page=2>; rel=next""")),
+      "https://api.test/repos?page=2" -> Response("""[{"id": 2}]""")))
+    assert(fetchEndpointHttp(planH, planH.endpoints.head, fetchH).size == 2)
+
+    // nothing detectable -> one page only, even though ?page=2 exists
+    val planS = IngestionPlan("https://api.test", Auto,
+      Seq(Endpoint("flat", "flat")))
+    val fetchS = fakeHttp(Map(
+      "https://api.test/flat" -> Response("""[{"id": 1}]"""),
+      "https://api.test/flat?page=2" -> Response("""[{"id": 99}]""")))
+    assert(fetchEndpointHttp(planS, planS.endpoints.head, fetchS).size == 1)
+  }
+
+  test("auth headers ride on every request (bearer / api_key / basic)") {
+    assert(authHeaders(Bearer("tok")) == Map("Authorization" -> "Bearer tok"))
+    assert(authHeaders(ApiKey("k", "X-API-Key")) == Map("X-API-Key" -> "k"))
+    assert(authHeaders(Basic("u", "p")) ==
+      Map("Authorization" -> "Basic dTpw")) // base64("u:p")
+    val plan = IngestionPlan("https://api.test", SinglePage,
+      Seq(Endpoint("secure", "secure")), auth = Bearer("tok"))
+    var seen: Map[String, String] = Map.empty
+    val fetch: HttpFetcher = req => {
+      seen = req.headers
+      if (req.headers.get("Authorization").contains("Bearer tok"))
+        Response("""[{"ok": 1}]""")
+      else Response("""{"error": "unauthorized"}""")
+    }
+    assert(fetchEndpointHttp(plan, plan.endpoints.head, fetch).size == 1)
+    assert(seen == Map("Authorization" -> "Bearer tok"))
+  }
+
+  test("oauth2 ROPC exchange builds the password-grant request and yields a bearer") {
+    val cfg = OAuth2("https://auth.test/token", "cid", "csec", "user", "pw")
+    var posted: (String, Map[String, String], String) = null
+    val bearer = oauth2Token(cfg, (url, headers, form) => {
+      posted = (url, headers, form)
+      """{"access_token": "at-123", "token_type": "bearer"}"""
+    })
+    assert(bearer == Bearer("at-123"))
+    assert(posted._1 == "https://auth.test/token")
+    assert(posted._2("Authorization") == "Basic " +
+      java.util.Base64.getEncoder.encodeToString("cid:csec".getBytes("UTF-8")))
+    assert(posted._3 == "grant_type=password&username=user&password=pw")
+  }
 }
