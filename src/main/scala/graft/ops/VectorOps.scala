@@ -110,8 +110,13 @@ object VectorOps {
     * squared distance on the quantized components, ties broken by cell
     * id. Returns (vec_id, cell_id, dist2).
     *
-    * Scale shape: seeds are tiny and broadcast; assignment is one
-    * map-side pass over the vectors + a per-vector argmin window. */
+    * Scale shape: the seed pick `orderBy(vec_id).limit(n)` is planned by
+    * Spark as `TakeOrderedAndProject` — a bounded per-partition top-k
+    * heap plus a k·partitions merge, NOT a global sort (PlanAuditSpec
+    * asserts no global Sort appears); seeds are tiny and broadcast;
+    * assignment is one map-side pass over the vectors, and the argmin is
+    * a `min_by` HASH aggregation (sort-free, deterministic ties via the
+    * lexicographic (dist2, cell_id) order key). */
   def ivfAssign(vectors: DataFrame, nCells: Int = 16): DataFrame = {
     val seeds = vectors.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cell_id"), quantized(col("embedding")).as("cv"))
@@ -120,10 +125,11 @@ object VectorOps {
     val d = v.join(broadcast(seeds))
       .select(col("vec_id"), col("cell_id"),
         graft.functions.LongVec.dist2(col("qv"), col("cv")).as("dist2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell_id"))
-    d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell_id"), col("dist2"))
+    d.groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell_id"), col("dist2")),
+        struct(col("dist2"), col("cell_id"))).as("m"))
+      .select(col("vec_id"), col("m.cell_id").as("cell_id"),
+        col("m.dist2").as("dist2"))
   }
 
   /** IVF ANN (nprobe = 1): top-k within the query's cell only. */
@@ -182,46 +188,80 @@ object VectorOps {
     * 64 dimensions in fixed array order; argmin ties break by cell_id.
     * The result is bit-identical across partitionings, retries and
     * cluster sizes. Empty cells keep their previous centroid. */
+  /** Seed centroids for the Lloyd loop: the nCells lowest-id vectors as
+    * double arrays, renumbered 1..n in id order. The pick is a bounded
+    * top-k (TakeOrderedAndProject), never a global sort; the renumbering
+    * window runs over nCells rows only. */
+  private def seedCentroids(v: DataFrame, nCells: Int): DataFrame =
+    v.orderBy(col("vec_id")).limit(nCells)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))).cast("long").as("cell_id"),
+        transform(col("qv"), x => x.cast("double")).as("cm"))
+
+  /** Nearest-centroid assignment of quantized vectors `v` (vec_id, qv)
+    * to broadcast `cents` (cell_id, cm): per-vector squared distance
+    * folded in fixed array order, argmin as a sort-free min_by hash
+    * aggregation with deterministic (dist2, cell_id) ties. */
+  private def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame = {
+    val d = v.join(broadcast(cents))
+      .select(col("vec_id"), col("cell_id"),
+        aggregate(zip_with(col("qv"), col("cm"),
+            (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+          lit(0.0), (acc, t) => acc + t).as("dist2"))
+    d.groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell_id"), col("dist2")),
+        struct(col("dist2"), col("cell_id"))).as("m"))
+      .select(col("vec_id"), col("m.cell_id").as("cell_id"),
+        col("m.dist2").as("dist2"))
+  }
+
+  /** Per-(cell, dim) statistics of an assignment: exact int64 component
+    * sums, member counts, and the double means the next Lloyd round uses.
+    * Returns (cell_id, g, s, c, cm) with g 1-based. */
+  private def centroidStats(v: DataFrame, asg: DataFrame): DataFrame =
+    asg.join(v, "vec_id")
+      .select(col("cell_id"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("cell_id"), (col("pos") + 1).cast("long").as("g"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+      .withColumn("cm", col("s").cast("double") / col("c"))
+
+  /** ONE exact Lloyd step, exposed for oracle verification
+    * (q73b_kmeans_iter1): assignment against the seed centroids — all
+    * integer-valued doubles, so the distance sums are exact and
+    * order-free — then the refreshed per-(cell, dim) statistics. Every
+    * value is engine-exact (int64 sums, counts, one IEEE division), so a
+    * SQL oracle hash-matches the full first iteration of the otherwise
+    * un-oracle-able iterative loop; it runs through the same
+    * seedCentroids/assignToCentroids/centroidStats code `kmeansRefine`
+    * iterates. */
+  def kmeansStep(vectors: DataFrame, nCells: Int = 8): DataFrame = {
+    val v = spread(vectors)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+    centroidStats(v, assignToCentroids(v, seedCentroids(v, nCells)))
+  }
+
   def kmeansRefine(vectors: DataFrame, nCells: Int = 16,
       iters: Int = 2): DataFrame = {
     val v = spread(vectors)
       .select(col("vec_id"), quantized(col("embedding")).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed centroids: the first nCells vectors, as exact-int means
-    var centroids = v.orderBy(col("vec_id")).limit(nCells)
-      .select(row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("vec_id"))).cast("long").as("cell_id"),
-        transform(col("qv"), x => x.cast("double")).as("cm"))
-    def assign(cents: DataFrame): DataFrame = {
-      val d = v.join(broadcast(cents))
-        .select(col("vec_id"), col("cell_id"),
-          aggregate(zip_with(col("qv"), col("cm"),
-              (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
-            lit(0.0), (acc, t) => acc + t).as("dist2"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell_id"))
-      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell_id"), col("dist2"))
-    }
+    var centroids = seedCentroids(v, nCells)
     (1 to iters).foreach { _ =>
-      val asg = assign(centroids)
+      val asg = assignToCentroids(v, centroids)
       // exact per-(cell, dim) int64 sums -> double means, rebuilt into
       // dimension-ordered arrays
-      val sums = asg.join(v, "vec_id")
-        .select(col("cell_id"), posexplode(col("qv")).as(Seq("pos", "x")))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
-      val fresh = sums.groupBy(col("cell_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"),
-            col("c")))), t => t.getField("s").cast("double") / t.getField("c"))
-          .as("cm"))
+      val fresh = centroidStats(v, asg)
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("g"), col("cm")))),
+          t => t.getField("cm")).as("cm"))
       // empty cells keep the previous centroid
       centroids = centroids.select(col("cell_id"), col("cm").as("old_cm"))
         .join(fresh, Seq("cell_id"), "left")
         .select(col("cell_id"), coalesce(col("cm"), col("old_cm")).as("cm"))
         .localCheckpoint()
     }
-    val out = assign(centroids)
+    val out = assignToCentroids(v, centroids)
     v.unpersist()
     out
   }
@@ -246,8 +286,8 @@ object VectorOps {
     * Scale shape: centroids are a (labels × dims) aggregation — partial
     * map-side sums, tiny shuffle — then broadcast; assignment is one
     * map-side pass per (vector, label) with partial aggregation down to
-    * one row per pair before any exchange; the argmin is a window over
-    * labels-per-vector-bounded groups. */
+    * one row per pair before any exchange; the argmin is a sort-free
+    * min_by hash aggregation keyed by vector. */
   def nearestCentroid(vectors: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val xv = spread(vectors)
@@ -273,13 +313,14 @@ object VectorOps {
     // division would instead round at an engine-chosen scale. Residual
     // double ties break by label id, deterministically.
     val pred = d
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-          .orderBy((col("d2").cast("double") /
-            (col("nl") * col("nl")).cast("double")).asc, col("label").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("true_label"), col("label").as("pred_label"))
+      .select(col("vec_id"), col("true_label"), col("label"),
+        (col("d2").cast("double") /
+          (col("nl") * col("nl")).cast("double")).as("key"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("true_label"), col("label")),
+        struct(col("key"), col("label"))).as("m"))
+      .select(col("vec_id"), col("m.true_label").as("true_label"),
+        col("m.label").as("pred_label"))
     pred.groupBy(col("true_label").as("label"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))

@@ -38,6 +38,35 @@ object Statistics {
           .orderBy(col("vec_id")),
       oracle = None),
 
+    // ---- the SAME iterative path, first Lloyd step unrolled in SQL ------
+    // Anchors q73's loop with a real hash-matched oracle: the seed
+    // assignment is all integer-valued doubles (exact, order-free sums)
+    // and the refreshed per-(cell, dim) stats are exact int64 sums +
+    // counts + one IEEE division — every value engine-exact. Runs through
+    // the same seedCentroids/assignToCentroids/centroidStats code
+    // kmeansRefine iterates.
+    "q73b_kmeans_iter1" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.VectorOps.kmeansStep(t(spark, dir, "embeddings"), nCells = 8)
+          .orderBy(col("cell_id"), col("g")),
+      oracle = Some(s"""
+        WITH ${graft.queries.LlmOps.quantCte},
+        seedids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cell_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        cents AS (SELECT cell_id, g, CAST(x AS DOUBLE) AS cm
+          FROM xv JOIN seedids USING (vec_id)),
+        d AS (SELECT xv.vec_id, cents.cell_id,
+            SUM((CAST(x AS DOUBLE) - cm) * (CAST(x AS DOUBLE) - cm)) AS dist2
+          FROM xv JOIN cents USING (g) GROUP BY 1, 2),
+        asg AS (SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist2, cell_id) AS rn FROM d)
+          WHERE rn = 1)
+        SELECT cell_id, g, CAST(SUM(x) AS BIGINT) AS s,
+          COUNT(*) AS c, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS cm
+        FROM xv JOIN asg USING (vec_id)
+        GROUP BY cell_id, g ORDER BY cell_id, g""")),
+
     // ---- Exact-arithmetic correlation / stddev ---------------------------
     // corr/stddev from single-pass integer co-moments: cent-scaled
     // quantities and prices summed under DECIMAL(38,0) (exact at any SF;

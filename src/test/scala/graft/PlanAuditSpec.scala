@@ -126,4 +126,36 @@ class PlanAuditSpec extends AnyFunSuite {
       || "SortAggregate".r.findAllIn(p).length >= 2,
       s"latest-order aggregation lost its partial (map-side) phase:\n$p")
   }
+
+  test("ivfAssign: bounded top-k seed pick (no global sort), sort-free argmin") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val physical = graft.ops.VectorOps.ivfAssign(emb, 16)
+      .queryExecution.executedPlan
+    val p = physical.toString
+    // the nCells-lowest-ids seed pick must be the bounded per-partition
+    // top-k operator, never Sort + GlobalLimit over the full table
+    assert(p.contains("TakeOrderedAndProject"),
+      s"seed selection lost its bounded top-k plan:\n$p")
+    val globalSorts = physical.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty,
+      s"ivfAssign plans a GLOBAL sort (full-table order) — scale killer:\n$p")
+    // argmin is a min_by hash aggregation, not a window
+    assert(!p.contains("Window"),
+      s"per-vector argmin should be min_by aggregation, not a window sort:\n$p")
+  }
+
+  test("nearestCentroid: argmin aggregation, no window, no global sort") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val physical = graft.ops.VectorOps.nearestCentroid(emb)
+      .queryExecution.executedPlan
+    val p = physical.toString
+    assert(!p.contains("Window"),
+      s"per-vector argmin should be min_by aggregation, not a window sort:\n$p")
+    val globalSorts = physical.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"nearestCentroid plans a global sort:\n$p")
+  }
 }
