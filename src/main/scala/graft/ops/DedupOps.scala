@@ -417,17 +417,28 @@ object DedupOps extends Serializable {
           t => t.getField("passage"))).as("kept_text"))
   }
 
-  /** SimHash near-dup pairs within a Hamming radius, bucketed by the high
-    * 16 bits so the self-join is band-limited (docs differing only in low
-    * bits collide; two-table OR-band variant would catch the rest). */
+  /** SimHash near-dup pairs within a Hamming radius: OR-banded candidate
+    * generation — each doc enters TWO 16-bit buckets (high half, low
+    * half), pairs colliding in EITHER band are candidates (union,
+    * deduped), and the exact Hamming filter verifies. A pair whose ≤6
+    * differing bits all fall in one half is guaranteed caught by the
+    * other band; diffs split across both halves can still be missed —
+    * full recall at radius h needs h+1 bands of 32/(h+1) bits (pigeonhole),
+    * which this banding generalizes to. The join stays an equi-join on
+    * (band, bucket) — band-limited, AQE-skew-safe, never all-pairs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      expr("shiftright(simhash, 16)").as("bucket"))
+      posexplode(array(expr("shiftright(simhash, 16)"),
+        expr("simhash & 65535"))).as(Seq("band", "bucket")))
     banded.as("x").join(banded.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
+      // a pair can collide in both bands; hamming is pair-determined so
+      // the distinct is exactly pair-dedup
+      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -289,11 +289,14 @@ object LlmOps {
         sh AS (SELECT doc_id,
           SUM(CASE WHEN sv > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
           FROM bits GROUP BY doc_id),
-        banded AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh)
-        SELECT x.doc_id AS a, y.doc_id AS b,
+        banded AS (SELECT doc_id, simhash, band,
+            CASE WHEN band = 0 THEN simhash >> 16
+                 ELSE simhash & 65535 END AS bucket
+          FROM sh, (SELECT unnest([0, 1]) AS band) b)
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
         FROM banded x JOIN banded y
-          ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
         ORDER BY a, b""")),
 
