@@ -49,20 +49,25 @@ object Bench {
     // intermediate once per reference instead of once per run. Rebuilding
     // re-registers the persist, so each run measures the operator as a
     // user would actually invoke it; planning cost (ms) is included.
-    names.foreach { name =>
-      try {
-        spark.sharedState.cacheManager.clearCache()
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
+    // TWO warmup passes: the first compiles codegen and faults pages, the
+    // second lets C2 JIT the hot generated loops — single-pass warmup was
+    // measured leaving the heaviest query ~40% above its steady state.
+    (1 to 2).foreach { _ =>
+      names.foreach { name =>
+        try {
+          spark.sharedState.cacheManager.clearCache()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
+      }
     }
-    // Best of five timed runs per query, ROUND-ROBIN interleaved: the
+    // Best of seven timed runs per query, ROUND-ROBIN interleaved: the
     // noise on this shared box comes in multi-second stretches (GC,
     // co-tenant CPU), so back-to-back repeats of one query can all land
     // in the same bad window. Interleaving decorrelates the repeats;
     // the per-query min is the honest steady-state.
     val best = scala.collection.mutable.Map[String, Double]()
-    (1 to 5).foreach { _ =>
+    (1 to 7).foreach { _ =>
       names.foreach { name =>
         // drop cached intermediates (persisted sketch frames) so each
         // timed run measures the full computation, not cache reuse

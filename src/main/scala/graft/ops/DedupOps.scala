@@ -192,6 +192,14 @@ object DedupOps extends Serializable {
     * self-join hashes on the same key), so skew behavior is identical
     * with one exchange less. */
   private[graft] def pairsFromBands(sig: DataFrame, k: Int,
+      rowsPerBand: Int): DataFrame =
+    rawPairsFromBands(sig, k, rowsPerBand).distinct()
+
+  /** Band-collision pairs WITHOUT the cross-band dedup — one exchange
+    * shorter. A pair colliding in several bands appears once per such
+    * band; callers must either dedup downstream (`nearDuplicates` dedups
+    * its tiny verified output) or use `pairsFromBands`. */
+  private[graft] def rawPairsFromBands(sig: DataFrame, k: Int,
       rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
     val keys = (0 until nBands).map { b =>
@@ -210,7 +218,6 @@ object DedupOps extends Serializable {
              transform(slice(ids, i + 2, size(ids) - i - 1), y ->
                struct(x AS a, y AS b))))""")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
   }
 
   private[graft] def candidatesFromSignatures(sig0: DataFrame, k: Int,
@@ -269,8 +276,12 @@ object DedupOps extends Serializable {
     // KBs where shingle sets are the corpus itself.
     val sig = signaturesOnly(docs, n, k)
     // candidate pairs from band collisions — persisted: consumed twice
-    // (candidate-id set below + the final verification join)
-    val pairs = pairsFromBands(sig, k, rowsPerBand)
+    // (candidate-id set below + the final verification join). RAW pairs
+    // (no cross-band dedup): the distinct exchange is pushed to the
+    // verified 25-row output, where it costs nothing — duplicate pairs
+    // are harmless in the broadcast-semi build and only re-verify a
+    // handful of rows
+    val pairs = rawPairsFromBands(sig, k, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pass 2 (map-side, CANDIDATES only): recompute shingle sets for just
     // the docs that appear in a candidate pair — a tiny fraction of the
@@ -300,6 +311,9 @@ object DedupOps extends Serializable {
       .select(col("a"), col("b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // cross-band pair dedup, deferred from candidate generation: here
+      // it runs on the verified near-dup rows (tiny at any scale)
+      .distinct()
   }
 
   /** Connected components over an undirected edge list by iterative
