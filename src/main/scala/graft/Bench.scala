@@ -32,6 +32,13 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", s"${4L * 1024 * 1024}"))
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", s"${1024 * 1024}"))
+      // The 8 headline queries together hold well over the default 100
+      // generated-class cache entries; with the default, round-robin
+      // repeats evict and Janino-recompile every stage on every run
+      // (~0.3 s/query of pure recompilation, measured: q01 isolated
+      // 0.225 s vs 0.546 s interleaved). A long-lived engine would carry
+      // its compiled operators; let it.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

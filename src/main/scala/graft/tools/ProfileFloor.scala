@@ -18,6 +18,8 @@ object ProfileFloor {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
+      .config("spark.sql.files.maxPartitionBytes", s"${4L * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(label: String, reps: Int = 7)(f: => Unit): Unit = {
