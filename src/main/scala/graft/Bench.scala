@@ -18,6 +18,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalesce post-shuffle partitions to the advisory size instead of
+      // keeping one per core (the Spark tuning guide's recommended
+      // setting): at sf0.1 a 2 MB shuffle otherwise fans out to 32
+      // near-empty reducers per stage, and at 100 TB the advisory size is
+      // the setting that keeps reducer inputs memory-sized anyway.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
