@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] is one JVM: size the heap for 32 concurrent task threads
   // (the machine has 128 GiB; SPARK_DRIVER_MEM overrides)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Whole-stage codegen emits one class per stage per distinct plan; a
+  // bench/verify JVM compiles hundreds. If the default 240m code cache
+  // fills, HotSpot disables the JIT for the rest of the process and every
+  // hot loop drops to interpreted speed — a silent, process-wide slowdown.
+  "-XX:ReservedCodeCacheSize=512m",
 )
