@@ -162,4 +162,52 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= threshold)
   }
+
+  /** Resample a corpus toward equal per-stratum shares (domain mixing,
+    * the "source weights" step of a pretraining data recipe): find the
+    * largest feasible corpus where every stratum can supply its equal
+    * share without upsampling, then deterministically hash-sample each
+    * stratum down to its quota. Returns per-stratum accounting:
+    * (stratum, n_before, n_kept, target_share, actual_share).
+    *
+    * Feasible size M = min over strata of n_s / t_s with t_s = 1/k; the
+    * most-constrained stratum keeps everything (rate 1), the rest keep
+    * rate = M·t_s/n_s via the same h32-bucket predicate as
+    * [[sampleBucket]] — stable across runs, engines and partitionings.
+    *
+    * Scale: two passes over the corpus — a per-stratum count (tiny
+    * output) and a filtered re-count under the broadcast rate table. The
+    * rate derivation itself runs on k-row frames. No driver collect, no
+    * corpus shuffle (both aggregations have map-side combine on a
+    * low-cardinality key). */
+  def mixtureResample(df: DataFrame, stratum: Column, key: Column,
+      buckets: Int = 10000): DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_before"))
+    // k-row frames throughout: equal target share, feasible total,
+    // per-stratum acceptance threshold in hash buckets
+    val k1 = counts.agg(count(lit(1)).as("n_strata"))
+    val shared = counts.crossJoin(broadcast(k1))
+      .withColumn("target_share", lit(1.0) / col("n_strata"))
+    val feasible = shared
+      .agg(min(col("n_before") / col("target_share")).as("m"))
+    val rates = shared.crossJoin(broadcast(feasible))
+      .withColumn("thresh",
+        floor(col("m") * col("target_share") / col("n_before")
+          * buckets).cast("long"))
+      .select(col("stratum"), col("n_before"), col("target_share"),
+        col("thresh"))
+    val kept = df
+      .join(broadcast(rates), stratum === rates("stratum"))
+      .filter(h32(key.cast("string")) % buckets < col("thresh"))
+      .groupBy(rates("stratum"))
+      .agg(count(lit(1)).as("n_kept"))
+    val totalKept = kept.agg(sum(col("n_kept")).as("total_kept"))
+    rates.join(kept, "stratum")
+      .crossJoin(broadcast(totalKept))
+      .select(col("stratum"), col("n_before"), col("n_kept"),
+        col("target_share"),
+        (col("n_kept").cast("double") / col("total_kept"))
+          .as("actual_share"))
+  }
 }

@@ -316,6 +316,33 @@ object DedupOps extends Serializable {
       .distinct()
   }
 
+  /** Per-document shingle novelty (the "how much of this doc is new
+    * text" curation signal, RefinedWeb/C4 style): each distinct char
+    * n-gram shingle is owned by the lowest doc_id containing it; a
+    * document's novelty is the fraction of its shingles it owns.
+    * Returns (doc_id, n_sh, n_novel, novelty). Exact integer counts, one
+    * IEEE754 division — hash-stable across engines.
+    *
+    * Scale: ONE shuffle of the distinct (doc_id, shingle) pairs — the
+    * min-owner is a window over the shingle key, so ownership and the
+    * per-doc rollup share that single exchange (no self-join, no second
+    * scan). This is the honest corpus-wide cost of any first-occurrence
+    * semantic; at 100 TB the shingle shuffle is what you pay for exact
+    * novelty, and the banded/bucketed [[nearDuplicates]] path is the
+    * approximation to reach for when you only need pairwise dups. */
+  def shingleNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = charShingles(docs, n)
+    val owned = sh.withColumn("owner",
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+    owned.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_sh")).as("novelty"))
+  }
+
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: every node starts as its own component; each
     * round, a node adopts the minimum label among itself and its

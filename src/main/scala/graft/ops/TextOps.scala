@@ -181,6 +181,24 @@ object TextOps {
         col("score"))
   }
 
+  /** Conjunctive (AND) term search: documents whose whitespace token set
+    * contains EVERY query term. Returns (doc_id, source, n_chars).
+    *
+    * For a handful of ad-hoc terms the right plan at any scale is a
+    * per-row predicate — `array_contains` over the tokenized text is a
+    * stateless, codegen'd filter that runs inside the scan stage with NO
+    * shuffle and no index build. A persisted inverted index (token →
+    * posting list) only wins once the same corpus serves many queries;
+    * that shape is `tfIdfTopK`/`bm25`'s exploded (doc_id, tok) frame
+    * grouped by token, and composing it here would cost a corpus-wide
+    * shuffle per query instead of a scan. */
+  def termSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "termSearch needs at least one term")
+    val toks = tokens(col("text"))
+    val pred = terms.map(t => array_contains(toks, t)).reduce(_ && _)
+    docs.filter(pred).select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text plus a
     * position-weighted rolling hash (order-sensitive, exact int math). */
   def fingerprint(docs: DataFrame): DataFrame = {

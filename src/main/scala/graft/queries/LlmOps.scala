@@ -550,6 +550,38 @@ object LlmOps {
           octet_length(CAST(text AS BLOB)) % 640 AS width,
           (octet_length(CAST(text AS BLOB)) * 7) % 480 AS height,
           octet_length(CAST(text AS BLOB)) % 30 + 1 AS frames
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- first-occurrence shingle novelty (curation signal) -------------
+    "q105_shingle_novelty" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.shingleNovelty(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH sh AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS s
+          FROM (SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(len(text) - 7, 1))) AS g
+                FROM documents)),
+        o AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS owner
+              FROM sh)
+        SELECT doc_id, COUNT(*) AS n_sh,
+          CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            * 1.0 / COUNT(*) AS novelty
+        FROM o GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- conjunctive term search (scan-side predicate, no index) --------
+    "q106_term_search" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.termSearch(Tables.load(spark, dir, "documents"),
+            Seq("join", "hash", "vector"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE list_contains(regexp_split_to_array(trim(text), '\s+'), 'join')
+          AND list_contains(regexp_split_to_array(trim(text), '\s+'), 'hash')
+          AND list_contains(regexp_split_to_array(trim(text), '\s+'), 'vector')
+        ORDER BY doc_id"""))
   )
 }

@@ -861,6 +861,21 @@ object Statistics {
           FROM e FULL OUTER JOIN f ON e.day = f.day)
         SELECT op, COUNT(*) AS n_days,
                SUM(after_rev)::DOUBLE / 100.0 AS after_revenue
-        FROM d WHERE op IS NOT NULL GROUP BY op ORDER BY op"""))
+        FROM d WHERE op IS NOT NULL GROUP BY op ORDER BY op""")),
+
+    // ---- pre-flight key-skew diagnosis (pairs with q94 salted join) -----
+    "q103_skew_diagnosis" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.Diagnostics.skewDiagnosis(
+          t(spark, dir, "orders"), col("o_custkey"), topN = 20),
+      oracle = Some("""
+        WITH c AS (SELECT o_custkey AS key, COUNT(*) AS n_rows
+                   FROM orders GROUP BY 1),
+        s AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
+        SELECT key, n_rows,
+          n_rows * 1.0 / total AS share,
+          (n_rows * n_keys) * 1.0 / total AS skew,
+          CAST(ceil((n_rows * n_keys) * 1.0 / total) AS BIGINT) AS salt
+        FROM c, s ORDER BY n_rows DESC, key LIMIT 20"""))
   )
 }

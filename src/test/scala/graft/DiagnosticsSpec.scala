@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curation, DedupOps, Diagnostics, TextOps}
+import graft.sources.Tables
+
+/** Skew diagnosis, mixture resampling, shingle novelty and term search:
+  * semantics against local references plus the plan shapes the oracle
+  * hash can't see (distributed top-k, no corpus-wide exchanges where the
+  * scaladoc promises none). */
+class DiagnosticsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("skewDiagnosis reports counts, shares and ceil-skew salt") {
+    import spark.implicits._
+    // key a: 6 rows, b: 2, c: 1 → total 9, 3 keys, mean 3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    val got = Diagnostics.skewDiagnosis(df, col("k"), topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.length == 2)
+    assert(got(0) == ("a", 6L, 2.0, 2L)) // skew 6*3/9 = 2.0
+    assert(got(1) == ("b", 2L, 2.0 / 3, 1L))
+  }
+
+  test("skewDiagnosis top-k is a distributed TakeOrderedAndProject") {
+    val orders = Tables.load(spark, dir, "orders")
+    val plan = Diagnostics.skewDiagnosis(orders, col("o_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k, got:\n$plan")
+  }
+
+  test("mixtureResample keeps every row of the constrained stratum and " +
+      "never upsamples") {
+    val docs = Tables.load(spark, dir, "documents")
+    val rows = Curation.mixtureResample(docs, col("lang"), col("doc_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, before, kept) => assert(kept <= before) }
+    // the stratum with max n_before/target ratio constraint — i.e. the
+    // smallest stratum under equal shares — keeps everything (rate 1)
+    val constrained = rows.minBy(_._2)
+    assert(constrained._3 == constrained._2,
+      s"constrained stratum should keep all rows: $constrained")
+  }
+
+  test("mixtureResample is partition-count independent") {
+    val docs = Tables.load(spark, dir, "documents")
+    def run(p: Int) = Curation.mixtureResample(
+        docs.repartition(p), col("lang"), col("doc_id"))
+      .orderBy(col("stratum")).collect().toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("shingleNovelty: lowest doc_id owns all its shingles; an exact " +
+      "duplicate of an earlier doc has novelty 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"),   // 3 distinct 8-shingles, all first-seen
+      (2L, "abcdefghij"),   // exact dup of doc 1 → novelty 0
+      (3L, "zzzzzzzzzz")    // 1 distinct shingle (all same), novel
+    ).toDF("doc_id", "text")
+    val got = DedupOps.shingleNovelty(docs)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got(0) == ((1L, 3L, 3L, 1.0)))
+    assert(got(1) == ((2L, 3L, 0L, 0.0)))
+    assert(got(2) == ((3L, 1L, 1L, 1.0)))
+  }
+
+  test("termSearch matches only docs containing ALL terms and plans " +
+      "no exchange") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join hash vector scan", "s", 10L),
+      (2L, "join hash", "s", 5L),
+      (3L, "vector", "s", 3L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val q = TextOps.termSearch(docs, Seq("join", "vector"))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"termSearch should be a pure scan-side filter:\n$plan")
+  }
+}
