@@ -323,15 +323,18 @@ object DedupOps extends Serializable {
     * Returns (doc_id, n_sh, n_novel, novelty). Exact integer counts, one
     * IEEE754 division — hash-stable across engines.
     *
-    * Scale: ONE shuffle of the distinct (doc_id, shingle) pairs — the
-    * min-owner is a window over the shingle key, so ownership and the
-    * per-doc rollup share that single exchange (no self-join, no second
-    * scan). This is the honest corpus-wide cost of any first-occurrence
-    * semantic; at 100 TB the shingle shuffle is what you pay for exact
-    * novelty, and the banded/bucketed [[nearDuplicates]] path is the
-    * approximation to reach for when you only need pairwise dups. */
+    * Scale: per-document shingle dedup happens MAP-SIDE (the same
+    * imperative [[shingleSets]] pass the verification path uses), so the
+    * only corpus-scale exchange is the shingle-keyed window that decides
+    * ownership; the per-doc rollup then shuffles already-reduced doc
+    * rows with map-side combine. This is the honest corpus-wide cost of
+    * any first-occurrence semantic; at 100 TB the shingle shuffle is
+    * what you pay for exact novelty, and the banded/bucketed
+    * [[nearDuplicates]] path is the approximation to reach for when you
+    * only need pairwise dups. */
   def shingleNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
-    val sh = charShingles(docs, n)
+    val sh = shingleSets(spread(docs), n)
+      .select(col("doc_id"), explode(col("shset")).as("s"))
     val owned = sh.withColumn("owner",
       min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))

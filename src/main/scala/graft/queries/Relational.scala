@@ -661,6 +661,29 @@ object Relational {
           .orderBy(col("l_returnflag")),
       oracle = None),
 
+    // ---- q57's oracle anchor: the sketch estimate is checked against the
+    // exactly-computed truth INSIDE the query, so the hash-matched output
+    // (exact count + in-bounds flag) pins the approx path the way q73b
+    // pins k-means. HLL++ is deterministic for fixed data, so the flag is
+    // stable run-to-run; measured worst error here is 8.6% (default rsd
+    // 0.05), bounded at 20%.
+    "q57b_approx_distinct_bound" -> QueryDef(
+      build = (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey")).as("approx"))
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("approx") - col("exact_orders")).cast("double")
+              / col("exact_orders") <= 0.20).as("within_20pct"))
+          .orderBy(col("l_returnflag")),
+      oracle = Some("""
+        SELECT l_returnflag,
+          COUNT(DISTINCT l_orderkey) AS exact_orders,
+          TRUE AS within_20pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- §2.9 analog: tumbling-window aggregation over event time --------
     "q21_hourly_events" -> QueryDef(
       build = (spark, dir) =>
