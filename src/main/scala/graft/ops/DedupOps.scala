@@ -60,6 +60,15 @@ object DedupOps extends Serializable {
     mins
   }
 
+  /** One document's MinHash signature from raw text — the imperative
+    * kernel behind [[signaturesOnly]], exposed for the streaming
+    * near-dup path (graft.streaming.NearDupStream) so batch and stream
+    * compute bit-identical signatures. Callers supply a reused
+    * MessageDigest per task/partition. */
+  private[graft] def signatureFor(text: String, n: Int, k: Int,
+      md: java.security.MessageDigest): Array[Long] =
+    signatureOf(distinctShingles(text, n), k, md)
+
   /** Exact dedup: group by md5 of normalized text, keep the minimum id.
     * Returns (fingerprint, keep_id, n_copies). */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id",

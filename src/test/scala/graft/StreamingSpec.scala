@@ -172,4 +172,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
     q.stop()
   }
+
+  test("streaming near-dup flags arrivals against state from earlier batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.NearDupStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = NearDupStream.nearDupCandidates(docs, minEst = 0.5)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    input.addData((1L, base), (2L, "completely different content here"))
+    q.processAllAvailable()
+    assert(spark.table("neardup_out").count() == 0)
+
+    // batch 2: exact dup of doc 1 (every band collides, est 1.0) plus an
+    // unrelated doc — only the dup pair emits, across the batch boundary
+    input.addData((3L, base), (4L, "yet another unrelated text entirely"))
+    q.processAllAvailable()
+    val got = spark.table("neardup_out")
+      .select("a", "b", "est_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 3L, 1.0)))
+    q.stop()
+  }
+
+  test("batch-mode near-dup stream equals the batch lshCandidates pairs") {
+    import graft.ops.DedupOps
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val streamed = NearDupStreamFixture.pairs(docs, minEst = 0.5)
+    val batch = DedupOps.lshCandidates(docs)
+      .filter(col("est_sim") >= 0.5)
+      .select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty) // the corpus has near-dups; the check is real
+  }
+}
+
+/** Helper kept outside the suite so the test body stays readable. */
+private object NearDupStreamFixture {
+  def pairs(docs: org.apache.spark.sql.DataFrame,
+      minEst: Double): Set[(Long, Long)] =
+    graft.streaming.NearDupStream.nearDupCandidates(docs, minEst = minEst)
+      .select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
 }
