@@ -193,6 +193,46 @@ object CurationQueries {
         SELECT r.stratum, r.n_before, kept.n_kept, r.target_share,
                kept.n_kept * 1.0 / total_kept AS actual_share
         FROM r JOIN kept USING (stratum), t
-        ORDER BY stratum"""))
+        ORDER BY stratum""")),
+
+    // ---- composed curation pipeline: lang filter → exact dedup →
+    // length filter → deterministic split accounting. One query
+    // exercising the operators CHAINED the way a real corpus build runs
+    // them; every stage reuses an already-oracle-checked primitive.
+    "q107_curation_pipeline" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val en = t(spark, dir, "documents").filter(col("lang") === "en")
+        val deduped = en
+          .withColumn("keep",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .filter(col("doc_id") === col("keep"))
+        val sized = deduped
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") >= 20)
+        sized
+          .groupBy(Curation.splitAssign(col("doc_id")).as("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"))
+          .orderBy(col("split"))
+      },
+      oracle = Some(s"""
+        WITH en AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        d AS (SELECT doc_id, text,
+                MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+              FROM en),
+        k AS (SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                  AS n_tok
+              FROM d WHERE doc_id = keep),
+        f AS (SELECT doc_id, n_tok FROM k WHERE n_tok >= 20)
+        SELECT CASE WHEN ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10
+                      THEN 'test'
+                    WHEN ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 30
+                      THEN 'val'
+                    ELSE 'train' END AS split,
+               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM f GROUP BY split ORDER BY split"""))
   )
 }
