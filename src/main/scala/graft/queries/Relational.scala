@@ -475,10 +475,14 @@ object Relational {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // scaled-long window sum (see Q.cents): the running total stays
+        // primitive int64 in the window buffer instead of a Decimal
+        // object per row; /100.0 at the end lands on the same double as
+        // the oracle's DECIMAL-sum-cast (q01's discipline)
         t(spark, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
             to_date(col("o_orderdate")).as("order_date"),
-            sum(dec(col("o_totalprice"))).over(w).cast(DoubleType)
+            (sum(cents(col("o_totalprice"))).over(w) / 100.0)
               .as("running_total"))
       },
       oracle = Some("""
