@@ -414,6 +414,31 @@ object DedupOps extends Serializable {
       (col("id") === col("comp")).as("keep"))
   }
 
+  /** Survivorship over near-duplicate clusters: instead of
+    * [[duplicateClusters]]' lowest-id canonical, keep each cluster's
+    * HIGHEST-QUALITY member (quality desc, doc_id asc tiebreak) — the
+    * policy an actual corpus build wants, where the canonical copy
+    * should be the longest/cleanest one, not the earliest-crawled.
+    * Returns (doc_id, cluster_id, keep_id, keep).
+    *
+    * Scale: clustering cost is [[duplicateClusters]]'; the policy adds
+    * one doc_id-keyed join to attach the quality column and one
+    * cluster-keyed window to elect the champion — both AQE-managed
+    * exchanges, no driver participation. */
+  def survivorship(docs: DataFrame, qualityCol: String = "n_chars",
+      n: Int = 8, threshold: Double = 0.2, k: Int = 12,
+      rowsPerBand: Int = 3): DataFrame = {
+    val clusters = duplicateClusters(docs, n, threshold, k, rowsPerBand)
+      .select(col("doc_id"), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col("doc_id").asc)
+    clusters.join(docs.select(col("doc_id"), col(qualityCol)), "doc_id")
+      .withColumn("keep_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+  }
+
   /** 32-bit SimHash over distinct whitespace tokens: per bit, the sign of
     * the +1/-1 vote sum; all engine-portable integer math.
     *
