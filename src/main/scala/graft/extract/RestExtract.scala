@@ -25,8 +25,10 @@ object RestExtract {
 
   private val mapper = new ObjectMapper()
 
-  /** Pagination strategies (models.py:73-149; all seven of the
-    * reference's `PaginationConfig.type` values). */
+  /** Pagination strategies (models.py:73-149): the seven documented
+    * `PaginationConfig.type` values plus the two extra types the
+    * reference's `_DLT_VALID_FIELDS` passthrough accepts (`json_response`
+    * ≡ body cursor, `header_cursor`). */
   sealed trait Pagination
   case object SinglePage extends Pagination
   /** follow a next-URL found at `nextUrlPath` (dot path) in the body */
@@ -42,7 +44,17 @@ object RestExtract {
   final case class Offset(param: String = "offset", limit: Int = 100,
       limitParam: String = "limit", totalPath: Option[String] = None)
       extends Pagination
+  /** Body-cursor pagination. The reference's accepted set
+    * (models.py:124-133 `_DLT_VALID_FIELDS`) also admits the alias type
+    * `json_response` with the same cursor_path/cursor_param fields —
+    * identical semantics, so both map to this case. */
   final case class Cursor(cursorPath: String, param: String = "cursor")
+      extends Pagination
+  /** Cursor delivered in a response HEADER (the reference's
+    * `header_cursor`, models.py:131): `header` names the response header
+    * (matched case-insensitively) carrying the next cursor; pagination
+    * stops when it is absent or empty. */
+  final case class HeaderCursor(header: String, param: String = "cursor")
       extends Pagination
   /** RFC 5988 `Link: <url>; rel="next"` response-header pagination. */
   case object HeaderLink extends Pagination
@@ -325,6 +337,10 @@ object RestExtract {
           atPath(body, cursorPath)
             .filter(n => n.isTextual && n.asText().nonEmpty).map(_.asText())
             .map(c => buildUrl(plan.baseUrl, ep.path, ep.params + (param -> c)))
+        case HeaderCursor(header, param) =>
+          resp.headers.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(header) && v.nonEmpty => v
+          }.map(c => buildUrl(plan.baseUrl, ep.path, ep.params + (param -> c)))
       }
     }
     out.result()

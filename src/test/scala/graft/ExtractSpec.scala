@@ -122,6 +122,18 @@ class ExtractSpec extends AnyFunSuite {
     assert(fetchEndpointHttp(plan, plan.endpoints.head, fetch).size == 3)
   }
 
+  test("header_cursor pagination threads a response-header cursor") {
+    val plan = IngestionPlan("https://api.test",
+      HeaderCursor("X-Next-Cursor", "cursor"),
+      Seq(Endpoint("logs", "logs", dataPath = Some("data"))))
+    val fetch = fakeHttp(Map(
+      "https://api.test/logs" -> Response("""{"data": [{"i": 1}]}""",
+        Map("x-next-cursor" -> "abc")), // case-insensitive header match
+      "https://api.test/logs?cursor=abc" ->
+        Response("""{"data": [{"i": 2}]}""", Map.empty))) // no header → stop
+    assert(fetchEndpointHttp(plan, plan.endpoints.head, fetch).size == 2)
+  }
+
   test("page_number total_path stops at the declared page count even on a full final page") {
     val plan = IngestionPlan("https://api.test",
       PageNumber("page", 1, totalPath = Some("info.pages")),
