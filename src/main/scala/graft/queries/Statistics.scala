@@ -876,6 +876,45 @@ object Statistics {
           n_rows * 1.0 / total AS share,
           (n_rows * n_keys) * 1.0 / total AS skew,
           CAST(ceil((n_rows * n_keys) * 1.0 / total) AS BIGINT) AS salt
-        FROM c, s ORDER BY n_rows DESC, key LIMIT 20"""))
+        FROM c, s ORDER BY n_rows DESC, key LIMIT 20""")),
+
+    // ---- robust (median/MAD) outlier detection --------------------------
+    // Two exact-percentile passes (q95's bit-identical interpolation
+    // discipline) joined back as broadcast per-group constants, then one
+    // conditional count. Exact percentile buffers each group's values, so
+    // this form is for bounded-cardinality groups (event types here);
+    // at 100 TB unbounded-group workloads swap in approx_percentile with
+    // the same plan shape.
+    "q109_mad_outliers" -> QueryDef(
+      build = (spark, dir) => {
+        val e = t(spark, dir, "events").select(col("event_type"), col("value"))
+        val med = e.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = e.join(broadcast(med), "event_type")
+        val mads = dev.groupBy(col("event_type"))
+          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        dev.join(broadcast(mads), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("med")).as("med"),
+            min(col("mad")).as("mad"),
+            sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"),
+              1L).otherwise(0L)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_type, value FROM events),
+        m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM e GROUP BY 1),
+        d AS (SELECT e.event_type, e.value, m.med
+              FROM e JOIN m USING (event_type)),
+        md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+               FROM d GROUP BY 1)
+        SELECT d.event_type, COUNT(*) AS n, MIN(d.med) AS med,
+               MIN(md.mad) AS mad,
+               CAST(SUM(CASE WHEN abs(d.value - d.med) > 3.0 * md.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM d JOIN md USING (event_type)
+        GROUP BY d.event_type ORDER BY d.event_type"""))
   )
 }
