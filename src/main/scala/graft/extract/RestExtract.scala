@@ -245,14 +245,24 @@ object RestExtract {
     similarity(singularize(a.toLowerCase), singularize(b.toLowerCase)) >= 0.8
 
   /** First URL in a case-insensitive `Link` header with rel="next"
-    * (RFC 5988: `<url>; rel="next", <url2>; rel="prev", ...`). */
-  private[extract] def nextFromLinkHeader(headers: Map[String, String]): Option[String] = {
-    val linkRe = """<([^>]*)>\s*;([^,]*)""".r
+    * (RFC 5988: `<url>; rel="next", <url2>; rel="prev", ...`).
+    *
+    * Segments run from each `<url>` to the next `<` (URLs cannot contain
+    * `<`/`>`), so a comma INSIDE a quoted param value — e.g.
+    * `title="a, b"` — cannot truncate the param list the way a
+    * split-on-comma parse would. rel matching tolerates whitespace
+    * around `=` and finds `next` among space-separated rel values
+    * (`rel="next last"`). */
+  private[graft] def nextFromLinkHeader(headers: Map[String, String]): Option[String] = {
+    val segRe = """<([^>]*)>([^<]*)""".r
+    val relRe = """(?i)(?:^|;)\s*rel\s*=\s*("[^"]*"|[^;,"]*)""".r
     headers.collectFirst { case (k, v) if k.equalsIgnoreCase("link") => v }
       .flatMap { value =>
-        linkRe.findAllMatchIn(value).collectFirst {
-          case m if m.group(2).toLowerCase.replace("\"", "")
-            .split(';').exists(_.trim == "rel=next") => m.group(1)
+        segRe.findAllMatchIn(value).collectFirst {
+          case m if relRe.findFirstMatchIn(m.group(2)).exists { r =>
+            r.group(1).replace("\"", "").trim.toLowerCase
+              .split("\\s+").contains("next")
+          } => m.group(1)
         }.filter(_.nonEmpty)
       }
   }
@@ -272,10 +282,17 @@ object RestExtract {
     }.getOrElse(
       if (nextFromLinkHeader(headers).isDefined) HeaderLink else SinglePage)
 
-  /** Run one endpoint's pagination loop (body-only transport). */
+  /** Run one endpoint's pagination loop (body-only transport). The
+    * legacy Fetcher cannot carry request headers, so an authed plan here
+    * would silently go out unauthenticated (a 401 body parses as an
+    * empty page — no signal at all); refuse loudly instead. */
   def fetchEndpoint(plan: IngestionPlan, ep: Endpoint, fetch: Fetcher,
-      maxPages: Int = 1000): Seq[String] =
+      maxPages: Int = 1000): Seq[String] = {
+    require(plan.auth == NoAuth,
+      "plan has auth configured; use fetchEndpointHttp (a body-only " +
+        "Fetcher cannot carry auth headers)")
     fetchEndpointHttp(plan, ep, req => Response(fetch(req.url)), maxPages)
+  }
 
   /** Run one endpoint's pagination loop, returning raw record JSON. The
     * plan's auth headers ride on every request; `auto` pagination is

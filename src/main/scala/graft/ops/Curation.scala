@@ -179,9 +179,20 @@ object Curation {
     * output) and a filtered re-count under the broadcast rate table. The
     * rate derivation itself runs on k-row frames. No driver collect, no
     * corpus shuffle (both aggregations have map-side combine on a
-    * low-cardinality key). */
+    * low-cardinality key).
+    *
+    * Granularity bound: acceptance rates are expressed in integer hash
+    * buckets, so a rate below 1/`buckets` floors to a zero quota (the
+    * stratum still appears in the accounting with n_kept = 0). The
+    * default 10^6 buckets expresses rates down to 1e-6 while keeping the
+    * 32-bit hash's bucket occupancy uniform to ~0.02% (a modulus near
+    * 2^32 would skew low buckets by up to 25%). The `+ 1e-3` inside
+    * floor() absorbs IEEE round-trip error so the most-constrained
+    * stratum's rate-1 threshold cannot land at buckets−1 and silently
+    * drop ~1/buckets of the stratum it must keep whole; both engines
+    * compute the identical double expression. */
   def mixtureResample(df: DataFrame, stratum: Column, key: Column,
-      buckets: Int = 10000): DataFrame = {
+      buckets: Int = 1000000): DataFrame = {
     val counts = df.groupBy(stratum.as("stratum"))
       .agg(count(lit(1)).as("n_before"))
     // k-row frames throughout: equal target share, feasible total,
@@ -194,7 +205,7 @@ object Curation {
     val rates = shared.crossJoin(broadcast(feasible))
       .withColumn("thresh",
         floor(col("m") * col("target_share") / col("n_before")
-          * buckets).cast("long"))
+          * buckets + 1e-3).cast("long"))
       .select(col("stratum"), col("n_before"), col("target_share"),
         col("thresh"))
     val kept = df
@@ -203,7 +214,10 @@ object Curation {
       .groupBy(rates("stratum"))
       .agg(count(lit(1)).as("n_kept"))
     val totalKept = kept.agg(sum(col("n_kept")).as("total_kept"))
-    rates.join(kept, "stratum")
+    // LEFT join: a stratum whose quota floored to zero keeps its
+    // accounting row (n_kept 0) instead of silently vanishing
+    rates.join(kept, Seq("stratum"), "left")
+      .na.fill(0L, Seq("n_kept"))
       .crossJoin(broadcast(totalKept))
       .select(col("stratum"), col("n_before"), col("n_kept"),
         col("target_share"),

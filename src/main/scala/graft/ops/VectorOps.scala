@@ -314,8 +314,11 @@ object VectorOps {
     // double ties break by label id, deterministically.
     val pred = d
       .select(col("vec_id"), col("true_label"), col("label"),
+        // nl² through the SAME decimal widening as the numerator: an
+        // int64 nl*nl would wrap once a label holds >~3e9 members,
+        // poisoning the sort key while d2 stayed exact
         (col("d2").cast("double") /
-          (col("nl") * col("nl")).cast("double")).as("key"))
+          (col("nl").cast(wide) * col("nl")).cast("double")).as("key"))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("true_label"), col("label")),
         struct(col("key"), col("label"))).as("m"))

@@ -178,21 +178,24 @@ object CurationQueries {
         WITH c AS (SELECT lang AS stratum, COUNT(*) AS n_before
                    FROM documents GROUP BY 1),
         k AS (SELECT COUNT(*) AS n_strata FROM c),
-        s AS (SELECT stratum, n_before, 1.0 / n_strata AS target_share
+        s AS (SELECT stratum, n_before,
+                CAST(1.0 AS DOUBLE) / n_strata AS target_share
               FROM c, k),
         f AS (SELECT MIN(n_before / target_share) AS m FROM s),
         r AS (SELECT stratum, n_before, target_share,
-                CAST(floor(m * target_share / n_before * 10000) AS BIGINT)
-                  AS thresh
+                CAST(floor(m * target_share / n_before * 1000000 + 1e-3)
+                  AS BIGINT) AS thresh
               FROM s, f),
         kept AS (SELECT lang AS stratum, COUNT(*) AS n_kept
                  FROM documents d JOIN r ON d.lang = r.stratum
-                 WHERE ${h32Sql("CAST(doc_id AS VARCHAR)")} % 10000 < thresh
+                 WHERE ${h32Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < thresh
                  GROUP BY 1),
         t AS (SELECT SUM(n_kept) AS total_kept FROM kept)
-        SELECT r.stratum, r.n_before, kept.n_kept, r.target_share,
-               kept.n_kept * 1.0 / total_kept AS actual_share
-        FROM r JOIN kept USING (stratum), t
+        SELECT r.stratum, r.n_before, COALESCE(kept.n_kept, 0) AS n_kept,
+               r.target_share,
+               CAST(COALESCE(kept.n_kept, 0) AS DOUBLE) / total_kept
+                 AS actual_share
+        FROM r LEFT JOIN kept USING (stratum), t
         ORDER BY stratum""")),
 
     // ---- composed curation pipeline: lang filter → exact dedup →

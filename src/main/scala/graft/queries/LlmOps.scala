@@ -396,7 +396,8 @@ object LlmOps {
         pred AS (SELECT vec_id, true_label, label AS pred_label
           FROM (SELECT vec_id, true_label, label, row_number() OVER (
                   PARTITION BY vec_id
-                  ORDER BY CAST(d2 AS DOUBLE) / CAST(nl * nl AS DOUBLE),
+                  ORDER BY CAST(d2 AS DOUBLE)
+                             / CAST(CAST(nl AS HUGEINT) * nl AS DOUBLE),
                            label) AS rn
                 FROM d)
           WHERE rn = 1)

@@ -98,9 +98,13 @@ object Compaction {
         raw().repartition(n).write.mode("overwrite").parquet(tmp.toString)
         try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
         catch {
+          // another JVM won the race; use its copy. Linux rename(2) onto
+          // an existing non-empty directory surfaces as ENOTEMPTY
+          // (DirectoryNotEmptyException), not FileAlreadyExists — catch
+          // both, or the loser leaks its tmp copy and skips the winner's
           case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException |
                _: java.nio.file.AccessDeniedException =>
-            // another JVM won the race; use its copy
             deleteRecursively(tmp)
         }
       }

@@ -44,7 +44,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     resolved.keys.filter(_._1.sparkContext.isStopped).foreach(resolved.remove)
     val file = s"$dir/$name.parquet"
-    resolved.getOrElseUpdate((spark, dir, name, sourceFingerprint(file)), {
+    val fp = sourceFingerprint(file)
+    // drop superseded fingerprints for this (session, table): a table
+    // rewritten repeatedly (upsert/snapshot paths) would otherwise pin
+    // one stale analyzed frame per rewrite for the session's lifetime
+    resolved.keys
+      .filter(k => k._1 == spark && k._2 == dir && k._3 == name && k._4 != fp)
+      .foreach(resolved.remove)
+    resolved.getOrElseUpdate((spark, dir, name, fp), {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
       // reader rejects; read nanos as long (session conf nanosAsLong) and
       // convert to a regular microsecond timestamp. The data's actual

@@ -122,6 +122,24 @@ class ExtractSpec extends AnyFunSuite {
     assert(fetchEndpointHttp(plan, plan.endpoints.head, fetch).size == 3)
   }
 
+  test("Link header: quoted commas and spaced rel= do not break rel=next") {
+    import graft.extract.RestExtract.nextFromLinkHeader
+    // comma INSIDE a quoted title param before rel="next"
+    assert(nextFromLinkHeader(Map("Link" ->
+      """<https://api/x?page=2>; title="p, q"; rel="next"""")) ==
+      Some("https://api/x?page=2"))
+    // whitespace around '=' and multi-valued rel
+    assert(nextFromLinkHeader(Map("link" ->
+      """<https://api/a>; rel = "prev", <https://api/b>; rel= "next last"""")) ==
+      Some("https://api/b"))
+    // unquoted rel value followed by another link
+    assert(nextFromLinkHeader(Map("Link" ->
+      """<https://api/a>; rel=prev, <https://api/b>; rel=next""")) ==
+      Some("https://api/b"))
+    assert(nextFromLinkHeader(Map("Link" ->
+      """<https://api/a>; rel="prev"""")).isEmpty)
+  }
+
   test("header_cursor pagination threads a response-header cursor") {
     val plan = IngestionPlan("https://api.test",
       HeaderCursor("X-Next-Cursor", "cursor"),
