@@ -163,6 +163,37 @@ object Curation {
       .filter(col("n_shared") >= threshold)
   }
 
+  /** Cap each stratum at a token budget, admitting documents in
+    * deterministic hash-priority order (h32 of the key, key tiebreak)
+    * until the budget is exhausted — a document is admitted iff it
+    * STARTS before the budget line, so the cap can overshoot by at most
+    * one document (the standard pack-until-full semantic, same as
+    * [[packSequences]]' chunk rule). Returns per-stratum accounting
+    * (stratum, n_docs, n_kept, tok_kept).
+    *
+    * Scale: one shuffle on the stratum key + an in-partition sort for
+    * the running sum — the window is PARTITIONED (never a global
+    * single-partition cumsum), and hash-priority admission means re-runs
+    * over a grown corpus keep a stable prefix (a doc only drops out when
+    * higher-priority docs fill the budget, never because input order
+    * changed). */
+  def tokenBudgetCap(docs: DataFrame, stratum: Column, key: Column,
+      nTokens: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(h32(key.cast("string")).asc, key.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(stratum.as("stratum"), nTokens.as("n_tok"),
+        (sum(nTokens).over(w) - nTokens).as("cum0"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cum0") < budget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cum0") < budget, col("n_tok")).otherwise(0L))
+          .as("tok_kept"))
+  }
+
   /** Resample a corpus toward equal per-stratum shares (domain mixing,
     * the "source weights" step of a pretraining data recipe): find the
     * largest feasible corpus where every stratum can supply its equal

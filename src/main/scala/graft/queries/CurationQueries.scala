@@ -236,6 +236,32 @@ object CurationQueries {
                       THEN 'val'
                     ELSE 'train' END AS split,
                COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-        FROM f GROUP BY split ORDER BY split"""))
+        FROM f GROUP BY split ORDER BY split""")),
+
+    // ---- per-source token-budget cap (hash-priority admission) ----------
+    "q110_token_budget_cap" -> QueryDef(
+      build = (spark, dir) => {
+        val d = t(spark, dir, "documents")
+        Curation.tokenBudgetCap(d, col("source"), col("doc_id"),
+            size(tokens(col("text"))).cast("long"), budget = 500L)
+          .orderBy(col("stratum"))
+      },
+      oracle = Some(raw"""
+        WITH tk AS (SELECT source, doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+              AS n_tok
+          FROM documents),
+        cs AS (SELECT source, n_tok,
+            SUM(n_tok) OVER (PARTITION BY source
+              ORDER BY ${h32Sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+              AS cum0
+          FROM tk)
+        SELECT source AS stratum, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN cum0 < 500 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(SUM(CASE WHEN cum0 < 500 THEN n_tok ELSE 0 END) AS BIGINT)
+            AS tok_kept
+        FROM cs GROUP BY source ORDER BY stratum"""))
   )
 }

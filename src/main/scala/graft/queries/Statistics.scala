@@ -915,6 +915,33 @@ object Statistics {
                CAST(SUM(CASE WHEN abs(d.value - d.med) > 3.0 * md.mad
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM d JOIN md USING (event_type)
-        GROUP BY d.event_type ORDER BY d.event_type"""))
+        GROUP BY d.event_type ORDER BY d.event_type""")),
+
+    // ---- per-user event-transition mining (markov edge counts) ----------
+    // lead() within each user's time-ordered stream, then a pair count —
+    // one user-keyed shuffle + sort, one combine-backed pair aggregation,
+    // distributed top-k for the report. Exact integer counts.
+    "q110b_event_transitions" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(spark, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("event_type"), col("next_type"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH s AS (SELECT user_id, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS next_type
+          FROM events)
+        SELECT event_type, next_type, COUNT(*) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        ORDER BY n DESC, event_type, next_type LIMIT 20"""))
   )
 }
