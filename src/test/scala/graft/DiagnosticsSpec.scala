@@ -81,6 +81,46 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 1L, 1L, 1.0)))
   }
 
+  test("survivorship elects the highest-quality cluster member, not the " +
+      "lowest id") {
+    import spark.implicits._
+    // docs 1,2,3 near-identical (one char differs); doc 3 is longest.
+    // doc 9 unrelated → its own cluster, keeps itself.
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    val docs = Seq(
+      (1L, base + "a", (base + "a").length.toLong),
+      (2L, base + "b", (base + "b").length.toLong),
+      (3L, base + "ccccc", (base + "ccccc").length.toLong),
+      (9L, "completely unrelated text with nothing shared here at all", 57L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = graft.ops.DedupOps.survivorship(docs)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 9L))
+    // one cluster {1,2,3} labeled by min id, champion = longest (doc 3)
+    assert(got.filter(_._2 == 1L).map(_._3).distinct.toSeq == Seq(3L))
+    assert(got.find(_._1 == 3L).get._4)
+    assert(!got.find(_._1 == 1L).get._4 && !got.find(_._1 == 2L).get._4)
+    assert(got.find(_._1 == 9L).get == ((9L, 9L, 9L, true)))
+  }
+
+  test("near-dup chain survives a boilerplate-heavy corpus (hot bucket, " +
+      "no forced broadcast)") {
+    import spark.implicits._
+    // 60 near-identical docs: every band collides for every pair, the
+    // candidate set is corpus-sized — the regime where a forced
+    // broadcast of candidate ids would be the wrong plan at scale
+    val docs = (1L to 60L)
+      .map(i => (i, s"shared boilerplate text repeated everywhere $i", 40L + i))
+      .toDF("doc_id", "text", "n_chars")
+    val clusters = graft.ops.DedupOps.duplicateClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.length == 60)
+    // all docs share long shingles → one cluster labeled 1
+    assert(clusters.map(_._2).distinct.toSeq == Seq(1L))
+  }
+
   test("termSearch matches only docs containing ALL terms and plans " +
       "no exchange") {
     import spark.implicits._
