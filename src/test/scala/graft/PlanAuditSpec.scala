@@ -158,4 +158,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(globalSorts.isEmpty, s"nearestCentroid plans a global sort:\n$p")
   }
+
+  test("q20: running-total window is key-partitioned, never SinglePartition") {
+    val p = plan("q20_window_running_sum")
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"),
+      s"global (unpartitioned) window — all data to one task:\n$p")
+  }
+
+  test("q25 chain: no cartesian product, no nested-loop join anywhere") {
+    val p = plan("q25_jaccard_neardups")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"near-dup chain fell off the equi-join path:\n$p")
+  }
+
+  test("q27 cosine top-k: WindowGroupLimit pushdown + broadcast of the " +
+      "query side only") {
+    val p = plan("q27_cosine_topk")
+    // rank<=k is executed as partial+final WindowGroupLimit (per-group
+    // top-k heaps before the shuffle), not a full sort of all scores
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k filter lost the group-limit pushdown:\n$p")
+    // the intentional brute-force pairing broadcasts the SMALL query set;
+    // the candidate side must never hash-exchange for the join itself
+    assert(p.contains("BroadcastExchange"),
+      s"query side should broadcast:\n$p")
+  }
 }
