@@ -330,4 +330,65 @@ object VectorOps {
           .as("n_correct"))
       .withColumn("accuracy", col("n_correct").cast("double") / col("n"))
   }
+
+  /** Embedding cluster-quality QA (Davies-Bouldin-style, exact): per
+    * label, the mean squared distance of members to their own centroid
+    * (intra) and the squared distance to the NEAREST other centroid
+    * (inter), plus their ratio — separation < 1 means the nearest foreign
+    * centroid is closer than the label's own spread.
+    *
+    * Exactness: centroids are rationals s/nl; both metrics are computed
+    * as exact DECIMAL(38,0) integer numerators over exact denominators
+    * and only the final divisions are IEEE doubles, so results are
+    * bit-identical across engines and partitionings:
+    *   intra(L)  = Σ_{v∈L,g} (nl·x − s)² / nl³
+    *   inter(i,j) = Σ_g (s_i·n_j − s_j·n_i)² / (n_i·n_j)²
+    * DECIMAL(38,0) bounds: |s·n| ≤ ~1e38 holds to ~1e16 members per
+    * label at |x|≤1e5 quantization — the same envelope as
+    * [[nearestCentroid]].
+    *
+    * Scale: one broadcast of the (labels × dims) centroid frame, one
+    * combine-backed aggregation over the members, and a labels²-sized
+    * centroid self-join that never touches the big side. */
+  def clusterQuality(vectors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wide = DecimalType(38, 0)
+    val xv = spread(vectors)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(quantized(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("g"), col("x"))
+    val cent = xv.groupBy(col("label"), col("g"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("nl"))
+    // intra: members joined to their OWN centroid rows; one exact agg
+    val term = col("nl").cast(wide) * col("x") - col("s")
+    val intra = xv.join(broadcast(cent), Seq("label", "g"))
+      .groupBy(col("label"))
+      .agg(max(col("nl")).as("nl"), sum(term * term).as("intra_num"))
+      .select(col("label"), col("nl"),
+        (col("intra_num").cast("double") /
+          (col("nl").cast(wide) * col("nl") * col("nl")).cast("double"))
+          .as("intra"))
+    // inter: centroid-pair distances on the tiny labels×dims frame
+    val ci = cent.select(col("label").as("li"), col("g"),
+      col("s").as("si"), col("nl").as("ni"))
+    val cj = cent.select(col("label").as("lj"), col("g"),
+      col("s").as("sj"), col("nl").as("nj"))
+    val cross = col("si").cast(wide) * col("nj") - col("sj").cast(wide) * col("ni")
+    val pairD2 = ci.join(cj, ci("g") === cj("g") && col("li") =!= col("lj"))
+      .groupBy(col("li"), col("lj"))
+      .agg(sum(cross * cross).as("num"),
+        max(col("ni")).as("ni"), max(col("nj")).as("nj"))
+      .select(col("li"), col("lj"),
+        (col("num").cast("double") /
+          (col("ni").cast(wide) * col("nj") * col("ni") * col("nj"))
+            .cast("double")).as("inter"))
+    val nearest = pairD2.groupBy(col("li").as("label"))
+      .agg(min_by(struct(col("lj"), col("inter")),
+        struct(col("inter"), col("lj"))).as("m"))
+      .select(col("label"), col("m.lj").as("nearest_label"),
+        col("m.inter").as("inter"))
+    intra.join(nearest, "label")
+      .select(col("label"), col("nl"), col("intra"), col("nearest_label"),
+        col("inter"), (col("inter") / col("intra")).as("separation"))
+  }
 }

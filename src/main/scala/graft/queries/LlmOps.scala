@@ -408,6 +408,44 @@ object LlmOps {
             AS DOUBLE) / COUNT(*) AS accuracy
         FROM pred GROUP BY 1""")),
 
+    // ---- embedding cluster-quality QA (exact intra/inter/separation) ----
+    "q111_cluster_quality" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.clusterQuality(Tables.load(spark, dir, "embeddings"))
+          .orderBy(col("label")),
+      oracle = Some(s"""
+        WITH $quantCte,
+        lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                FROM embeddings),
+        cent AS (SELECT label, g, SUM(x) AS s, COUNT(*) AS nl
+          FROM xv JOIN lab USING (vec_id) GROUP BY 1, 2),
+        intra AS (SELECT cent.label, MAX(cent.nl) AS nl,
+            CAST(SUM((CAST(cent.nl AS HUGEINT) * xv.x - cent.s)
+                   * (CAST(cent.nl AS HUGEINT) * xv.x - cent.s)) AS DOUBLE)
+              / CAST(CAST(MAX(cent.nl) AS HUGEINT) * MAX(cent.nl)
+                     * MAX(cent.nl) AS DOUBLE) AS intra
+          FROM xv JOIN lab USING (vec_id)
+          JOIN cent ON cent.label = lab.label AND cent.g = xv.g
+          GROUP BY cent.label),
+        pair AS (SELECT ci.label AS li, cj.label AS lj,
+            CAST(SUM((CAST(ci.s AS HUGEINT) * cj.nl - CAST(cj.s AS HUGEINT) * ci.nl)
+                   * (CAST(ci.s AS HUGEINT) * cj.nl - CAST(cj.s AS HUGEINT) * ci.nl))
+              AS DOUBLE)
+              / CAST(CAST(MAX(ci.nl) AS HUGEINT) * MAX(cj.nl)
+                     * MAX(ci.nl) * MAX(cj.nl) AS DOUBLE) AS inter
+          FROM cent ci JOIN cent cj
+            ON ci.g = cj.g AND ci.label <> cj.label
+          GROUP BY 1, 2),
+        nearest AS (SELECT li AS label, lj AS nearest_label, inter
+          FROM (SELECT li, lj, inter, row_number() OVER (
+                  PARTITION BY li ORDER BY inter, lj) AS rn FROM pair)
+          WHERE rn = 1)
+        SELECT i.label, i.nl, i.intra, n.nearest_label, n.inter,
+               n.inter / i.intra AS separation
+        FROM intra i JOIN nearest n USING (label)
+        ORDER BY i.label"""))
+      ,
+
     // ---- language-ID accuracy against the labeled lang column ------------
     "q50_langid_accuracy" -> QueryDef(
       build = (spark, dir) => {
