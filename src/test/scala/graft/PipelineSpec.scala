@@ -192,4 +192,30 @@ class PipelineSpec extends AnyFunSuite {
     val res = lake.query.run("SELECT n FROM big.silver.nums").toOption.get
     assert(res.truncated && res.rowCount == 10000 && res.maxRows == 10000)
   }
+
+  test("childTable splits an array-of-structs into a keyed child frame") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = spark.read.json(Seq(
+      """{"order_id": 1, "who": "a", "lineItems": [{"itemSku": "x", "qty": 2}, {"itemSku": "y", "qty": 1}]}""",
+      """{"order_id": 2, "who": "b", "lineItems": []}""",
+      """{"order_id": 3, "who": "c"}""").toDS())
+    val (parent, child) =
+      graft.silver.Normalize.childTable(df, "lineItems", "order_id")
+    assert(parent.columns.toSeq.sorted == Seq("order_id", "who"))
+    assert(parent.count() == 3)
+    // snake_cased element fields, deterministic (parent, idx) key;
+    // empty/missing arrays contribute no child rows
+    assert(child.columns.toSeq ==
+      Seq("_parent_order_id", "_idx", "item_sku", "qty"))
+    val rows = child.orderBy("_parent_order_id", "_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 0, "x"), (1L, 1, "y")))
+    // scalar arrays become a single `value` column
+    val df2 = spark.read.json(Seq(
+      """{"id": 7, "tags": ["t1", "t2"]}""").toDS())
+    val (_, tags) = graft.silver.Normalize.childTable(df2, "tags", "id")
+    assert(tags.columns.toSeq == Seq("_parent_id", "_idx", "value"))
+    assert(tags.count() == 2)
+  }
 }
