@@ -199,6 +199,42 @@ object TextOps {
     docs.filter(pred).select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** Materialize the inverted index `termSearch`'s scaladoc points to
+    * for the many-queries regime: distinct (tok, doc_id) postings as a
+    * managed table BUCKETED AND SORTED BY tok. Each term lookup then
+    * reads only its term's buckets (bucket pruning on the equality/IN
+    * filter) instead of scanning the corpus — the one-time index build
+    * pays the corpus-wide shuffle that per-query `termSearch` avoids.
+    * Same bucketed-layout discipline as [[graft.silver.BucketedTables]]. */
+  def buildTermIndex(docs: DataFrame, db: String, table: String,
+      numBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+      .write
+      .bucketBy(numBuckets, "tok")
+      .sortBy("tok")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"$db.$table")
+  }
+
+  /** Conjunctive search against a [[buildTermIndex]] table: the pruned
+    * posting lists of the query terms meet on doc_id (a doc matches iff
+    * it carries ALL terms). The only shuffled data is the selected
+    * postings — corpus size never enters the query. */
+  def indexedTermSearch(spark: org.apache.spark.sql.SparkSession,
+      db: String, table: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "indexedTermSearch needs at least one term")
+    spark.table(s"$db.$table")
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("tok")).as("n_terms"))
+      .filter(col("n_terms") === terms.distinct.size)
+      .select(col("doc_id"))
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text plus a
     * position-weighted rolling hash (order-sensitive, exact int math). */
   def fingerprint(docs: DataFrame): DataFrame = {

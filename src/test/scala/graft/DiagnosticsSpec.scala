@@ -121,6 +121,30 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(clusters.map(_._2).distinct.toSeq == Seq(1L))
   }
 
+  test("indexedTermSearch: bucket-pruned postings, same results as the " +
+      "scan-side search") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-idx-").toString
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val db = s"idx${System.nanoTime()}"
+    val docs = Tables.load(s, dir, "documents")
+    TextOps.buildTermIndex(docs, db, "terms")
+    val terms = Seq("join", "vector")
+    val viaIndex = TextOps.indexedTermSearch(s, db, "terms", terms)
+    val direct = TextOps.termSearch(docs, terms)
+    assert(viaIndex.collect().map(_.getLong(0)).sorted.toSeq ==
+      direct.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(viaIndex.count() > 0)
+    // the equality/IN filter on the bucket column prunes buckets
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"term lookup should bucket-prune the index scan:\n$plan")
+  }
+
   test("termSearch matches only docs containing ALL terms and plans " +
       "no exchange") {
     import spark.implicits._
