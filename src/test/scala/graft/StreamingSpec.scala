@@ -173,6 +173,50 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming gold maintenance folds micro-batches incrementally and " +
+      "skips replayed batch ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.GoldStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-goldstream-").toString + "/state"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-goldstream-ck-").toString
+    val measures = Map("cents" -> col("cents"))
+
+    val input = MemoryStream[(String, Long)]
+    val q = GoldStream.maintain(
+      input.toDF().toDF("k", "cents"), statePath, ckpt,
+      keys = Seq("k"), measures = measures,
+      trigger = Trigger.ProcessingTime(0))
+    input.addData(("a", 100L), ("a", 50L), ("b", 10L))
+    q.processAllAvailable()
+    input.addData(("a", 25L), ("c", 7L))
+    q.processAllAvailable()
+    q.stop()
+
+    val state = spark.read.parquet(statePath)
+      .orderBy("k")
+      .select("k", "n", "sum_cents", "min_cents", "max_cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(state.toSeq == Seq(
+      ("a", 3L, 175L, 25L, 100L), ("b", 1L, 10L, 10L, 10L),
+      ("c", 1L, 7L, 7L, 7L)))
+
+    // replayed batch id (restart re-delivery) must be a no-op
+    val replay = Seq(("a", 999L)).toDF("k", "cents")
+    assert(!GoldStream.foldBatch(spark, statePath, replay,
+      GoldStream.lastApplied(statePath), Seq("k"), measures))
+    assert(spark.read.parquet(statePath)
+      .filter(col("k") === "a").select("sum_cents")
+      .head().getLong(0) == 175L)
+  }
+
   test("streaming near-dup flags arrivals against state from earlier batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
