@@ -347,9 +347,11 @@ object VectorOps {
     * label at |x|≤1e5 quantization — the same envelope as
     * [[nearestCentroid]].
     *
-    * Scale: one broadcast of the (labels × dims) centroid frame, one
-    * combine-backed aggregation over the members, and a labels²-sized
-    * centroid self-join that never touches the big side. */
+    * Scale: TWO member-scale passes — the centroid build and the intra
+    * join — plus a labels²-sized centroid self-join that never touches
+    * the big side. The tiny centroid frame is materialized once
+    * (localCheckpoint) so its three consumers (broadcast + both
+    * self-join sides) don't each re-run the corpus aggregation. */
   def clusterQuality(vectors: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val wide = DecimalType(38, 0)
@@ -359,6 +361,7 @@ object VectorOps {
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("g"), col("x"))
     val cent = xv.groupBy(col("label"), col("g"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("nl"))
+      .localCheckpoint()
     // intra: members joined to their OWN centroid rows; one exact agg
     val term = col("nl").cast(wide) * col("x") - col("s")
     val intra = xv.join(broadcast(cent), Seq("label", "g"))
@@ -387,7 +390,9 @@ object VectorOps {
         struct(col("inter"), col("lj"))).as("m"))
       .select(col("label"), col("m.lj").as("nearest_label"),
         col("m.inter").as("inter"))
-    intra.join(nearest, "label")
+    // LEFT join: a single-label input has no centroid pairs, but its
+    // intra spread is still the QA result (nearest/inter/separation null)
+    intra.join(nearest, Seq("label"), "left")
       .select(col("label"), col("nl"), col("intra"), col("nearest_label"),
         col("inter"), (col("inter") / col("intra")).as("separation"))
   }

@@ -442,7 +442,7 @@ object LlmOps {
           WHERE rn = 1)
         SELECT i.label, i.nl, i.intra, n.nearest_label, n.inter,
                n.inter / i.intra AS separation
-        FROM intra i JOIN nearest n USING (label)
+        FROM intra i LEFT JOIN nearest n USING (label)
         ORDER BY i.label"""))
       ,
 

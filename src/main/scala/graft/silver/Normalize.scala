@@ -39,10 +39,21 @@ object Normalize {
         posexplode(col(arrayCol)).as(Seq("_idx", "_elem")))
     val child = field.dataType.asInstanceOf[ArrayType].elementType match {
       case st: StructType =>
+        // getField treats the name literally (API payload keys may
+        // contain dots/spaces a parsed column path would misread), and
+        // snake_cased names are deduped with a numeric suffix — distinct
+        // source keys like itemSku/item_sku must not collide into one
+        // ambiguous child column
+        val seen = scala.collection.mutable.Map.empty[String, Int]
+        val cols = st.fields.toSeq.map { f =>
+          val base = Naming.toSnakeCase(f.name)
+          val n = seen.getOrElse(base, 0)
+          seen(base) = n + 1
+          val name = if (n == 0) base else s"${base}_${n + 1}"
+          col("_elem").getField(f.name).as(name)
+        }
         exploded.select(
-          col(s"_parent_$parentKey") +: col("_idx") +:
-            st.fields.toSeq.map(f =>
-              col(s"_elem.${f.name}").as(Naming.toSnakeCase(f.name))): _*)
+          col(s"_parent_$parentKey") +: col("_idx") +: cols: _*)
       case _ =>
         exploded.withColumnRenamed("_elem", "value")
     }

@@ -54,7 +54,7 @@ object Upsert {
 
   /** Replace `dest` with `src` via rename; best-effort atomic on local FS
     * (object stores would use a commit-marker protocol instead). */
-  private def atomicSwap(src: Path, dest: Path): Unit = {
+  private[graft] def atomicSwap(src: Path, dest: Path): Unit = {
     val old = Paths.get(dest.toString + ".old-" + System.nanoTime())
     if (Files.exists(dest)) Files.move(dest, old)
     Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)

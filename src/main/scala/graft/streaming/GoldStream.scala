@@ -7,6 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.gold.IncrementalAgg
+import graft.silver.Upsert
 
 /** Streaming gold maintenance: keep an [[IncrementalAgg]] aggregate
   * fresh from a streaming source — bronze→silver→gold stays O(batch)
@@ -14,42 +15,79 @@ import graft.gold.IncrementalAgg
   *
   * Exactly-once discipline: `foreachBatch` re-delivers the last batch
   * after a restart, and additive merges are NOT idempotent — replaying
-  * a fold double-counts. The state directory therefore records the last
-  * applied batch id, and [[foldBatch]] skips any batch at-or-below it
-  * (ids are strictly increasing per checkpoint). One marker write per
-  * micro-batch; the fold itself is the same code path q89 hash-checks
-  * in batch mode.
+  * a fold double-counts. The replay watermark (`_last_batch_id`) is
+  * therefore written INTO the staged state directory before the atomic
+  * swap, so state and watermark commit together: a crash at any point
+  * leaves either the old state with the old marker or the new state
+  * with the new marker, never folded state without its marker. (Spark's
+  * parquet reader ignores `_`-prefixed files, so the marker rides in
+  * the data directory invisibly.)
+  *
+  * The marker also records the CHECKPOINT identity: batch ids restart
+  * at 0 for a fresh checkpointLocation, so pairing old state with a new
+  * checkpoint would otherwise silently skip every delivery forever.
+  * A mismatch fails loudly instead.
   */
 object GoldStream {
 
   private def markerPath(statePath: String) =
     Paths.get(statePath, "_last_batch_id")
 
-  private[graft] def lastApplied(statePath: String): Long = {
+  /** (recorded checkpoint id, last applied batch id); ("", -1) when no
+    * marker exists. A corrupt marker throws — that is operator-level
+    * damage, and guessing -1 would re-fold (double-count) batches. */
+  private[graft] def readMarker(statePath: String): (String, Long) = {
     val p = markerPath(statePath)
-    if (Files.isRegularFile(p))
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
-    else -1L
+    if (!Files.isRegularFile(p)) ("", -1L)
+    else {
+      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n", 2)
+      (if (lines.length > 1) lines(1).trim else "", lines(0).trim.toLong)
+    }
   }
 
+  private[graft] def lastApplied(statePath: String): Long =
+    readMarker(statePath)._2
+
   /** Idempotently fold one micro-batch into the persisted aggregate:
-    * a batch id at or below the recorded watermark is a replay and is
-    * skipped. Returns true iff the batch was applied. */
+    * a batch id at or below the recorded watermark (from the SAME
+    * checkpoint) is a replay and is skipped. Returns true iff the batch
+    * was applied. */
   def foldBatch(spark: SparkSession, statePath: String, batch: DataFrame,
-      batchId: Long, keys: Seq[String],
-      measures: Map[String, Column]): Boolean = {
-    if (batchId <= lastApplied(statePath)) false
+      batchId: Long, keys: Seq[String], measures: Map[String, Column],
+      checkpointId: String = ""): Boolean = {
+    val (recordedCkpt, last) = readMarker(statePath)
+    if (checkpointId.nonEmpty && recordedCkpt.nonEmpty
+        && recordedCkpt != checkpointId)
+      throw new IllegalStateException(
+        s"state at $statePath was built by checkpoint '$recordedCkpt' but " +
+          s"this stream uses '$checkpointId'; batch ids are only " +
+          "monotonic per checkpoint — delete the state or restore the " +
+          "original checkpoint")
+    if (batchId <= last) false
     else {
-      IncrementalAgg.update(spark, statePath, batch, keys, measures)
-      Files.createDirectories(Paths.get(statePath))
-      Files.write(markerPath(statePath),
-        batchId.toString.getBytes(StandardCharsets.UTF_8))
+      val delta = IncrementalAgg.partials(batch, keys, measures)
+      val path = Paths.get(statePath)
+      val merged =
+        if (graft.core.Fs.nonEmpty(path)) {
+          val state = spark.read.parquet(statePath)
+          IncrementalAgg.merge(state, delta, keys, measures.keys.toSeq)
+        } else delta
+      // cut lineage before the swap deletes the files the plan references
+      val materialized = merged.localCheckpoint()
+      val tmp = statePath + ".tmp-" + System.nanoTime()
+      materialized.write.mode("overwrite").parquet(tmp)
+      // marker goes into the STAGED dir: state + watermark swap atomically
+      Files.write(Paths.get(tmp).resolve("_last_batch_id"),
+        s"$batchId\n$checkpointId".getBytes(StandardCharsets.UTF_8))
+      Upsert.atomicSwap(Paths.get(tmp), path)
       true
     }
   }
 
   /** Start continuous maintenance of the gold aggregate at `statePath`
-    * from `stream`. */
+    * from `stream`. The checkpoint path doubles as the checkpoint
+    * identity recorded beside the replay watermark. */
   def maintain(stream: DataFrame, statePath: String, checkpoint: String,
       keys: Seq[String], measures: Map[String, Column],
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
@@ -58,7 +96,7 @@ object GoldStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch.sparkSession, statePath, batch, batchId, keys,
-          measures): Unit
+          measures, checkpointId = checkpoint): Unit
       }
       .start()
 }

@@ -217,5 +217,17 @@ class PipelineSpec extends AnyFunSuite {
     val (_, tags) = graft.silver.Normalize.childTable(df2, "tags", "id")
     assert(tags.columns.toSeq == Seq("_parent_id", "_idx", "value"))
     assert(tags.count() == 2)
+
+    // element keys that would collide after snake-casing get suffixed,
+    // and dotted keys resolve literally (getField, not a parsed path)
+    val df3 = spark.read.json(Seq(
+      """{"id": 1, "xs": [{"itemSku": "a", "item_sku": "b", "p.q": "c"}]}""")
+      .toDS())
+    val (_, xs) = graft.silver.Normalize.childTable(df3, "xs", "id")
+    assert(xs.columns.toSeq ==
+      Seq("_parent_id", "_idx", "item_sku", "item_sku_2", "p_q"))
+    val r = xs.head()
+    assert(Seq(r.getString(2), r.getString(3), r.getString(4))
+      .toSet == Set("a", "b", "c"))
   }
 }

@@ -211,10 +211,23 @@ class StreamingSpec extends AnyFunSuite {
     // replayed batch id (restart re-delivery) must be a no-op
     val replay = Seq(("a", 999L)).toDF("k", "cents")
     assert(!GoldStream.foldBatch(spark, statePath, replay,
-      GoldStream.lastApplied(statePath), Seq("k"), measures))
+      GoldStream.lastApplied(statePath), Seq("k"), measures,
+      checkpointId = ckpt))
     assert(spark.read.parquet(statePath)
       .filter(col("k") === "a").select("sum_cents")
       .head().getLong(0) == 175L)
+
+    // the replay watermark commits ATOMICALLY with the state (it lives
+    // inside the swapped directory), so it reflects the last fold
+    assert(GoldStream.readMarker(statePath) ==
+      ((ckpt, GoldStream.lastApplied(statePath))))
+
+    // pairing old state with a DIFFERENT checkpoint (whose batch ids
+    // restart at 0) must fail loudly, not silently skip forever
+    intercept[IllegalStateException] {
+      GoldStream.foldBatch(spark, statePath, replay, 0L, Seq("k"),
+        measures, checkpointId = "/some/other/checkpoint")
+    }
   }
 
   test("streaming near-dup flags arrivals against state from earlier batches") {
