@@ -942,6 +942,55 @@ object Statistics {
         SELECT event_type, next_type, COUNT(*) AS n
         FROM s WHERE next_type IS NOT NULL
         GROUP BY event_type, next_type
-        ORDER BY n DESC, event_type, next_type LIMIT 20"""))
+        ORDER BY n DESC, event_type, next_type LIMIT 20""")),
+
+    // ---- rolling z-score anomalies over each user's event stream --------
+    // z² = (n·x − S)² / (n·Q − S²) against the PRECEDING-10 window —
+    // entirely exact int64 on cent-scaled values (no mean, no sqrt:
+    // z > 3 ⟺ (n·x − S)² > 9·(n·Q − S²)), so the flags are
+    // bit-deterministic under any shuffle order. One user-keyed shuffle
+    // + in-partition sort; int64 envelope: |n·Q| ≤ 9e18 holds to cents
+    // ~3e8 per value at window 10.
+    "q112_rolling_zscore" -> QueryDef(
+      build = (spark, dir) => {
+        val c = expr("CAST(round(value * 100) AS BIGINT)")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-10, -1)
+        t(spark, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), c.as("x"),
+            count(c).over(w).as("n"),
+            sum(c).over(w).as("s"),
+            sum(c * c).over(w).as("q"))
+          .filter(col("n") >= 5)
+          .select(col("event_type"),
+            (col("n") * col("q") - col("s") * col("s")).as("den"),
+            ((col("n") * col("x") - col("s"))
+              * (col("n") * col("x") - col("s"))).as("num"))
+          .filter(col("den") > 0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("num") > col("den") * 9L, 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, ts, event_id,
+            CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        win AS (SELECT event_type, x,
+            COUNT(x) OVER w AS n, SUM(x) OVER w AS s,
+            SUM(x * x) OVER w AS q
+          FROM e WINDOW w AS (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        d AS (SELECT event_type,
+            n * q - s * s AS den,
+            (n * x - s) * (n * x - s) AS num
+          FROM win WHERE n >= 5)
+        SELECT event_type, COUNT(*) AS n_eval,
+          CAST(SUM(CASE WHEN num > den * 9 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers
+        FROM d WHERE den > 0
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }
