@@ -64,12 +64,39 @@ object Compaction {
   /** Source fingerprint: path + length + mtime. Encoded into the
     * compacted directory name, so a rewritten source file naturally maps
     * to a fresh compaction (and the stale one is just an orphan dir). */
-  private[sources] def fingerprint(file: String): String = {
+  private[graft] def fingerprint(file: String): String = {
     val p = Paths.get(file)
     val size = Files.size(p)
     val mtime = Files.getLastModifiedTime(p).toMillis
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s"$file|$size|$mtime") & 0xffffffffL)
+  }
+
+  /** Vacuum the compaction cache: delete cached directories whose source
+    * fingerprint no longer matches any `liveFiles` entry — each source
+    * rewrite leaves the previous compaction as an orphan dir, and a
+    * long-lived host accumulates one per rewrite (same lifecycle problem
+    * Delta's VACUUM / Iceberg's `expire_snapshots` solve for data files).
+    * In-flight `.tmp-*` staging dirs of live processes are left alone.
+    * Returns the number of directories removed. */
+  def vacuum(liveFiles: Seq[String]): Int = {
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft-compacted")
+    if (!Files.isDirectory(base)) return 0
+    val live = liveFiles.flatMap { f =>
+      try {
+        val name = Paths.get(f).getFileName.toString.stripSuffix(".parquet")
+        Some(s"$name-${fingerprint(f)}")
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toSet
+    val entries = Files.list(base)
+    val victims =
+      try entries.filter(p => Files.isDirectory(p)
+          && !p.getFileName.toString.startsWith(".")
+          && !live.contains(p.getFileName.toString))
+        .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      finally entries.close()
+    victims.foreach(deleteRecursively)
+    victims.size
   }
 
   /** Load `file`, compacting through a cached multi-file rewrite when the

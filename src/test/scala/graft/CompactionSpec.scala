@@ -64,4 +64,22 @@ class CompactionSpec extends AnyFunSuite {
     Tables.invalidate(base, "tiny")
     assert(Tables.load(spark, base, "tiny").count() == 3)
   }
+
+  test("vacuum removes orphaned compactions, keeps live and staging dirs") {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft-compacted")
+    Files.createDirectories(base)
+    val live = "/root/testdata/sf0.001/lineitem.parquet"
+    val liveName = s"lineitem-${graft.sources.Compaction.fingerprint(live)}"
+    val keep = base.resolve(liveName)
+    val orphan = base.resolve("lineitem-deadbeef")
+    val staging = base.resolve(".lineitem-cafe.tmp-123")
+    Seq(keep, orphan, staging).foreach(Files.createDirectories(_))
+    val removed = graft.sources.Compaction.vacuum(Seq(live))
+    assert(Files.isDirectory(keep), "live compaction must survive")
+    assert(!Files.exists(orphan), "orphan must be removed")
+    assert(Files.isDirectory(staging), "in-flight staging dir must survive")
+    assert(removed >= 1)
+    Files.deleteIfExists(staging); Files.deleteIfExists(keep)
+  }
 }
