@@ -121,6 +121,18 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(clusters.map(_._2).distinct.toSeq == Seq(1L))
   }
 
+  test("tokenBudgetCap and shingleNovelty are partition-count independent") {
+    val docs = Tables.load(spark, dir, "documents")
+    def cap(p: Int) = Curation.tokenBudgetCap(docs.repartition(p),
+        col("source"), col("doc_id"),
+        size(graft.queries.Q.tokens(col("text"))).cast("long"), budget = 300L)
+      .orderBy("stratum").collect().toSeq
+    assert(cap(1) == cap(7))
+    def nov(p: Int) = DedupOps.shingleNovelty(docs.repartition(p))
+      .orderBy("doc_id").collect().toSeq
+    assert(nov(1) == nov(7))
+  }
+
   test("indexedTermSearch: bucket-pruned postings, same results as the " +
       "scan-side search") {
     val wh = java.nio.file.Files.createTempDirectory("graft-idx-").toString
