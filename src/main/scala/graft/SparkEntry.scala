@@ -39,4 +39,24 @@ object SparkEntry {
   /** Headline queries for Bench. */
   def benchQueries: Seq[String] =
     allDefs.collect { case (k, d) if d.bench => k }.toSeq.sorted
+
+  /** Run `body` under a query's declared execution settings (see
+    * [[QueryDef.confs]]), restoring the session's previous values after.
+    * Bench and Verify both route query execution through this, so the
+    * correctness gate always runs the exact configuration the bench
+    * measures. */
+  def withQueryConfs[T](spark: SparkSession, name: String)(body: => T): T = {
+    val confs = allDefs.get(name).map(_.confs).getOrElse(Map.empty)
+    if (confs.isEmpty) body
+    else {
+      val prior = confs.keys.map(k =>
+        k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
 }

@@ -13,7 +13,13 @@ final case class QueryDef(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** headline queries run in Bench at sf0.1 */
-    bench: Boolean = false)
+    bench: Boolean = false,
+    /** Semantics-free session settings this query wants at execution
+      * time (a per-query plan hint, like any engine's query-level
+      * config). Applied identically by Bench AND Verify — the
+      * correctness gate always runs the exact configuration the bench
+      * measures. Restored to the session's previous values afterwards. */
+    confs: Map[String, String] = Map.empty)
 
 /** Shared helpers for oracle-exact arithmetic.
   *

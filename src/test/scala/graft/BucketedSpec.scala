@@ -60,4 +60,48 @@ class BucketedSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
     }
   }
+
+  test("silver layouts: q03/q06/q20 drop their fact-side exchanges and " +
+      "match the raw-parquet results") {
+    val dir = "/root/testdata/sf0.001"
+    def run(name: String): Array[String] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    def shuffles(name: String): Int = {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(p).length +
+        "Exchange rangepartitioning".r.findAllIn(p).length +
+        "Exchange SinglePartition".r.findAllIn(p).length
+    }
+    // raw-parquet path first (no layouts registered for this session yet)
+    val raw = Seq("q03_join_revenue_by_nation", "q06_window_latest_order",
+      "q20_window_running_sum").map(n => n -> run(n)).toMap
+
+    BucketedTables.ensureLayout(spark, dir, "lineitem", Seq("l_orderkey"),
+      numBuckets = 4)
+    BucketedTables.ensureLayout(spark, dir, "orders", Seq("o_custkey"),
+      sortCols = Seq("o_custkey", "o_orderdate", "o_orderkey"),
+      numBuckets = 4)
+
+    // q03 on the layout: the per-order reduce and the joins add NO
+    // fact-side exchange; the only shuffle left is the ~25-row nation
+    // rollup. q06/q20 read pre-partitioned input: zero exchanges.
+    val p03 = SparkEntry.queries("q03_join_revenue_by_nation")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p03.contains("Bucketed: true"),
+      s"q03 did not pick up the bucketed layout:\n$p03")
+    assert(shuffles("q03_join_revenue_by_nation") == 1,
+      s"q03 bucketed plan should keep ONLY the nation-rollup exchange:\n$p03")
+    assert(shuffles("q06_window_latest_order") == 0,
+      "q06 on the o_custkey layout must aggregate exchange-free")
+    assert(shuffles("q20_window_running_sum") == 0,
+      "q20 on the o_custkey layout must window exchange-free")
+
+    // identical results on both paths
+    raw.foreach { case (name, expect) =>
+      assert(run(name).sameElements(expect),
+        s"$name: bucketed-layout results diverge from the raw-parquet path")
+    }
+  }
 }
