@@ -55,14 +55,17 @@ object IncrementalAgg {
   /** Fold one batch into the persisted state at `statePath` (atomic
     * swap), returning the refreshed state.
     *
-    * Crash-safety caveat: `localCheckpoint` materializes to EXECUTOR-local
-    * blocks, which is sufficient in local mode (one JVM) but not durable
-    * on a cluster — losing an executor between the checkpoint and the
-    * swap makes the write unrecoverable. A multi-executor deployment must
-    * configure a reliable checkpoint dir and use `df.checkpoint()` (or
-    * write the merged state to a staging path) instead. */
+    * Durability is the STAGED PARQUET, not executor memory: the merge
+    * plan reads the old state files while the staging write runs (they
+    * still exist — the swap happens after the write completes), and the
+    * returned frame is a fresh read of the swapped-in files. No lineage
+    * ever rests on executor-local blocks, so an executor loss mid-fold
+    * just fails the staging write and leaves the old state intact for a
+    * clean re-fold. An interrupted swap itself is repaired by
+    * [[graft.silver.Upsert.healSwap]] (run inside `writeMerged`). */
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
       keys: Seq[String], measures: Map[String, Column]): DataFrame = {
+    Upsert.healSwap(Paths.get(statePath))
     val delta = partials(batch, keys, measures)
     val path = Paths.get(statePath)
     val merged =
@@ -70,10 +73,7 @@ object IncrementalAgg {
         val state = spark.read.parquet(statePath)
         merge(state, delta, keys, measures.keys.toSeq)
       } else delta
-    // localCheckpoint cuts the lineage before the swap deletes the old
-    // state files the plan would otherwise still reference
-    val materialized = merged.localCheckpoint()
-    Upsert.writeMerged(materialized, statePath, keys = Nil)
+    Upsert.writeMerged(merged, statePath, keys = Nil)
     spark.read.parquet(statePath)
   }
 }

@@ -42,6 +42,7 @@ object Upsert {
   def writeMerged(source: DataFrame, tablePath: String, keys: Seq[String]): Unit = {
     val spark = source.sparkSession
     val path = Paths.get(tablePath)
+    healSwap(path)
     val merged =
       if (keys.nonEmpty && graft.core.Fs.nonEmpty(path)) {
         val target = spark.read.parquet(tablePath)
@@ -53,12 +54,61 @@ object Upsert {
   }
 
   /** Replace `dest` with `src` via rename; best-effort atomic on local FS
-    * (object stores would use a commit-marker protocol instead). */
+    * (object stores would use a commit-marker protocol instead).
+    *
+    * The swap is TWO renames (dest → .old-*, then src → dest), so a
+    * crash between them leaves no dest. That window is closed by
+    * [[healSwap]], which every reader/writer of a swapped table runs
+    * first: it restores the newest .old-* sibling when dest is missing.
+    * The .old dir is therefore only deleted AFTER src has fully landed
+    * at dest — at no instant is there neither a dest nor a restorable
+    * .old sibling. */
   private[graft] def atomicSwap(src: Path, dest: Path): Unit = {
     val old = Paths.get(dest.toString + ".old-" + System.nanoTime())
     if (Files.exists(dest)) Files.move(dest, old)
     Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(old)) deleteRecursively(old)
+  }
+
+  private def siblings(dest: Path, infix: String): Seq[Path] = {
+    val parent = Option(dest.toAbsolutePath.getParent)
+    val prefix = dest.getFileName.toString + infix
+    parent.toSeq.flatMap(graft.core.Fs.children)
+      .filter(_.getFileName.toString.startsWith(prefix))
+      .sortBy(_.getFileName.toString) // nanotime suffix: newest last
+  }
+
+  /** Repair an interrupted [[atomicSwap]] at `dest`.
+    *
+    * - dest missing/empty but a `.old-*` sibling exists → the crash hit
+    *   between the two renames: restore the newest .old (the pre-swap
+    *   state, internally consistent including any `_`-marker files) and
+    *   drop stale staging dirs. The interrupted write's batch is NOT
+    *   lost — its replay watermark was never committed, so the caller's
+    *   replay path re-folds it.
+    * - dest present → the crash (if any) hit after the swap completed:
+    *   drop orphaned `.old-*` / `.tmp-*` siblings.
+    *
+    * Without this, a restart after the worst-case crash would see an
+    * absent state dir, read an empty watermark, and silently rebuild
+    * from only the replayed batch — total, undetected state loss. */
+  private[graft] def healSwap(dest: Path): Unit = {
+    val olds = siblings(dest, ".old-")
+    if (!graft.core.Fs.nonEmpty(dest)) {
+      olds.lastOption.foreach { newest =>
+        if (Files.exists(dest)) Files.delete(dest) // empty dir in the way
+        Files.move(newest, dest)
+      }
+      // stale staging dirs (their content was never committed) and any
+      // older .old generations are dead weight either way
+      siblings(dest, ".tmp-").foreach(deleteRecursively)
+      siblings(dest, ".old-").foreach(deleteRecursively)
+    } else {
+      // swap completed but cleanup didn't: drop the orphans. (Like the
+      // swap itself, healing assumes a single writer per table.)
+      olds.foreach(deleteRecursively)
+      siblings(dest, ".tmp-").foreach(deleteRecursively)
+    }
   }
 
   private[graft] def deleteRecursively(p: Path): Unit =

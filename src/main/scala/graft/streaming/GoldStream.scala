@@ -21,7 +21,12 @@ import graft.silver.Upsert
   * leaves either the old state with the old marker or the new state
   * with the new marker, never folded state without its marker. (Spark's
   * parquet reader ignores `_`-prefixed files, so the marker rides in
-  * the data directory invisibly.)
+  * the data directory invisibly.) The swap itself is two renames with a
+  * crash window where NO state dir exists; `foldBatch` closes it by
+  * running [[graft.silver.Upsert.healSwap]] before reading the marker —
+  * restoring the displaced pre-swap state instead of silently treating
+  * the table as empty. The interrupted batch's watermark was never
+  * committed, so the replay re-folds it exactly once.
   *
   * The marker also records the CHECKPOINT identity: batch ids restart
   * at 0 for a fresh checkpointLocation, so pairing old state with a new
@@ -56,6 +61,10 @@ object GoldStream {
   def foldBatch(spark: SparkSession, statePath: String, batch: DataFrame,
       batchId: Long, keys: Seq[String], measures: Map[String, Column],
       checkpointId: String = ""): Boolean = {
+    // repair an interrupted swap FIRST: a crash between the swap's two
+    // renames leaves no state dir, and reading the (then-missing) marker
+    // as ("", -1) would silently rebuild from only the replayed batch
+    Upsert.healSwap(Paths.get(statePath))
     val (recordedCkpt, last) = readMarker(statePath)
     if (checkpointId.nonEmpty && recordedCkpt.nonEmpty
         && recordedCkpt != checkpointId)
@@ -73,10 +82,14 @@ object GoldStream {
           val state = spark.read.parquet(statePath)
           IncrementalAgg.merge(state, delta, keys, measures.keys.toSeq)
         } else delta
-      // cut lineage before the swap deletes the files the plan references
-      val materialized = merged.localCheckpoint()
+      // The staged parquet IS the materialization: the merge plan reads
+      // the old state files while writing tmp (they still exist — the
+      // swap happens after), and nothing references them once the swap
+      // lands. No executor-local blocks anywhere, so losing an executor
+      // mid-fold just fails the write and leaves the old state + marker
+      // intact for a clean re-fold.
       val tmp = statePath + ".tmp-" + System.nanoTime()
-      materialized.write.mode("overwrite").parquet(tmp)
+      merged.write.mode("overwrite").parquet(tmp)
       // marker goes into the STAGED dir: state + watermark swap atomically
       Files.write(Paths.get(tmp).resolve("_last_batch_id"),
         s"$batchId\n$checkpointId".getBytes(StandardCharsets.UTF_8))

@@ -41,6 +41,36 @@ class IncrementalAggSpec extends AnyFunSuite {
       "incremental merge diverged from one-shot aggregation")
   }
 
+  test("state is disk-durable: a different session resumes the fold " +
+      "mid-sequence, and an interrupted swap self-heals") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val orders = Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+    val measures = Map("price_c" -> cents(col("o_totalprice")))
+    val statePath = JFiles.createTempDirectory("inc-").toString + "/s"
+    def slice(i: Int) =
+      orders.filter(abs(hash(col("o_totalprice"))) % 4 === i)
+
+    IncrementalAgg.update(spark, statePath, slice(0), Seq("day"), measures)
+    IncrementalAgg.update(spark, statePath, slice(1), Seq("day"), measures)
+
+    // "restart": a fresh session (no shared temp views, fresh plan
+    // cache) picks the fold up from the files alone
+    val spark2 = spark.newSession()
+    IncrementalAgg.update(spark2, statePath, slice(2), Seq("day"), measures)
+
+    // interrupted swap before the last fold: the state dir was renamed
+    // aside and the staging write never committed
+    JFiles.move(Paths.get(statePath), Paths.get(statePath + ".old-1"))
+    IncrementalAgg.update(spark2, statePath, slice(3), Seq("day"), measures)
+
+    val incremental = spark.read.parquet(statePath)
+    val oneShot = IncrementalAgg.partials(orders, Seq("day"), measures)
+    assert(incremental.except(oneShot).count() == 0
+      && oneShot.except(incremental).count() == 0,
+      "disk-resumed + healed fold diverged from one-shot aggregation")
+  }
+
   test("empty-batch update is a no-op on the state") {
     val orders = Tables.load(spark, dir, "orders")
       .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))

@@ -230,6 +230,76 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("gold state crash windows: kill between stage and swap, restart, " +
+      "no double-fold and no skipped batch (same and fresh checkpoint)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.GoldStream
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+
+    val base = Files.createTempDirectory("graft-goldcrash-")
+    val statePath = base.toString + "/state"
+    val ckpt = "/ck/one"
+    val measures = Map("cents" -> col("cents"))
+    def fold(id: Long, rows: (String, Long)*): Boolean =
+      GoldStream.foldBatch(spark, statePath,
+        rows.toSeq.toDF("k", "cents"), id, Seq("k"), measures,
+        checkpointId = ckpt)
+    def sumA: Long = spark.read.parquet(statePath)
+      .filter(col("k") === "a").select("sum_cents").head().getLong(0)
+
+    assert(fold(0L, ("a", 100L), ("b", 10L)))
+    assert(fold(1L, ("a", 25L)))
+    assert(sumA == 125L)
+
+    // CRASH WINDOW 1: between the swap's two renames while folding batch
+    // 2 — batch 2's staged dir is fully written (data + marker), the old
+    // state was renamed aside, and dest does not exist. The staged fold
+    // was never committed (its marker never became THE marker).
+    Files.move(Paths.get(statePath), Paths.get(statePath + ".old-100"))
+    val staleTmp = Paths.get(statePath + ".tmp-200")
+    Files.createDirectories(staleTmp)
+    Files.write(staleTmp.resolve("part-junk.parquet"), Array[Byte](1, 2))
+
+    // restart: foreachBatch re-delivers batch 2. Recovery must restore
+    // the displaced state (watermark 1) and fold batch 2 exactly once.
+    assert(fold(2L, ("a", 7L)), "re-delivered batch must apply after heal")
+    assert(sumA == 132L, "heal lost state or double-folded")
+    assert(GoldStream.lastApplied(statePath) == 2L)
+    assert(!Files.exists(Paths.get(statePath + ".old-100")))
+    assert(!Files.exists(staleTmp), "stale staging dir must be cleaned")
+
+    // a second re-delivery of batch 2 (crash after swap, before the
+    // checkpoint committed) is skipped: no double-fold
+    assert(!fold(2L, ("a", 7L)))
+    assert(sumA == 132L)
+
+    // CRASH WINDOW 2: swap completed but the .old cleanup didn't run —
+    // the orphan must not shadow or corrupt recovery, just get dropped
+    val orphan = Paths.get(statePath + ".old-050")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-junk.parquet"), Array[Byte](3))
+    assert(fold(3L, ("b", 1L)))
+    assert(sumA == 132L && GoldStream.lastApplied(statePath) == 3L)
+    assert(!Files.exists(orphan), "orphaned .old dir must be cleaned")
+
+    // CRASH WINDOW 1 under a FRESH checkpoint identity: recovery must
+    // restore the displaced state and then fail LOUDLY on the identity
+    // mismatch (fresh checkpoints restart batch ids at 0; silently
+    // pairing them with old state would skip every delivery forever)
+    Files.move(Paths.get(statePath), Paths.get(statePath + ".old-300"))
+    intercept[IllegalStateException] {
+      GoldStream.foldBatch(spark, statePath,
+        Seq(("a", 5L)).toDF("k", "cents"), 0L, Seq("k"), measures,
+        checkpointId = "/ck/fresh")
+    }
+    // the heal itself still happened: state restored, marker intact
+    assert(sumA == 132L && GoldStream.lastApplied(statePath) == 3L)
+    // and the ORIGINAL checkpoint can continue where it left off
+    assert(fold(4L, ("a", 8L)))
+    assert(sumA == 140L)
+  }
+
   test("streaming near-dup flags arrivals against state from earlier batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
