@@ -179,9 +179,15 @@ object Curation {
     * changed). */
   def tokenBudgetCap(docs: DataFrame, stratum: Column, key: Column,
       nTokens: Column, budget: Long): DataFrame = {
+    // nTokens is the FINAL tiebreak: if the caller's key is not unique
+    // per row, two same-key rows with different token counts would
+    // otherwise order arbitrarily — and which of them starts before the
+    // budget line would flip across runs/partitionings, breaking the
+    // stable-prefix guarantee. With it, equal-ranked rows are identical
+    // in every column the cumsum sees, so cum0 is deterministic.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum)
-      .orderBy(h32(key.cast("string")).asc, key.asc)
+      .orderBy(h32(key.cast("string")).asc, key.asc, nTokens.asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     docs
@@ -239,15 +245,23 @@ object Curation {
           * buckets + 1e-3).cast("long"))
       .select(col("stratum"), col("n_before"), col("target_share"),
         col("thresh"))
+    // null-safe join: a NULL stratum is counted like any other group by
+    // groupBy, so it must also be SAMPLED like any other — an equi-join
+    // would reject every null row, report n_kept = 0, and (worse) let
+    // the null group constrain the feasible size while contributing
+    // nothing to the output
     val kept = df
-      .join(broadcast(rates), stratum === rates("stratum"))
+      .join(broadcast(rates), stratum <=> rates("stratum"))
       .filter(h32(key.cast("string")) % buckets < col("thresh"))
       .groupBy(rates("stratum"))
       .agg(count(lit(1)).as("n_kept"))
     val totalKept = kept.agg(sum(col("n_kept")).as("total_kept"))
-    // LEFT join: a stratum whose quota floored to zero keeps its
-    // accounting row (n_kept 0) instead of silently vanishing
-    rates.join(kept, Seq("stratum"), "left")
+    // LEFT join (null-safe, same reason as above): a stratum whose
+    // quota floored to zero keeps its accounting row (n_kept 0)
+    // instead of silently vanishing
+    rates.join(kept.withColumnRenamed("stratum", "k_stratum"),
+        col("stratum") <=> col("k_stratum"), "left")
+      .drop("k_stratum")
       .na.fill(0L, Seq("n_kept"))
       .crossJoin(broadcast(totalKept))
       .select(col("stratum"), col("n_before"), col("n_kept"),

@@ -51,6 +51,16 @@ object Upsert {
     val tmp = tablePath + ".tmp-" + System.nanoTime()
     merged.write.mode("overwrite").parquet(tmp)
     atomicSwap(Paths.get(tmp), path)
+    // any catalog table registered over this path has a cached file
+    // listing that now names the swapped-out files; drop cached data for
+    // the path and the catalog's cached relations so the next query
+    // re-lists instead of failing on FILE_NOT_EXIST. (The relation cache
+    // is keyed by table NAME, which a path-level writer can't know, so
+    // the invalidation is catalog-wide — re-listing is lazy and cheap
+    // next to the rewrite that just happened; a transactional catalog
+    // would scope this to one table.)
+    spark.catalog.refreshByPath(tablePath)
+    spark.sessionState.catalog.invalidateAllCachedTables()
   }
 
   /** Replace `dest` with `src` via rename; best-effort atomic on local FS

@@ -72,14 +72,29 @@ object Compaction {
       scala.util.hashing.MurmurHash3.stringHash(s"$file|$size|$mtime") & 0xffffffffL)
   }
 
+  /** Default vacuum retention: mirrors Delta VACUUM's grace-period idea
+    * at cache scale — long enough to outlive any realistic in-flight
+    * scan on this host. */
+  val defaultRetentionMs: Long = 6L * 3600 * 1000
+
   /** Vacuum the compaction cache: delete cached directories whose source
     * fingerprint no longer matches any `liveFiles` entry — each source
     * rewrite leaves the previous compaction as an orphan dir, and a
     * long-lived host accumulates one per rewrite (same lifecycle problem
     * Delta's VACUUM / Iceberg's `expire_snapshots` solve for data files).
     * In-flight `.tmp-*` staging dirs of live processes are left alone.
+    *
+    * Retention grace: a directory modified within `retentionMs` is NOT
+    * deleted even when orphaned — another JVM on this host may be
+    * mid-scan on a compaction for a source outside this caller's
+    * `liveFiles`, or for a fingerprint that changed after it loaded;
+    * deleting under it would fail that query (Delta VACUUM solves the
+    * same race with its retention window). Pass 0 only when no other
+    * graft process is active on the host.
+    *
     * Returns the number of directories removed. */
-  def vacuum(liveFiles: Seq[String]): Int = {
+  def vacuum(liveFiles: Seq[String],
+      retentionMs: Long = defaultRetentionMs): Int = {
     val base = Paths.get(sys.props("java.io.tmpdir"), "graft-compacted")
     if (!Files.isDirectory(base)) return 0
     val live = liveFiles.flatMap { f =>
@@ -88,15 +103,43 @@ object Compaction {
         Some(s"$name-${fingerprint(f)}")
       } catch { case scala.util.control.NonFatal(_) => None }
     }.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
     val entries = Files.list(base)
     val victims =
       try entries.filter(p => Files.isDirectory(p)
           && !p.getFileName.toString.startsWith(".")
-          && !live.contains(p.getFileName.toString))
+          && !live.contains(p.getFileName.toString)
+          && Files.getLastModifiedTime(p).toMillis <= cutoff)
         .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
       finally entries.close()
     victims.foreach(deleteRecursively)
     victims.size
+  }
+
+  /** Small-file compaction for a DIRECTORY table (the lakehouse
+    * `OPTIMIZE` / `rewrite_data_files` maintenance pass): append-mode
+    * sinks accumulate one small file per micro-batch/run, and scan cost
+    * at scale is dominated by per-file open/footer overhead once files
+    * are much smaller than a split. Rewrites the table into
+    * ceil(rows/targetRows) right-sized files (capped at [[maxSplits]])
+    * and atomically swaps — readers see the old files or the new, never
+    * a mix ([[graft.silver.Upsert.atomicSwap]] discipline; an
+    * interrupted swap self-heals via healSwap on the next touch).
+    *
+    * Returns (filesBefore, filesAfter). At 100 TB this runs per
+    * PARTITION of a date-partitioned table (only partitions whose
+    * small-file count crossed a threshold), not whole-table. */
+  def compactTable(spark: SparkSession, tablePath: String,
+      targetRows: Long = Compaction.targetRows): (Int, Int) = {
+    def partFiles = graft.core.Fs.children(Paths.get(tablePath))
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    val before = partFiles
+    val df = spark.read.parquet(tablePath)
+    val rows = df.count()
+    val n = math.max(1L, math.min(maxSplits.toLong,
+      (rows + targetRows - 1) / targetRows)).toInt
+    graft.silver.Upsert.writeMerged(df.repartition(n), tablePath, keys = Nil)
+    (before, partFiles)
   }
 
   /** Load `file`, compacting through a cached multi-file rewrite when the

@@ -91,9 +91,28 @@ object NearDupStream {
           else {
             var members = state.getOption.getOrElse(Nil)
             val out = List.newBuilder[(Long, Long, Double)]
+            // Bounded intake: only the maxBucket smallest doc_ids of
+            // this batch are considered. A hot (boilerplate) bucket
+            // would otherwise buffer the whole group's arrivals —
+            // O(batch-rows-per-bucket) tuples each holding a k-long
+            // signature — and do O(rows × maxBucket) comparisons in one
+            // task; the carried-state cap alone only bounds *members*.
+            // Past maxBucket a bucket is degenerate boilerplate, not a
+            // near-dup signal, so the in-batch cap mirrors the state
+            // cap. Batches within the cap process identically to the
+            // unbounded path.
+            val intake = new scala.collection.mutable
+              .PriorityQueue[(Long, Array[Long])]()(Ordering.by(_._1))
+            rows.foreach { case (_, id, sig) =>
+              if (intake.size < maxBucket) intake.enqueue((id, sig))
+              else if (intake.head._1 > id) {
+                intake.dequeue(); intake.enqueue((id, sig))
+              }
+            }
             // ascending doc_id gives batch mode (one group = the whole
             // bucket) the same i<j pair orientation as the batch LSH path
-            rows.toArray.sortBy(_._2).foreach { case (_, id, sig) =>
+            val ordered: Seq[(Long, Array[Long])] = intake.dequeueAll
+            ordered.reverseIterator.foreach { case (id, sig) =>
               members.foreach { case (mid, msig) =>
                 if (mid != id) {
                   var same = 0

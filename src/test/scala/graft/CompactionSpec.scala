@@ -75,9 +75,14 @@ class CompactionSpec extends AnyFunSuite {
     val orphan = base.resolve("lineitem-deadbeef")
     val staging = base.resolve(".lineitem-cafe.tmp-123")
     Seq(keep, orphan, staging).foreach(Files.createDirectories(_))
-    val removed = graft.sources.Compaction.vacuum(Seq(live))
+    // retention grace: a just-touched orphan survives the default window
+    // (another JVM may be mid-scan on it)
+    graft.sources.Compaction.vacuum(Seq(live))
+    assert(Files.isDirectory(orphan),
+      "fresh orphan must survive the retention window")
+    val removed = graft.sources.Compaction.vacuum(Seq(live), retentionMs = 0)
     assert(Files.isDirectory(keep), "live compaction must survive")
-    assert(!Files.exists(orphan), "orphan must be removed")
+    assert(!Files.exists(orphan), "orphan must be removed past retention")
     assert(Files.isDirectory(staging), "in-flight staging dir must survive")
     assert(removed >= 1)
     Files.deleteIfExists(staging); Files.deleteIfExists(keep)

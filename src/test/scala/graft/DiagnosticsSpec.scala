@@ -56,6 +56,45 @@ class DiagnosticsSpec extends AnyFunSuite {
       s"constrained stratum should keep all rows: $constrained")
   }
 
+  test("mixtureResample samples a NULL stratum like any other group") {
+    import spark.implicits._
+    // null stratum is the LARGEST group: under an equi-join its rows
+    // would all be rejected while its count still constrained the
+    // feasible size — accounting would claim n_kept 0 for a group that
+    // should keep ~half its rows
+    val df = ((1 to 40).map(i => (Option.empty[String], i.toLong)) ++
+      (1 to 20).map(i => (Some("en"), 100L + i)))
+      .toDF("lang", "doc_id")
+    val rows = Curation.mixtureResample(df, col("lang"), col("doc_id"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val nullRow = rows.find(_._1.isEmpty).get
+    assert(nullRow._2 == 40L)
+    assert(nullRow._3 > 0L, "null stratum must be sampled, not dropped")
+    assert(nullRow._3 <= nullRow._2)
+    // constrained stratum ("en") still keeps everything
+    val en = rows.find(_._1.contains("en")).get
+    assert(en._3 == en._2)
+  }
+
+  test("tokenBudgetCap admission is deterministic under duplicate keys") {
+    import spark.implicits._
+    // two rows share key "k" with different token counts; the budget
+    // line falls between them, so a nondeterministic order would flip
+    // which one is admitted and change tok_kept across runs
+    val df = Seq(("s", "k", 60L), ("s", "k", 40L), ("s", "z", 60L))
+      .toDF("lang", "id", "n")
+    def run(p: Int) = Curation.tokenBudgetCap(df.repartition(p),
+        col("lang"), col("id"), col("n"), budget = 70L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(run(1) == run(7))
+    // the n_tok tiebreak admits the SMALLER same-key row first
+    val (_, nDocs, _, _) = run(1).head
+    assert(nDocs == 3L)
+  }
+
   test("mixtureResample is partition-count independent") {
     val docs = Tables.load(spark, dir, "documents")
     def run(p: Int) = Curation.mixtureResample(

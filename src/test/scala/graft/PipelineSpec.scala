@@ -148,6 +148,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(Files.readString(status).contains("status: success"))
   }
 
+  test("maintenance loop e2e: ingest → compact → vacuum → query; " +
+      "small-file count drops, results unchanged") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val lake = newLake()
+    // schema WITHOUT primary keys -> silver is a plain append sink, the
+    // layout that accumulates one small file batch after batch
+    lake.registry.create(EndpointSchema("events", "sales", 1,
+      SchemaMode.Manual, SchemaDefinition(Seq(
+        ColumnDefinition("event_id", RefType.IntegerT, required = true),
+        ColumnDefinition("value", RefType.DoubleT, required = true)))))
+    (1 to 6).foreach { b =>
+      lake.ingest.ingest("sales", "events", (1 to 10).map(i =>
+        s"""{"event_id": ${b * 100 + i}, "value": $i.5}"""))
+      lake.ingest.flushAll()
+      lake.silver.processEndpoint("sales", "events")
+    }
+    val silverDir = lake.silverPath("sales", "events")
+    val sql = "SELECT COUNT(*) AS n, SUM(value) AS s, MIN(event_id) AS lo," +
+      " MAX(event_id) AS hi FROM sales.silver.events"
+    val before = lake.query.run(sql).toOption.get.rows
+
+    def files = graft.core.Fs.children(Paths.get(silverDir))
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    val fragmented = files
+    assert(fragmented >= 6,
+      s"append sink should have accumulated per-batch files, saw $fragmented")
+
+    // OPTIMIZE: rewrite into right-sized files, atomic swap
+    val (was, now) = graft.sources.Compaction.compactTable(spark, silverDir)
+    assert(was == fragmented && now == 1,
+      s"60 rows must compact to ONE file, got $was -> $now")
+
+    // vacuum: the maintenance pass leaves no swap debris next to the
+    // table and clears orphaned cache compactions past retention
+    val parent = Paths.get(silverDir).getParent
+    assert(!graft.core.Fs.children(parent).exists(p =>
+      p.getFileName.toString.contains(".old-")
+        || p.getFileName.toString.contains(".tmp-")),
+      "compaction swap left .old/.tmp debris")
+    graft.sources.Compaction.vacuum(Nil, retentionMs = 0)
+
+    // results byte-identical through the whole loop
+    val after = lake.query.run(sql).toOption.get.rows
+    assert(after == before,
+      s"maintenance loop changed query results: $before -> $after")
+    assert(spark.read.parquet(silverDir).count() == 60)
+  }
+
   test("query API: rewrite + truncation flag + guard + friendly errors") {
     val lake = newLake()
     lake.registry.create(ordersSchema)
