@@ -15,6 +15,8 @@ HEADLINE = [
     "q06_window_latest_order", "q12_unnest_tokens",
     "q20_window_running_sum", "q23_minhash_signature",
     "q25_jaccard_neardups", "q27_cosine_topk",
+    "q101_tfidf_topk", "q105_shingle_novelty",
+    "q108_dedup_survivorship", "q111_cluster_quality",
 ]
 
 def main(sf_dir, bench_json=None):

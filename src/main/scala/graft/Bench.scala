@@ -72,7 +72,12 @@ object Bench {
     // the engine is a LONG-LIVED session by design (SURVEY §4.1 — the
     // reference's per-request cold start is the anti-pattern we drop),
     // so steady-state is the honest measurement.
-    val names = SparkEntry.benchQueries
+    // SPARK_GRAFT_ONLY: comma-separated subset filter for dev iteration
+    // (unset for the driver's full headline run)
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(f) => SparkEntry.benchQueries.filter(f.split(',').toSet)
+      case None    => SparkEntry.benchQueries
+    }
     // Build the frame FRESH inside every run (warmup and timed): operators
     // that persist an internal sketch frame (nearDuplicates' shingle sets)
     // register that persist at build time, and the clearCache between runs

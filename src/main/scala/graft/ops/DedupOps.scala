@@ -354,17 +354,25 @@ object DedupOps extends Serializable {
     * [[nearDuplicates]] path is the approximation to reach for when you
     * only need pairwise dups. */
   def shingleNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
-    val sh = shingleSets(spread(docs), n)
-      .select(col("doc_id"), explode(col("shset")).as("s"))
-    val owned = sh.withColumn("owner",
-      min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-    owned.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_sh"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_sh")).as("novelty"))
+    val base = shingleSets(spread(docs), n)
+    // One corpus-sized shuffle total: the ownership question ("which doc
+    // first used this shingle?") is a hash-aggregated min per shingle —
+    // partial (map-side) min, then ONE row per distinct shingle through
+    // the wire. A window over partitionBy(s) would shuffle the same rows
+    // but then SORT every partition and carry full rows back out to a
+    // per-doc re-aggregation; the agg form replaces that second
+    // corpus-sized pass with a doc-count-sized one (owners → n_novel).
+    // Per-doc totals ride along from shingleSets' precomputed n_sh —
+    // no exchange at all on that side.
+    val novel = base.select(col("doc_id"), explode(col("shset")).as("s"))
+      .groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    base.select(col("doc_id"), col("n_sh").cast("long").as("n_sh"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_sh"))
+          .as("novelty"))
   }
 
   /** Connected components over an undirected edge list by iterative

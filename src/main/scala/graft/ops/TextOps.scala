@@ -161,13 +161,24 @@ object TextOps {
     * final top-k window partitions by doc over tokens-per-doc-bounded
     * groups. No stage touches more than the distinct doc-term pairs. */
   def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = spread(docs)
+    // ONE fact-side exchange for the whole pipeline: repartitioning the
+    // (tiny) docs table by doc_id up front makes every downstream doc-keyed
+    // step exchange-free — HashPartitioning(doc_id) satisfies the
+    // ClusteredDistribution of BOTH the (doc_id, tok) tf aggregation and
+    // the final per-doc top-k window, so neither re-shuffles the exploded
+    // doc-term stream. The vocabulary side (df) is an aggregate of the
+    // already-reduced tf frame and broadcasts back (vocabulary ≪ corpus at
+    // any scale); its map side reuses the doc_id exchange. The rank<=k
+    // filter plans as WindowGroupLimit: a bounded per-group heap during
+    // the (local, exchange-free) window sort.
+    val tf = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "tok")
+    val scored = tf.join(broadcast(df), "tok")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))

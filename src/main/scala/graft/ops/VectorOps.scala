@@ -343,30 +343,59 @@ object VectorOps {
     * bit-identical across engines and partitionings:
     *   intra(L)  = Σ_{v∈L,g} (nl·x − s)² / nl³
     *   inter(i,j) = Σ_g (s_i·n_j − s_j·n_i)² / (n_i·n_j)²
-    * DECIMAL(38,0) bounds: |s·n| ≤ ~1e38 holds to ~1e16 members per
-    * label at |x|≤1e5 quantization — the same envelope as
-    * [[nearestCentroid]].
+    * The intra numerator uses the algebraic expansion
+    *   Σ_v (nl·x − s)² = nl²·Σx² − nl·s²   (per (label, g); Σx = s)
+    * — an identity over exact integers, so the result is bit-identical
+    * to the direct form while needing only per-(label,g) aggregates
+    * (Σx, Σx², count) instead of a second member-scale pass joining
+    * every row back to its centroid. DECIMAL(38,0) bounds: both forms
+    * sum nl³·1e10-scale terms, holding to ~1e9 members per label at
+    * |x|≤1e5 quantization; Σx² itself is summed under a DECIMAL cast
+    * (the x·x multiply stays codegen'd int64).
     *
-    * Scale: TWO member-scale passes — the centroid build and the intra
-    * join — plus a labels²-sized centroid self-join that never touches
-    * the big side. The tiny centroid frame is materialized once
-    * (localCheckpoint) so its three consumers (broadcast + both
-    * self-join sides) don't each re-run the corpus aggregation. */
+    * Scale: ONE member-scale pass — the per-(label,g) moment aggregation,
+    * which reduces map-side to labels×dims rows per task regardless of
+    * input layout — plus a labels²-sized centroid self-join that never
+    * touches the big side. The member scan is NOT pre-repartitioned: a
+    * real embedding table is multi-file parquet that splits natively
+    * across the cluster, so an up-front exchange would shuffle the whole
+    * vector table once for nothing. The tiny moment frame's shuffle is
+    * shared by its consumers (intra, both self-join sides) via exchange
+    * reuse. */
   def clusterQuality(vectors: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val wide = DecimalType(38, 0)
-    val xv = spread(vectors)
+    // NULL-label rows are excluded up front: a row with no cluster label
+    // has no centroid (the reference semantics — a null-rejecting join on
+    // label — drop it from both metrics), and the explicit filter also
+    // makes the member subplan canonically identical to the one the
+    // centroid self-join infers (isnotnull from li <> lj), so the member
+    // exchange is computed ONCE and reused instead of re-scanned per
+    // consumer.
+    val xv = vectors
+      .filter(col("label").isNotNull)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         posexplode(quantized(col("embedding"))).as(Seq("pos", "x")))
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("g"), col("x"))
+    // The labels×dims moment frame feeds three consumers (intra, both
+    // self-join sides). Exchange reuse alone cannot share the member
+    // pass here: column pruning strips the Σx² column from the self-join
+    // sides' aggregate, making their exchange canonically different from
+    // the intra side's. Persisting the (tiny, bounded) frame pins the
+    // un-pruned plan, so the corpus is scanned and aggregated exactly
+    // once per evaluation at any scale.
     val cent = xv.groupBy(col("label"), col("g"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("nl"))
-      .localCheckpoint()
-    // intra: members joined to their OWN centroid rows; one exact agg
-    val term = col("nl").cast(wide) * col("x") - col("s")
-    val intra = xv.join(broadcast(cent), Seq("label", "g"))
+      .agg(sum(col("x")).as("s"),
+        sum((col("x") * col("x")).cast(wide)).as("q"),
+        count(lit(1)).as("nl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // intra via the expansion above: no member-scale join back
+    val nlW = col("nl").cast(wide)
+    val intra = cent
       .groupBy(col("label"))
-      .agg(max(col("nl")).as("nl"), sum(term * term).as("intra_num"))
+      .agg(max(col("nl")).as("nl"),
+        sum(nlW * nlW * col("q") - nlW * (col("s").cast(wide) * col("s")))
+          .as("intra_num"))
       .select(col("label"), col("nl"),
         (col("intra_num").cast("double") /
           (col("nl").cast(wide) * col("nl") * col("nl")).cast("double"))

@@ -166,7 +166,18 @@ object CurationQueries {
                    ORDER BY score DESC, tok ASC) AS rank
           FROM scored)
         SELECT doc_id, rank, tok, tf, score
-        FROM ranked WHERE rank <= 3""")),
+        FROM ranked WHERE rank <= 3"""),
+      bench = true,
+      // The heavy stage (doc-keyed explode → tf → window) runs at an
+      // explicit defaultParallelism repartition; the only
+      // shuffle.partitions-sized exchange left is the vocabulary
+      // aggregate, whose reduce side is partial-agg-shrunk to
+      // vocab-per-mapper rows — a handful of reducers is right-sized and
+      // AQE's per-stage barriers have nothing to re-plan. Semantics-free,
+      // applied identically by Bench and Verify.
+      confs = Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "4")),
 
     // ---- domain-mixing resample to equal per-stratum shares -------------
     "q104_mixture_resample" -> QueryDef(

@@ -201,7 +201,7 @@ object LlmOps {
           FROM j)
         SELECT doc_id, cluster_id, keep_id, (doc_id = keep_id) AS keep
         FROM champ ORDER BY doc_id"""),
-      bench = false),
+      bench = true),
 
     // No ORDER BY: the driver's compare sorts rows itself, and a global
     // sort here would range-sample the whole LSH pipeline a second time.
@@ -409,10 +409,12 @@ object LlmOps {
         FROM pred GROUP BY 1""")),
 
     // ---- embedding cluster-quality QA (exact intra/inter/separation) ----
+    // No ORDER BY on the Spark side: the driver's compare sorts rows
+    // itself (q25 precedent), and a global sort would add a range
+    // exchange + sort stage to a 10-row result.
     "q111_cluster_quality" -> QueryDef(
       build = (spark, dir) =>
-        VectorOps.clusterQuality(Tables.load(spark, dir, "embeddings"))
-          .orderBy(col("label")),
+        VectorOps.clusterQuality(Tables.load(spark, dir, "embeddings")),
       oracle = Some(s"""
         WITH $quantCte,
         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
@@ -443,8 +445,17 @@ object LlmOps {
         SELECT i.label, i.nl, i.intra, n.nearest_label, n.inter,
                n.inter / i.intra AS separation
         FROM intra i LEFT JOIN nearest n USING (label)
-        ORDER BY i.label"""))
-      ,
+        ORDER BY i.label"""),
+      bench = true,
+      // Every exchange past the explicit defaultParallelism member spread
+      // is labels×dims-sized (≤ a few hundred rows at ANY corpus size —
+      // the aggregates reduce to per-cluster sums); two reducers are
+      // right-sized for those and AQE's stage barriers only add latency.
+      // Semantics-free, applied identically by Bench and Verify.
+      confs = Map(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "1",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
 
     // ---- language-ID accuracy against the labeled lang column ------------
     "q50_langid_accuracy" -> QueryDef(
@@ -650,7 +661,8 @@ object LlmOps {
             AS n_novel,
           CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
             * 1.0 / COUNT(*) AS novelty
-        FROM o GROUP BY doc_id ORDER BY doc_id""")),
+        FROM o GROUP BY doc_id ORDER BY doc_id"""),
+      bench = true),
 
     // ---- conjunctive term search (scan-side predicate, no index) --------
     "q106_term_search" -> QueryDef(
