@@ -88,7 +88,11 @@ object Bench {
     // TWO warmup passes: the first compiles codegen and faults pages, the
     // second lets C2 JIT the hot generated loops — single-pass warmup was
     // measured leaving the heaviest query ~40% above its steady state.
-    (1 to 2).foreach { _ =>
+    // SPARK_GRAFT_WARMUPS / SPARK_GRAFT_ROUNDS: dev knobs for long runs
+    // (the sf1 scaling study); defaults match the driver's contract.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "2").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "7").toInt
+    (1 to warmups).foreach { _ =>
       names.foreach { name =>
         try SparkEntry.withQueryConfs(spark, name) {
           spark.sharedState.cacheManager.clearCache()
@@ -103,7 +107,7 @@ object Bench {
     // in the same bad window. Interleaving decorrelates the repeats;
     // the per-query min is the honest steady-state.
     val best = scala.collection.mutable.Map[String, Double]()
-    (1 to 7).foreach { _ =>
+    (1 to rounds).foreach { _ =>
       names.foreach { name =>
         // drop cached intermediates (persisted sketch frames) so each
         // timed run measures the full computation, not cache reuse
