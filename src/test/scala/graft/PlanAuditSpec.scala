@@ -22,8 +22,14 @@ class PlanAuditSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // Audit the plan under the query's declared execution settings — the
+  // same path Bench and Verify run — so the asserted shape is the shape
+  // that actually executes (e.g. q101 pins AQE off, making static
+  // exchange reuse visible).
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    SparkEntry.withQueryConfs(spark, name) {
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    }
 
   test("q02: filter is pushed to the parquet scan and columns are pruned") {
     val p = plan("q02_filter_project")
@@ -183,5 +189,49 @@ class PlanAuditSpec extends AnyFunSuite {
     // the candidate side must never hash-exchange for the join itself
     assert(p.contains("BroadcastExchange"),
       s"query side should broadcast:\n$p")
+  }
+
+  test("q101 tf-idf: ONE doc-stream shuffle; vocabulary broadcasts back; " +
+      "top-k is a group limit") {
+    val p = plan("q101_tfidf_topk")
+    // the exploded doc-term stream shuffles exactly once (the up-front
+    // doc_id repartition); tf-agg and the per-doc window both reuse that
+    // partitioning, the df branch re-reads it via ReusedExchange (don't
+    // count the reference line as a shuffle), and df comes back broadcast
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(shuffles <= 2,
+      s"expected ≤2 hash exchanges (doc spread + vocab agg), found $shuffles:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"df branch should reuse the doc_id exchange, not recompute the scan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"vocabulary side should broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k lost the group-limit pushdown:\n$p")
+  }
+
+  test("q105 shingle novelty: aggregation shape, no window over the " +
+      "shingle stream") {
+    val p = plan("q105_shingle_novelty")
+    assert(!p.contains("Window"),
+      s"novelty must not sort the corpus-scale shingle stream in a window:\n$p")
+    // ownership is a hash-aggregated min per shingle: map-side partial
+    // before the only corpus-scale exchange
+    assert(p.contains("partial_min") || p.contains("partial_merge")
+        || "HashAggregate".r.findAllIn(p).length >= 4,
+      s"shingle ownership should partial-aggregate map-side:\n$p")
+  }
+
+  test("q111 cluster quality: ONE member-scale pass (single parquet scan), " +
+      "bounded tail") {
+    val p = plan("q111_cluster_quality")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    val cached = "InMemoryTableScan".r.findAllIn(p).length
+    // the persisted moment frame pins plan sharing: every consumer reads
+    // the cache, so the member corpus is scanned exactly once regardless
+    // of how many metrics derive from it
+    assert(cached >= 2, s"moment frame should be read from cache:\n$p")
+    assert(scans <= cached,
+      s"member corpus must not be re-scanned per consumer ($scans parquet scans):\n$p")
   }
 }
