@@ -344,74 +344,71 @@ object VectorOps {
     *   intra(L)  = Σ_{v∈L,g} (nl·x − s)² / nl³
     *   inter(i,j) = Σ_g (s_i·n_j − s_j·n_i)² / (n_i·n_j)²
     * The intra numerator uses the algebraic expansion
-    *   Σ_v (nl·x − s)² = nl²·Σx² − nl·s²   (per (label, g); Σx = s)
+    *   Σ_v,g (nl·x − s)² = nl·(nl·Σq − Σs²)   (per label; Σ_v x_g = s_g)
     * — an identity over exact integers, so the result is bit-identical
-    * to the direct form while needing only per-(label,g) aggregates
-    * (Σx, Σx², count) instead of a second member-scale pass joining
-    * every row back to its centroid. DECIMAL(38,0) bounds: both forms
-    * sum nl³·1e10-scale terms, holding to ~1e9 members per label at
-    * |x|≤1e5 quantization; Σx² itself is summed under a DECIMAL cast
-    * (the x·x multiply stays codegen'd int64).
+    * to the direct form while needing only per-label moment aggregates
+    * (element-wise Σx, Σx², count) instead of a second member-scale
+    * pass joining every row back to its centroid. DECIMAL(38,0) bounds:
+    * both forms sum nl³·1e10-scale terms, holding to ~1e9 members per
+    * label at |x|≤1e5 quantization; the int64 moment buffers themselves
+    * fail loudly past ~10⁸ members per label (vec_moments uses addExact).
     *
-    * Scale: ONE member-scale pass — the per-(label,g) moment aggregation,
-    * which reduces map-side to labels×dims rows per task regardless of
-    * input layout — plus a labels²-sized centroid self-join that never
-    * touches the big side. The member scan is NOT pre-repartitioned: a
-    * real embedding table is multi-file parquet that splits natively
-    * across the cluster, so an up-front exchange would shuffle the whole
-    * vector table once for nothing. The tiny moment frame's shuffle is
-    * shared by its consumers (intra, both self-join sides) via exchange
-    * reuse. */
+    * Scale: ONE member-scale pass with rows kept WHOLE — the per-label
+    * `vec_moments` aggregate (functions/VecMoments) folds each vector
+    * into a labels-sized Array[Long] buffer map-side, so the dims×
+    * row inflation a posexplode + (label, dim)-keyed aggregation pays is
+    * gone and only labels × dims longs reach the exchange — plus a
+    * labels²-sized centroid self-join that never touches the big side.
+    * The member scan is NOT pre-repartitioned: a real embedding table is
+    * multi-file parquet that splits natively across the cluster, so an
+    * up-front exchange would shuffle the whole vector table once for
+    * nothing. */
   def clusterQuality(vectors: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val wide = DecimalType(38, 0)
+    val decZero = lit(0).cast(wide)
     // NULL-label rows are excluded up front: a row with no cluster label
     // has no centroid (the reference semantics — a null-rejecting join on
-    // label — drop it from both metrics), and the explicit filter also
-    // makes the member subplan canonically identical to the one the
-    // centroid self-join infers (isnotnull from li <> lj), so the member
-    // exchange is computed ONCE and reused instead of re-scanned per
-    // consumer.
-    val xv = vectors
+    // label — drop it from both metrics).
+    // The per-label moment frame feeds three consumers (intra, both
+    // self-join sides); persisting the (tiny, labels-bounded) frame pins
+    // the member pass to exactly one evaluation at any scale.
+    // raw float arrays stream straight into the aggregate (it quantizes
+    // inline, bit-identically to `quantized`) — no interpreted transform
+    // lambda between the scan and the buffer
+    val m = vectors
       .filter(col("label").isNotNull)
-      .select(col("vec_id"), col("label").cast("long").as("label"),
-        posexplode(quantized(col("embedding"))).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("label"), (col("pos") + 1).as("g"), col("x"))
-    // The labels×dims moment frame feeds three consumers (intra, both
-    // self-join sides). Exchange reuse alone cannot share the member
-    // pass here: column pruning strips the Σx² column from the self-join
-    // sides' aggregate, making their exchange canonically different from
-    // the intra side's. Persisting the (tiny, bounded) frame pins the
-    // un-pruned plan, so the corpus is scanned and aggregated exactly
-    // once per evaluation at any scale.
-    val cent = xv.groupBy(col("label"), col("g"))
-      .agg(sum(col("x")).as("s"),
-        sum((col("x") * col("x")).cast(wide)).as("q"),
-        count(lit(1)).as("nl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // intra via the expansion above: no member-scale join back
-    val nlW = col("nl").cast(wide)
-    val intra = cent
+      .select(col("label").cast("long").as("label"), col("embedding"))
       .groupBy(col("label"))
-      .agg(max(col("nl")).as("nl"),
-        sum(nlW * nlW * col("q") - nlW * (col("s").cast(wide) * col("s")))
-          .as("intra_num"))
-      .select(col("label"), col("nl"),
-        (col("intra_num").cast("double") /
-          (col("nl").cast(wide) * col("nl") * col("nl")).cast("double"))
-          .as("intra"))
-    // inter: centroid-pair distances on the tiny labels×dims frame
-    val ci = cent.select(col("label").as("li"), col("g"),
-      col("s").as("si"), col("nl").as("ni"))
-    val cj = cent.select(col("label").as("lj"), col("g"),
-      col("s").as("sj"), col("nl").as("nj"))
-    val cross = col("si").cast(wide) * col("nj") - col("sj").cast(wide) * col("ni")
-    val pairD2 = ci.join(cj, ci("g") === cj("g") && col("li") =!= col("lj"))
-      .groupBy(col("li"), col("lj"))
-      .agg(sum(cross * cross).as("num"),
-        max(col("ni")).as("ni"), max(col("nj")).as("nj"))
+      .agg(graft.functions.VecMoments(col("embedding")).as("m"))
+      .select(col("label"), col("m.n").as("nl"), col("m.s").as("s"),
+        col("m.q").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // intra via the expansion above: Σ_g folds run over labels × dims
+    // array elements (tiny), in exact decimal
+    val nlW = col("nl").cast(wide)
+    val sumQ = aggregate(col("q"), decZero,
+      (acc, x) => (acc + x.cast(wide)).cast(wide))
+    val sumS2 = aggregate(col("s"), decZero,
+      (acc, x) => (acc + x.cast(wide) * x.cast(wide)).cast(wide))
+    val intra = m.select(col("label"), col("nl"),
+      ((nlW * (nlW * sumQ - sumS2)).cast("double") /
+        (nlW * col("nl") * col("nl")).cast("double")).as("intra"))
+    // inter: centroid-pair distances on the labels² self-join; the
+    // per-dimension cross terms fold over the two moment arrays in exact
+    // decimal (labels² × dims lambda evaluations — interpreted, but the
+    // frame is labels-bounded, never corpus-scale)
+    val ci = m.select(col("label").as("li"), col("s").as("si"),
+      col("nl").as("ni"))
+    val cj = m.select(col("label").as("lj"), col("s").as("sj"),
+      col("nl").as("nj"))
+    val num = aggregate(
+      zip_with(col("si"), col("sj"), (a, b) =>
+        (a.cast(wide) * col("nj") - b.cast(wide) * col("ni")).cast(wide)),
+      decZero, (acc, t) => (acc + t * t).cast(wide))
+    val pairD2 = ci.join(cj, col("li") =!= col("lj"))
       .select(col("li"), col("lj"),
-        (col("num").cast("double") /
+        (num.cast("double") /
           (col("ni").cast(wide) * col("nj") * col("ni") * col("nj"))
             .cast("double")).as("inter"))
     val nearest = pairD2.groupBy(col("li").as("label"))
