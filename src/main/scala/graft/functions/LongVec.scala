@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Static helpers the generated code calls: tight primitive loops over
   * two long-array columns, no per-element boxing. */
@@ -35,6 +35,22 @@ object GraftVec {
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) nullElement("dist2_long", i)
       val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Σ (aᵢ−mᵢ)² for an int64 vector against a float64 centroid — the
+    * IEEE fold runs in strict index order, bit-identical to the composed
+    * `aggregate(zip_with(a, m, (x, c) => (x−c)²), 0.0, +)` it replaces. */
+  def dist2d(a: ArrayData, m: ArrayData): Double = {
+    val n = math.min(a.numElements(), m.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || m.isNullAt(i)) nullElement("dist2_ld", i)
+      val d = a.getLong(i).toDouble - m.getDouble(i)
       s += d * d
       i += 1
     }
@@ -101,10 +117,41 @@ case class Dist2Long(left: Expression, right: Expression) extends LongVecKernel 
       newRight: Expression): Dist2Long = copy(left = newLeft, right = newRight)
 }
 
+/** Σ (aᵢ−mᵢ)² of an ARRAY<BIGINT> vector against an ARRAY<DOUBLE>
+  * centroid (k-means assignment hot path: vectors × centroids
+  * evaluations per Lloyd round). */
+case class Dist2LongDouble(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def prettyName: String = "dist2_ld"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<BIGINT>, ARRAY<DOUBLE>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVec.dist2d(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVec.dist2d($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Dist2LongDouble =
+    copy(left = newLeft, right = newRight)
+}
+
 object LongVec {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotLong(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def dist2(a: Column, b: Column): Column =
     GraftBridge.column(Dist2Long(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def dist2d(a: Column, m: Column): Column =
+    GraftBridge.column(Dist2LongDouble(GraftBridge.expression(a), GraftBridge.expression(m)))
 }

@@ -203,11 +203,14 @@ object VectorOps {
     * folded in fixed array order, argmin as a sort-free min_by hash
     * aggregation with deterministic (dist2, cell_id) ties. */
   private def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame = {
+    // fused codegen kernel (functions.LongVec.dist2d): the composed
+    // aggregate(zip_with(...)) form interprets its lambda per element —
+    // vectors × centroids × dims interpreted evals per Lloyd round; the
+    // kernel folds in the same strict index order (bit-identical IEEE
+    // sums) inside whole-stage codegen
     val d = v.join(broadcast(cents))
       .select(col("vec_id"), col("cell_id"),
-        aggregate(zip_with(col("qv"), col("cm"),
-            (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
-          lit(0.0), (acc, t) => acc + t).as("dist2"))
+        graft.functions.LongVec.dist2d(col("qv"), col("cm")).as("dist2"))
     d.groupBy(col("vec_id"))
       .agg(min_by(struct(col("cell_id"), col("dist2")),
         struct(col("dist2"), col("cell_id"))).as("m"))
@@ -219,11 +222,16 @@ object VectorOps {
     * sums, member counts, and the double means the next Lloyd round uses.
     * Returns (cell_id, g, s, c, cm) with g 1-based. */
   private def centroidStats(v: DataFrame, asg: DataFrame): DataFrame =
+    // rows stay whole through the member-scale pass (vec_moments buffers
+    // the per-cell element-wise sums map-side); only the cells-sized
+    // moment frame is exploded back to the per-(cell, dim) layout
     asg.join(v, "vec_id")
-      .select(col("cell_id"), posexplode(col("qv")).as(Seq("pos", "x")))
-      .groupBy(col("cell_id"), (col("pos") + 1).cast("long").as("g"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
-      .withColumn("cm", col("s").cast("double") / col("c"))
+      .groupBy(col("cell_id"))
+      .agg(graft.functions.VecMoments(col("qv")).as("m"))
+      .select(col("cell_id"), col("m.n").as("c"),
+        posexplode(col("m.s")).as(Seq("pos", "s")))
+      .select(col("cell_id"), (col("pos") + 1).cast("long").as("g"),
+        col("s"), col("c"), (col("s").cast("double") / col("c")).as("cm"))
 
   /** ONE exact Lloyd step, exposed for oracle verification
     * (q73b_kmeans_iter1): assignment against the seed centroids — all

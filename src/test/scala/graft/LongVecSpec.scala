@@ -37,6 +37,32 @@ class LongVecSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("dist2d matches the composed IEEE fold bit-for-bit") {
+    val emb = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = emb.select(col("vec_id").as("ai"),
+      VectorOps.quantized(col("embedding")).as("av"))
+    // irrational-ish double centroids: means over a 7-row group, so the
+    // (x−m)² terms exercise real rounding, not integer-valued doubles
+    val m = emb.select((col("vec_id") % 11).as("mi"),
+        VectorOps.quantized(col("embedding")).as("v"))
+      .select(col("mi"), posexplode(col("v")).as(Seq("g", "x")))
+      .groupBy(col("mi"), col("g")).agg(avg(col("x")).as("c"))
+      .groupBy(col("mi"))
+      .agg(transform(array_sort(collect_list(struct(col("g"), col("c")))),
+        t => t.getField("c")).as("mv"))
+    val cmp = a.join(m, col("ai") % 11 === col("mi"))
+      .select(
+        LongVec.dist2d(col("av"), col("mv")).as("fk"),
+        aggregate(zip_with(col("av"), col("mv"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, t) => acc + t).as("ck"))
+    assert(cmp.count() > 0)
+    // bit-identity, not approximate equality: compare the raw bits
+    assert(cmp.filter(
+      expr("cast(fk as string) <> cast(ck as string)")).count() == 0)
+  }
+
   test("null arrays propagate to null") {
     import spark.implicits._
     val df = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]]))
