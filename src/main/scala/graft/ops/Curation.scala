@@ -91,6 +91,85 @@ object Curation {
   def maskedRunCount(c: Column, minRun: Int = 6): Column =
     size(regexp_extract_all(c, lit(s"[0-9]{$minRun,}"), lit(0)))
 
+  /** Bloom-prefiltered benchmark-contamination check — the 100 TB shape
+    * of [[contamination]]: build ONE Bloom filter over the benchmark
+    * side's distinct shingles (benchmark suites are small by definition;
+    * the filter is `numBits/8` bytes however many docs they hold), inline
+    * it as a foldable binary so the probe folds into the corpus scan, and
+    * only bloom-surviving shingles — true positives plus the sized
+    * false-positive rate — reach the exact verification join. The corpus
+    * shingle stream is filtered at scan width with NO shuffle before the
+    * (already tiny) broadcast join.
+    *
+    * Correctness anchor: Bloom filters have NO false negatives, so the
+    * output is IDENTICAL to the exact [[contamination]] — the oracle that
+    * hash-checks the exact form verifies the bloom path end-to-end (a
+    * dropped true positive would change the result). */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8, threshold: Long = 1L,
+      numBits: Long = 1L << 22): DataFrame = {
+    val benchSh = DedupOps.charShingles(benchmark, n)
+      .select(col("s")).distinct()
+    val filter = graft.functions.Bloom.buildFilter(
+      benchSh, col("s"), expectedItems = numBits / 16, numBits = numBits)
+    DedupOps.charShingles(corpus, n)
+      .filter(graft.functions.Bloom.mightContain(filter, col("s")))
+      .join(broadcast(benchSh), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= threshold)
+  }
+
+  /** Sliding-window document chunking with overlap (RAG / context-window
+    * prep): token windows of `size` starting every `stride` tokens, the
+    * last window short if the document ends mid-window. Returns one row
+    * per (doc, chunk): (doc_id, chunk_id, start, chunk_len, chunk_text)
+    * with `start` 1-based and `chunk_id = (start−1)/stride + 1`.
+    *
+    * Scale: pure per-row map work — tokenize once, fan each document out
+    * to ~n_tok/stride rows, slice from the SAME tokens array (no
+    * re-tokenization per chunk); no shuffle, no state, embarrassingly
+    * parallel at any corpus size. */
+  def chunkDocuments(docs: DataFrame, size: Int = 16,
+      stride: Int = 8): DataFrame = {
+    val chunk = slice(col("toks"), col("start"), lit(size))
+    docs.select(col("doc_id"), graft.queries.Q.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1),
+          greatest(org.apache.spark.sql.functions.size(col("toks")), lit(1)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (((col("start") - 1) / stride) + 1).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        org.apache.spark.sql.functions.size(chunk).cast("long")
+          .as("chunk_len"),
+        concat_ws(" ", chunk).as("chunk_text"))
+  }
+
+  // PII patterns shared by redactPii and its audit counts — RE2-safe so
+  // the same regexes run in Spark (Java regex) and DuckDB (RE2), with no
+  // constructs whose greedy/backtracking semantics differ between the
+  // engines on these shapes.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact personally-identifying spans — emails, +CC-NNN-NNNN phone
+    * numbers, IPv4 addresses — with fixed placeholders (the standard
+    * pre-training scrub). Email replacement runs FIRST so a dotted mail
+    * domain can't be half-eaten by the IPv4 rule. Per-row map work only. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipv4Re, "[IP]")
+
+  /** Audit count of matches for one PII pattern (run it against the
+    * PRE-redaction text). */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
   /** Concat-and-chunk sequence packing: documents are laid out in doc_id
     * order and cut into fixed token-budget packs; a document's pack is its
     * START offset divided by the budget (the packing used to build fixed-

@@ -249,6 +249,101 @@ object CurationQueries {
                COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM f GROUP BY split ORDER BY split""")),
 
+    // ---- Bloom-prefiltered contamination (the 100 TB contamination
+    // shape). No false negatives ⇒ output equals the exact form, so the
+    // exact-contamination oracle hash-verifies the bloom path itself.
+    "q115_bloom_contamination" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        Curation.bloomContamination(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH shc AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS s
+          FROM (SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(len(text) - 7, 1))) AS g
+                FROM documents WHERE source <> 'src0')),
+        shb AS (SELECT DISTINCT substr(text, g, 8) AS s
+          FROM (SELECT text,
+                  unnest(generate_series(1, greatest(len(text) - 7, 1))) AS g
+                FROM documents WHERE source = 'src0'))
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM shc JOIN shb USING (s)
+        GROUP BY doc_id HAVING COUNT(*) >= 1 ORDER BY doc_id""")),
+
+    // ---- sliding-window chunking with overlap (RAG / context prep) ------
+    "q113_chunk_overlap" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.chunkDocuments(t(spark, dir, "documents"),
+            size = 16, stride = 8)
+          .orderBy(col("doc_id"), col("chunk_id")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        st AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks), 1), 8))
+                   AS start
+               FROM tk)
+        SELECT doc_id,
+          (start - 1) // 8 + 1 AS chunk_id,
+          start,
+          CAST(len(toks[start:least(start + 15, len(toks))]) AS BIGINT)
+            AS chunk_len,
+          array_to_string(toks[start:least(start + 15, len(toks))], ' ')
+            AS chunk_text
+        FROM st ORDER BY doc_id, chunk_id""")),
+
+    // ---- PII redaction (emails / phones / IPv4 → placeholders) ----------
+    // PII is injected deterministically into a third of the corpus so the
+    // scrub exercises real matches AND untouched rows; counts audit the
+    // pre-redaction text.
+    "q114_pii_redaction" -> QueryDef(
+      build = (spark, dir) => {
+        val seeded = t(spark, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"),
+                lit(" contact user"), col("doc_id").cast("string"),
+                lit("@mail.example or call +1-555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+                lit(" from "), (col("doc_id") % 256).cast("string"),
+                lit(".0.0.1")))
+              .otherwise(col("text")).as("text2"))
+        seeded.select(col("doc_id"),
+            Curation.piiCount(col("text2"), Curation.emailRe).as("n_emails"),
+            Curation.piiCount(col("text2"), Curation.phoneRe).as("n_phones"),
+            Curation.piiCount(col("text2"), Curation.ipv4Re).as("n_ips"),
+            Curation.redactPii(col("text2")).as("redacted"))
+          .filter(col("n_emails") + col("n_phones") + col("n_ips") > 0
+            || col("doc_id") % 10 === 1)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(raw"""
+        WITH seeded AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN
+            text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+              '@mail.example or call +1-555-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+              ' from ' || CAST(doc_id % 256 AS VARCHAR) || '.0.0.1'
+          ELSE text END AS text2 FROM documents),
+        scrub AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text2,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(text2,
+            '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(text2,
+            '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+          regexp_replace(regexp_replace(regexp_replace(text2,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+            '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS redacted
+        FROM seeded)
+        SELECT doc_id, n_emails, n_phones, n_ips, redacted FROM scrub
+        WHERE n_emails + n_phones + n_ips > 0 OR doc_id % 10 = 1
+        ORDER BY doc_id""")),
+
     // ---- per-source token-budget cap (hash-priority admission) ----------
     "q110_token_budget_cap" -> QueryDef(
       build = (spark, dir) => {

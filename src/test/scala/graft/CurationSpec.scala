@@ -128,6 +128,60 @@ class CurationSpec extends AnyFunSuite {
     assert(frac > 0.6 && frac < 0.8, s"train fraction $frac")
   }
 
+  test("chunkDocuments: every token covered, overlap correct, last chunk short") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 toks: 3 chunks
+      (2L, "a b c"),                                  // shorter than size
+      (3L, "")                                        // degenerate
+    ).toDF("doc_id", "text")
+    val ch = Curation.chunkDocuments(docs, size = 16, stride = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    val d1 = ch.filter(_._1 == 1L)
+    assert(d1.map(_._3).toList == List(1L, 9L, 17L)) // starts every stride
+    assert(d1.map(_._4).toList == List(16L, 12L, 4L)) // last chunks short
+    assert(d1.head._5.startsWith("t1 t2 ") && d1.last._5 == "t17 t18 t19 t20")
+    // coverage: token t10 appears in chunks starting at 1 and 9 (overlap)
+    assert(d1.count(_._5.split(" ").contains("t10")) == 2)
+    assert(ch.filter(_._1 == 2L).toList == List((2L, 1L, 1L, 3L, "a b c")))
+    assert(ch.filter(_._1 == 3L).length == 1) // one degenerate empty chunk
+  }
+
+  test("redactPii scrubs emails/phones/IPs and leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jo.doe+x@sub.example.org or +44-123-4567 ok"),
+      (2L, "server 10.0.255.3 rebooted"),
+      (3L, "nothing sensitive here")
+    ).toDF("id", "t")
+    val r = df.select(col("id"), Curation.redactPii(col("t")).as("r"),
+        Curation.piiCount(col("t"), Curation.emailRe).as("ne"),
+        Curation.piiCount(col("t"), Curation.phoneRe).as("np"),
+        Curation.piiCount(col("t"), Curation.ipv4Re).as("ni"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).sortBy(_._1)
+    assert(r(0)._2 == "reach me at [EMAIL] or [PHONE] ok")
+    assert((r(0)._3, r(0)._4, r(0)._5) == ((1L, 1L, 0L)))
+    assert(r(1)._2 == "server [IP] rebooted" && r(1)._5 == 1L)
+    assert(r(2)._2 == "nothing sensitive here"
+      && (r(2)._3, r(2)._4, r(2)._5) == ((0L, 0L, 0L)))
+  }
+
+  test("bloomContamination equals exact contamination (no false negatives)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val exact = Curation.contamination(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val bloom = Curation.bloomContamination(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(exact.nonEmpty, "fixture should produce contaminated docs")
+    assert(bloom.toList == exact.toList)
+  }
+
   test("tfIdfTopK: rare term outranks common term at equal tf") {
     import spark.implicits._
     // 'rare' appears in 1 doc; every other token appears in all 4 docs
