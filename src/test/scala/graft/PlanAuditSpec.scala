@@ -233,5 +233,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cached >= 2, s"moment frame should be read from cache:\n$p")
     assert(scans <= cached,
       s"member corpus must not be re-scanned per consumer ($scans parquet scans):\n$p")
+    // rows stay WHOLE through the member pass: vec_moments aggregates the
+    // raw embedding arrays (hash-based object aggregation, partial before
+    // the exchange), with no Generate (posexplode) inflating the stream
+    // dims-fold anywhere in the plan
+    assert(!p.contains("Generate"),
+      s"member stream must not be exploded:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"vec_moments should run as hash-based object aggregation, not " +
+        s"sort-based:\n$p")
+    assert(p.contains("partial_vecmoments") || p.contains("partial_vec_moments")
+        || p.toLowerCase.contains("vecmoments") || p.contains("vec_moments"),
+      s"member pass should be the vec_moments aggregate:\n$p")
   }
 }
