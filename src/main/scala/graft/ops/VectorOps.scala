@@ -274,6 +274,37 @@ object VectorOps {
     out
   }
 
+  /** Symmetric int8 scalar-quantization QA (embedding compression):
+    * per vector, the max-magnitude scale, the saturated-code count, and
+    * the exact reconstruction MSE of `code = floor(x·127 / amax)` codes
+    * dequantized as `code·amax/127`.
+    *
+    * Exactness: amax and the codes derive from the exact int64-quantized
+    * components (`quantized`); the only floating steps are one IEEE
+    * division per element and the error fold, both in strict array order
+    * — bit-identical across engines. Zero vectors take amax=1 so codes
+    * and error are exactly 0 (documented convention, not a div-by-zero).
+    *
+    * Scale: pure per-row map work over the vector column — no shuffle,
+    * no state; runs at scan width on any corpus size. */
+  def int8QuantQA(vectors: DataFrame): DataFrame = {
+    vectors
+      .select(col("vec_id"), quantized(col("embedding")).as("xq"))
+      .select(col("vec_id"), col("xq"), greatest(
+        array_max(transform(col("xq"), x => abs(x))), lit(1L)).as("amax"))
+      .select(col("vec_id"), col("amax"),
+        size(filter(transform(col("xq"), x =>
+            floor((x * 127).cast("double") / col("amax"))),
+          c => abs(c) === 127)).cast("long").as("n_sat"),
+        (aggregate(transform(col("xq"), x => {
+            val err = x.cast("double") -
+              floor((x * 127).cast("double") / col("amax")) *
+                col("amax").cast("double") / 127.0d
+            err * err
+          }), lit(0.0), (acc, e) => acc + e) /
+          size(col("xq")).cast("double")).as("mse"))
+  }
+
   /** Label-consistency check by exact nearest-centroid classification:
     * build the per-label centroid of the quantized embeddings, assign
     * every vector to its nearest centroid, and report per-label

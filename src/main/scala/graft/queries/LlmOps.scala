@@ -457,6 +457,36 @@ object LlmOps {
         "spark.sql.shuffle.partitions" -> "1",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
 
+    // ---- symmetric int8 quantization QA (embedding compression) ---------
+    // Both sides fold the per-element error terms in strict list order
+    // (Spark `aggregate`, DuckDB `list_aggregate('sum')`), so the double
+    // sums are bit-identical — no shuffle-order double summation.
+    "q116_int8_quant" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.int8QuantQA(Tables.load(spark, dir, "embeddings")),
+      oracle = Some(raw"""
+        WITH q AS (SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS xq
+          FROM embeddings),
+        a AS (SELECT vec_id, xq,
+            greatest(list_aggregate(list_transform(xq, x -> abs(x)), 'max'),
+              1) AS amax
+          FROM q)
+        SELECT vec_id, amax,
+          CAST(len(list_filter(xq, x ->
+            abs(CAST(floor(CAST(x * 127 AS DOUBLE) / amax) AS BIGINT)) = 127))
+            AS BIGINT) AS n_sat,
+          list_aggregate(list_transform(xq, x ->
+            (CAST(x AS DOUBLE)
+              - CAST(floor(CAST(x * 127 AS DOUBLE) / amax) AS BIGINT)
+                * CAST(amax AS DOUBLE) / 127.0)
+            * (CAST(x AS DOUBLE)
+              - CAST(floor(CAST(x * 127 AS DOUBLE) / amax) AS BIGINT)
+                * CAST(amax AS DOUBLE) / 127.0)), 'sum')
+            / len(xq) AS mse
+        FROM a ORDER BY vec_id""")),
+
     // ---- language-ID accuracy against the labeled lang column ------------
     "q50_langid_accuracy" -> QueryDef(
       build = (spark, dir) => {

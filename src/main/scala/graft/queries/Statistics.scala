@@ -782,6 +782,38 @@ object Statistics {
                quantile_cont(o_totalprice, 0.9) AS p90_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- percentile-sketch rank-error bound (q57b pattern for the
+    // quantile sketch family): percentile_approx at accuracy 100
+    // guarantees the returned value's rank interval overlaps
+    // [n/2 − n/100, n/2 + n/100]. Ties are handled by checking the
+    // OVERLAP of [count(<apx)+1, count(≤apx)] with the tolerance band —
+    // heavy tie mass at the median would otherwise fail a naive
+    // count(≤apx) check. The oracle pins n and `true`; a sketch
+    // violating its guarantee hash-mismatches.
+    "q117_approx_percentile_bound" -> QueryDef(
+      build = (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        val apx = li.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(100))
+            .as("apx"))
+        li.join(broadcast(apx), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_quantity") < col("apx"), 1L).otherwise(0L))
+              .as("rank_lo"),
+            sum(when(col("l_quantity") <= col("apx"), 1L).otherwise(0L))
+              .as("rank_hi"))
+          .select(col("l_returnflag"), col("n"),
+            (col("rank_lo").cast("double") < col("n") / 2.0 + col("n") / 100.0
+              && col("rank_hi").cast("double") >=
+                col("n") / 2.0 - col("n") / 100.0)
+              .as("within_rank_error"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n, TRUE AS within_rank_error
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- Snapshot time travel -------------------------------------------
     // Build a versioned daily-revenue table in two commits (1996, then a
     // keyed merge of 1997); read BOTH versions back. The oracle derives
