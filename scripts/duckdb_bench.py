@@ -17,6 +17,7 @@ HEADLINE = [
     "q25_jaccard_neardups", "q27_cosine_topk",
     "q101_tfidf_topk", "q105_shingle_novelty",
     "q108_dedup_survivorship", "q111_cluster_quality",
+    "q113_chunk_overlap",
 ]
 
 def main(sf_dir, bench_json=None):

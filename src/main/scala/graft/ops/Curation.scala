@@ -108,12 +108,21 @@ object Curation {
   def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 8, threshold: Long = 1L,
       numBits: Long = 1L << 22): DataFrame = {
+    // benchmark shingles are materialized once (persist) — the filter
+    // build and the exact-verify join read the same tiny frame
     val benchSh = DedupOps.charShingles(benchmark, n)
       .select(col("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filter = graft.functions.Bloom.buildFilter(
       benchSh, col("s"), expectedItems = numBits / 16, numBits = numBits)
-    DedupOps.charShingles(corpus, n)
+    // probe the RAW shingle stream: the Bloom reject happens map-side at
+    // scan width, so only probable-positive shingles pay the per-doc
+    // dedup shuffle and the exact join — the order that makes the
+    // operator scale (a post-distinct probe would shuffle the whole
+    // corpus shingle stream first)
+    DedupOps.charShinglesRaw(corpus, n)
       .filter(graft.functions.Bloom.mightContain(filter, col("s")))
+      .distinct()
       .join(broadcast(benchSh), "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -133,6 +142,10 @@ object Curation {
   def chunkDocuments(docs: DataFrame, size: Int = 16,
       stride: Int = 8): DataFrame = {
     val chunk = slice(col("toks"), col("start"), lit(size))
+    // deliberately NOT pre-repartitioned: the chain is map-only, so an
+    // up-front exchange would serialize every document text once for
+    // nothing (measured 1.9× slower at sf0.1); multi-file corpora split
+    // natively across the cluster
     docs.select(col("doc_id"), graft.queries.Q.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1),

@@ -86,11 +86,16 @@ object DedupOps extends Serializable {
 
   /** Distinct character n-gram shingles per document: (doc_id, s). */
   def charShingles(docs: DataFrame, n: Int = 8): DataFrame =
+    charShinglesRaw(docs, n).distinct()
+
+  /** The pre-distinct shingle stream — for callers that can cheaply
+    * discard most of it map-side (e.g. a Bloom probe) BEFORE paying the
+    * dedup shuffle. */
+  def charShinglesRaw(docs: DataFrame, n: Int = 8): DataFrame =
     spread(docs).select(col("doc_id"), col("text"),
       explode(sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))))
         .as("pos"))
       .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("s"))
-      .distinct()
 
   /** MinHash permutation constants: hash i of shingle-hash h is the
     * classic affine permutation ((2i+1)·h + i·12582917) mod (2^31-1).

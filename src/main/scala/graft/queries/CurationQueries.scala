@@ -292,7 +292,8 @@ object CurationQueries {
             AS chunk_len,
           array_to_string(toks[start:least(start + 15, len(toks))], ' ')
             AS chunk_text
-        FROM st ORDER BY doc_id, chunk_id""")),
+        FROM st ORDER BY doc_id, chunk_id"""),
+      bench = true),
 
     // ---- PII redaction (emails / phones / IPv4 → placeholders) ----------
     // PII is injected deterministically into a third of the corpus so the
