@@ -41,6 +41,39 @@ object GraftVec {
     s
   }
 
+  /** Σ (n·xᵢ − sᵢ)² with an unsigned 128-bit accumulator, returned as
+    * DECIMAL(38,0): the nl²-scaled exact distance of a member vector to
+    * a label centroid s/n without materializing per-dimension rows. The
+    * per-term square (≤ ~2¹²⁶) uses multiplyHigh; n·x uses multiplyExact
+    * so an input outside the documented range fails loudly. Bit-identical
+    * to the per-(key, dim) DECIMAL aggregation it replaces — both are
+    * the same exact integer. */
+  def nscaledDist2(x: ArrayData, s: ArrayData, n: Long): org.apache.spark.sql.types.Decimal = {
+    val len = math.min(x.numElements(), s.numElements())
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < len) {
+      if (x.isNullAt(i) || s.isNullAt(i)) nullElement("nscaled_dist2", i)
+      val t = Math.subtractExact(
+        Math.multiplyExact(n, x.getLong(i)), s.getLong(i))
+      val tlo = t * t
+      val thi = Math.multiplyHigh(t, t) // t² ≥ 0 and < 2¹²⁶: hi word exact
+      val nlo = lo + tlo
+      hi = Math.addExact(hi,
+        thi + (if (java.lang.Long.compareUnsigned(nlo, lo) < 0) 1L else 0L))
+      lo = nlo
+      i += 1
+    }
+    val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    val d = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(bi))
+    if (!d.changePrecision(38, 0))
+      throw new ArithmeticException(
+        "nscaled_dist2: result exceeds DECIMAL(38,0)")
+    d
+  }
+
   /** Σ (aᵢ−mᵢ)² for an int64 vector against a float64 centroid — the
     * IEEE fold runs in strict index order, bit-identical to the composed
     * `aggregate(zip_with(a, m, (x, c) => (x−c)²), 0.0, +)` it replaces. */
@@ -145,6 +178,40 @@ case class Dist2LongDouble(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** nl²-scaled exact squared distance of an int64 member vector to a
+  * label centroid given as (component-sum array, member count):
+  * Σ (n·xᵢ − sᵢ)² as DECIMAL(38,0), 128-bit accumulation inside — one
+  * kernel eval per (vector, label) pair replaces a dims-fold exploded
+  * join + per-pair DECIMAL aggregation (nearest-centroid QA hot path). */
+case class NScaledDist2(first: Expression, second: Expression,
+    third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.types.{DecimalType, LongType => LT}
+
+  override def prettyName: String = "nscaled_dist2"
+  override def dataType: DataType = DecimalType(38, 0)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LT, _), ArrayType(LT, _), LT) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<BIGINT>, ARRAY<BIGINT>, BIGINT), " +
+          s"got (${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  override def nullSafeEval(x: Any, s: Any, n: Any): Any =
+    GraftVec.nscaledDist2(x.asInstanceOf[ArrayData],
+      s.asInstanceOf[ArrayData], n.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, s, n) => s"graft.functions.GraftVec.nscaledDist2($x, $s, $n)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): NScaledDist2 = copy(first = f, second = s, third = t)
+}
+
 object LongVec {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotLong(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -154,4 +221,8 @@ object LongVec {
 
   def dist2d(a: Column, m: Column): Column =
     GraftBridge.column(Dist2LongDouble(GraftBridge.expression(a), GraftBridge.expression(m)))
+
+  def nscaledDist2(x: Column, s: Column, n: Column): Column =
+    GraftBridge.column(NScaledDist2(GraftBridge.expression(x),
+      GraftBridge.expression(s), GraftBridge.expression(n)))
 }

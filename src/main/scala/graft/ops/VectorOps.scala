@@ -322,30 +322,32 @@ object VectorOps {
     * denominators differ per label, so the comparison divides exactly:
     * d2·(n'²) vs d2'·(n²) — again decimal-exact.
     *
-    * Scale shape: centroids are a (labels × dims) aggregation — partial
-    * map-side sums, tiny shuffle — then broadcast; assignment is one
-    * map-side pass per (vector, label) with partial aggregation down to
-    * one row per pair before any exchange; the argmin is a sort-free
-    * min_by hash aggregation keyed by vector. */
+    * Scale shape: centroids are a labels-sized vec_moments aggregation
+    * (whole rows map-side, no dims-fold explode) — tiny shuffle — then
+    * broadcast; assignment is one codegen'd 128-bit kernel eval per
+    * (vector, label) pair (functions.LongVec.nscaledDist2) in a single
+    * map-side pass; the argmin is a sort-free min_by hash aggregation
+    * keyed by vector. */
   def nearestCentroid(vectors: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val xv = spread(vectors)
+    val v = spread(vectors)
       .select(col("vec_id"), col("label").cast("long").as("true_label"),
-        posexplode(quantized(col("embedding"))).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("true_label"), (col("pos") + 1).as("g"),
-        col("x"))
-    // per-label per-dim exact sums + label sizes (labels × dims rows)
-    val cent = xv.groupBy(col("true_label").as("label"), col("g"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("nl"))
+        quantized(col("embedding")).as("qv"))
+    // per-label centroid moments: whole rows through vec_moments (no
+    // dims-fold explode); the frame is labels-sized and broadcasts
+    val cent = v.groupBy(col("true_label").as("label"))
+      .agg(graft.functions.VecMoments(col("qv")).as("m"))
+      .select(col("label"), col("m.s").as("s"), col("m.n").as("nl"))
     // distance of every vector to every label centroid, scaled by nl²;
-    // cross-label comparison multiplies through by the other nl²
+    // cross-label comparison multiplies through by the other nl². ONE
+    // codegen'd 128-bit kernel eval per (vector, label) pair — the
+    // exploded form paid dims× rows into a per-pair DECIMAL aggregation
+    // for the same exact integer (LongVecSpec asserts equality)
     val wide = DecimalType(38, 0)
-    // widen BEFORE the multiply-and-square: nl*x and (nl*x - s)² must
-    // never pass through int64
-    val term = col("nl").cast(wide) * col("x") - col("s")
-    val d = xv.join(broadcast(cent), "g")
-      .groupBy(col("vec_id"), col("true_label"), col("label"), col("nl"))
-      .agg(sum(term * term).as("d2"))
+    val d = v.join(broadcast(cent))
+      .select(col("vec_id"), col("true_label"), col("label"), col("nl"),
+        graft.functions.LongVec.nscaledDist2(col("qv"), col("s"), col("nl"))
+          .as("d2"))
     // sort key divides out this label's nl²: d2/nl² as DOUBLE. Both casts
     // are correctly-rounded (BigDecimal.doubleValue / HUGEINT→DOUBLE) and
     // the IEEE division is then identical in both engines; exact-decimal

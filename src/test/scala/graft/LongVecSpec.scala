@@ -63,6 +63,34 @@ class LongVecSpec extends AnyFunSuite {
       expr("cast(fk as string) <> cast(ck as string)")).count() == 0)
   }
 
+  test("nscaledDist2 equals the exploded DECIMAL aggregation exactly") {
+    val emb = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val v = emb.select(col("vec_id"),
+      (col("vec_id") % 5).as("lbl"),
+      VectorOps.quantized(col("embedding")).as("qv"))
+    val cent = v.groupBy(col("lbl").as("label"))
+      .agg(graft.functions.VecMoments(col("qv")).as("m"))
+      .select(col("label"), col("m.s").as("s"), col("m.n").as("nl"))
+    val viaKernel = v.join(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        LongVec.nscaledDist2(col("qv"), col("s"), col("nl")).as("d2"))
+    // reference: per-dim DECIMAL(38,0) terms summed per pair
+    val wide = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xv = v.select(col("vec_id"),
+      posexplode(col("qv")).as(Seq("pos", "x")))
+    val cx = cent.select(col("label"), col("nl"),
+      posexplode(col("s")).as(Seq("pos", "sg")))
+    val term = col("nl").cast(wide) * col("x") - col("sg")
+    val viaExplode = xv.join(cx, "pos")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(term * term).as("d2"))
+    val joined = viaKernel.as("k").join(viaExplode.as("e"),
+      col("k.vec_id") === col("e.vec_id") && col("k.label") === col("e.label"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("k.d2") =!= col("e.d2")).count() == 0)
+  }
+
   test("null arrays propagate to null") {
     import spark.implicits._
     val df = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]]))
