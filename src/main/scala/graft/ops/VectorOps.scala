@@ -61,25 +61,18 @@ object VectorOps {
 
   /** Random-hyperplane LSH bucket id (nPlanes sign bits). Plane
     * components are md5-derived ints in [-1000, 1000] — deterministic and
-    * reproducible in any engine, no RNG state. */
-  def lshBuckets(vectors: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val spark = vectors.sparkSession
-    // plane matrix: tiny (nPlanes × dim rows) → broadcast to the big side
-    val planes = spark.range(nPlanes).toDF("j")
-      .select(col("j"), explode(sequence(lit(1), lit(dim))).as("g"))
-      .select(col("j"), col("g"),
-        (h32(concat(col("j").cast("string"), lit(","), col("g").cast("string")))
-          % 2001 - 1000).as("p"))
-    val xv = spread(vectors)
-      .select(col("vec_id"), posexplode(quantized(col("embedding"))).as(Seq("pos", "x")))
-      .select(col("vec_id"), (col("pos") + 1).as("g"), col("x"))
-    val proj = xv.join(broadcast(planes), "g")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("x") * col("p")).as("s"))
-    proj.groupBy(col("vec_id"))
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("bucket"))
-  }
+    * reproducible in any engine, no RNG state.
+    *
+    * ONE codegen'd map-side expression per row (functions.LshBucket):
+    * the composed posexplode → broadcast-planes join → two aggregations
+    * paid dims×nPlanes row inflation for what is a per-row integer dot
+    * product; the kernel assigns buckets at scan width with zero
+    * shuffles, bit-identical to the composed form and the oracle
+    * (OpsSpec asserts). */
+  def lshBuckets(vectors: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame =
+    spread(vectors).select(col("vec_id"),
+      graft.functions.LshBucket(quantized(col("embedding")), nPlanes, dim)
+        .as("bucket"))
 
   /** Bucketed ANN: top-k within the query's LSH bucket only. */
   def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,

@@ -20,6 +20,29 @@ class OpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("lsh_bucket kernel equals the composed explode/join/aggregate form") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val viaKernel = VectorOps.lshBuckets(emb, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // composed reference: the pre-kernel plan shape (and the oracle's CTE)
+    val planes = spark.range(8).toDF("j")
+      .select(col("j"), explode(sequence(lit(1), lit(64))).as("g"))
+      .select(col("j"), col("g"),
+        (graft.queries.Q.h32(concat(col("j").cast("string"), lit(","),
+          col("g").cast("string"))) % 2001 - 1000).as("p"))
+    val xv = emb.select(col("vec_id"),
+        posexplode(VectorOps.quantized(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("g"), col("x"))
+    val composed = xv.join(broadcast(planes), "g")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("x") * col("p")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(viaKernel.nonEmpty && viaKernel.toList == composed.toList)
+  }
+
   test("bucketed ANN returns a subset of brute-force candidates with equal cosine") {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
