@@ -81,4 +81,24 @@ class PartitionedUpsertSpec extends AnyFunSuite {
     assert(before.keySet.filter(_.contains("day=2024-01-01")) !=
       post.keySet.filter(_.contains("day=2024-01-01")))
   }
+
+  test("reads with a partition predicate are partition-pruned at the scan") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-prune-").toString + "/t"
+    val base = Seq(
+      (1L, "2024-01-01", "a"), (2L, "2024-01-02", "b"),
+      (3L, "2024-01-03", "c"))
+      .toDF("id", "day", "v")
+    PartitionedUpsert.writeMerged(base, path, Seq("id"), "day")
+    val q = spark.read.parquet(path).filter($"day" === "2024-01-02")
+    val plan = q.queryExecution.executedPlan.toString
+    // the day predicate must land in PartitionFilters (directory-level
+    // pruning — at 100 TB the difference between listing one partition
+    // and scanning the table), NOT as a post-scan data filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("2024-01-02"),
+      s"partition predicate not pruned:\n$plan")
+    assert(q.count() == 1)
+  }
 }
