@@ -92,6 +92,30 @@ object TextOps {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
         .cast("long").as("bpe_ish_tokens"))
 
+  /** Corpus-frequency rarity profile per document — the quality signal
+    * that separates natural text (mostly common tokens) from junk (rare
+    * garbage tokens): per doc, the token count, summed corpus frequency
+    * of its tokens, their mean (IEEE division of exact int64 sums), the
+    * hapax count (corpus-frequency-1 tokens) and the rarest token's
+    * frequency.
+    *
+    * Shape at scale: one tokenize pass; the vocabulary aggregation and
+    * the frequency attach share the token-keyed exchange (same key, same
+    * partitioning — exchange reuse); the per-doc rollup is the only
+    * other shuffle. Nothing is collected; the vocabulary never has to
+    * fit anywhere whole. */
+  def rarityStats(docs: DataFrame): DataFrame = {
+    val tk = tokenized(docs)
+    val vc = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    tk.join(vc, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("c")).as("sum_freq"),
+        (sum(col("c")).cast("double") / count(lit(1))).as("avg_freq"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        min(col("c")).as("min_freq"))
+  }
+
   /** BM25 relevance of every document against a fixed query-term set.
     *
     * Shape at scale: one tokenize pass → per-doc length aggregation; term

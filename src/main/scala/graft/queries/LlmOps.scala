@@ -583,6 +583,24 @@ object LlmOps {
             AS bpe_ish_tokens
         FROM documents ORDER BY doc_id""")),
 
+    // ---- corpus-frequency rarity profile (junk-vs-natural-text signal) --
+    "q118_token_rarity" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.rarityStats(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                    FROM documents),
+        vc AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok)
+        SELECT doc_id, COUNT(*) AS n_tok,
+          CAST(SUM(c) AS BIGINT) AS sum_freq,
+          CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_freq,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          MIN(c) AS min_freq
+        FROM tk JOIN vc USING (tok)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- document fingerprinting ------------------------------------------
     "q32_fingerprint" -> QueryDef(
       build = (spark, dir) =>
