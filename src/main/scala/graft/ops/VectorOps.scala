@@ -250,12 +250,17 @@ object VectorOps {
     var centroids = seedCentroids(v, nCells)
     (1 to iters).foreach { _ =>
       val asg = assignToCentroids(v, centroids)
-      // exact per-(cell, dim) int64 sums -> double means, rebuilt into
-      // dimension-ordered arrays
-      val fresh = centroidStats(v, asg)
+      // exact per-cell int64 component sums -> double means, directly as
+      // dimension-ordered arrays: vec_moments keeps rows whole through
+      // the member pass (same values as centroidStats — kmeansStep's
+      // oracle pins that code path — without the posexplode +
+      // collect_list/array_sort regroup)
+      val fresh = asg.join(v, "vec_id")
         .groupBy(col("cell_id"))
-        .agg(transform(array_sort(collect_list(struct(col("g"), col("cm")))),
-          t => t.getField("cm")).as("cm"))
+        .agg(graft.functions.VecMoments(col("qv")).as("m"))
+        .select(col("cell_id"),
+          transform(col("m.s"), s => s.cast("double") / col("m.n"))
+            .as("cm"))
       // empty cells keep the previous centroid
       centroids = centroids.select(col("cell_id"), col("cm").as("old_cm"))
         .join(fresh, Seq("cell_id"), "left")
