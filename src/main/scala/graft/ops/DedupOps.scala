@@ -403,26 +403,42 @@ object DedupOps extends Serializable {
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("id"), col("id").as("comp"))
+    // propagate over edge-INCIDENT nodes only: a node with no edges can
+    // never receive a smaller label, so the iteration never needs to
+    // carry it. In a near-dup graph the incident set is the duplicated
+    // sliver of the corpus — orders of magnitude smaller than the node
+    // set — and every per-iteration join, aggregate and convergence
+    // check shrinks with it. Singletons rejoin as comp = id at the end
+    // (one anti-join, no iteration).
+    // materialized (tiny): referenced after e is unpersisted
+    val touched = e.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = touched.select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val prop = e.join(labels, e("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // min-label propagation with the convergence indicator computed IN
+      // the same pass: least(old, min(neighbor label)) per node, plus a
+      // `changed` flag — the separate next⋈labels convergence join the
+      // previous shape paid per iteration is a filter over the frame the
+      // checkpoint just materialized.
+      val cand = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp").as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      val next = labels.join(cand, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
+          (coalesce(col("cand"), col("comp")) < col("comp")).as("changed"))
         .localCheckpoint()
-      val changed = next.select(col("id"), col("comp").as("nc"))
-        .join(labels, "id")
-        .filter(col("nc") =!= col("comp"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0L
+      converged = next.filter(col("changed")).limit(1).count() == 0L
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
+    val singles = nodes.join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    val out = labels.union(singles)
     e.unpersist()
-    labels
+    out
   }
 
   /** Near-duplicate clusters: LSH-verified Jaccard pairs as edges,
