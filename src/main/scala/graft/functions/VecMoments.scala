@@ -13,9 +13,13 @@ import org.apache.spark.sql.types._
 
 /** Mutable accumulator for [[VecMoments]]: element-wise Σx and Σx² plus
   * the row count. Arrays are sized lazily from the first vector seen and
-  * grown if a longer vector arrives (ragged inputs are summed over their
-  * common-or-extended index range, matching what an explode + per-(key,
-  * dim) aggregation would produce). */
+  * grown if a longer vector arrives. Ragged-input caveat: the SUMS match
+  * what an explode + per-(key, dim) aggregation would produce (a short
+  * vector simply contributes nothing to the tail dimensions), but `n` is
+  * the GROUP row count, not a per-dimension count — a mean `s(g)/n` over
+  * ragged inputs divides tail dimensions by more rows than reached them.
+  * Callers deriving means (centroid builds) assume fixed-dimension
+  * vectors, the embedding-table contract throughout this engine. */
 final class VecMomentsBuf(
     var n: Long,
     var s: Array[Long],

@@ -110,6 +110,8 @@ object Curation {
       numBits: Long = 1L << 22): DataFrame = {
     // benchmark shingles are materialized once (persist) — the filter
     // build and the exact-verify join read the same tiny frame
+    // (benchmark-suite-bounded; cache lifecycle is the caller's, as with
+    // the engine's other internal persists)
     val benchSh = DedupOps.charShingles(benchmark, n)
       .select(col("s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

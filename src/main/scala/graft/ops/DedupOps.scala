@@ -359,7 +359,13 @@ object DedupOps extends Serializable {
     * [[nearDuplicates]] path is the approximation to reach for when you
     * only need pairwise dups. */
   def shingleNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    // persisted: the per-doc shingle-set computation (the dominant cost)
+    // feeds BOTH the ownership branch and the n_sh side — without the
+    // cache Spark evaluates the two subtrees independently and the
+    // member-scale pass runs twice (same pattern as nearDuplicates'
+    // signatures-only persist)
     val base = shingleSets(spread(docs), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One corpus-sized shuffle total: the ownership question ("which doc
     // first used this shingle?") is a hash-aggregated min per shingle —
     // partial (map-side) min, then ONE row per distinct shingle through

@@ -184,15 +184,23 @@ object TextOps {
     * (not the raw token stream), N broadcasts as a one-row frame, and the
     * final top-k window partitions by doc over tokens-per-doc-bounded
     * groups. No stage touches more than the distinct doc-term pairs. */
-  def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+  /** @param broadcastVocab broadcast the document-frequency frame back
+    *   onto the tf stream (default). Natural-language vocabularies grow
+    *   sublinearly (Heaps' law) and usually fit the broadcast budget,
+    *   but a junk-heavy token space at web scale can exceed it — pass
+    *   false there and the attach becomes a tok-keyed shuffle join that
+    *   reuses tf's existing exchange on neither side but never ships
+    *   the vocabulary whole. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3,
+      broadcastVocab: Boolean = true): DataFrame = {
     // ONE fact-side exchange for the whole pipeline: repartitioning the
     // (tiny) docs table by doc_id up front makes every downstream doc-keyed
     // step exchange-free — HashPartitioning(doc_id) satisfies the
     // ClusteredDistribution of BOTH the (doc_id, tok) tf aggregation and
     // the final per-doc top-k window, so neither re-shuffles the exploded
     // doc-term stream. The vocabulary side (df) is an aggregate of the
-    // already-reduced tf frame and broadcasts back (vocabulary ≪ corpus at
-    // any scale); its map side reuses the doc_id exchange. The rank<=k
+    // already-reduced tf frame and (when broadcastVocab) broadcasts back;
+    // its map side reuses the doc_id exchange. The rank<=k
     // filter plans as WindowGroupLimit: a bounded per-group heap during
     // the (local, exchange-free) window sort.
     val tf = docs.repartition(
@@ -202,7 +210,8 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), "tok")
+    val dfSide = if (broadcastVocab) broadcast(df) else df
+    val scored = tf.join(dfSide, "tok")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))

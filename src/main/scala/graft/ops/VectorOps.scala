@@ -70,9 +70,12 @@ object VectorOps {
     * shuffles, bit-identical to the composed form and the oracle
     * (OpsSpec asserts). */
   def lshBuckets(vectors: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame =
-    spread(vectors).select(col("vec_id"),
-      graft.functions.LshBucket(quantized(col("embedding")), nPlanes, dim)
-        .as("bucket"))
+    // NULL-embedding rows are dropped, matching the composed form (whose
+    // posexplode produced no rows for them) and the oracle's unnest
+    spread(vectors).filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.functions.LshBucket(quantized(col("embedding")), nPlanes, dim)
+          .as("bucket"))
 
   /** Bucketed ANN: top-k within the query's LSH bucket only. */
   def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,
@@ -411,7 +414,12 @@ object VectorOps {
     // label — drop it from both metrics).
     // The per-label moment frame feeds three consumers (intra, both
     // self-join sides); persisting the (tiny, labels-bounded) frame pins
-    // the member pass to exactly one evaluation at any scale.
+    // the member pass to exactly one evaluation at any scale. Like the
+    // other operators that persist an internal frame (nearDuplicates,
+    // shingleNovelty), the cache lives until the session clears it —
+    // labels×dims-bounded, so the footprint is constant per evaluation;
+    // long-lived sessions running many evaluations clear between them
+    // (Bench does).
     // raw float arrays stream straight into the aggregate (it quantizes
     // inline, bit-identically to `quantized`) — no interpreted transform
     // lambda between the scan and the buffer

@@ -83,9 +83,17 @@ object Upsert {
   private def siblings(dest: Path, infix: String): Seq[Path] = {
     val parent = Option(dest.toAbsolutePath.getParent)
     val prefix = dest.getFileName.toString + infix
+    // NUMERIC sort of the nanotime suffix (newest last): a lexicographic
+    // sort would misorder suffixes with different digit counts —
+    // System.nanoTime has an arbitrary origin, so across JVM restarts the
+    // magnitude can shrink, and restoring an older generation as "newest"
+    // would roll committed state back while deleting the real newest.
     parent.toSeq.flatMap(graft.core.Fs.children)
       .filter(_.getFileName.toString.startsWith(prefix))
-      .sortBy(_.getFileName.toString) // nanotime suffix: newest last
+      .sortBy { p =>
+        val sfx = p.getFileName.toString.drop(prefix.length)
+        scala.util.Try(sfx.toLong).getOrElse(Long.MinValue)
+      }
   }
 
   /** Repair an interrupted [[atomicSwap]] at `dest`.

@@ -91,28 +91,7 @@ object NearDupStream {
           else {
             var members = state.getOption.getOrElse(Nil)
             val out = List.newBuilder[(Long, Long, Double)]
-            // Bounded intake: only the maxBucket smallest doc_ids of
-            // this batch are considered. A hot (boilerplate) bucket
-            // would otherwise buffer the whole group's arrivals —
-            // O(batch-rows-per-bucket) tuples each holding a k-long
-            // signature — and do O(rows × maxBucket) comparisons in one
-            // task; the carried-state cap alone only bounds *members*.
-            // Past maxBucket a bucket is degenerate boilerplate, not a
-            // near-dup signal, so the in-batch cap mirrors the state
-            // cap. Batches within the cap process identically to the
-            // unbounded path.
-            val intake = new scala.collection.mutable
-              .PriorityQueue[(Long, Array[Long])]()(Ordering.by(_._1))
-            rows.foreach { case (_, id, sig) =>
-              if (intake.size < maxBucket) intake.enqueue((id, sig))
-              else if (intake.head._1 > id) {
-                intake.dequeue(); intake.enqueue((id, sig))
-              }
-            }
-            // ascending doc_id gives batch mode (one group = the whole
-            // bucket) the same i<j pair orientation as the batch LSH path
-            val ordered: Seq[(Long, Array[Long])] = intake.dequeueAll
-            ordered.reverseIterator.foreach { case (id, sig) =>
+            def compareToMembers(id: Long, sig: Array[Long]): Unit =
               members.foreach { case (mid, msig) =>
                 if (mid != id) {
                   var same = 0
@@ -126,6 +105,34 @@ object NearDupStream {
                     out += ((math.min(id, mid), math.max(id, mid), est))
                 }
               }
+            // Bounded intake: only the maxBucket smallest doc_ids of this
+            // batch are BUFFERED (and eligible to join the carried member
+            // list). A hot (boilerplate) bucket would otherwise buffer the
+            // whole group's arrivals — O(batch-rows-per-bucket) tuples
+            // each holding a k-long signature; the carried-state cap alone
+            // only bounds *members*. Overflow arrivals are NOT dropped:
+            // each is compared STREAMING against the carried members (≤
+            // maxBucket comparisons, no storage) at the moment it is
+            // rejected or evicted, so their near-dup pairs with
+            // established members still emit — the cap costs only the
+            // overflow-vs-overflow pairs inside one degenerate bucket.
+            // Memory stays O(maxBucket); batches within the cap process
+            // identically to the unbounded path.
+            val intake = new scala.collection.mutable
+              .PriorityQueue[(Long, Array[Long])]()(Ordering.by(_._1))
+            rows.foreach { case (_, id, sig) =>
+              if (intake.size < maxBucket) intake.enqueue((id, sig))
+              else if (intake.head._1 > id) {
+                val evicted = intake.dequeue()
+                intake.enqueue((id, sig))
+                compareToMembers(evicted._1, evicted._2)
+              } else compareToMembers(id, sig)
+            }
+            // ascending doc_id gives batch mode (one group = the whole
+            // bucket) the same i<j pair orientation as the batch LSH path
+            val ordered: Seq[(Long, Array[Long])] = intake.dequeueAll
+            ordered.reverseIterator.foreach { case (id, sig) =>
+              compareToMembers(id, sig)
               if (members.size < maxBucket && !members.exists(_._1 == id))
                 members = (id, sig) :: members
             }

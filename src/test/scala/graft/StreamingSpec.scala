@@ -298,6 +298,22 @@ class StreamingSpec extends AnyFunSuite {
     // and the ORIGINAL checkpoint can continue where it left off
     assert(fold(4L, ("a", 8L)))
     assert(sumA == 140L)
+
+    // CRASH WINDOW 1c: two interrupted generations whose nanotime
+    // suffixes have DIFFERENT digit counts (nanoTime's origin is
+    // arbitrary, so magnitudes can shrink across JVM restarts). A
+    // lexicographic sort would call ".old-999" newer than ".old-1000"
+    // and restore the stale generation while deleting the real one;
+    // recovery must order numerically.
+    Files.move(Paths.get(statePath), Paths.get(statePath + ".old-1000"))
+    val staleGen = Paths.get(statePath + ".old-999")
+    Files.createDirectories(staleGen)
+    Files.write(staleGen.resolve("part-stale.parquet"), Array[Byte](9))
+    assert(fold(5L, ("b", 1L)), "fold after digit-count heal")
+    assert(sumA == 140L && GoldStream.lastApplied(statePath) == 5L,
+      "heal restored the stale generation instead of the newest")
+    assert(!Files.exists(staleGen) &&
+      !Files.exists(Paths.get(statePath + ".old-1000")))
   }
 
   test("streaming near-dup flags arrivals against state from earlier batches") {
@@ -328,6 +344,40 @@ class StreamingSpec extends AnyFunSuite {
       .select("a", "b", "est_sim").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 3L, 1.0)))
+    q.stop()
+  }
+
+  test("streaming near-dup: overflow arrivals beyond the intake cap " +
+      "still pair with carried members") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.NearDupStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // tiny cap: batch 2's three dup arrivals exceed it, so doc 4 is
+    // rejected from the intake buffer — its pair with the established
+    // member must STILL emit (compared streaming, never stored)
+    val q = NearDupStream.nearDupCandidates(docs, minEst = 0.5,
+        maxBucket = 2)
+      .writeStream.format("memory").queryName("neardup_overflow")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    input.addData((1L, base))
+    q.processAllAvailable()
+    input.addData((2L, base), (3L, base), (4L, base))
+    q.processAllAvailable()
+    val pairs = spark.table("neardup_overflow")
+      .select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)),
+      s"overflow arrival lost its pair with the carried member: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), s"$pairs")
     q.stop()
   }
 
