@@ -363,4 +363,106 @@ object Curation {
         (col("n_kept").cast("double") / col("total_kept"))
           .as("actual_share"))
   }
+
+  /** CCNet-style repeated-segment (boilerplate) removal: split every
+    * document into segments, count how many DISTINCT documents each
+    * segment occurs in, and strip segments whose document frequency
+    * reaches `minDf` (navigation bars, cookie banners, license footers —
+    * anything that repeats across many pages). Returns per-document
+    * (doc_id, n_segments, n_removed, clean_text) with clean_text the
+    * surviving segments re-joined in original order ('' when everything
+    * was boilerplate).
+    *
+    * The segmenter here is fixed-size token blocks
+    * ([[chunkDocuments]] with stride = size); on corpora with real line
+    * structure the same shape runs with a newline splitter — the operator
+    * logic (df-count → mark → strip) is segmenter-agnostic.
+    *
+    * Scale: the segment frame is map-only work, recomputed for the two
+    * passes rather than persisted — at 100 TB re-reading the scan twice
+    * is cheaper than caching an exploded copy of the corpus. Pass 1 is
+    * one shuffle keyed by segment text with map-side combine, reduced to
+    * ONLY the df ≥ minDf survivors — small by the boilerplate premise
+    * (boilerplate is few distinct strings repeated many times), so the
+    * mark join broadcasts (AQE-decided, not forced: an adversarial corpus
+    * can have an unbounded boilerplate set). Pass 2 is the mark join plus
+    * one doc-keyed reassembly shuffle. No driver collects, no windows. */
+  def boilerplateStrip(docs: DataFrame, segSize: Int = 2,
+      minDf: Long = 20): DataFrame = {
+    def segments = chunkDocuments(docs, size = segSize, stride = segSize)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    val boiler = segments
+      .groupBy(col("chunk_text"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("chunk_text"), lit(1).as("is_boiler"))
+    segments
+      .join(boiler, Seq("chunk_text"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L))
+          .as("n_removed"),
+        array_sort(collect_list(when(col("is_boiler").isNull,
+          struct(col("chunk_id"), col("chunk_text"))))).as("kept"))
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        array_join(transform(col("kept"), x => x.getField("chunk_text")),
+          " ").as("clean_text"))
+  }
+
+  /** Deterministic seeded training shards: assign every row a shard and a
+    * reproducible position within it, so the training order of a corpus
+    * is a pure function of (seed, key) — identical across runs, engines,
+    * partitionings and cluster sizes, and changing the seed reshuffles
+    * globally. shard = h32(seed|key) mod nShards; position = rank of the
+    * same hash within the shard (key tiebreak for non-unique keys).
+    *
+    * Scale: one shuffle keyed by shard + a per-shard sort. At production
+    * scale the materialized write is `repartition(nShards, shard)
+    * .sortWithinPartitions(hash)` — one exchange, local sorts, position
+    * implicit in file order; the explicit row_number here is the
+    * verifiable form of the same order. Choose nShards ≈ corpus/shard-
+    * size so per-shard sorts fit an executor (spill-safe regardless). */
+  def trainingShards(df: DataFrame, key: Column, nShards: Int,
+      seed: String): DataFrame = {
+    val h = h32(concat(lit(seed + "|"), key.cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, key.asc)
+    df.withColumn("h", h)
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("h")
+  }
+
+  /** Temperature-scaled source mixture (the multilingual/multi-source
+    * sampling recipe of mBERT / XLM-R / GPT-3): stratum weight
+    * ∝ n_tokens^alpha with alpha < 1 flattening the distribution —
+    * rare sources are upsampled relative to their natural share. Returns
+    * per-stratum (stratum, n_tok, weight, share, rate) where share is the
+    * stratum's fraction of the sampled epoch and rate = share·budget/n_tok
+    * is the per-token sampling rate (> 1 means the source repeats within
+    * an epoch).
+    *
+    * Determinism across engines: n_tok is an exact int64 sum; pow() is
+    * bit-identical for these magnitudes in both engines (verified), and
+    * the weight is then ROUNDED TO AN EXACT INTEGER (×10^6) before the
+    * denominator sum, so the total is order-free int64 arithmetic and
+    * every share/rate is one IEEE division of exact integers — no
+    * float-summation-order hazard.
+    *
+    * Scale: one map-side-combined aggregation on a low-cardinality key;
+    * everything after runs on k-row frames (1-row total broadcast). */
+  def temperatureMixture(docs: DataFrame, stratum: Column, nTokens: Column,
+      alpha: Double = 0.7, budget: Long = 100000L): DataFrame = {
+    val counts = docs.groupBy(stratum.as("stratum"))
+      .agg(sum(nTokens).as("n_tok"))
+      .withColumn("w_scaled",
+        round(pow(col("n_tok").cast("double"), alpha) * 1e6).cast("long"))
+    val total = counts.agg(sum(col("w_scaled")).as("w_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("stratum"), col("n_tok"),
+        (col("w_scaled").cast("double") / 1e6).as("weight"),
+        (col("w_scaled").cast("double") / col("w_total")).as("share"),
+        (col("w_scaled").cast("double") / col("w_total") * budget
+          / col("n_tok")).as("rate"))
+  }
 }

@@ -369,6 +369,71 @@ object CurationQueries {
             AS n_kept,
           CAST(SUM(CASE WHEN cum0 < 500 THEN n_tok ELSE 0 END) AS BIGINT)
             AS tok_kept
-        FROM cs GROUP BY source ORDER BY stratum"""))
+        FROM cs GROUP BY source ORDER BY stratum""")),
+
+    // ---- CCNet-style repeated-segment boilerplate removal ---------------
+    "q119_boilerplate_strip" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.boilerplateStrip(t(spark, dir, "documents"),
+            segSize = 2, minDf = 20)
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        seg AS (SELECT doc_id, (g - 1) // 2 + 1 AS seg_idx,
+                  array_to_string(toks[g:least(g + 1, len(toks))], ' ')
+                    AS seg
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, greatest(len(toks), 1), 2))
+                          AS g
+                      FROM tk)),
+        sdf AS (SELECT seg, COUNT(DISTINCT doc_id) AS df
+                FROM seg GROUP BY seg),
+        mark AS (SELECT s.doc_id, s.seg_idx, s.seg, d.df
+                 FROM seg s JOIN sdf d USING (seg))
+        SELECT doc_id, COUNT(*) AS n_segments,
+          CAST(SUM(CASE WHEN df >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_removed,
+          COALESCE(string_agg(CASE WHEN df < 20 THEN seg END,
+            ' ' ORDER BY seg_idx), '') AS clean_text
+        FROM mark GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- deterministic seeded training shards ---------------------------
+    "q120_train_shards" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.trainingShards(
+            t(spark, dir, "documents").select(col("doc_id")),
+            col("doc_id"), nShards = 8, seed = "42")
+          .orderBy(col("shard"), col("shard_pos")),
+      oracle = Some(s"""
+        WITH h AS (SELECT doc_id,
+            ${h32Sql("'42|' || CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents)
+        SELECT doc_id, h % 8 AS shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+            AS BIGINT) AS shard_pos
+        FROM h ORDER BY shard, shard_pos""")),
+
+    // ---- temperature-scaled source mixture weights ----------------------
+    "q121_temperature_mix" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.temperatureMixture(t(spark, dir, "documents"),
+            col("source"), size(tokens(col("text"))).cast("long"),
+            alpha = 0.7, budget = 100000L)
+          .orderBy(col("stratum")),
+      oracle = Some(raw"""
+        WITH n AS (SELECT source AS stratum,
+            CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS n_tok
+          FROM documents GROUP BY source),
+        w AS (SELECT stratum, n_tok,
+            CAST(ROUND(pow(CAST(n_tok AS DOUBLE), 0.7) * 1e6) AS BIGINT)
+              AS ws
+          FROM n),
+        t AS (SELECT SUM(ws) AS w_total FROM w)
+        SELECT stratum, n_tok,
+          CAST(ws AS DOUBLE) / 1e6 AS weight,
+          CAST(ws AS DOUBLE) / w_total AS share,
+          CAST(ws AS DOUBLE) / w_total * 100000 / n_tok AS rate
+        FROM w, t ORDER BY stratum"""))
   )
 }

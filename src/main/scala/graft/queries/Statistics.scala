@@ -161,8 +161,12 @@ object Statistics {
             sum(col("gap_us")).as("total_gap"),
             max(col("gap_us")).as("max_gap_us"))
           .select(col("user_id"), col("n_events"),
-            round(col("total_gap").cast(DoubleType)
-              / (col("n_events") - lit(1)).cast(DoubleType), 4)
+            // NO round(): decimal-rounding a binary double differs between
+            // the engines in the last ulp (Spark rounds the exact decimal
+            // expansion, DuckDB scales-and-rounds); the bare quotient of
+            // two exact int64s is already bit-deterministic IEEE754
+            (col("total_gap").cast(DoubleType)
+              / (col("n_events") - lit(1)).cast(DoubleType))
               .as("avg_gap_us"),
             col("max_gap_us"))
           .filter(col("n_events") > 1)
@@ -175,7 +179,7 @@ object Statistics {
                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
           FROM events)
         SELECT user_id, COUNT(*) AS n_events,
-               round(SUM(gap_us)::DOUBLE / (COUNT(*) - 1)::DOUBLE, 4)
+               SUM(gap_us)::DOUBLE / (COUNT(*) - 1)::DOUBLE
                  AS avg_gap_us,
                MAX(gap_us) AS max_gap_us
         FROM g GROUP BY user_id HAVING COUNT(*) > 1

@@ -195,4 +195,76 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("doc_id") === 1L).collect()
     assert(top.length == 1 && top(0).getAs[String]("tok") == "rare")
   }
+
+  test("boilerplateStrip removes exactly the cross-doc repeated segments") {
+    import spark.implicits._
+    // banner "buy now" repeats in 4 docs (df=4 >= 3); all other segments
+    // are unique to their doc
+    val df = (1 to 4).map(i => (i.toLong, s"buy now unique$i text$i")) :+
+      (5L, "only one doc here")
+    val got = Curation.boilerplateStrip(df.toDF("doc_id", "text"),
+        segSize = 2, minDf = 3)
+      .orderBy(col("doc_id")).collect()
+    assert(got.length == 5)
+    (0 until 4).foreach { i =>
+      val r = got(i)
+      assert(r.getLong(1) == 2 && r.getLong(2) == 1, s"row $r")
+      assert(r.getString(3) == s"unique${i + 1} text${i + 1}")
+    }
+    // untouched doc keeps its text verbatim (odd token count: short tail)
+    assert(got(4).getLong(2) == 0 &&
+      got(4).getString(3) == "only one doc here")
+  }
+
+  test("boilerplateStrip yields '' when a whole document is boilerplate") {
+    import spark.implicits._
+    val df = (1 to 3).map(i => (i.toLong, "same exact text")).toDF(
+      "doc_id", "text")
+    val got = Curation.boilerplateStrip(df, segSize = 2, minDf = 3)
+      .orderBy(col("doc_id")).collect()
+    assert(got.forall(r => r.getString(3) == "" && r.getLong(2) == 2))
+  }
+
+  test("trainingShards: deterministic, seed-sensitive, dense positions") {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val a = Curation.trainingShards(docs, col("doc_id"), 8, "42")
+      .orderBy(col("shard"), col("shard_pos")).collect().toSeq
+    val b = Curation.trainingShards(docs.repartition(7), col("doc_id"),
+        8, "42")
+      .orderBy(col("shard"), col("shard_pos")).collect().toSeq
+    assert(a == b, "shard assignment must be partitioning-independent")
+    val c = Curation.trainingShards(docs, col("doc_id"), 8, "43")
+      .orderBy(col("shard"), col("shard_pos")).collect().toSeq
+    assert(a != c, "changing the seed must reshuffle")
+    // every shard's positions are 1..n with no gaps
+    a.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps == (1L to ps.length).toSeq)
+    }
+    // all rows present exactly once
+    assert(a.map(_.getLong(0)).sorted ==
+      docs.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("temperatureMixture: alpha=1 reproduces natural shares, alpha<1 " +
+      "flattens toward rare strata") {
+    import spark.implicits._
+    val df = (Seq.fill(90)(("big", 10L)) ++ Seq.fill(10)(("small", 10L)))
+      .toDF("src", "n")
+    val nat = Curation.temperatureMixture(df, col("src"), col("n"),
+        alpha = 1.0, budget = 1000L)
+      .orderBy(col("stratum")).collect()
+    assert(math.abs(nat(0).getDouble(3) - 0.9) < 1e-6) // big keeps 90%
+    // every rate at alpha=1 is budget/total (uniform over tokens)
+    nat.foreach(r => assert(math.abs(r.getDouble(4) - 1.0) < 1e-6))
+    val flat = Curation.temperatureMixture(df, col("src"), col("n"),
+        alpha = 0.5, budget = 1000L)
+      .orderBy(col("stratum")).collect()
+    val smallShareNat = nat(1).getDouble(3)
+    val smallShareFlat = flat(1).getDouble(3)
+    assert(smallShareFlat > smallShareNat,
+      s"alpha<1 must upweight the rare stratum: $smallShareFlat vs $smallShareNat")
+    // shares always sum to 1 (exact-integer denominator)
+    assert(math.abs(flat.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+  }
 }
