@@ -293,4 +293,88 @@ object TextOps {
       .agg((sum(col("term")) % 2147483647L).as("rolling_hash"))
     norm.join(rolling, "doc_id")
   }
+
+  /** CCNet-style LM quality score: cross-entropy of every document under
+    * an add-k-smoothed unigram language model trained on the corpus
+    * itself. Low cross-entropy = head-like fluent text, high = tail-like
+    * noise — the standard perplexity-bucket filter of the CCNet / CC-100
+    * pipelines, with the KenLM 5-gram model replaced by the unigram LM
+    * that a SQL engine can train in one aggregation.
+    *
+    * Returns (doc_id, n_tok, sum_lp, xent): sum_lp is the exact scaled
+    * (×10⁶) int64 sum of per-token log-probabilities; xent = −sum_lp /
+    * (10⁶·n_tok) in nats. Filtering/bucketing composes downstream (e.g.
+    * keep xent below a quantile from the percentile sketch).
+    *
+    * Determinism: each token's log-prob is rounded to an exact scaled
+    * int64 ONCE (per distinct vocabulary token, not per occurrence), so
+    * the per-doc sum is order-free integer math — no float-summation
+    * hazard no matter how occurrences are partitioned; xent is one IEEE
+    * division of exact values.
+    *
+    * Shape at scale: one tokenize pass; vocabulary counts and the
+    * log-prob attach share the token-keyed exchange (same key — exchange
+    * reuse, as in [[rarityStats]]); corpus totals are a broadcast 1-row
+    * frame; the per-doc rollup is the only other shuffle. The vocabulary
+    * never has to fit anywhere whole. */
+  def unigramCrossEntropy(docs: DataFrame, addK: Double = 0.5): DataFrame = {
+    val tk = spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vc = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = vc.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val lp = vc.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log((col("c") + addK) / (col("n") + lit(addK) * col("v")))
+          * 1e6).cast("long").as("lps"))
+    tk.join(lp, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lps")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tok"), col("sum_lp"),
+        (-(col("sum_lp").cast("double") / 1e6) / col("n_tok")).as("xent"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-unigram features are under a TARGET
+    * distribution (the rows matching `targetPred`, e.g. a trusted
+    * high-quality source) than under the RAW corpus distribution.
+    * log_w > 0 = target-like; resampling with probability ∝ exp(log_w)
+    * shifts the corpus mixture toward the target domain.
+    *
+    * Features are hashed into `buckets` bins (h32 mod buckets — the
+    * paper's hashed n-gram trick), so both LMs are fixed-size regardless
+    * of corpus size. Returns (doc_id, n_tok, sum_dlp, log_w) with the
+    * same scaled-int64 determinism contract as [[unigramCrossEntropy]]:
+    * each bucket's log-ratio is rounded to ×10⁶ int64 once, per-doc sums
+    * are exact.
+    *
+    * Shape at scale: one tokenize pass feeding a map-side-combined count
+    * aggregation on ≤`buckets` keys; the two LMs and their log-ratio
+    * table are a ≤`buckets`-row frame BROADCAST back onto the token
+    * stream (scoring is map-side — no corpus-sized join shuffle); the
+    * per-doc rollup is the only corpus-keyed exchange. */
+  def dsirLogWeights(docs: DataFrame, targetPred: Column,
+      buckets: Int = 8192, addK: Double = 0.5): DataFrame = {
+    val tk = spread(docs)
+      .select(col("doc_id"), targetPred.as("is_t"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("is_t"),
+        (h32(col("tok")) % buckets).as("b"))
+    val bc = tk.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val tot = bc.agg(sum(col("c_raw")).as("n_raw"), sum(col("c_t")).as("n_t"))
+    val denom = lit(addK * buckets)
+    val lp = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (round(log((col("c_t") + addK) / (col("n_t") + denom)) * 1e6)
+            .cast("long")
+          - round(log((col("c_raw") + addK) / (col("n_raw") + denom)) * 1e6)
+            .cast("long")).as("dlps"))
+    tk.join(broadcast(lp), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("dlps")).as("sum_dlp"))
+      .select(col("doc_id"), col("n_tok"), col("sum_dlp"),
+        (col("sum_dlp").cast("double") / 1e6).as("log_w"))
+  }
 }

@@ -434,6 +434,53 @@ object CurationQueries {
           CAST(ws AS DOUBLE) / 1e6 AS weight,
           CAST(ws AS DOUBLE) / w_total AS share,
           CAST(ws AS DOUBLE) / w_total * 100000 / n_tok AS rate
-        FROM w, t ORDER BY stratum"""))
+        FROM w, t ORDER BY stratum""")),
+
+    // ---- CCNet-style unigram-LM cross-entropy quality score -------------
+    "q122_unigram_xent" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.TextOps.unigramCrossEntropy(t(spark, dir, "documents"),
+            addK = 0.5)
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        vc AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM vc),
+        lp AS (SELECT tok,
+            CAST(ROUND(ln((c + 0.5) / (n + 0.5 * v)) * 1e6) AS BIGINT)
+              AS lps
+          FROM vc, tot)
+        SELECT doc_id, COUNT(*) AS n_tok,
+          CAST(SUM(lps) AS BIGINT) AS sum_lp,
+          -(CAST(SUM(lps) AS BIGINT) / 1e6) / COUNT(*) AS xent
+        FROM tk JOIN lp USING (tok)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- DSIR hashed-unigram importance weights -------------------------
+    "q123_dsir_weights" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.TextOps.dsirLogWeights(t(spark, dir, "documents"),
+            col("lang") === "en", buckets = 8192, addK = 0.5)
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id, (lang = 'en') AS is_t,
+            ${h32Sql("tok")} % 8192 AS b
+          FROM (SELECT doc_id, lang, unnest($tokensSql) AS tok
+                FROM documents)),
+        bc AS (SELECT b, COUNT(*) AS c_raw,
+            CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+          FROM tk GROUP BY b),
+        tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+            CAST(SUM(c_t) AS BIGINT) AS n_t FROM bc),
+        lp AS (SELECT b,
+            CAST(ROUND(ln((c_t + 0.5) / (n_t + 0.5 * 8192)) * 1e6) AS BIGINT)
+            - CAST(ROUND(ln((c_raw + 0.5) / (n_raw + 0.5 * 8192)) * 1e6)
+                AS BIGINT) AS dlps
+          FROM bc, tot)
+        SELECT doc_id, COUNT(*) AS n_tok,
+          CAST(SUM(dlps) AS BIGINT) AS sum_dlp,
+          CAST(SUM(dlps) AS BIGINT) / 1e6 AS log_w
+        FROM tk JOIN lp USING (b)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -164,4 +164,43 @@ class OpsSpec extends AnyFunSuite {
     assert(avgDx < 16 && avgDy < 16,
       s"z-order should bound both dims (avgDx=$avgDx avgDy=$avgDy)")
   }
+
+  test("unigramCrossEntropy matches the closed form on a micro corpus " +
+      "and ranks common-token docs below rare-token docs") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // vocab: a appears 4x, z 1x; N=5, V=2, k=0.5
+    val got = TextOps.unigramCrossEntropy(
+        Seq((1L, "a a a a"), (2L, "z")).toDF("doc_id", "text"))
+      .orderBy(col("doc_id")).collect()
+    val lpA = math.round(math.log((4 + 0.5) / (5 + 0.5 * 2)) * 1e6)
+    val lpZ = math.round(math.log((1 + 0.5) / (5 + 0.5 * 2)) * 1e6)
+    assert(got(0).getLong(2) == 4 * lpA && got(1).getLong(2) == lpZ)
+    assert(got(0).getAs[Double]("xent") < got(1).getAs[Double]("xent"),
+      "fluent (common-token) text must score lower cross-entropy")
+    // sum over ALL docs of n_tok*avg recovers the corpus-level total
+    assert(got.map(_.getLong(2)).sum == 4 * lpA + lpZ)
+  }
+
+  test("dsirLogWeights: target-like docs score positive, off-target " +
+      "negative; score depends only on the doc's tokens") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // target docs use tokens t1..t3, background docs use b1..b3; one
+    // doc of pure target tokens NOT flagged as target must still score
+    // target-like (the weight is about content, not the label). Corpus
+    // is sized so real counts dominate the add-k smoothing mass
+    // (0.5 * buckets) — on a vanishingly small corpus every bucket
+    // shrinks toward the uniform prior and signs are meaningless.
+    val rows = (1 to 30).map(i => (i.toLong, "t1 t2 t3", i <= 15)) ++
+      (31 to 60).map(i => (i.toLong, "b1 b2 b3", false)) :+
+      (61L, "t1 t2 t3", false)
+    val got = TextOps.dsirLogWeights(rows.toDF("doc_id", "text", "flag"),
+        col("flag"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("log_w")).toMap
+    assert(got(1) > 0, s"target doc should be target-like: ${got(1)}")
+    assert(got(31) < 0, s"background doc should score negative: ${got(31)}")
+    assert(got(61) == got(1),
+      "identical token content must get an identical weight")
+  }
 }
