@@ -481,6 +481,47 @@ object CurationQueries {
           CAST(SUM(dlps) AS BIGINT) AS sum_dlp,
           CAST(SUM(dlps) AS BIGINT) / 1e6 AS log_w
         FROM tk JOIN lp USING (b)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- CCNet per-language head/middle/tail perplexity buckets ---------
+    // Composition query: the cross-entropy scorer feeding CCNet's
+    // per-language tercile split, rolled up to bucket-level accounting.
+    // The ntile window (per-lang sort) is the VERIFIABLE form; at corpus
+    // scale the same split runs as filter-vs-threshold with cut points
+    // from the percentile sketch (rank-error-bounded, q117) instead of a
+    // per-language global sort.
+    "q124_ccnet_buckets" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(spark, dir, "documents")
+        val xent = graft.ops.TextOps.unigramCrossEntropy(docs, addK = 0.5)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("xent").asc, col("doc_id").asc)
+        docs.select(col("doc_id"), col("lang"))
+          .join(xent, "doc_id")
+          .withColumn("bucket", ntile(3).over(w).cast("long"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+            max(col("xent")).as("max_xent"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        vc AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM vc),
+        lp AS (SELECT tok,
+            CAST(ROUND(ln((c + 0.5) / (n + 0.5 * v)) * 1e6) AS BIGINT)
+              AS lps
+          FROM vc, tot),
+        x AS (SELECT doc_id, COUNT(*) AS n_tok,
+            -(CAST(SUM(lps) AS BIGINT) / 1e6) / COUNT(*) AS xent
+          FROM tk JOIN lp USING (tok) GROUP BY doc_id),
+        b AS (SELECT d.lang, x.n_tok, x.xent,
+            NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY x.xent, x.doc_id) AS bucket
+          FROM x JOIN documents d USING (doc_id))
+        SELECT lang, bucket, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tok, MAX(xent) AS max_xent
+        FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""))
   )
 }
