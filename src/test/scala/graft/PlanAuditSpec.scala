@@ -246,4 +246,20 @@ class PlanAuditSpec extends AnyFunSuite {
         || p.toLowerCase.contains("vecmoments") || p.contains("vec_moments"),
       s"member pass should be the vec_moments aggregate:\n$p")
   }
+
+  test("q123 DSIR: the scoring table broadcasts — token stream is never " +
+      "shuffled for the attach join") {
+    // the ≤buckets-row log-ratio table must come back as a broadcast
+    // (this is why the scorer's growth curve is flat: scoring is
+    // map-side at any corpus size); a sort-merge join here would shuffle
+    // the whole token stream by bucket id and scale like the corpus
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.ops.TextOps.dsirLogWeights(docs,
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"DSIR scoring join must broadcast the bucket-LM table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the scoring attach:\n$p")
+  }
 }
