@@ -128,7 +128,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // echo the active measurement knobs so a run with non-default
+    // warmups/rounds or a SPARK_GRAFT_ONLY subset is self-identifying
+    // from its output alone (a dev-knob leak can't masquerade as a
+    // contract run)
+    val subset = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(s => "\"" + s + "\"").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset}""")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.stop()
     // drop this run's warehouse copy of the layouts

@@ -17,8 +17,18 @@ object GraftVec {
     throw new IllegalArgumentException(
       s"$op: null element at index $i — inputs must be null-free quantized vectors")
 
+  // A dims mismatch is a caller bug (the engine's quantized vectors and
+  // centroids are all dims-length); truncating to the shorter input would
+  // return a plausible-looking partial sum where the composed
+  // zip_with/aggregate form these kernels replace would NULL-poison the
+  // result — fail loudly instead.
+  private def lenMismatch(op: String, na: Int, nb: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$op: input length mismatch ($na vs $nb) — vectors must share dims")
+
   def dot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) lenMismatch("dot_long", n, b.numElements())
     var s = 0L
     var i = 0
     while (i < n) {
@@ -29,7 +39,8 @@ object GraftVec {
   }
 
   def dist2(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) lenMismatch("dist2_long", n, b.numElements())
     var s = 0L
     var i = 0
     while (i < n) {
@@ -49,7 +60,8 @@ object GraftVec {
     * to the per-(key, dim) DECIMAL aggregation it replaces — both are
     * the same exact integer. */
   def nscaledDist2(x: ArrayData, s: ArrayData, n: Long): org.apache.spark.sql.types.Decimal = {
-    val len = math.min(x.numElements(), s.numElements())
+    val len = x.numElements()
+    if (len != s.numElements()) lenMismatch("nscaled_dist2", len, s.numElements())
     var hi = 0L
     var lo = 0L
     var i = 0
@@ -78,7 +90,8 @@ object GraftVec {
     * IEEE fold runs in strict index order, bit-identical to the composed
     * `aggregate(zip_with(a, m, (x, c) => (x−c)²), 0.0, +)` it replaces. */
   def dist2d(a: ArrayData, m: ArrayData): Double = {
-    val n = math.min(a.numElements(), m.numElements())
+    val n = a.numElements()
+    if (n != m.numElements()) lenMismatch("dist2_ld", n, m.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -101,11 +114,12 @@ object GraftVec {
   * every similarity-search operator (brute-force/LSH/IVF ANN) on the
   * int64-quantized embedding arrays — candidates × 64 evaluations per
   * query batch. Inputs are the engine's quantized vectors: equal-length,
-  * null-free (see VectorOps.quantized); like the composed form with such
-  * inputs, extra elements past the shorter length are ignored. A null
-  * ELEMENT violates that contract and raises IllegalArgumentException
-  * (ArrayData.getLong on a null slot would otherwise silently yield an
-  * undefined long).
+  * null-free (see VectorOps.quantized). A length mismatch or a null
+  * ELEMENT violates that contract and raises IllegalArgumentException —
+  * truncating to the shorter input would return a plausible partial
+  * distance, and ArrayData.getLong on a null slot would silently yield
+  * an undefined long, where the composed zip_with/aggregate form these
+  * kernels replace NULL-poisons instead.
   */
 sealed abstract class LongVecKernel extends BinaryExpression {
   override def dataType: DataType = LongType

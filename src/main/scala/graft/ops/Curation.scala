@@ -104,7 +104,18 @@ object Curation {
     * Correctness anchor: Bloom filters have NO false negatives, so the
     * output is IDENTICAL to the exact [[contamination]] — the oracle that
     * hash-checks the exact form verifies the bloom path end-to-end (a
-    * dropped true positive would change the result). */
+    * dropped true positive would change the result).
+    *
+    * EAGER: unlike the engine's other DataFrame-returning operators, this
+    * one runs Spark jobs at construction time — the benchmark shingle
+    * frame is persisted and the filter build collects its one sketch row
+    * (`buildFilter`'s head()) before the returned frame is ever executed.
+    * A caller that builds but never runs the result still pays the
+    * benchmark-side scan; the benchmark persist's lifecycle is the
+    * caller's, as with the engine's other internal persists. An EMPTY
+    * benchmark side returns an explicitly empty (doc_id, n_shared) frame
+    * (BloomFilterAggregate over zero rows yields a null sketch, which
+    * must not reach might_contain as Literal(null)). */
   def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 8, threshold: Long = 1L,
       numBits: Long = 1L << 22): DataFrame = {
@@ -117,6 +128,14 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filter = graft.functions.Bloom.buildFilter(
       benchSh, col("s"), expectedItems = numBits / 16, numBits = numBits)
+    if (filter == null) {
+      // zero benchmark shingles: nothing can be contaminated — return the
+      // empty result explicitly instead of letting Literal(null) propagate
+      // through might_contain by accident
+      benchSh.unpersist()
+      return corpus.select(col("doc_id")).limit(0)
+        .select(col("doc_id"), lit(0L).as("n_shared"))
+    }
     // probe the RAW shingle stream: the Bloom reject happens map-side at
     // scan width, so only probable-positive shingles pay the per-doc
     // dedup shuffle and the exact join — the order that makes the

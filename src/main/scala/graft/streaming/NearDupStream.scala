@@ -111,22 +111,43 @@ object NearDupStream {
             // whole group's arrivals — O(batch-rows-per-bucket) tuples
             // each holding a k-long signature; the carried-state cap alone
             // only bounds *members*. Overflow arrivals are NOT dropped:
-            // each is compared STREAMING against the carried members (≤
-            // maxBucket comparisons, no storage) at the moment it is
-            // rejected or evicted, so their near-dup pairs with
-            // established members still emit — the cap costs only the
-            // overflow-vs-overflow pairs inside one degenerate bucket.
-            // Memory stays O(maxBucket); batches within the cap process
-            // identically to the unbounded path.
+            // each is compared STREAMING, at the moment it is rejected or
+            // evicted, against the carried members AND the current intake
+            // buffer (≤ 2·maxBucket comparisons, no storage), so its pairs
+            // with established members and with every same-batch arrival
+            // seen so far still emit. What the cap sacrifices — inside one
+            // degenerate bucket — is only an overflow arrival's pairs with
+            // items that ARRIVE AFTER its rejection/eviction; nothing
+            // buffered at or before that moment is lost. Memory stays
+            // O(maxBucket); batches within the cap process identically to
+            // the unbounded path.
             val intake = new scala.collection.mutable
               .PriorityQueue[(Long, Array[Long])]()(Ordering.by(_._1))
+            def compareToIntake(id: Long, sig: Array[Long]): Unit =
+              intake.foreach { case (bid, bsig) =>
+                if (bid != id) {
+                  var same = 0
+                  var i = 0
+                  while (i < k) {
+                    if (sig(i) == bsig(i)) same += 1
+                    i += 1
+                  }
+                  val est = same.toDouble / k
+                  if (est >= minEst)
+                    out += ((math.min(id, bid), math.max(id, bid), est))
+                }
+              }
             rows.foreach { case (_, id, sig) =>
               if (intake.size < maxBucket) intake.enqueue((id, sig))
               else if (intake.head._1 > id) {
                 val evicted = intake.dequeue()
                 intake.enqueue((id, sig))
                 compareToMembers(evicted._1, evicted._2)
-              } else compareToMembers(id, sig)
+                compareToIntake(evicted._1, evicted._2)
+              } else {
+                compareToMembers(id, sig)
+                compareToIntake(id, sig)
+              }
             }
             // ascending doc_id gives batch mode (one group = the whole
             // bucket) the same i<j pair orientation as the batch LSH path

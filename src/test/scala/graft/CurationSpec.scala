@@ -182,6 +182,16 @@ class CurationSpec extends AnyFunSuite {
     assert(bloom.toList == exact.toList)
   }
 
+  test("bloomContamination: empty benchmark side returns an explicit " +
+      "empty frame (not null-propagation luck)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "__no_such_source__")
+    val out = Curation.bloomContamination(corpus, bench)
+    assert(out.columns.toSeq == Seq("doc_id", "n_shared"))
+    assert(out.count() == 0)
+  }
+
   test("tfIdfTopK: rare term outranks common term at equal tf") {
     import spark.implicits._
     // 'rare' appears in 1 doc; every other token appears in all 4 docs

@@ -99,4 +99,27 @@ class LongVecSpec extends AnyFunSuite {
       LongVec.dist2(col("a"), col("b")).as("d2")).collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("ragged inputs fail loudly instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    def raises(c: org.apache.spark.sql.Column): Unit = {
+      val e = intercept[Exception](df.select(c).collect())
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(t => Option(t.getMessage)
+          .exists(_.contains("length mismatch"))), s"got: $e")
+    }
+    raises(LongVec.dot(col("a"), col("b")))
+    raises(LongVec.dist2(col("a"), col("b")))
+    raises(LongVec.nscaledDist2(col("a"), col("b"), lit(2L)))
+    val dm = Seq((Seq(1L, 2L, 3L), Seq(1.0, 2.0))).toDF("a", "m")
+    val e = intercept[Exception](
+      dm.select(LongVec.dist2d(col("a"), col("m"))).collect())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage)
+      .exists(_.contains("length mismatch"))), s"got: $e")
+  }
 }

@@ -378,6 +378,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)),
       s"overflow arrival lost its pair with the carried member: $pairs")
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), s"$pairs")
+    // the rejected arrival is also compared against the CURRENT intake
+    // buffer, so its pairs with same-batch arrivals seen before its
+    // rejection emit too (only pairs with items arriving AFTER the
+    // rejection are sacrificed by the cap)
+    assert(pairs.contains((2L, 4L)) && pairs.contains((3L, 4L)),
+      s"overflow arrival lost its pairs with same-batch buffered docs: $pairs")
     q.stop()
   }
 
