@@ -399,9 +399,11 @@ object DedupOps extends Serializable {
     * long-chain graphs, the alternating large-star/small-star algorithm
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) drops rounds to O(log n) with the same per-round join
-    * shape. `localCheckpoint` truncates the per-round lineage so the plan
-    * doesn't grow exponentially; convergence is checked with a scalar
-    * count, never a driver-side collect of the labels.
+    * shape. [[graft.core.Stage]] truncates the per-round lineage so the
+    * plan doesn't grow exponentially — durably (reliable checkpoint) when
+    * the deployment sets a checkpoint dir, executor-local otherwise;
+    * convergence is checked with a scalar count, never a driver-side
+    * collect of the labels.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 50): DataFrame = {
@@ -417,9 +419,10 @@ object DedupOps extends Serializable {
     // check shrinks with it. Singletons rejoin as comp = id at the end
     // (one anti-join, no iteration).
     // materialized (tiny): referenced after e is unpersisted
-    val touched = e.select(col("src").as("id")).distinct().localCheckpoint()
-    var labels = touched.select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+    val touched = graft.core.Stage(
+      e.select(col("src").as("id")).distinct())
+    var labels = graft.core.Stage(
+      touched.select(col("id"), col("id").as("comp")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -431,11 +434,10 @@ object DedupOps extends Serializable {
       val cand = e.join(labels, e("src") === labels("id"))
         .select(col("dst").as("id"), col("comp").as("cand"))
         .groupBy(col("id")).agg(min(col("cand")).as("cand"))
-      val next = labels.join(cand, Seq("id"), "left")
+      val next = graft.core.Stage(labels.join(cand, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
-          (coalesce(col("cand"), col("comp")) < col("comp")).as("changed"))
-        .localCheckpoint()
+          (coalesce(col("cand"), col("comp")) < col("comp")).as("changed")))
       converged = next.filter(col("changed")).limit(1).count() == 0L
       labels = next.select(col("id"), col("comp"))
       iter += 1

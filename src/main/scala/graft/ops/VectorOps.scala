@@ -265,10 +265,11 @@ object VectorOps {
           transform(col("m.s"), s => s.cast("double") / col("m.n"))
             .as("cm"))
       // empty cells keep the previous centroid
-      centroids = centroids.select(col("cell_id"), col("cm").as("old_cm"))
-        .join(fresh, Seq("cell_id"), "left")
-        .select(col("cell_id"), coalesce(col("cm"), col("old_cm")).as("cm"))
-        .localCheckpoint()
+      centroids = graft.core.Stage(
+        centroids.select(col("cell_id"), col("cm").as("old_cm"))
+          .join(fresh, Seq("cell_id"), "left")
+          .select(col("cell_id"),
+            coalesce(col("cm"), col("old_cm")).as("cm")))
     }
     val out = assignToCentroids(v, centroids)
     v.unpersist()

@@ -50,10 +50,12 @@ object Snapshots {
     * committed version number. */
   def commit(df: DataFrame, table: String): Long = {
     val next = latestVersion(table) + 1
-    // localCheckpoint: the new version may be derived from the current
-    // one (an upsert); cut lineage so the write never re-reads files
-    // this commit supersedes
-    df.localCheckpoint().write.mode("errorifexists")
+    // Stage: the new version may be derived from the current one (an
+    // upsert); cut lineage so the write never re-reads files this commit
+    // supersedes (durable checkpoint when a checkpoint dir is set —
+    // executor-local blocks would make the commit unrecoverable on
+    // executor loss between materialize and write)
+    graft.core.Stage(df).write.mode("errorifexists")
       .parquet(versionDir(table, next).toString)
     val p = pointer(table)
     val tmp = Paths.get(table, s"_latest.tmp-${System.nanoTime()}")

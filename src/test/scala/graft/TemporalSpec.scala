@@ -89,6 +89,38 @@ class TemporalSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponents uses a RELIABLE checkpoint when a checkpoint " +
+      "dir is configured (cluster durability: survives executor loss)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val nodes = (1L to 6L).toDF("id")
+      val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+      val comps = DedupOps.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        4L -> 4L, 5L -> 4L, 6L -> 6L))
+      // the iteration's staged frames must live in the reliable dir, not
+      // executor-local blocks
+      val staged = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(staged > 0, "no files in the reliable checkpoint dir — " +
+        "Stage fell back to localCheckpoint despite a configured dir")
+    } finally {
+      // reset to executor-local staging so later suites in this fork keep
+      // the fast path (Option(null) clears the dir)
+      spark.sparkContext.setCheckpointDir(null)
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("bm25 scores more term-frequent docs higher, zero-term docs absent") {
     import spark.implicits._
     val docs = Seq(
