@@ -342,6 +342,73 @@ object DedupOps extends Serializable {
       .distinct()
   }
 
+  /** Cross-corpus (incremental-ingest) near-duplicate check: which
+    * INCOMING documents near-duplicate something in an EXISTING corpus —
+    * the production admission path, where each new batch is screened
+    * against everything already ingested without re-deduping the corpus
+    * (the batch-mode complement of
+    * [[graft.streaming.NearDupStream.nearDupCandidates]]).
+    *
+    * Shape: MinHash signatures map-side on BOTH sides (identical kernel,
+    * so batch corpus and incoming agree bit-for-bit), band keys exploded
+    * map-side, then one equi-join on (band, band-key) — incoming × corpus,
+    * never incoming × incoming or corpus × corpus, so candidate volume
+    * scales with the batch, not the corpus. Verification recomputes
+    * shingle sets for CANDIDATE docs only (AQE turns the semi-joins into
+    * broadcasts when the candidate sliver is small — the typical case).
+    *
+    * At steady state the corpus side's signatures/bands are ingest-time
+    * metadata — persist `minhashSignatures` alongside the silver table
+    * (the same pattern as TextOps' materialized inverted index) and this
+    * operator's corpus-side cost drops to a scan of k ints per doc;
+    * recomputing here keeps the operator self-contained for corpora
+    * without the index.
+    *
+    * @return (new_id, corpus_id, jaccard) — exact n-gram Jaccard ≥
+    *         `threshold`, one row per verified cross pair. */
+  def crossNearDuplicates(incoming: DataFrame, corpus: DataFrame,
+      n: Int = 8, threshold: Double = 0.2, k: Int = 12,
+      rowsPerBand: Int = 3): DataFrame = {
+    val nBands = k / rowsPerBand
+    def bandsOf(docs: DataFrame): DataFrame = {
+      val sig = signaturesOnly(docs, n, k)
+      val keys = (0 until nBands).map { b =>
+        md5(concat_ws(",",
+          (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"s$i")): _*))
+      }
+      sig.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "bk")))
+    }
+    // candidate cross pairs: one equi-join on (band, band-key); persisted
+    // because both verification semi-joins and the final join consume it
+    val pairs = bandsOf(incoming)
+      .select(col("doc_id").as("new_id"), col("band"), col("bk"))
+      .join(bandsOf(corpus)
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .select(col("new_id"), col("corpus_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val setsNew = shingleSets(spread(incoming.join(
+        pairs.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_semi")), n)
+      .select(col("doc_id").as("new_id"), col("shset").as("seta"),
+        col("n_sh").as("na"))
+    val setsCorp = shingleSets(spread(corpus.join(
+        pairs.select(col("corpus_id").as("doc_id")), Seq("doc_id"), "left_semi")), n)
+      .select(col("doc_id").as("corpus_id"), col("shset").as("setb"),
+        col("n_sh").as("nb"))
+    pairs.join(setsNew, "new_id").join(setsCorp, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        size(array_intersect(col("seta"), col("setb"))).as("i"),
+        col("na"), col("nb"))
+      .select(col("new_id"), col("corpus_id"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      // cross-band dedup deferred to the verified (tiny) output, as in
+      // nearDuplicates
+      .distinct()
+  }
+
   /** Per-document shingle novelty (the "how much of this doc is new
     * text" curation signal, RefinedWeb/C4 style): each distinct char
     * n-gram shingle is owned by the lowest doc_id containing it; a
@@ -542,6 +609,72 @@ object DedupOps extends Serializable {
           array_sort(collect_list(when(col("keep"),
             struct(col("pos"), col("passage"))))),
           t => t.getField("passage"))).as("kept_text"))
+  }
+
+  /** Exact duplicate-SPAN detection (the suffix-array dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22, re-expressed relationally): find maximal token spans that
+    * occur more than once anywhere in the corpus — including twice within
+    * one document — and report every span of at least `minSpan` tokens.
+    * Whole-doc and paragraph dedup miss these (a licence header pasted
+    * mid-document, a boilerplate nav block); span-level detection is what
+    * lets a pipeline CUT the duplicated run and keep the novel remainder.
+    *
+    * Relational shape instead of a suffix array: every `k`-token window
+    * gets a rolling fingerprint (md5-derived h32 of the joined window —
+    * position-exact, no false merges beyond hash collision); a corpus-
+    * wide count marks fingerprints occurring ≥2 times; each document
+    * then merges its duplicated positions into maximal spans with a
+    * gaps-and-islands window (a new island starts where a duplicated
+    * window begins past every previous window's reach). A span of L
+    * duplicated tokens yields L−k+1 consecutive duplicated windows, so
+    * span length = island extent + k − 1 and `minSpan ≥ k` is exact.
+    *
+    * Scale: the k-gram stream shuffles twice on the fingerprint — once
+    * to count (map-side combined), once to join the duplicated set back
+    * (both AQE-skew-safe equi-ops; the duplicated sliver is tiny next to
+    * the corpus) — then once per doc for the island window. Nothing is
+    * collected; no all-pairs anything. The suffix-array formulation
+    * needs a global sort of every suffix — THIS shape is the one that
+    * distributes.
+    *
+    * @return (doc_id, span_id, start_tok, end_tok, n_toks) — 1-based
+    *         inclusive token positions, span_id numbering the doc's
+    *         spans in order. */
+  def duplicateSpans(docs: DataFrame, k: Int = 5,
+      minSpan: Int = 10): DataFrame = {
+    require(minSpan >= k, s"minSpan ($minSpan) must be >= window k ($k)")
+    val w = org.apache.spark.sql.expressions.Window
+    val grams = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1),
+          greatest(size(col("tk")) - (k - 1), lit(1)))).as("p"))
+      .filter(col("p") + (k - 1) <= size(col("tk")))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        h32(concat_ws(" ", slice(col("tk"), col("p"), lit(k)))).as("kg"))
+    val dup = grams.groupBy(col("kg"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("kg"))
+    val dupPos = grams.join(dup, "kg")
+      .select(col("doc_id"), col("p"))
+    val byDoc = w.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = dupPos
+      // a window reaches tokens [p, p+k-1]; a new island starts where p
+      // lies past the furthest reach of every earlier duplicated window
+      .withColumn("prev_reach", max(col("p") + (k - 1))
+        .over(byDoc.rowsBetween(w.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("prev_reach").isNull || col("p") > col("prev_reach"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("fresh")).over(byDoc))
+    islands.groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("p")).as("start_tok"),
+        (max(col("p")) + (k - 1)).as("end_tok"))
+      .select(col("doc_id"), col("span_id"), col("start_tok"),
+        col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_toks"))
+      .filter(col("n_toks") >= minSpan)
   }
 
   /** SimHash near-dup pairs within a Hamming radius: OR-banded candidate

@@ -230,6 +230,52 @@ object LlmOps {
         ORDER BY a, b"""),
       bench = true),
 
+    // ---- cross-corpus (incremental-ingest) near-dup screening -----------
+    // The admission path: a synthetic incoming batch (docs 0-49 re-keyed
+    // +10000, as q22 does for exact dedup) screened against the full
+    // corpus. Every incoming doc is an exact copy of its original, so the
+    // output deterministically contains (id+10000, id, 1.0) plus whatever
+    // genuine near-dups of those 50 texts exist — nonzero by construction.
+    "q126_cross_neardups" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val incoming = docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        DedupOps.crossNearDuplicates(incoming, docs)
+          .orderBy(col("new_id"), col("corpus_id"))
+      },
+      oracle = Some(s"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id, text FROM documents
+          WHERE doc_id < 50),
+        sh AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS s
+          FROM (SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(len(text) - 7, 1))) AS g
+                FROM all_docs)), $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        pairs AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+          FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk
+          WHERE x.doc_id >= 10000 AND y.doc_id < 10000),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT new_id, corpus_id, COUNT(*) AS i
+          FROM pairs
+          JOIN sh x ON x.doc_id = new_id
+          JOIN sh y ON y.doc_id = corpus_id AND y.s = x.s
+          GROUP BY new_id, corpus_id)
+        SELECT new_id, corpus_id,
+          i * 1.0 / (sa.n_sh + sb.n_sh - i) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = new_id
+        JOIN sizes sb ON sb.doc_id = corpus_id
+        WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
+        ORDER BY new_id, corpus_id""")),
+
     // ---- SimHash ---------------------------------------------------------
     "q26_simhash" -> QueryDef(
       build = (spark, dir) =>

@@ -338,6 +338,46 @@ object Statistics {
                  ORDER BY pos), '') AS kept_text
         FROM ranked GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- exact duplicate-SPAN detection (Lee et al. substring dedup) ----
+    // 5-token rolling fingerprints → corpus-wide dup count → per-doc
+    // gaps-and-islands merge into maximal spans ≥ 10 tokens. Catches
+    // boilerplate runs pasted MID-document that whole-doc and passage
+    // dedup both miss.
+    "q125_dup_spans" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.DedupOps.duplicateSpans(t(spark, dir, "documents"),
+            k = 5, minSpan = 10)
+          .orderBy(col("doc_id"), col("span_id")),
+      oracle = Some(s"""
+        WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        g AS (SELECT doc_id, p,
+                ${h32Sql("array_to_string(toks[p:p+4], ' ')")} AS kg
+              FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 4, 1)))
+                        AS p
+                    FROM tk)
+              WHERE p + 4 <= len(toks)),
+        dup AS (SELECT kg FROM g GROUP BY kg HAVING COUNT(*) >= 2),
+        dp AS (SELECT doc_id, p FROM g JOIN dup USING (kg)),
+        isl AS (SELECT doc_id, p,
+                  MAX(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_reach
+                FROM dp),
+        sp AS (SELECT doc_id, p,
+                 CAST(SUM(CASE WHEN prev_reach IS NULL OR p > prev_reach
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS span_id
+               FROM isl)
+        SELECT doc_id, span_id, MIN(p) AS start_tok,
+               MAX(p) + 4 AS end_tok,
+               MAX(p) + 4 - MIN(p) + 1 AS n_toks
+        FROM sp GROUP BY doc_id, span_id
+        HAVING MAX(p) + 4 - MIN(p) + 1 >= 10
+        ORDER BY doc_id, span_id""")),
+
     // ---- Z-order (Morton) clustering key --------------------------------
     // The write-side layout op is Layout.zorderBy (range-partition +
     // sort on the interleaved key); this query checks the z-value math

@@ -138,6 +138,55 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 1L, 0L, "")))
   }
 
+  test("crossNearDuplicates screens the incoming batch against the " +
+      "corpus only — no within-side pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content with no overlap whatsoever here"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again!"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "novel text that matches nothing in the existing corpus data"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.crossNearDuplicates(incoming, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    // the exact copy matches its original at jaccard 1.0 and the
+    // corpus-side near-dup of that original too
+    assert(pairs.contains((100L, 1L)), s"$pairs")
+    assert(pairs.contains((100L, 3L)), s"$pairs")
+    assert(out.find(t => t._1 == 100L && t._2 == 1L).get._3 == 1.0)
+    // the novel doc admits cleanly
+    assert(!out.exists(_._1 == 101L))
+    // strictly cross: never incoming×incoming or corpus×corpus (1,3)
+    assert(out.forall(t => t._1 >= 100L && t._2 < 100L))
+  }
+
+  test("duplicateSpans merges duplicated 5-gram windows into maximal " +
+      "spans, including within-document repeats") {
+    import spark.implicits._
+    val run = "c d e f g h i j k l" // 10 shared tokens
+    val docs = Seq(
+      (1L, s"x1 x2 $run y1"),       // run at tokens 3..12
+      (2L, s"z1 $run z2 z3"),       // run at tokens 2..11
+      (3L, "m n o p q r m n o p q r")) // 6-token run repeated in-doc
+      .toDF("doc_id", "text")
+    val strict = DedupOps.duplicateSpans(docs, k = 5, minSpan = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // only the 10-token cross-doc run survives minSpan=10; boundaries are
+    // position-exact despite the window-merge
+    assert(strict == Set((1L, 1L, 3L, 12L, 10L), (2L, 1L, 2L, 11L, 10L)))
+    val loose = DedupOps.duplicateSpans(docs, k = 5, minSpan = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // doc 3's in-document repeat: dup windows at p∈{1,2} and p∈{7,8}
+    // merge into two 6-token islands (1..6 and 7..12)
+    assert(loose == strict + ((3L, 1L, 1L, 6L, 6L)) + ((3L, 2L, 7L, 12L, 6L)))
+  }
+
   test("zValue interleaves bits; zorderBy clusters both columns") {
     import spark.implicits._
     import graft.ops.Layout
