@@ -17,7 +17,7 @@ HEADLINE = [
     "q25_jaccard_neardups", "q27_cosine_topk",
     "q101_tfidf_topk", "q105_shingle_novelty",
     "q108_dedup_survivorship", "q111_cluster_quality",
-    "q113_chunk_overlap",
+    "q113_chunk_overlap", "q125_dup_spans", "q126_cross_neardups",
 ]
 
 def main(sf_dir, bench_json=None):

@@ -274,7 +274,8 @@ object LlmOps {
         FROM inter JOIN sizes sa ON sa.doc_id = new_id
         JOIN sizes sb ON sb.doc_id = corpus_id
         WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
-        ORDER BY new_id, corpus_id""")),
+        ORDER BY new_id, corpus_id"""),
+      bench = true),
 
     // ---- SimHash ---------------------------------------------------------
     "q26_simhash" -> QueryDef(

@@ -376,7 +376,8 @@ object Statistics {
                MAX(p) + 4 - MIN(p) + 1 AS n_toks
         FROM sp GROUP BY doc_id, span_id
         HAVING MAX(p) + 4 - MIN(p) + 1 >= 10
-        ORDER BY doc_id, span_id""")),
+        ORDER BY doc_id, span_id"""),
+      bench = true),
 
     // ---- Z-order (Morton) clustering key --------------------------------
     // The write-side layout op is Layout.zorderBy (range-partition +
