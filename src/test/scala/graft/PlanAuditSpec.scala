@@ -178,6 +178,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"near-dup chain fell off the equi-join path:\n$p")
   }
 
+  test("q125 dup-spans: island window is doc-partitioned, no cartesian, " +
+      "no SinglePartition") {
+    val p = plan("q125_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"dup-span chain fell off the equi-join path:\n$p")
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"),
+      s"island merge window is global — all duplicated positions to one task:\n$p")
+  }
+
+  test("q126 cross near-dups: strictly equi-joins, never a corpus-side " +
+      "cartesian") {
+    val p = plan("q126_cross_neardups")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"cross-dedup chain fell off the equi-join path:\n$p")
+    // both verification sides are semi-join-filtered before shingling
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      s"candidate filtering lost a semi-join:\n$p")
+  }
+
   test("q27 cosine top-k: WindowGroupLimit pushdown + broadcast of the " +
       "query side only") {
     val p = plan("q27_cosine_topk")
