@@ -677,6 +677,46 @@ object DedupOps extends Serializable {
       .filter(col("n_toks") >= minSpan)
   }
 
+  /** The actionable half of [[duplicateSpans]]: CUT every detected
+    * duplicate span out of each document and reconstruct the remainder —
+    * the Lee et al. pipeline's actual output (they drop the repeated
+    * 50-token runs, not the documents). Returns every document:
+    * (doc_id, n_tok, n_removed, clean_text), n_removed = 0 and the
+    * original token stream for untouched docs, empty clean_text for
+    * fully-duplicated ones.
+    *
+    * Scale: spans per doc are few and bounded (they are ≥minSpan-token
+    * runs), so the coverage join is a doc-keyed equi-join with a range
+    * residual — never position × corpus. The reconstruction groups the
+    * SURVIVING tokens per doc (one doc-keyed shuffle, same shape as
+    * passageDedup's rebuild). */
+  def stripDuplicateSpans(docs: DataFrame, k: Int = 5,
+      minSpan: Int = 10): DataFrame = {
+    val spans = duplicateSpans(docs, k, minSpan)
+      .select(col("doc_id"), col("start_tok"), col("end_tok"))
+    val toks = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        posexplode(col("tk")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), col("n_tok"),
+        (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+    val kept = toks.join(spans,
+        toks("doc_id") === spans("doc_id")
+          && col("pos") >= col("start_tok") && col("pos") <= col("end_tok"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          t => t.getField("tok"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** SimHash near-dup pairs within a Hamming radius: OR-banded candidate
     * generation — each doc enters TWO 16-bit buckets (high half, low
     * half), pairs colliding in EITHER band are candidates (union,

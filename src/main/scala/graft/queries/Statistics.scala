@@ -379,6 +379,59 @@ object Statistics {
         ORDER BY doc_id, span_id"""),
       bench = true),
 
+    // ---- duplicate-span REMOVAL (the actionable half of q125) -----------
+    "q127_span_strip" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.DedupOps.stripDuplicateSpans(t(spark, dir, "documents"),
+            k = 5, minSpan = 10)
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        g AS (SELECT doc_id, p,
+                ${h32Sql("array_to_string(toks[p:p+4], ' ')")} AS kg
+              FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 4, 1)))
+                        AS p
+                    FROM tk)
+              WHERE p + 4 <= len(toks)),
+        dup AS (SELECT kg FROM g GROUP BY kg HAVING COUNT(*) >= 2),
+        dp AS (SELECT doc_id, p FROM g JOIN dup USING (kg)),
+        isl AS (SELECT doc_id, p,
+                  MAX(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_reach
+                FROM dp),
+        sp AS (SELECT doc_id, p,
+                 CAST(SUM(CASE WHEN prev_reach IS NULL OR p > prev_reach
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS span_id
+               FROM isl),
+        spans AS (SELECT doc_id, MIN(p) AS start_tok, MAX(p) + 4 AS end_tok
+                  FROM sp GROUP BY doc_id, span_id
+                  HAVING MAX(p) + 4 - MIN(p) + 1 >= 10),
+        toks2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos] AS tok
+                  FROM (SELECT doc_id, toks,
+                          unnest(generate_series(1, greatest(len(toks), 1)))
+                            AS pos
+                        FROM tk)
+                  WHERE pos <= len(toks)),
+        kept AS (SELECT t.doc_id, COUNT(*) AS n_kept,
+                   COALESCE(string_agg(tok, ' ' ORDER BY pos), '')
+                     AS clean_text
+                 FROM toks2 t
+                 WHERE NOT EXISTS (SELECT 1 FROM spans s
+                   WHERE s.doc_id = t.doc_id
+                     AND t.pos BETWEEN s.start_tok AND s.end_tok)
+                 GROUP BY t.doc_id),
+        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM tk)
+        SELECT b.doc_id, b.n_tok,
+          b.n_tok - COALESCE(k.n_kept, 0) AS n_removed,
+          COALESCE(k.clean_text, '') AS clean_text
+        FROM base b LEFT JOIN kept k USING (doc_id)
+        ORDER BY doc_id""")),
+
     // ---- Z-order (Morton) clustering key --------------------------------
     // The write-side layout op is Layout.zorderBy (range-partition +
     // sort on the interleaved key); this query checks the z-value math

@@ -185,6 +185,15 @@ class OpsSpec extends AnyFunSuite {
     // doc 3's in-document repeat: dup windows at p∈{1,2} and p∈{7,8}
     // merge into two 6-token islands (1..6 and 7..12)
     assert(loose == strict + ((3L, 1L, 1L, 6L, 6L)) + ((3L, 2L, 7L, 12L, 6L)))
+
+    // the actionable half: spans are CUT, the remainder reconstructed in
+    // order, untouched docs pass through intact
+    val stripped = DedupOps.stripDuplicateSpans(docs, k = 5, minSpan = 10)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(stripped(1L) == ((13L, 10L, "x1 x2 y1")))
+    assert(stripped(2L) == ((13L, 10L, "z1 z2 z3")))
+    assert(stripped(3L) == ((12L, 0L, "m n o p q r m n o p q r")))
   }
 
   test("zValue interleaves bits; zorderBy clusters both columns") {
