@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{DedupOps, Multimodal, TextOps, VectorOps}
 import graft.sources.Tables
+import Q.h32Sql
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal plumbing) as oracle-checked queries over the
@@ -276,6 +277,52 @@ object LlmOps {
         WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
         ORDER BY new_id, corpus_id"""),
       bench = true),
+
+    // ---- train/test split leakage via near-duplication ------------------
+    // Composition QA: a TEST-split document near-duplicating a TRAIN-split
+    // document is evaluation contamination that exact/doc-level checks
+    // miss (the split is deterministic by hash, so leakage can only come
+    // from near-dup content straddling the split). Screens the test side
+    // against the train side with the cross-corpus operator — candidate
+    // volume scales with the (small) test split.
+    "q128_split_leakage" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.ops.Curation
+        val docs = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val split = Curation.splitAssign(col("doc_id"))
+        DedupOps.crossNearDuplicates(
+            docs.filter(split === "test"), docs.filter(split === "train"))
+          .select(col("new_id").as("test_id"),
+            col("corpus_id").as("train_id"), col("jaccard"))
+          .orderBy(col("test_id"), col("train_id"))
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        sides AS (SELECT doc_id,
+            ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+          FROM documents),
+        pairs AS (SELECT DISTINCT x.doc_id AS test_id, y.doc_id AS train_id
+          FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk
+          JOIN sides sx ON sx.doc_id = x.doc_id AND sx.b < 10
+          JOIN sides sy ON sy.doc_id = y.doc_id AND sy.b >= 30),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT test_id, train_id, COUNT(*) AS i
+          FROM pairs
+          JOIN sh x ON x.doc_id = test_id
+          JOIN sh y ON y.doc_id = train_id AND y.s = x.s
+          GROUP BY test_id, train_id)
+        SELECT test_id, train_id,
+          i * 1.0 / (sa.n_sh + sb.n_sh - i) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = test_id
+        JOIN sizes sb ON sb.doc_id = train_id
+        WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
+        ORDER BY test_id, train_id""")),
 
     // ---- SimHash ---------------------------------------------------------
     "q26_simhash" -> QueryDef(
