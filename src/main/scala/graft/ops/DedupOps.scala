@@ -368,22 +368,66 @@ object DedupOps extends Serializable {
     *         `threshold`, one row per verified cross pair. */
   def crossNearDuplicates(incoming: DataFrame, corpus: DataFrame,
       n: Int = 8, threshold: Double = 0.2, k: Int = 12,
+      rowsPerBand: Int = 3): DataFrame =
+    crossScreen(bandsOf(incoming, n, k, rowsPerBand),
+      bandsOf(corpus, n, k, rowsPerBand), incoming, corpus, n, threshold)
+
+  /** (doc_id, band, bk) LSH band rows for a corpus — the frame
+    * [[buildBandIndex]] persists and [[crossNearDuplicates]] computes
+    * inline. Entirely map-side (signatures + key hash per row). */
+  def bandsOf(docs: DataFrame, n: Int = 8, k: Int = 12,
       rowsPerBand: Int = 3): DataFrame = {
     val nBands = k / rowsPerBand
-    def bandsOf(docs: DataFrame): DataFrame = {
-      val sig = signaturesOnly(docs, n, k)
-      val keys = (0 until nBands).map { b =>
-        md5(concat_ws(",",
-          (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"s$i")): _*))
-      }
-      sig.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "bk")))
+    val sig = signaturesOnly(docs, n, k)
+    val keys = (0 until nBands).map { b =>
+      md5(concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"s$i")): _*))
     }
+    sig.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "bk")))
+  }
+
+  /** Persist a corpus's LSH band rows as a managed table BUCKETED AND
+    * SORTED BY band key — the ingest-time near-dup index the
+    * [[crossNearDuplicates]] scaladoc points to. Screening a batch then
+    * reads k/rowsPerBand ints-and-a-key per corpus doc instead of
+    * re-hashing the corpus text, and the bucketed layout hands the
+    * candidate join a pre-partitioned side (same discipline as
+    * [[graft.ops.TextOps.buildTermIndex]] / silver.BucketedTables).
+    * Refresh incrementally by appending the new batch's own
+    * [[bandsOf]] rows after admission. */
+  def buildBandIndex(docs: DataFrame, db: String, table: String,
+      n: Int = 8, k: Int = 12, rowsPerBand: Int = 3,
+      numBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    bandsOf(docs, n, k, rowsPerBand)
+      .write
+      .bucketBy(numBuckets, "bk")
+      .sortBy("bk")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"$db.$table")
+  }
+
+  /** [[crossNearDuplicates]] against a persisted [[buildBandIndex]]
+    * table: identical output, corpus-side signature work replaced by an
+    * index scan. `corpus` is still needed for the exact-Jaccard
+    * verification text of CANDIDATE docs only. */
+  def crossNearDuplicatesIndexed(incoming: DataFrame, corpus: DataFrame,
+      index: DataFrame, n: Int = 8, threshold: Double = 0.2, k: Int = 12,
+      rowsPerBand: Int = 3): DataFrame =
+    crossScreen(bandsOf(incoming, n, k, rowsPerBand),
+      index.select(col("doc_id"), col("band"), col("bk")),
+      incoming, corpus, n, threshold)
+
+  private def crossScreen(incomingBands: DataFrame, corpusBands: DataFrame,
+      incoming: DataFrame, corpus: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
     // candidate cross pairs: one equi-join on (band, band-key); persisted
     // because both verification semi-joins and the final join consume it
-    val pairs = bandsOf(incoming)
+    val pairs = incomingBands
       .select(col("doc_id").as("new_id"), col("band"), col("bk"))
-      .join(bandsOf(corpus)
+      .join(corpusBands
         .select(col("doc_id").as("corpus_id"), col("band"), col("bk")),
         Seq("band", "bk"))
       .select(col("new_id"), col("corpus_id"))

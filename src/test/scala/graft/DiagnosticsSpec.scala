@@ -196,6 +196,39 @@ class DiagnosticsSpec extends AnyFunSuite {
       s"term lookup should bucket-prune the index scan:\n$plan")
   }
 
+  test("crossNearDuplicatesIndexed: persisted band index gives the exact " +
+      "output of the inline screen, from a bucketed scan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bidx-").toString
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val db = s"bidx${System.nanoTime()}"
+    val docs = Tables.load(s, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val incoming = docs
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 50)
+      .select((org.apache.spark.sql.functions.col("doc_id") + 10000)
+        .as("doc_id"), org.apache.spark.sql.functions.col("text"))
+    DedupOps.buildBandIndex(docs, db, "bands")
+    val idx = s.table(s"$db.bands")
+    val viaIndex = DedupOps.crossNearDuplicatesIndexed(incoming, docs, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val direct = DedupOps.crossNearDuplicates(incoming, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(viaIndex.nonEmpty && viaIndex == direct)
+    // the corpus side of the candidate join reads the BUCKETED index
+    val plan = DedupOps.crossNearDuplicatesIndexed(incoming, docs, idx)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"indexed screen should scan the bucketed band table:\n$plan")
+  }
+
   test("termSearch matches only docs containing ALL terms and plans " +
       "no exchange") {
     import spark.implicits._
