@@ -196,6 +196,17 @@ class OpsSpec extends AnyFunSuite {
     assert(stripped(3L) == ((12L, 0L, "m n o p q r m n o p q r")))
   }
 
+  test("duplicateSpans and stripDuplicateSpans are partition-independent") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    def spans(p: Int) = DedupOps.duplicateSpans(docs.repartition(p))
+      .orderBy("doc_id", "span_id").collect().toSeq
+    assert(spans(1) == spans(7))
+    def strip(p: Int) = DedupOps.stripDuplicateSpans(docs.repartition(p))
+      .orderBy("doc_id").collect().toSeq
+    assert(strip(1) == strip(7))
+  }
+
   test("zValue interleaves bits; zorderBy clusters both columns") {
     import spark.implicits._
     import graft.ops.Layout
