@@ -78,15 +78,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(s(1L) == 1L && s(2L) == 1L && s(3L) == 2L && s(4L) == 1L)
   }
 
-  test("connectedComponents labels chains and singletons correctly") {
+  test("connectedComponents labels chains and singletons correctly — " +
+      "driver union-find and iterative paths agree") {
     import spark.implicits._
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3, pair 5-6, singletons 4 and 7
     val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("a", "b")
-    val comps = DedupOps.connectedComponents(nodes, edges)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L)
+    // default: the bounded driver union-find fast path
+    val fast = DedupOps.connectedComponents(nodes, edges)
       .as[(Long, Long)].collect().toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    assert(fast == expected)
+    // driverEdgeLimit = 0 forces the distributed iteration — identical
+    // fixpoint
+    val iterative = DedupOps.connectedComponents(nodes, edges,
+        driverEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(iterative == expected)
+  }
+
+  test("both connectedComponents paths agree on the real near-dup graph") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = DedupOps.nearDuplicates(docs).select(col("a"), col("b"))
+      .localCheckpoint()
+    val nodes = docs.select(col("doc_id").as("id"))
+    val fast = DedupOps.connectedComponents(nodes, pairs)
+      .orderBy("id").collect().toSeq
+    val iterative = DedupOps.connectedComponents(nodes, pairs,
+        driverEdgeLimit = 0)
+      .orderBy("id").collect().toSeq
+    assert(fast.nonEmpty && fast == iterative)
   }
 
   test("connectedComponents uses a RELIABLE checkpoint when a checkpoint " +
@@ -98,7 +121,10 @@ class TemporalSpec extends AnyFunSuite {
     try {
       val nodes = (1L to 6L).toDF("id")
       val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
-      val comps = DedupOps.connectedComponents(nodes, edges)
+      // driverEdgeLimit = 0: this test proves the ITERATIVE path's
+      // staging primitive goes reliable when a checkpoint dir is set
+      val comps = DedupOps.connectedComponents(nodes, edges,
+          driverEdgeLimit = 0)
         .as[(Long, Long)].collect().toMap
       assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
         4L -> 4L, 5L -> 4L, 6L -> 6L))
