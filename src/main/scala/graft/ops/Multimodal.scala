@@ -141,6 +141,78 @@ object Multimodal {
       }
   }
 
+  final case class PHash(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash stub for media near-dup detection — the image-dedup
+    * pipeline shape (pHash/aHash over decoded pixels) with the decode
+    * stubbed as raw payload bytes. 64 stripes by byte position mod 64;
+    * bit j set iff stripe j's mean exceeds the payload mean, compared by
+    * EXACT integer cross-multiplication (stripe_sum·n > total_sum·n_j) so
+    * the hash is bit-reproducible on any engine with no float compare.
+    * Similar payloads flip few stripe bits → small Hamming distance, the
+    * property real pHash gives decoded images. Partition-wise like the
+    * other media ops; a real implementation replaces byte stripes with
+    * DCT coefficients and nothing else changes.
+    *
+    * Oracle note: the DuckDB check recomputes the hash from CHARACTER
+    * codes (`ascii(substr(text, p, 1))`), which equals the utf-8 byte at
+    * the same position for this ASCII corpus — the hash-match pins the
+    * byte/char correspondence along with the math. */
+  def pHash(docsWithBinary: DataFrame, stripes: Int = 64): Dataset[PHash] = {
+    val spark = docsWithBinary.sparkSession
+    import spark.implicits._
+    docsWithBinary.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val sSum = new Array[Long](stripes)
+          val sCnt = new Array[Long](stripes)
+          var tot = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val u = (bytes(i) & 0xff).toLong
+            sSum(i % stripes) += u
+            sCnt(i % stripes) += 1
+            tot += u
+            i += 1
+          }
+          var h = 0L
+          var j = 0
+          while (j < stripes) {
+            // stripe mean > overall mean, exact: ss/sn > tot/n  ⇔  ss·n > tot·sn
+            if (sCnt(j) > 0 && sSum(j) * bytes.length > tot * sCnt(j))
+              h |= 1L << j
+            j += 1
+          }
+          PHash(id, h)
+        }
+      }
+  }
+
+  /** Media near-dup pairs within a Hamming radius over [[pHash]]:
+    * OR-banded candidates — each asset enters FOUR 16-bit buckets, pairs
+    * colliding in ANY band are candidates, exact Hamming verifies. Same
+    * recall contract as DedupOps.simhashPairs (full recall at radius h
+    * needs h+1 bands by pigeonhole; 4×16 over 64 bits guarantees h ≤ 3
+    * and degrades gracefully above). Equi-join on (band, bucket), never
+    * all-pairs. */
+  def pHashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val ph = pHash(withBinary(docs)).toDF()
+    val banded = ph.select(col("doc_id"), col("phash"),
+      posexplode(array(
+        expr("shiftright(phash, 48) & 65535"),
+        expr("shiftright(phash, 32) & 65535"),
+        expr("shiftright(phash, 16) & 65535"),
+        expr("phash & 65535"))).as(Seq("band", "bucket")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("CAST(bit_count(x.phash ^ y.phash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   private def toHex(b: Array[Byte]): String =
     b.map(x => f"${x & 0xff}%02x").mkString
 }

@@ -773,6 +773,48 @@ object LlmOps {
           md5(string_agg(substr(text, g, 1), '' ORDER BY g)) AS checksum
         FROM pos GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- media near-dup via perceptual hash (stubbed decode) -------------
+    // 64-stripe mean-sign hash over payload bytes, OR-banded 4×16-bit
+    // candidates, exact Hamming verify — the image-dedup pipeline with
+    // pHash's DCT stubbed as byte stripes. The oracle recomputes from
+    // CHARACTER codes (ascii == utf-8 byte for this corpus), pinning the
+    // byte math and the banding together.
+    "q129_phash_neardups" -> QueryDef(
+      build = (spark, dir) =>
+        Multimodal.pHashPairs(Tables.load(spark, dir, "documents"),
+            maxHamming = 8)
+          .orderBy(col("a"), col("b")),
+      oracle = Some("""
+        WITH ch AS (SELECT doc_id, (p - 1) % 64 AS stripe,
+            CAST(ascii(substr(text, CAST(p AS INT), 1)) AS BIGINT) AS v
+          FROM (SELECT doc_id, text,
+                  unnest(generate_series(1, len(text))) AS p
+                FROM documents)),
+        tot AS (SELECT doc_id, SUM(v) AS ts, COUNT(*) AS n
+                FROM ch GROUP BY doc_id),
+        st AS (SELECT doc_id, stripe, SUM(v) AS ss, COUNT(*) AS sn
+               FROM ch GROUP BY doc_id, stripe),
+        ph AS (SELECT t.doc_id,
+            CAST(COALESCE(SUM(CASE WHEN s.ss * t.n <= t.ts * s.sn THEN 0
+                                   WHEN s.stripe = 63
+                                     THEN (-9223372036854775807 - 1)
+                                   ELSE (1::BIGINT << s.stripe)
+                              END), 0) AS BIGINT) AS phash
+          FROM tot t JOIN st s ON s.doc_id = t.doc_id
+          GROUP BY t.doc_id),
+        banded AS (
+          SELECT doc_id, phash, 0 AS band, (phash >> 48) & 65535 AS bucket FROM ph
+          UNION ALL SELECT doc_id, phash, 1, (phash >> 32) & 65535 FROM ph
+          UNION ALL SELECT doc_id, phash, 2, (phash >> 16) & 65535 FROM ph
+          UNION ALL SELECT doc_id, phash, 3, phash & 65535 FROM ph),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+            CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bucket = y.bucket
+              AND x.doc_id < y.doc_id)
+        SELECT a, b, hamming FROM pairs WHERE hamming <= 8
+        ORDER BY a, b""")),
+
     // ---- multimodal binary plumbing (stubbed decode) ----------------------
     "q33_multimodal_meta" -> QueryDef(
       build = (spark, dir) =>

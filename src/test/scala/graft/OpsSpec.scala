@@ -196,6 +196,24 @@ class OpsSpec extends AnyFunSuite {
     assert(stripped(3L) == ((12L, 0L, "m n o p q r m n o p q r")))
   }
 
+  test("pHashPairs: identical payloads collide at hamming 0, near " +
+      "payloads at small distance, disjoint content stays apart") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                      // identical → hamming 0
+      (3L, base.replace("lazy", "hazy")), // near → small hamming
+      (4L, "0123456789" * 20))         // different byte profile
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Multimodal.pHashPairs(docs, maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), s"$pairs")
+    // a one-character substitution barely moves stripe means — near, not far
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 2L, s"$pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"$pairs")
+  }
+
   test("duplicateSpans and stripDuplicateSpans are partition-independent") {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
