@@ -150,6 +150,41 @@ object Curation {
       .filter(col("n_shared") >= threshold)
   }
 
+  /** Filter-cascade attrition accounting (the curation funnel every
+    * corpus build reads before shipping): given ordered named stage
+    * predicates, report per stage how many documents entered, were
+    * removed, and survived — survivors of stage i = rows passing ALL
+    * predicates 1..i, the way a real cascade short-circuits.
+    *
+    * Scale: every predicate is evaluated in ONE pass over the corpus
+    * (flags as columns, cumulative conjunctions as parallel conditional
+    * sums in a single aggregation); the per-stage rows are unpivoted
+    * from that one aggregate row with `stack` — nothing but the
+    * O(stages) result ever leaves the aggregation. Predicates may be
+    * join-derived flags (e.g. a dedup-loser column attached upstream);
+    * the funnel itself never adds a shuffle beyond the final global
+    * aggregate. */
+  def filterFunnel(df: DataFrame,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val flagged = df.select(stages.zipWithIndex.map {
+      case ((_, c), i) => c.cast("boolean").as(s"_f$i")
+    }: _*)
+    val cums = stages.indices.map { i =>
+      sum(when(stages.indices.take(i + 1).map(j => col(s"_f$j"))
+        .reduce(_ && _), 1L).otherwise(0L)).as(s"_n$i")
+    }
+    val row = flagged.agg(count(lit(1)).as("_total"), cums: _*)
+    val stackArgs = stages.zipWithIndex.map { case ((name, _), i) =>
+      val nIn = if (i == 0) "_total" else s"_n${i - 1}"
+      s"${i + 1}L, '${name.replace("'", "''")}', $nIn, _n$i"
+    }.mkString(", ")
+    row.select(expr(
+        s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_in, n_out)"))
+      .select(col("stage_idx"), col("stage"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_removed"), col("n_out"))
+  }
+
   /** Sliding-window document chunking with overlap (RAG / context-window
     * prep): token windows of `size` starting every `stride` tokens, the
     * last window short if the document ends mid-window. Returns one row

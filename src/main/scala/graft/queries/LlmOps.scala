@@ -773,6 +773,70 @@ object LlmOps {
           md5(string_agg(substr(text, g, 1), '' ORDER BY g)) AS checksum
         FROM pos GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- curation filter-funnel accounting ------------------------------
+    // The attrition report every corpus build reads: 4-stage cascade
+    // (length → token count → target languages → near-dup dedup), each
+    // row = docs entering / removed / surviving that stage. Flags are
+    // computed in ONE corpus pass; the dedup stage's flag is the verified
+    // near-dup loser set (q25's pairs, keep-the-smaller-id policy).
+    "q130_filter_funnel" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.ops.Curation
+        import graft.queries.Q.tokens
+        val docs = Tables.load(spark, dir, "documents")
+        val losers = DedupOps.nearDuplicates(docs)
+          .select(col("b").as("doc_id")).distinct()
+          .withColumn("is_loser", lit(true))
+        val flagged = docs.join(losers, Seq("doc_id"), "left")
+        Curation.filterFunnel(flagged, Seq(
+            "min_length" -> (col("n_chars") >= 100),
+            "min_tokens" -> (size(tokens(col("text"))) >= 12),
+            "target_langs" -> (col("lang") =!= "zh"),
+            "near_dedup" -> col("is_loser").isNull))
+          .orderBy(col("stage_idx"))
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a, b, COUNT(*) AS i
+          FROM cand
+          JOIN sh x ON x.doc_id = a
+          JOIN sh y ON y.doc_id = b AND y.s = x.s
+          GROUP BY a, b),
+        losers AS (SELECT DISTINCT b AS doc_id
+          FROM inter JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2),
+        f AS (SELECT d.doc_id,
+            (d.n_chars >= 100) AS f0,
+            (len(regexp_split_to_array(trim(d.text), '\\s+')) >= 12) AS f1,
+            (d.lang <> 'zh') AS f2,
+            (l.doc_id IS NULL) AS f3
+          FROM documents d LEFT JOIN losers l USING (doc_id)),
+        agg AS (SELECT COUNT(*) AS total,
+            CAST(SUM(CASE WHEN f0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN f0 AND f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN f0 AND f1 AND f2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN f0 AND f1 AND f2 AND f3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n3
+          FROM f)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS stage_idx, 'min_length' AS stage,
+            total AS n_in, total - n0 AS n_removed, n0 AS n_out FROM agg
+          UNION ALL SELECT 2, 'min_tokens', n0, n0 - n1, n1 FROM agg
+          UNION ALL SELECT 3, 'target_langs', n1, n1 - n2, n2 FROM agg
+          UNION ALL SELECT 4, 'near_dedup', n2, n2 - n3, n3 FROM agg)
+        ORDER BY stage_idx""")),
+
     // ---- media near-dup via perceptual hash (stubbed decode) -------------
     // 64-stripe mean-sign hash over payload bytes, OR-banded 4×16-bit
     // candidates, exact Hamming verify — the image-dedup pipeline with

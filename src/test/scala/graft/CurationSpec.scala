@@ -182,6 +182,21 @@ class CurationSpec extends AnyFunSuite {
     assert(bloom.toList == exact.toList)
   }
 
+  test("filterFunnel: cumulative conjunction semantics, one row per stage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10, "en"), (2L, 5, "en"), (3L, 10, "zh"), (4L, 10, "en"))
+      .toDF("id", "len", "lang")
+    val out = Curation.filterFunnel(df, Seq(
+        "len" -> (col("len") >= 10),
+        "lang" -> (col("lang") === "en")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "len", 4L, 1L, 3L),
+      (2L, "lang", 3L, 1L, 2L)))
+  }
+
   test("bloomContamination: empty benchmark side returns an explicit " +
       "empty frame (not null-propagation luck)") {
     val docs = Tables.load(spark, dir, "documents")
