@@ -225,6 +225,58 @@ object TextOps {
         col("score"))
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones; the Lucene-style
+    * non-negative idf variant): score every document containing at least
+    * one query term with
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`,
+    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)`, and return the global
+    * top-k by score. Returns (doc_id, n_hit, score, rank).
+    *
+    * Shape at scale: the explode is filtered to the query terms BEFORE
+    * the tf aggregation, so everything downstream of the scan is sized
+    * by matching postings, not the corpus; doc length rides the explode
+    * row (no second scan or join for dl); corpus totals are a broadcast
+    * 1-row frame; per-term df is an aggregate of the already-tiny tf
+    * frame. The global top-k is `orderBy(...).limit(k)` — Spark plans
+    * `TakeOrderedAndProject`, a bounded per-partition heap + k·partitions
+    * driver merge, never a global sort.
+    *
+    * Determinism: each (doc, term) partial score is one fixed expression
+    * tree over exact integers (tf, df, N, dl, Σdl) rounded ONCE to a
+    * scaled ×10⁶ int64 — per-doc sums are order-free integer math (same
+    * contract as [[unigramCrossEntropy]]), and the ranking key is the
+    * exact scaled sum with doc_id tie-break. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    val qTerms = terms.distinct
+    val dl = size(tokens(col("text"))).cast("long")
+    val tf = spread(docs)
+      .select(col("doc_id"), dl.as("dl"),
+        explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val tot = docs.agg(count(lit(1)).as("n_docs"), sum(dl).as("tot_tok"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val rdl = (col("dl") * col("n_docs")).cast("double") / col("tot_tok")
+    val tfn = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * rdl))
+    val scored = tf.join(broadcast(dfT), "tok").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(idf * tfn * 1e6).cast("long").as("ps"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("ps")).as("sum_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sum_s").desc, col("doc_id"))
+    scored.orderBy(col("sum_s").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_hit"),
+        (col("sum_s").cast("double") / 1e6).as("score"), col("rank"))
+  }
+
   /** Conjunctive (AND) term search: documents whose whitespace token set
     * contains EVERY query term. Returns (doc_id, source, n_chars).
     *

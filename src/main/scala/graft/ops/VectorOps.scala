@@ -167,6 +167,45 @@ object VectorOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the deterministic IVF
+    * coarse quantizer, compare pairs WITHIN each cell only, and drop any
+    * vector whose cell holds a lower-id neighbor at cosine ≥ `threshold`
+    * (the paper keeps one representative per within-cluster duplicate
+    * group; lowest-id is the deterministic stand-in for its random
+    * pick). Returns every vector as (vec_id, cell_id, is_kept).
+    *
+    * Shape at scale: this is the whole point of the paper's design — the
+    * quadratic comparison is bounded per cell, never corpus-wide. The
+    * cell assignment is one broadcast-seed map pass ([[ivfAssign]]); the
+    * self-join shuffles each side once keyed by cell_id; survivors come
+    * from one more vec_id-keyed left join. nCells should grow with the
+    * corpus (√N keeps expected cell quadratic cost linear overall); a
+    * skewed giant cell is the known failure mode — refine the quantizer
+    * with [[kmeansRefine]] for balance before deduping if assignment
+    * stats show one. */
+  def semanticDedup(vectors: DataFrame, threshold: Double = 0.9,
+      nCells: Int = 16): DataFrame = {
+    val cells = ivfAssign(vectors, nCells)
+      .select(col("vec_id"), col("cell_id"))
+    val v = vectors
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+      .join(cells, "vec_id")
+    val losers = v.as("x").join(v.as("y"),
+        col("x.cell_id") === col("y.cell_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"),
+        (dot(col("x.qv"), col("y.qv")).cast("double") /
+          (sqrt(dot(col("x.qv"), col("x.qv")).cast("double")) *
+           sqrt(dot(col("y.qv"), col("y.qv")).cast("double")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    cells.join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        col("is_dup").isNull.as("is_kept"))
+  }
+
   /** Lloyd (k-means) refinement of the IVF coarse quantizer: start from
     * the deterministic seed centroids (`ivfAssign`'s quantizer), then
     * alternate assignment and centroid recomputation for `iters` rounds.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{DedupOps, Multimodal, TextOps, VectorOps}
 import graft.sources.Tables
-import Q.h32Sql
+import Q.{h32Sql, tokensSql}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal plumbing) as oracle-checked queries over the
@@ -923,6 +923,72 @@ object LlmOps {
         WHERE list_contains(regexp_split_to_array(trim(text), '\s+'), 'join')
           AND list_contains(regexp_split_to_array(trim(text), '\s+'), 'hash')
           AND list_contains(regexp_split_to_array(trim(text), '\s+'), 'vector')
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- BM25 ranked retrieval ------------------------------------------
+    // q106 answers "which docs match" (conjunctive, scan-local); this is
+    // the ranked complement: Lucene-style BM25 with k1=1.2, b=0.75 over
+    // the same whitespace tokens, global top-15. Per-(doc,term) partials
+    // are ×10⁶-scaled int64 (the q122 determinism contract) so per-doc
+    // sums and the ranking key are exact.
+    "q131_bm25_topk" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.bm25TopK(Tables.load(spark, dir, "documents"),
+          Seq("join", "hash", "vector"), k = 15),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok
+          FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+        tfq AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM tk
+          WHERE tok IN ('join', 'hash', 'vector') GROUP BY 1, 2, 3),
+        stats AS (SELECT COUNT(*) AS n_docs,
+            SUM(len($tokensSql)) AS tot_tok FROM documents),
+        dft AS (SELECT tok, COUNT(*) AS df FROM tfq GROUP BY tok),
+        s AS (SELECT doc_id, COUNT(*) AS n_hit,
+            SUM(CAST(round((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                  (CAST(dl * n_docs AS DOUBLE) / tot_tok))))) * 1000000.0)
+              AS BIGINT)) AS sum_s
+          FROM tfq JOIN dft USING (tok) CROSS JOIN stats
+          GROUP BY doc_id)
+        SELECT doc_id, n_hit, CAST(sum_s AS DOUBLE) / 1000000.0 AS score,
+          CAST(row_number() OVER (ORDER BY sum_s DESC, doc_id) AS BIGINT)
+            AS rank
+        FROM s ORDER BY sum_s DESC, doc_id LIMIT 15""")),
+
+    // ---- SemDeDup: within-cluster semantic deduplication -----------------
+    // q48 finds embedding near-dup PAIRS (LSH-restricted); this is the
+    // survivorship form of Abbas et al. 2023: IVF-cell clustering bounds
+    // the quadratic, lowest-id-wins within a cell at cosine ≥ 0.35, every
+    // vector labeled kept/dropped.
+    "q132_semantic_dedup" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.semanticDedup(Tables.load(spark, dir, "embeddings"),
+            threshold = 0.35)
+          .orderBy(col("vec_id")),
+      oracle = Some(s"""
+        WITH $quantCte,
+        seeds AS (SELECT vec_id AS cell_id, g, x AS sx FROM xv
+          WHERE vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        d AS (SELECT xv.vec_id, cell_id, SUM((x - sx) * (x - sx)) AS dist2
+          FROM xv JOIN seeds USING (g) GROUP BY 1, 2),
+        asg AS (SELECT vec_id, cell_id FROM (
+          SELECT vec_id, cell_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist2, cell_id) AS rn FROM d)
+          WHERE rn = 1),
+        vv AS (SELECT xv.vec_id, cell_id, g, x
+          FROM xv JOIN asg USING (vec_id)),
+        $cosineCtes,
+        pairs AS (SELECT x.vec_id AS a, y.vec_id AS b, SUM(x.x * y.x) AS dot
+          FROM vv x JOIN vv y ON x.cell_id = y.cell_id AND x.g = y.g
+            AND x.vec_id < y.vec_id
+          GROUP BY 1, 2),
+        losers AS (SELECT DISTINCT b AS vec_id FROM pairs
+          JOIN norms na ON na.vec_id = a
+          JOIN norms nb ON nb.vec_id = b
+          WHERE dot / (sqrt(na.nn * 1.0) * sqrt(nb.nn * 1.0)) >= 0.35)
+        SELECT asg.vec_id, cell_id, (l.vec_id IS NULL) AS is_kept
+        FROM asg LEFT JOIN losers l ON l.vec_id = asg.vec_id
+        ORDER BY asg.vec_id"""))
   )
 }

@@ -221,6 +221,24 @@ class CurationSpec extends AnyFunSuite {
     assert(top.length == 1 && top(0).getAs[String]("tok") == "rare")
   }
 
+  test("bm25TopK: idf weights rare terms up, length norm weights long docs down") {
+    import spark.implicits._
+    // docs 1 and 2 both hit 'rare' once, but doc 2 is much longer →
+    // length normalization ranks doc 1 first; doc 3 hits only the
+    // ubiquitous 'common' → lowest idf, last place; doc 4 matches nothing.
+    val df = Seq(
+      (1L, "rare common x"),
+      (2L, "rare common a b c d e f g h i j k l m n o p"),
+      (3L, "common y z"),
+      (4L, "nothing to see")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bm25TopK(df, Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_hit"))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_._3).toSeq == Seq(2L, 2L, 1L))
+  }
+
   test("boilerplateStrip removes exactly the cross-doc repeated segments") {
     import spark.implicits._
     // banner "buy now" repeats in 4 docs (df=4 >= 3); all other segments

@@ -85,6 +85,27 @@ class OpsSpec extends AnyFunSuite {
     assert(found > 0, "simhash banding found none of the planted near-dups")
   }
 
+  test("semanticDedup: labels every vector; dropped ⇔ a lower-id cell-mate at ≥ threshold") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val out = VectorOps.semanticDedup(emb, threshold = 0.35)
+    assert(out.count() == emb.count(), "every vector must be labeled")
+    // recompute losers exhaustively WITHIN cells and compare exactly
+    val cells = VectorOps.ivfAssign(emb).select(col("vec_id"), col("cell_id"))
+    val v = emb.join(cells, "vec_id")
+    val expected = VectorOps.cosineTopK(emb, emb, k = emb.count().toInt)
+      .join(cells.withColumnRenamed("vec_id", "qid"), "qid")
+      .join(cells.withColumnRenamed("vec_id", "cid")
+        .withColumnRenamed("cell_id", "cell2"), "cid")
+      .filter(col("cell_id") === col("cell2") && col("qid") < col("cid") &&
+        col("cosine") >= 0.35)
+      .select(col("cid").as("vec_id")).distinct()
+    val gotDropped = out.filter(!col("is_kept")).select(col("vec_id"))
+    assert(gotDropped.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(gotDropped).count() == 0,
+      "dropped set must equal the exhaustive within-cell loser set")
+    assert(gotDropped.count() > 0, "threshold chosen to exercise the drop path")
+  }
+
   test("cosine near-dups: all returned pairs exceed threshold, bucket-restricted") {
     val emb = Tables.load(spark, dir, "embeddings")
     val dups = VectorOps.cosineNearDups(emb, threshold = 0.95)
