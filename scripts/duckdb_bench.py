@@ -18,6 +18,7 @@ HEADLINE = [
     "q101_tfidf_topk", "q105_shingle_novelty",
     "q108_dedup_survivorship", "q111_cluster_quality",
     "q113_chunk_overlap", "q125_dup_spans", "q126_cross_neardups",
+    "q127_span_strip", "q128_split_leakage", "q132_semantic_dedup",
 ]
 
 def main(sf_dir, bench_json=None):

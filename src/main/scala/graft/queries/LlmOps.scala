@@ -322,7 +322,8 @@ object LlmOps {
         FROM inter JOIN sizes sa ON sa.doc_id = test_id
         JOIN sizes sb ON sb.doc_id = train_id
         WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
-        ORDER BY test_id, train_id""")),
+        ORDER BY test_id, train_id"""),
+      bench = true),
 
     // ---- SimHash ---------------------------------------------------------
     "q26_simhash" -> QueryDef(
@@ -989,6 +990,7 @@ object LlmOps {
           WHERE dot / (sqrt(na.nn * 1.0) * sqrt(nb.nn * 1.0)) >= 0.35)
         SELECT asg.vec_id, cell_id, (l.vec_id IS NULL) AS is_kept
         FROM asg LEFT JOIN losers l ON l.vec_id = asg.vec_id
-        ORDER BY asg.vec_id"""))
+        ORDER BY asg.vec_id"""),
+      bench = true)
   )
 }

@@ -430,7 +430,8 @@ object Statistics {
           b.n_tok - COALESCE(k.n_kept, 0) AS n_removed,
           COALESCE(k.clean_text, '') AS clean_text
         FROM base b LEFT JOIN kept k USING (doc_id)
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      bench = true),
 
     // ---- Z-order (Morton) clustering key --------------------------------
     // The write-side layout op is Layout.zorderBy (range-partition +
