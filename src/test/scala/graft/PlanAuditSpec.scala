@@ -282,4 +282,77 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"token stream must not shuffle for the scoring attach:\n$p")
   }
+
+  test("q127 span strip: doc-partitioned island windows, fingerprint-keyed " +
+      "dup detection, no cartesian") {
+    val p = plan("q127_span_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"span-strip chain fell off the equi-join path:\n$p")
+    assert(p.contains("Window"), s"island merge lost its window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"island windows must stay doc-partitioned, never global:\n$p")
+    assert(p.contains("Exchange hashpartitioning(kg"),
+      s"dup detection should shuffle on the k-gram fingerprint:\n$p")
+  }
+
+  test("q128 split leakage: equi-joins only; both verify sides " +
+      "semi-join-filtered to candidates before shingling") {
+    val p = plan("q128_split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"leakage screen fell off the equi-join path:\n$p")
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      s"candidate filtering lost a semi-join:\n$p")
+  }
+
+  test("q129 pHash near-dups: band-keyed candidates, hash equi-joins only") {
+    val p = plan("q129_phash_neardups")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"pHash chain fell off the equi-join path:\n$p")
+  }
+
+  test("q130 filter funnel: ONE corpus pass — all stage counts fold into " +
+      "a single aggregate, bounded final rollup only") {
+    val p = plan("q130_filter_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"funnel fell off the equi-join path:\n$p")
+    // the cascade is CASE-WHEN sums inside one aggregate, not one
+    // filter+count job per stage; SinglePartition appears only for the
+    // bounded (#stages+1)-value final rollup
+    assert(p.contains("partial_sum(CASE WHEN"),
+      s"stage counts should fold map-side in one pass:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"only the bounded final rollup may gather:\n$p")
+  }
+
+  test("q131 BM25: df table broadcasts back; top-k is a bounded heap, " +
+      "never a global sort") {
+    val p = plan("q131_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"BM25 top-k lost the bounded-heap plan:\n$p")
+    assert(p.contains("BroadcastExchange HashedRelationBroadcastMode"),
+      s"query-term df table should broadcast to the postings stream:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"BM25 chain has a cartesian:\n$p")
+    // the 1-row corpus-stats attach and the final bounded rollup are the
+    // only global gathers
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"only the 1-row stats aggregate may gather:\n$p")
+  }
+
+  test("q132 SemDeDup: pair join is cell-keyed hash; the only nested-loop " +
+      "joins are the bounded 16-row centroid broadcasts") {
+    val p = plan("q132_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"SemDeDup has an unbounded cartesian:\n$p")
+    assert(p.contains("Exchange hashpartitioning(cell_id"),
+      s"within-cell pairing must shuffle on cell_id:\n$p")
+    // ivfAssign attaches the nCells seed centroids via a broadcast
+    // nested-loop whose build side is a TakeOrderedAndProject-bounded
+    // 16-row frame — every NL join in the plan must be one of those
+    val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val bounded = "TakeOrderedAndProject\\(limit=16".r.findAllIn(p).length
+    assert(nl <= bounded,
+      s"found a nested-loop join that is not the bounded centroid attach " +
+        s"($nl NL joins, $bounded bounded seed picks):\n$p")
+  }
 }
