@@ -185,6 +185,30 @@ object Curation {
         (col("n_in") - col("n_out")).as("n_removed"), col("n_out"))
   }
 
+  /** Per-document rejection attribution: the row-level complement of
+    * [[filterFunnel]]'s counts. Labels every document with the FIRST
+    * stage that rejects it (cascade order, same semantics as the
+    * funnel: a doc failing stages 2 and 4 is charged to stage 2) or
+    * `kept` if it survives the whole cascade — the quarantine/audit
+    * frame a curation run writes next to its survivors so every drop is
+    * explainable.
+    *
+    * Shape at scale: one `coalesce(when(!s1)…, when(!s2)…, 'kept')` per
+    * row — pure codegen'd map work inside the scan, no shuffle, no
+    * per-stage jobs; stage predicates are evaluated once each. */
+  def rejectionAttribution(df: DataFrame, keyCol: String,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "rejectionAttribution needs at least one stage")
+    val verdict = coalesce(
+      (stages.zipWithIndex.map { case ((name, c), i) =>
+        when(!c.cast("boolean") || c.isNull, struct(
+          lit(i + 1).cast("long").as("stage_idx"), lit(name).as("verdict")))
+      } :+ struct(lit(0L).as("stage_idx"), lit("kept").as("verdict"))): _*)
+    df.select(col(keyCol), verdict.as("v"))
+      .select(col(keyCol), col("v.stage_idx").as("stage_idx"),
+        col("v.verdict").as("verdict"))
+  }
+
   /** Sliding-window document chunking with overlap (RAG / context-window
     * prep): token windows of `size` starting every `stride` tokens, the
     * last window short if the document ends mid-window. Returns one row

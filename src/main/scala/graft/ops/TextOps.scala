@@ -295,6 +295,42 @@ object TextOps {
     docs.filter(pred).select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** Exact PHRASE search: documents containing the query tokens as a
+    * contiguous run, with occurrence count and first position (1-based).
+    * `termSearch` answers "has all the words"; this answers "has the
+    * words in this order, adjacent" — the difference between matching
+    * `hash … join` anywhere and matching the phrase `hash join`.
+    *
+    * Shape at scale: like [[termSearch]] this is deliberately NOT an
+    * index lookup — all candidate positions are enumerated and verified
+    * INSIDE the scan stage by one codegen'd higher-order-function chain
+    * over the tokens array (`filter` over a position `sequence`, one
+    * `element_at` conjunction per phrase token). Zero shuffle, zero row
+    * blow-up (no explode — the position stream lives inside the array
+    * expression), embarrassingly parallel. A positional inverted index
+    * (token → (doc, pos) postings, adjacency equi-join per consecutive
+    * term pair) wins only in the many-queries regime, same trade
+    * documented on [[buildTermIndex]]. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phraseSearch needs at least two tokens")
+    val n = phrase.length
+    val toks = tokens(col("text"))
+    val hits = filter(
+      sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+      p => phrase.zipWithIndex.map { case (w, i) =>
+        element_at(col("toks"), p + lit(i)) === lit(w)
+      }.reduce(_ && _))
+    docs.select(col("doc_id"), toks.as("toks"))
+      // guard BEFORE positions are enumerated: sequence(1, hi) with
+      // hi < 1 would generate a DESCENDING range, not an empty one
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), hits.as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_hits"),
+        element_at(col("hits"), 1).cast("long").as("first_pos"))
+  }
+
   /** Materialize the inverted index `termSearch`'s scaladoc points to
     * for the many-queries regime: distinct (tok, doc_id) postings as a
     * managed table BUCKETED AND SORTED BY tok. Each term lookup then

@@ -838,6 +838,67 @@ object LlmOps {
           UNION ALL SELECT 4, 'near_dedup', n2, n2 - n3, n3 FROM agg)
         ORDER BY stage_idx""")),
 
+    // ---- per-document rejection attribution ------------------------------
+    // q130 reports the funnel's COUNTS; this is its row-level complement:
+    // every document labeled with the first stage that rejects it (or
+    // 'kept'), the quarantine/audit frame a curation run writes next to
+    // its survivors. Pure map work: one coalesce(when…) per row, no
+    // shuffle, evaluated inside the scan. Stages here are deliberately
+    // per-row-only so the oracle stays cheap; composing heavier stages
+    // (near-dedup flags etc.) is a join upstream, as q130 does.
+    "q133_rejection_reasons" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.ops.Curation
+        import graft.queries.Q.tokens
+        Curation.rejectionAttribution(
+            Tables.load(spark, dir, "documents"), "doc_id", Seq(
+              "min_length" -> (col("n_chars") >= 100),
+              "min_tokens" -> (size(tokens(col("text"))) >= 12),
+              "target_langs" -> (col("lang") =!= "zh"),
+              "max_length" -> (col("n_chars") <= 5000)))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(raw"""
+        SELECT doc_id,
+          CAST(CASE
+            WHEN NOT (n_chars >= 100) THEN 1
+            WHEN NOT (len(regexp_split_to_array(trim(text), '\s+')) >= 12)
+              THEN 2
+            WHEN NOT (lang <> 'zh') THEN 3
+            WHEN NOT (n_chars <= 5000) THEN 4
+            ELSE 0 END AS BIGINT) AS stage_idx,
+          CASE
+            WHEN NOT (n_chars >= 100) THEN 'min_length'
+            WHEN NOT (len(regexp_split_to_array(trim(text), '\s+')) >= 12)
+              THEN 'min_tokens'
+            WHEN NOT (lang <> 'zh') THEN 'target_langs'
+            WHEN NOT (n_chars <= 5000) THEN 'max_length'
+            ELSE 'kept' END AS verdict
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- exact phrase search (positional) --------------------------------
+    // q106 is conjunctive bag-of-words ("has all the words"); this is the
+    // positional complement ("has the words adjacent, in order"). All
+    // candidate positions are enumerated and verified inside the scan by
+    // one codegen'd higher-order-function chain over the tokens array —
+    // zero shuffle, zero explode.
+    "q134_phrase_search" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.phraseSearch(Tables.load(spark, dir, "documents"),
+            Seq("hash", "join"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+        pos AS (SELECT doc_id, p
+          FROM (SELECT doc_id, toks,
+                  unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS p
+                FROM tk)
+          WHERE p + 1 <= len(toks)
+            AND toks[p] = 'hash' AND toks[p + 1] = 'join')
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+          CAST(MIN(p) AS BIGINT) AS first_pos
+        FROM pos GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- media near-dup via perceptual hash (stubbed decode) -------------
     // 64-stripe mean-sign hash over payload bytes, OR-banded 4×16-bit
     // candidates, exact Hamming verify — the image-dedup pipeline with

@@ -197,6 +197,46 @@ class CurationSpec extends AnyFunSuite {
       (2L, "lang", 3L, 1L, 2L)))
   }
 
+  test("rejectionAttribution: first failing stage wins; NULL predicate " +
+      "rejects; survivors labeled kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10), "en"),  // passes both -> kept
+      (2L, Some(5), "zh"),   // fails len AND lang -> charged to len
+      (3L, Some(10), "zh"),  // fails lang only
+      (4L, None, "en"))      // len NULL -> rejected at len
+      .toDF("id", "len", "lang")
+    val out = Curation.rejectionAttribution(df, "id", Seq(
+        "len" -> (col("len") >= 10),
+        "lang" -> (col("lang") === "en")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 0L, "kept"), (2L, 1L, "len"), (3L, 2L, "lang"),
+      (4L, 1L, "len")))
+  }
+
+  test("phraseSearch: adjacency and order required; overlapping hits " +
+      "counted; short docs excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hash join is fast"),        // match at 1
+      (2L, "join hash"),                // wrong order
+      (3L, "hash x join"),              // not adjacent
+      (4L, "a hash join b hash join"),  // two hits, first at 2
+      (5L, "a a a"),                    // overlapping self-phrase probe
+      (6L, "hash"))                     // shorter than the phrase
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.phraseSearch(df, Seq("hash", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 1L), (4L, 2L, 2L)))
+    val self = graft.ops.TextOps.phraseSearch(df, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(self.toSeq == Seq((5L, 2L, 1L)),
+      "overlapping occurrences must each count")
+  }
+
   test("bloomContamination: empty benchmark side returns an explicit " +
       "empty frame (not null-propagation luck)") {
     val docs = Tables.load(spark, dir, "documents")
