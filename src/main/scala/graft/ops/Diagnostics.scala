@@ -43,4 +43,42 @@ object Diagnostics {
       .orderBy(col("n_rows").desc, col("key").asc)
       .limit(topN)
   }
+
+  /** Distribution-drift report between a baseline corpus and a candidate
+    * batch over any bucketed feature (length bucket, language, source,
+    * quality tercile …): per-bucket counts, proportions, and the
+    * total-variation contribution |p_base − p_cand| / 2. Ingest-QA ops
+    * sum the last column for the TV distance (0 = identical mix,
+    * 1 = disjoint) and alert on buckets whose contribution jumps.
+    *
+    * Total variation rather than KL: TV needs only +,−,×,÷ on exact
+    * integer counts — IEEE-deterministic and engine-reproducible —
+    * where KL's transcendental log varies in the last ulp across math
+    * libraries (the q122 scaled-log trick exists, but a drift ALERT
+    * should not depend on 1e-6-scale rounding policy). Buckets missing
+    * on one side count 0 there (the full drift is still charged).
+    *
+    * Shape at scale: one map-side-combined aggregation per side (each
+    * reduced to its bucket histogram before any exchange), a full-outer
+    * join of two bucket-bounded frames, and 1-row totals broadcast
+    * back — the corpora themselves are never joined or shuffled. */
+  def distributionDrift(base: DataFrame, cand: DataFrame,
+      bucket: Column): DataFrame = {
+    def hist(df: DataFrame, n: String) =
+      df.groupBy(bucket.as("bucket")).agg(count(lit(1)).as(n))
+    val joined = hist(base, "n_base").join(hist(cand, "n_cand"),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+    val totals = joined.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_cand")).as("t_cand"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_base"), col("n_cand"),
+        (col("n_base").cast("double") / col("t_base")).as("p_base"),
+        (col("n_cand").cast("double") / col("t_cand")).as("p_cand"))
+      .withColumn("tv_contrib",
+        abs(col("p_base") - col("p_cand")) / 2.0)
+      .orderBy(col("bucket"))
+  }
 }

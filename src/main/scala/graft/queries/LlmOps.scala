@@ -899,6 +899,84 @@ object LlmOps {
           CAST(MIN(p) AS BIGINT) AS first_pos
         FROM pos GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- cluster topic labeling ------------------------------------------
+    // The corpus-exploration companion to the IVF/SemDeDup machinery:
+    // name each embedding cell by its members' top-5 terms. Cell
+    // assignment is the deterministic coarse quantizer (q49); term
+    // counting is a (cell, token)-keyed two-level aggregation with
+    // map-side combine; top-5 per cell is a WindowGroupLimit, never a
+    // global sort. doc_id ≡ vec_id in this corpus (1:1 embedding per
+    // document).
+    "q135_cluster_topics" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.queries.Q.tokens
+        val cells = VectorOps.ivfAssign(
+            Tables.load(spark, dir, "embeddings"))
+          .select(col("vec_id").as("doc_id"), col("cell_id"))
+        val cnt = Tables.load(spark, dir, "documents")
+          .join(cells, "doc_id")
+          .select(col("cell_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("cell_id"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+        cnt.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cell_id"))
+              .orderBy(col("n").desc, col("tok"))).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("cell_id"), col("rank"), col("tok"), col("n"))
+          .orderBy(col("cell_id"), col("rank"))
+      },
+      oracle = Some(s"""
+        WITH $quantCte,
+        seeds AS (SELECT vec_id AS cell_id, g, x AS sx FROM xv
+          WHERE vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        d AS (SELECT xv.vec_id, cell_id, SUM((x - sx) * (x - sx)) AS dist2
+          FROM xv JOIN seeds USING (g) GROUP BY 1, 2),
+        asg AS (SELECT vec_id AS doc_id, cell_id FROM (
+          SELECT vec_id, cell_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist2, cell_id) AS rn FROM d)
+          WHERE rn = 1),
+        tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        cnt AS (SELECT cell_id, tok, COUNT(*) AS n
+          FROM tk JOIN asg USING (doc_id) GROUP BY 1, 2),
+        rk AS (SELECT cell_id, tok, n, row_number() OVER (
+            PARTITION BY cell_id ORDER BY n DESC, tok) AS rank FROM cnt)
+        SELECT cell_id, CAST(rank AS BIGINT) AS rank, tok, n
+        FROM rk WHERE rank <= 5 ORDER BY cell_id, rank""")),
+
+    // ---- corpus distribution drift ---------------------------------------
+    // Ingest QA: does an incoming batch's length mix match the corpus it
+    // joins? Per-bucket total-variation contributions (TV, not KL — no
+    // transcendentals, so the report is bit-reproducible across engines;
+    // see Diagnostics.distributionDrift). Baseline = established corpus,
+    // candidate = the src0 batch, feature = 200-char length buckets.
+    "q136_length_drift" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        graft.ops.Diagnostics.distributionDrift(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          floor(col("n_chars") / 200).cast("long"))
+      },
+      oracle = Some(raw"""
+        WITH hb AS (SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket,
+            COUNT(*) AS n_base
+          FROM documents WHERE source <> 'src0' GROUP BY 1),
+        hc AS (SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket,
+            COUNT(*) AS n_cand
+          FROM documents WHERE source = 'src0' GROUP BY 1),
+        j AS (SELECT COALESCE(hb.bucket, hc.bucket) AS bucket,
+            COALESCE(n_base, 0) AS n_base, COALESCE(n_cand, 0) AS n_cand
+          FROM hb FULL OUTER JOIN hc ON hb.bucket = hc.bucket),
+        t AS (SELECT SUM(n_base) AS t_base, SUM(n_cand) AS t_cand FROM j)
+        SELECT bucket, n_base, n_cand,
+          CAST(n_base AS DOUBLE) / t_base AS p_base,
+          CAST(n_cand AS DOUBLE) / t_cand AS p_cand,
+          abs(CAST(n_base AS DOUBLE) / t_base
+            - CAST(n_cand AS DOUBLE) / t_cand) / 2.0 AS tv_contrib
+        FROM j CROSS JOIN t ORDER BY bucket""")),
+
     // ---- media near-dup via perceptual hash (stubbed decode) -------------
     // 64-stripe mean-sign hash over payload bytes, OR-banded 4×16-bit
     // candidates, exact Hamming verify — the image-dedup pipeline with

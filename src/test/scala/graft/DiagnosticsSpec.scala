@@ -41,6 +41,41 @@ class DiagnosticsSpec extends AnyFunSuite {
       s"expected distributed top-k, got:\n$plan")
   }
 
+  test("distributionDrift: identical mixes drift 0, disjoint mixes " +
+      "drift 1, one-sided buckets fully charged") {
+    import spark.implicits._
+    def tv(base: Seq[Int], cand: Seq[Int]): Double =
+      Diagnostics.distributionDrift(base.toDF("b"), cand.toDF("b"), col("b"))
+        .agg(sum(col("tv_contrib"))).collect()(0).getDouble(0)
+    assert(tv(Seq(1, 1, 2), Seq(1, 1, 2)) == 0.0)
+    assert(tv(Seq(1, 1), Seq(2, 2)) == 1.0)
+    // base {1:2/3, 2:1/3}, cand {1:1/2, 3:1/2}:
+    // TV = (|2/3-1/2| + |1/3-0| + |0-1/2|) / 2 = 1/2
+    assert(math.abs(tv(Seq(1, 1, 2), Seq(1, 3)) - 0.5) < 1e-15)
+    val out = Diagnostics.distributionDrift(
+        Seq(1L, 1L, 2L).toDF("b"), Seq(1L, 3L).toDF("b"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 0L), (3L, 0L, 1L)),
+      "buckets missing on one side must appear with count 0")
+  }
+
+  test("distributionDrift: per-side histograms partial-aggregate " +
+      "map-side; corpora are never joined row-wise") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = Diagnostics.distributionDrift(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        floor(col("n_chars") / 200).cast("long"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"histograms must combine map-side before any exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"drift must not cartesian the corpora:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"only the 1-row totals may attach via a broadcast cross:\n$plan")
+  }
+
   test("mixtureResample keeps every row of the constrained stratum and " +
       "never upsamples") {
     val docs = Tables.load(spark, dir, "documents")

@@ -355,4 +355,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"found a nested-loop join that is not the bounded centroid attach " +
         s"($nl NL joins, $bounded bounded seed picks):\n$p")
   }
+
+  test("q135 cluster topics: top-5 per cell is a WindowGroupLimit; " +
+      "term counts partial-aggregate map-side") {
+    val p = plan("q135_cluster_topics")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cell top-k lost the group-limit pushdown:\n$p")
+    assert(p.contains("partial_count"),
+      s"(cell, token) counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"topic labeling has a cartesian:\n$p")
+  }
+
+  test("q136 length drift: no row-wise corpus join — histograms reduce " +
+      "before the bucket-bounded full-outer join") {
+    val p = plan("q136_length_drift")
+    assert(p.contains("FullOuter"),
+      s"drift lost the bucket-level full-outer join:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-side histograms must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"drift must not cartesian the corpora:\n$p")
+  }
 }
