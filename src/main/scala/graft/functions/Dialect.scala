@@ -30,4 +30,14 @@ object Dialect {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+
+  /** Epoch micros of a timestamp column, tolerant of BOTH timestamp
+    * flavors the lake's parquet can carry: `TIMESTAMP` (instant) and
+    * `TIMESTAMP_NTZ` (naive wall clock, which `unix_micros` rejects).
+    * A naive value is taken at face value as UTC — exactly DuckDB's
+    * `epoch_us(ts)` on a naive column — via `to_utc_timestamp(c, "UTC")`,
+    * which is session-timezone independent and stays codegen'd. */
+  def tsUs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.unix_micros(
+      org.apache.spark.sql.functions.to_utc_timestamp(c, "UTC"))
 }

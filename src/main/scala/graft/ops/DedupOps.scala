@@ -790,9 +790,14 @@ object DedupOps extends Serializable {
         posexplode(col("tk")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), col("n_tok"),
         (col("pos0") + 1).cast("long").as("pos"), col("tok"))
-    val kept = toks.join(spans,
-        toks("doc_id") === spans("doc_id")
-          && col("pos") >= col("start_tok") && col("pos") <= col("end_tok"),
+    // Explicit aliases: toks and spans share lineage (both derive from
+    // docs), so unqualified toks("doc_id") === spans("doc_id") resolves
+    // to ONE attribute — a trivially-true predicate that only works by
+    // grace of Spark's ambiguous-self-join rewrite (and warns every run).
+    val kept = toks.as("tk").join(spans.as("sp"),
+        col("tk.doc_id") === col("sp.doc_id")
+          && col("tk.pos") >= col("sp.start_tok")
+          && col("tk.pos") <= col("sp.end_tok"),
         "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),

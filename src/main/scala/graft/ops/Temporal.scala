@@ -115,7 +115,7 @@ object Temporal {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val prevTs = lag(col(tsCol), 1).over(w)
     val isNew = when(prevTs.isNull ||
-      unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L)
+      graft.functions.Dialect.tsUs(col(tsCol)) - graft.functions.Dialect.tsUs(prevTs) > gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     events.withColumn("_new", isNew)
       .withColumn("session_idx",

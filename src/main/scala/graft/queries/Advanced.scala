@@ -41,7 +41,7 @@ object Advanced {
             rightVals = Seq("v_id", "ts"))
           .select(col("event_id"), col("user_id"), col("ts"),
             col("asof_v_id").as("view_id"), col("asof_ts").as("view_ts"),
-            (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+            (graft.functions.Dialect.tsUs(col("ts")) - graft.functions.Dialect.tsUs(col("asof_ts"))).as("gap_us"))
           .orderBy(col("event_id"))
       },
       oracle = Some(raw"""
@@ -69,7 +69,7 @@ object Advanced {
           gapSeconds = 1800L)
         val perSession = s.groupBy(col("user_id"), col("session_idx"))
           .agg(count(lit(1)).as("n_events"),
-            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            (graft.functions.Dialect.tsUs(max(col("ts"))) - graft.functions.Dialect.tsUs(min(col("ts"))))
               .as("dur_us"))
         perSession.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_sessions"),
@@ -170,11 +170,11 @@ object Advanced {
         val ev = t(spark, dir, "events")
         val errors = ev.filter(col("event_type") === "error")
           .select(col("event_id").as("error_id"), col("user_id"),
-            unix_micros(col("ts")).as("w_start"),
-            (unix_micros(col("ts")) + 600000000L).as("w_end"))
+            graft.functions.Dialect.tsUs(col("ts")).as("w_start"),
+            (graft.functions.Dialect.tsUs(col("ts")) + 600000000L).as("w_end"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
-            unix_micros(col("ts")).as("c_us"))
+            graft.functions.Dialect.tsUs(col("ts")).as("c_us"))
         val matched = Temporal.rangeJoin(clicks, errors, Seq("user_id"),
           ptUs = "c_us", startUs = "w_start", endUs = "w_end",
           bucketUs = 600000000L)

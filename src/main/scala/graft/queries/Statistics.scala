@@ -155,7 +155,7 @@ object Statistics {
           .orderBy(col("ts"), col("event_id"))
         t(spark, dir, "events")
           .withColumn("gap_us",
-            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            graft.functions.Dialect.tsUs(col("ts")) - lag(graft.functions.Dialect.tsUs(col("ts")), 1).over(w))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("gap_us")).as("total_gap"),
@@ -617,7 +617,7 @@ object Statistics {
             col("event_type"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("user_id")).as("n_users"))
-          .select(unix_micros(col("w.start")).as("w_start_us"),
+          .select(graft.functions.Dialect.tsUs(col("w.start")).as("w_start_us"),
             col("event_type"), col("n"), col("n_users"))
           .orderBy(col("w_start_us"), col("event_type")),
       oracle = Some("""
@@ -801,7 +801,7 @@ object Statistics {
           .agg(count(lit(1)).as("n_versions"),
             sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
             sum(when(col("valid_to").isNotNull,
-              unix_micros(col("valid_to")) - unix_micros(col("valid_from")))
+              graft.functions.Dialect.tsUs(col("valid_to")) - graft.functions.Dialect.tsUs(col("valid_from")))
               .otherwise(0L)).as("total_covered_us"))
           .orderBy(col("user_id"))
       },

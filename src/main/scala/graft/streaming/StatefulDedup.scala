@@ -28,13 +28,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulDedup {
 
-  /** Micros-precision total order for supported order-column types;
-    * Timestamp keeps its sub-millisecond component. */
-  private def ordinal(v: Any): Long = v match {
-    case t: java.sql.Timestamp =>
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    case n: java.lang.Number => n.longValue()
-    case other => String.valueOf(other).hashCode.toLong
+  /** SQL-`ASC`-compatible comparison for order-column values: timestamps
+    * at full precision, integral/floating numerics by value, strings
+    * lexicographically, nulls first (Spark's ASC default). */
+  private def cmpVal(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+    case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Long.compare(x.longValue(), y.longValue())
+    case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+  }
+
+  private def lexLt(a: Seq[Any], b: Seq[Any]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val c = cmpVal(a(i), b(i))
+      if (c != 0) return c < 0
+      i += 1
+    }
+    false
   }
 
   /** Emit each key's first-seen record exactly once across micro-batches.
@@ -70,13 +87,16 @@ object StatefulDedup {
         else {
           state.update(true)
           stateTtl.foreach(state.setTimeoutDuration)
-          // W1 within the batch: lexicographically earliest orderCols
-          val ord = Ordering.Implicits.seqOrdering[Seq, Long]
+          // W1 within the batch: lexicographically earliest orderCols.
+          // `rows` may yield a REUSED Row object (Spark mutates the same
+          // backing row as the iterator advances), so the retained winner
+          // must be a defensive copy — holding the reference silently
+          // turns "earliest" into "whatever the iterator last held".
           var best: Row = null
-          var bestOrd: Seq[Long] = null
+          var bestOrd: Seq[Any] = null
           rows.foreach { r =>
-            val o = ordIdx.map(i => ordinal(r.get(i)))
-            if (best == null || ord.lt(o, bestOrd)) { best = r; bestOrd = o }
+            val o = ordIdx.map(i => r.get(i))
+            if (best == null || lexLt(o, bestOrd)) { best = r.copy(); bestOrd = o }
           }
           Iterator.single(best)
         }

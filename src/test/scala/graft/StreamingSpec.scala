@@ -106,6 +106,33 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("batch-mode first-seen picks the true earliest under iterator row reuse") {
+    // Regression for the round-5 q58 break: over a parquet-backed batch
+    // plan the group iterator REUSES its Row, so retaining a reference
+    // (instead of a copy) silently returns a later row. Parquet-roundtrip
+    // with many rows per key reproduces that execution path.
+    import graft.streaming.StatefulDedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup-").toString
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      // key = i % 20, ts decreasing within arrival order so the earliest
+      // is seen LAST by the iterator
+      (i % 20L, (n - i).toLong, s"payload_$i")
+    }
+    rows.toDF("k", "ts", "payload").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val out = StatefulDedup.firstSeen(df, keyCols = Seq("k"),
+      orderCols = Seq("ts")).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val k = r.getAs[Long]("k")
+      // earliest ts for key k: generated at i = n-20+k → ts = 20-k
+      assert(r.getAs[Long]("ts") == 20L - k,
+        s"key $k kept ts ${r.getAs[Long]("ts")}, expected ${20L - k}")
+    }
+  }
+
   test("streaming session windows merge within gap and close on watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -166,11 +166,11 @@ class TemporalSpec extends AnyFunSuite {
     val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id"),
-        unix_micros(col("ts")).as("w_start"),
-        (unix_micros(col("ts")) + 600000000L).as("w_end"))
+        graft.functions.Dialect.tsUs(col("ts")).as("w_start"),
+        (graft.functions.Dialect.tsUs(col("ts")) + 600000000L).as("w_end"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
-        unix_micros(col("ts")).as("c_us"))
+        graft.functions.Dialect.tsUs(col("ts")).as("c_us"))
     val fast = Temporal.rangeJoin(clicks, errors, Seq("user_id"),
         "c_us", "w_start", "w_end", bucketUs = 600000000L)
       .select(col("click_id"), col("error_id"))
