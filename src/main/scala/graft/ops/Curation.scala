@@ -543,4 +543,25 @@ object Curation {
         (col("w_scaled").cast("double") / col("w_total") * budget
           / col("n_tok")).as("rate"))
   }
+
+  /** Seeded weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, IPL 2006): each key draws a deterministic uniform
+    * u ∈ (0, 1] from the md5-derived 32-bit hash of (key, seed) and the
+    * k largest rank keys ln(u)/w win — exactly a weighted sample without
+    * replacement, reproducible across runs, engines and partitionings
+    * (rand()-based sampling is none of those).
+    *
+    * Scale: rank computation is pure map work; selection is a global
+    * top-k, which Spark plans as TakeOrderedAndProject — per-partition
+    * heaps of size k, no shuffle of the population. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      seed: String = "42"): DataFrame = {
+    val u = (h32(concat(key.cast("string"), lit("#" + seed))) + lit(1L))
+      .cast("double") / lit(4294967297.0)
+    df.select(key.as("key"), weight.cast("long").as("w"),
+        (log(u) / weight.cast("double")).as("r_exact"))
+      .orderBy(col("r_exact").desc, col("key"))
+      .limit(k)
+      .select(col("key"), col("w"), round(col("r_exact"), 6).as("r"))
+  }
 }

@@ -836,4 +836,70 @@ object DedupOps extends Serializable {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** EXACT-threshold set-similarity self-join (the All-Pairs / PPJoin
+    * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): every unordered
+    * document pair whose whitespace-token-set Jaccard ≥ tauNum/tauDen,
+    * with NO false negatives — the deterministic complement to the
+    * probabilistic MinHash/LSH path (reference dedup intent:
+    * serverless_processing_iceberg/main.py:64-74 dedups exact keys; this
+    * is the similarity generalization a curation pipeline needs).
+    *
+    * Candidate generation is prefix filtering under a global canonical
+    * token order (ascending document frequency, ties lexicographic):
+    * J(x,y) ≥ τ forces overlap i ≥ ⌈τ·|x|⌉, so if x's first
+    * |x|−⌈τ·|x|⌉+1 canonical tokens all missed y we'd have
+    * i ≤ ⌈τ·|x|⌉−1 — contradiction. Joining PREFIX tokens against FULL
+    * postings is therefore complete (both orientations are covered
+    * because the argument holds for each side). Rare-first ordering
+    * keeps prefix postings short; the symmetric length filter
+    * τ·max(|x|,|y|) ≤ min(|x|,|y|) prunes candidates at join time; the
+    * threshold test itself is exact integer math (tauDen·i ≥ tauNum·u).
+    *
+    * Scale (100 TB): token-keyed equi-joins only (df count, df attach,
+    * prefix×postings) — map-side-combined aggregations and AQE-splittable
+    * shuffles; candidate volume is Σ_tok |prefix postings|·|postings|,
+    * kept subquadratic by rare-first prefixes; verification is a
+    * pair-keyed join on bounded token arrays. No step is O(n²) in
+    * documents. */
+  def setSimJoin(docs: DataFrame, tauNum: Long = 4L, tauDen: Long = 5L)
+      : DataFrame = {
+    val toks = spread(docs).select(col("doc_id"),
+      array_distinct(tokens(col("text"))).as("tk"))
+    val posts = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
+    val dfc = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // canonical per-doc token order: (df asc, tok asc)
+    val lists = posts.join(dfc, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("doc_id"),
+        expr("transform(st, x -> x.tok)").as("tk"),
+        size(col("st")).cast("long").as("n"))
+    // prefix length: n − ⌈τ·n⌉ + 1 (exact integer ceil-div)
+    val ceilTauN =
+      floor((lit(tauNum) * col("n") + lit(tauDen - 1)) / lit(tauDen))
+    val pref = lists.select(col("doc_id").as("p_id"), col("n").as("p_n"),
+      explode(slice(col("tk"), lit(1),
+        (col("n") - ceilTauN + 1).cast("int"))).as("tok"))
+    val full = posts.join(lists.select(col("doc_id"), col("n")), "doc_id")
+      .select(col("doc_id").as("f_id"), col("n").as("f_n"), col("tok"))
+    val cand = pref.join(full,
+        pref("tok") === full("tok") && col("p_id") =!= col("f_id")
+          && lit(tauNum) * greatest(col("p_n"), col("f_n"))
+             <= lit(tauDen) * least(col("p_n"), col("f_n")))
+      .select(least(col("p_id"), col("f_id")).as("a"),
+        greatest(col("p_id"), col("f_id")).as("b"))
+      .distinct()
+    cand
+      .join(lists.select(col("doc_id").as("a"), col("tk").as("tka"),
+        col("n").as("na")), Seq("a"))
+      .join(lists.select(col("doc_id").as("b"), col("tk").as("tkb"),
+        col("n").as("nb")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("tka"), col("tkb"))).cast("long"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(lit(tauDen) * col("inter") >= lit(tauNum) * col("uni"))
+      .select(col("a"), col("b"), col("na"), col("nb"), col("inter"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jac"))
+  }
 }

@@ -465,4 +465,28 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("sum_dlp"),
         (col("sum_dlp").cast("double") / 1e6).as("log_w"))
   }
+
+  /** Per-document character-level Shannon entropy (bits/char) — the
+    * classic gibberish / degenerate-repetition screen ("aaaa…" ≈ 0 bits,
+    * base64 noise ≈ 6 bits, natural English ≈ 4–4.5 bits; C4/Gopher-style
+    * pipelines cut both tails). Computed as log2(n) − Σ k·log2(k) / n over
+    * the per-char counts so the only floating step is the final fold of
+    * exact integer counts.
+    *
+    * Scale: char counting is a (doc_id, char)-keyed aggregation with
+    * map-side combine — ≤ ~100 distinct keys per doc regardless of doc
+    * length — then a doc-keyed rollup; both shuffles carry counts, never
+    * text. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("k").cast("double") * log(2.0, col("k"))).as("sk"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        round(log(2.0, col("n_chars")) - col("sk") / col("n_chars"), 6)
+          .as("entropy"))
 }

@@ -522,6 +522,25 @@ object CurationQueries {
           FROM x JOIN documents d USING (doc_id))
         SELECT lang, bucket, COUNT(*) AS n_docs,
           CAST(SUM(n_tok) AS BIGINT) AS n_tok, MAX(xent) AS max_xent
-        FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""))
+        FROM b GROUP BY lang, bucket ORDER BY lang, bucket""")),
+
+    // ---- seeded weighted sampling without replacement (A-ES) -----------
+    // Top-20 documents by Efraimidis–Spirakis rank key ln(u)/w with
+    // w = n_chars: longer docs proportionally likelier, yet fully
+    // deterministic — the hash-seeded uniform makes the "random" sample
+    // engine-reproducible, so an oracle can check it exactly.
+    "q139_weighted_sample" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.weightedSample(t(spark, dir, "documents"),
+            col("doc_id"), col("n_chars"), k = 20)
+          .orderBy(col("key")),
+      oracle = Some(s"""
+        WITH s AS (SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS w,
+            (${h32Sql("CAST(doc_id AS VARCHAR) || '#42'")} + 1)
+              / 4294967297.0 AS u
+          FROM documents),
+        top AS (SELECT key, w, ln(u) / w AS r_exact FROM s
+                ORDER BY r_exact DESC, key LIMIT 20)
+        SELECT key, w, round(r_exact, 6) AS r FROM top ORDER BY key"""))
   )
 }

@@ -1130,6 +1130,92 @@ object LlmOps {
         SELECT asg.vec_id, cell_id, (l.vec_id IS NULL) AS is_kept
         FROM asg LEFT JOIN losers l ON l.vec_id = asg.vec_id
         ORDER BY asg.vec_id"""),
-      bench = true)
+      bench = true),
+
+    // ---- exact-threshold set-similarity join (All-Pairs / PPJoin) ------
+    // Prefix filtering under a rare-token-first canonical order: zero
+    // false negatives at Jaccard ≥ 4/5, so the DISTRIBUTED prefix-filter
+    // path must hash-match the oracle's brute-force all-pairs scan —
+    // correctness of the pruning itself is what's being verified.
+    "q137_setsim_join" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.setSimJoin(Tables.load(spark, dir, "documents")
+            .select(col("doc_id"), col("text")), tauNum = 4L, tauDen = 5L)
+          .orderBy(col("a"), col("b")),
+      oracle = Some(raw"""
+        WITH t AS (SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+                   FROM documents),
+        p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
+                CAST(len(a.tk) AS BIGINT) AS na, CAST(len(b.tk) AS BIGINT) AS nb
+              FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        SELECT a, b, na, nb, inter,
+               round(inter * 1.0 / (na + nb - inter), 6) AS jac
+        FROM p WHERE 5 * inter >= 4 * (na + nb - inter)
+        ORDER BY a, b""")),
+
+    // ---- per-doc character entropy (gibberish / repetition screen) -----
+    "q138_char_entropy" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.charEntropy(Tables.load(spark, dir, "documents")
+            .select(col("doc_id"), col("text")))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+                    FROM documents),
+        cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+                FROM ch GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+                       SUM(k * log2(k)) AS sk
+                FROM cnt GROUP BY 1)
+        SELECT doc_id, n_chars, n_distinct_chars,
+               round(log2(n_chars) - sk / n_chars, 6) AS entropy
+        FROM agg ORDER BY doc_id""")),
+
+    // ---- Misra–Gries heavy hitters (bounded-memory top tokens) ---------
+    // Counter VALUES are order-dependent lower bounds (like q57's HLL
+    // estimate), so the summary itself is no_oracle; q140b anchors its
+    // guarantee exactly.
+    "q140_heavy_hitters" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val toks = TextOps.tokenized(Tables.load(spark, dir, "documents")
+            .select(col("doc_id"), col("text")))
+          .select(col("tok")).as[String]
+        val mg = new graft.functions.MisraGries(30)
+        toks.select(mg.toColumn.name("summary"))
+          .select(explode(col("summary")).as(Seq("candidate", "lower_bound")))
+          .orderBy(col("candidate"))
+      },
+      oracle = None),
+
+    // The MG guarantee, oracle-anchored: every token with exact frequency
+    // > N/30 MUST be among the summary's candidates, so semi-joining the
+    // exact heavy hitters against the sketch returns exactly the exact
+    // heavy hitters — any sketch false-negative breaks the hash match.
+    "q140b_heavy_hitters_guarantee" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val toks = TextOps.tokenized(Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        val mg = new graft.functions.MisraGries(30)
+        val cand = toks.select(col("tok")).as[String]
+          .select(mg.toColumn.name("summary"))
+          .select(explode(map_keys(col("summary"))).as("candidate"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val total = exact.agg(sum(col("n")).as("total"))
+        exact.crossJoin(broadcast(total))
+          .filter(col("n") * 30 > col("total"))
+          .join(cand, col("tok") === col("candidate"), "left_semi")
+          .select(col("tok"), col("n"))
+          .orderBy(col("tok"))
+      },
+      oracle = Some(raw"""
+        WITH tk AS (SELECT unnest($tokensSql) AS tok FROM documents),
+        c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY tok),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        SELECT tok, n FROM c, t WHERE n * 30 > total ORDER BY tok"""))
   )
 }

@@ -350,4 +350,56 @@ class CurationSpec extends AnyFunSuite {
     // shares always sum to 1 (exact-integer denominator)
     assert(math.abs(flat.map(_.getDouble(3)).sum - 1.0) < 1e-12)
   }
+
+  test("weightedSample is partition-independent and weight-biased") {
+    import spark.implicits._
+    val pop = (1L to 2000L).map(i => (i, if (i <= 100) 5000L else 50L))
+      .toDF("id", "w")
+    val a = Curation.weightedSample(pop, col("id"), col("w"), k = 50)
+      .collect().map(_.getLong(0)).sorted
+    val b = Curation.weightedSample(pop.repartition(17), col("id"),
+        col("w"), k = 50)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "sample changed with partitioning")
+    // 5% of ids carry ~91% of the weight: they must dominate the sample
+    val heavyPicked = a.count(_ <= 100)
+    assert(heavyPicked > 25,
+      s"weighting too weak: $heavyPicked/50 from the heavy 5%")
+  }
+
+  test("charEntropy matches the closed form on constructed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaa"),          // 0 bits
+      (2L, "abababab"),          // 1 bit
+      (3L, "abcdabcd"),          // 2 bits
+      (4L, "aab")                // (3·log2 3 − 2)/3
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.charEntropy(docs)
+      .orderBy(col("doc_id")).collect()
+    val expect = Seq(0.0, 1.0, 2.0,
+      math.log(3) / math.log(2) - 2.0 / 3.0)
+    got.zip(expect).foreach { case (r, e) =>
+      assert(math.abs(r.getDouble(3) - e) < 1e-5,
+        s"doc ${r.getLong(0)}: ${r.getDouble(3)} vs $e")
+    }
+    assert(got.map(_.getLong(1)).toSeq == Seq(8L, 8L, 8L, 3L))
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 2L, 4L, 2L))
+  }
+
+  test("setSimJoin finds exactly the brute-force pairs at tau") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),     // J(1,2)=4/6
+      (3L, "alpha beta gamma delta epsilon"),  // J(1,3)=1
+      (4L, "one two three four five six"),
+      (5L, "totally different tokens here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.setSimJoin(docs, tauNum = 3L, tauDen = 5L)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"pairs: $got")
+  }
 }

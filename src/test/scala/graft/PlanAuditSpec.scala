@@ -377,4 +377,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"drift must not cartesian the corpora:\n$p")
   }
+
+  test("q137 set-sim join: prefix×postings candidates stay equi-joins " +
+      "on tokens — never all-pairs") {
+    val p = plan("q137_setsim_join")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"set-similarity join degenerated to all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"document-frequency counts must combine map-side:\n$p")
+  }
+
+  test("q139 weighted sample: global top-k plans as TakeOrderedAndProject, " +
+      "no full sort of the population") {
+    val p = plan("q139_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES selection lost the top-k plan:\n$p")
+  }
 }
