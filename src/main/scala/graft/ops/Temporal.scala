@@ -106,6 +106,44 @@ object Temporal {
       .drop("_bucket")
   }
 
+  /** Bucketed interval-OVERLAP join: match left intervals to right
+    * intervals with equal keys and `lStart <= rEnd && rStart <= lEnd`
+    * (closed-interval overlap), without a range-expanded join.
+    *
+    * Same timeline-bucketing idea as [[rangeJoin]], on BOTH sides: each
+    * interval replicates to every `bucketUs` bucket it touches, the join
+    * becomes an equi-join on (keys, bucket), and the exact overlap
+    * predicate filters after the match. Two overlapping intervals share
+    * at least one bucket (any instant of their intersection lies in a
+    * bucket both touch), so the candidate set is complete; a pair can
+    * share several buckets, so candidates attribute each match to ONE
+    * canonical shared bucket — the greatest of the two start-buckets —
+    * instead of a distinct pass: exactly-once without a dedup shuffle.
+    *
+    * Sizing: replication is len/bucketUs + 1 per interval — pick
+    * `bucketUs` near the median interval length so short intervals copy
+    * ~once and a long interval's copies parallelize its own matching
+    * (the same sizing rule every bucketed interval join ships with). */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStartUs: String, lEndUs: String, rStartUs: String, rEndUs: String,
+      bucketUs: Long): DataFrame = {
+    def bucketed(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) >= col(s))
+        .withColumn("_bucket", explode(sequence(
+          floor(col(s) / bucketUs).cast("long"),
+          floor(col(e) / bucketUs).cast("long"))))
+    val l = bucketed(left, lStartUs, lEndUs)
+    val r = bucketed(right, rStartUs, rEndUs)
+    l.join(r, keys :+ "_bucket")
+      .filter(col(lStartUs) <= col(rEndUs) && col(rStartUs) <= col(lEndUs))
+      // canonical bucket: the first bucket the INTERSECTION touches =
+      // max of the two start buckets — each overlapping pair passes once
+      .filter(col("_bucket") === greatest(
+        floor(col(lStartUs) / bucketUs).cast("long"),
+        floor(col(rStartUs) / bucketUs).cast("long")))
+      .drop("_bucket")
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gapSeconds`. Returns the
     * input plus a `session_idx` column (1-based, per key, in time order;

@@ -196,6 +196,58 @@ object Advanced {
         WHERE e.event_type = 'error'
         GROUP BY e.event_id ORDER BY e.event_id""")),
 
+    // ---- Bucketed interval-overlap join: click sessions × error windows -
+    "q141_overlap_join" -> QueryDef(
+      build = (spark, dir) => {
+        val us = graft.functions.Dialect.tsUs _
+        val ev = t(spark, dir, "events")
+        val sess = Temporal.sessionize(
+            ev.filter(col("event_type") === "click"),
+            keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+            gapSeconds = 1800L)
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(us(min(col("ts"))).as("s_start"),
+            us(max(col("ts"))).as("s_end"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), us(col("ts")).as("e_start"),
+            (us(col("ts")) + 600000000L).as("e_end"))
+        val counts = Temporal.overlapJoin(sess, errors, Seq("user_id"),
+            "s_start", "s_end", "e_start", "e_end", bucketUs = 600000000L)
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_err"))
+        sess.join(counts, Seq("user_id", "session_idx"), "left")
+          .select(col("user_id"), col("session_idx"), col("s_start"),
+            col("s_end"), coalesce(col("n_err"), lit(0L)).as("n_err"))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      oracle = Some(raw"""
+        WITH c AS (SELECT user_id, ts, event_id, epoch_us(ts) AS tus,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                   FROM events WHERE event_type = 'click'),
+        s AS (SELECT user_id, ts, event_id, tus,
+                SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM c),
+        sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   MIN(tus) AS s_start, MAX(tus) AS s_end
+                 FROM s GROUP BY 1, 2),
+        e AS (SELECT user_id, epoch_us(ts) AS e_start,
+                epoch_us(ts) + 600000000 AS e_end
+              FROM events WHERE event_type = 'error'),
+        ov AS (SELECT sess.user_id, sess.session_idx,
+                 CAST(COUNT(*) AS BIGINT) AS n_err
+               FROM sess JOIN e ON sess.user_id = e.user_id
+                 AND sess.s_start <= e.e_end AND e.e_start <= sess.s_end
+               GROUP BY 1, 2)
+        SELECT sess.user_id, sess.session_idx, sess.s_start, sess.s_end,
+               CAST(COALESCE(ov.n_err, 0) AS BIGINT) AS n_err
+        FROM sess LEFT JOIN ov ON sess.user_id = ov.user_id
+          AND sess.session_idx = ov.session_idx
+        ORDER BY sess.user_id, sess.session_idx""")),
+
     // ---- Corpus-wide top-50 bigrams -------------------------------------
     "q71_top_bigrams" -> QueryDef(
       build = (spark, dir) =>

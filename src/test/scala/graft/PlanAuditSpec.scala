@@ -394,4 +394,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"A-ES selection lost the top-k plan:\n$p")
   }
+
+  test("q141 overlap join: (keys, bucket) equi-join, never cartesian/NL") {
+    val p = plan("q141_overlap_join")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval-overlap join degenerated to all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "overlap join lost its equi-join formulation")
+  }
 }

@@ -192,6 +192,38 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("overlapJoin matches the naive inequality join, once per pair, " +
+      "for any bucket size") {
+    val us = graft.functions.Dialect.tsUs _
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // left: per-user purchase intervals (prev purchase -> purchase);
+    // right: 10-min error windows — genuinely variable-length intervals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), us(col("ts")).as("p_end"),
+        lag(us(col("ts")), 1).over(w).as("p_start"))
+      .filter(col("p_start").isNotNull)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        us(col("ts")).as("e_start"),
+        (us(col("ts")) + 600000000L).as("e_end"))
+    val naive = purch.as("p").join(errors.as("e"),
+        col("p.user_id") === col("e.user_id") &&
+        col("p_start") <= col("e_end") && col("e_start") <= col("p_end"))
+      .select(col("p_id"), col("error_id"))
+    assert(naive.count() > 0, "fixture must produce overlaps")
+    Seq(60000000L, 600000000L, 3600000000L).foreach { b =>
+      val fast = Temporal.overlapJoin(purch, errors, Seq("user_id"),
+          "p_start", "p_end", "e_start", "e_end", bucketUs = b)
+        .select(col("p_id"), col("error_id"))
+      // exact same pair MULTISET: exactly-once emission, no dedup pass
+      assert(fast.count() == naive.count(), s"pair count diverged at b=$b")
+      assert(fast.except(naive).count() == 0
+        && naive.except(fast).count() == 0, s"pair set diverged at b=$b")
+    }
+  }
+
   test("kmeansRefine reduces inertia and is partition-independent") {
     import graft.ops.VectorOps
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
