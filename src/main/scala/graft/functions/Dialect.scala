@@ -25,18 +25,31 @@ object Dialect {
     "list_len" -> ((es: Seq[Expression]) => Size(es.head, legacySizeOfNull = false))
   )
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    // Pin the session to UTC at engine startup: tsUs (below) relies on
+    // it for TIMESTAMP_NTZ columns, and the engine's timestamp semantics
+    // (SURVEY §4.3.5 — naive values are UTC wall clock, like the
+    // reference's lake) are only coherent under a UTC session anyway.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     aliases.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+  }
 
   /** Epoch micros of a timestamp column, tolerant of BOTH timestamp
     * flavors the lake's parquet can carry: `TIMESTAMP` (instant) and
     * `TIMESTAMP_NTZ` (naive wall clock, which `unix_micros` rejects).
     * A naive value is taken at face value as UTC — exactly DuckDB's
-    * `epoch_us(ts)` on a naive column — via `to_utc_timestamp(c, "UTC")`,
-    * which is session-timezone independent and stays codegen'd. */
+    * `epoch_us(ts)` on a naive column.
+    *
+    * REQUIRES a UTC session timezone for NTZ inputs: Catalyst implicitly
+    * casts TIMESTAMP_NTZ → TIMESTAMP using the SESSION timezone before
+    * `to_utc_timestamp` runs, so under a non-UTC session a naive 06:30
+    * would land on the wrong epoch (verified on Spark 4.1.2: +4h under
+    * America/New_York). Every engine entry point pins
+    * `spark.sql.session.timeZone=UTC` (`Dialect.register` forces it);
+    * instant-typed inputs are unaffected either way. Stays codegen'd. */
   def tsUs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.unix_micros(
       org.apache.spark.sql.functions.to_utc_timestamp(c, "UTC"))

@@ -553,12 +553,19 @@ object Curation {
     *
     * Scale: rank computation is pure map work; selection is a global
     * top-k, which Spark plans as TakeOrderedAndProject — per-partition
-    * heaps of size k, no shuffle of the population. */
+    * heaps of size k, no shuffle of the population.
+    *
+    * Weights must be positive: A-ES ranks are ln(u)/w, so w=0 divides to
+    * -Infinity (never sampled) and w<0 flips the rank sign (always
+    * sampled) — both silently wrong. Non-positive-weight rows are
+    * excluded up front (zero probability mass), matching the algorithm's
+    * w > 0 domain. */
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
       seed: String = "42"): DataFrame = {
     val u = (h32(concat(key.cast("string"), lit("#" + seed))) + lit(1L))
       .cast("double") / lit(4294967297.0)
-    df.select(key.as("key"), weight.cast("long").as("w"),
+    df.where(weight.cast("double") > 0)
+      .select(key.as("key"), weight.cast("long").as("w"),
         (log(u) / weight.cast("double")).as("r_exact"))
       .orderBy(col("r_exact").desc, col("key"))
       .limit(k)

@@ -476,10 +476,20 @@ object TextOps {
     * Scale: char counting is a (doc_id, char)-keyed aggregation with
     * map-side combine — ≤ ~100 distinct keys per doc regardless of doc
     * length — then a doc-keyed rollup; both shuffles carry counts, never
-    * text. */
+    * text.
+    *
+    * Characters are Unicode CODE POINTS (Java-regex `.` matches a
+    * supplementary character as one unit), so emoji / astral CJK count
+    * once — matching RE2-based engines — not twice as a UTF-16
+    * `split(text, "")` would. Empty-text (and null-text) docs are
+    * excluded: entropy is undefined over zero characters, and both this
+    * and the oracle SQL drop them explicitly. */
   def charEntropy(docs: DataFrame): DataFrame =
     spread(docs)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0)))
+          .as("ch"))
       .groupBy(col("doc_id"), col("ch"))
       .agg(count(lit(1)).as("k"))
       .groupBy(col("doc_id"))

@@ -1163,7 +1163,8 @@ object LlmOps {
           .orderBy(col("doc_id")),
       oracle = Some(raw"""
         WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
-                    FROM documents),
+                    FROM documents
+                    WHERE text IS NOT NULL AND len(text) > 0),
         cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
                 FROM ch GROUP BY 1, 2),
         agg AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,

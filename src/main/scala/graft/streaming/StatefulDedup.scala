@@ -28,20 +28,50 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulDedup {
 
+  /** Code-point-order string comparison, matching Spark SQL's binary
+    * (UTF8_BINARY) `ASC` collation. `String.compareTo` is UTF-16
+    * code-UNIT order, which sorts supplementary characters (emoji,
+    * astral CJK — surrogate pairs starting at 0xD800) BELOW BMP chars in
+    * [U+E000, U+FFFF]; UTF-8 byte order = code-POINT order does not. */
+  private def cmpCodePoints(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
   /** SQL-`ASC`-compatible comparison for order-column values: timestamps
-    * at full precision, integral/floating numerics by value, strings
-    * lexicographically, nulls first (Spark's ASC default). */
+    * (both flavors) and dates at full precision, numerics by value,
+    * strings in code-point order (= Spark's UTF8_BINARY collation),
+    * nulls first (Spark's ASC default). Order-column types are
+    * enumerated explicitly — an unlisted type (array, struct, map,
+    * binary) is rejected rather than compared by `toString`, which would
+    * only approximate SQL ordering. */
   private def cmpVal(a: Any, b: Any): Int = (a, b) match {
     case (null, null) => 0
     case (null, _) => -1
     case (_, null) => 1
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: java.time.Instant, y: java.time.Instant) => x.compareTo(y)
+    case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) => x.compareTo(y)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
     case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
     case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
     case (x: java.lang.Number, y: java.lang.Number) =>
       java.lang.Long.compare(x.longValue(), y.longValue())
-    case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+    case (x: String, y: String) => cmpCodePoints(x, y)
+    case (x, y) => throw new IllegalArgumentException(
+      s"unsupported order-column type for stateful dedup: " +
+        s"${x.getClass.getName} vs ${y.getClass.getName}")
   }
 
   private def lexLt(a: Seq[Any], b: Seq[Any]): Boolean = {

@@ -387,6 +387,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).toSeq == Seq(1L, 2L, 4L, 2L))
   }
 
+  test("charEntropy counts code points and excludes empty/null docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "😀😀😀😀"), // 😀×4: 4 code points (8 UTF-16 units), 0 bits
+      (2L, "😀a😀a"),                       // 2 symbols → 1 bit, n=4
+      (3L, ""),                                                 // excluded: entropy undefined
+      (4L, null.asInstanceOf[String])                           // excluded
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.charEntropy(docs)
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(4L, 4L),
+      "astral chars must count once (code points), not twice (UTF-16 units)")
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(math.abs(got(0).getDouble(3) - 0.0) < 1e-9)
+    assert(math.abs(got(1).getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("weightedSample excludes non-positive weights") {
+    import spark.implicits._
+    // w=0 would rank -Infinity (never sampled, silently); w<0 would flip
+    // the rank sign (always sampled) — both must be excluded, not ranked
+    val pop = Seq((1L, 5L), (2L, 0L), (3L, -7L), (4L, 3L)).toDF("id", "w")
+    val got = Curation.weightedSample(pop, col("id"), col("w"), k = 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 4L)),
+      s"expected only positive-weight ids, got ${got.mkString(",")}")
+  }
+
   test("setSimJoin finds exactly the brute-force pairs at tau") {
     import spark.implicits._
     val docs = Seq(

@@ -133,6 +133,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("first-seen string order columns compare by code point, not UTF-16 unit") {
+    // U+FFFD (one char) vs U+1F600 (surrogate pair 😀):
+    // code-UNIT order says "\uD83D…" < "�" (0xD83D < 0xFFFD), but
+    // Spark SQL ASC (UTF8_BINARY = code-POINT order) says U+FFFD < U+1F600.
+    // Earliest-wins must agree with what ORDER BY would pick.
+    import graft.streaming.StatefulDedup
+    import spark.implicits._
+    val df = Seq(
+      (1L, "😀", "astral-first"),
+      (1L, "�", "bmp-wins")
+    ).toDF("k", "ord", "tag")
+    val out = StatefulDedup.firstSeen(df, keyCols = Seq("k"),
+      orderCols = Seq("ord")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("tag") == "bmp-wins",
+      "string order column must sort by code point like Spark SQL ASC")
+  }
+
   test("streaming session windows merge within gap and close on watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
