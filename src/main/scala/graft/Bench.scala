@@ -128,13 +128,59 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // Same-session DuckDB baseline (best-effort): measure the reference
+    // engine's side of the ratio under the SAME machine conditions as the
+    // Spark numbers just taken — the r6 lesson was that the two sides
+    // measured hours apart drift far more than any real regression (2.3×
+    // on one query between a busy and a quiet run; see COVERAGE.md).
+    // DuckDB lives driver-side only: this shells out to the dev script
+    // and degrades to "duckdb":null if python3/duckdb aren't present,
+    // so the library itself takes no dependency.
+    val duckdb: Option[Map[String, Double]] = scala.util.Try {
+      def esc(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val sql = SparkEntry.benchOracleSql.filter(kv => names.contains(kv._1))
+      val oraclePath = java.nio.file.Files.createTempFile("bench-oracle-", ".json")
+      java.nio.file.Files.writeString(oraclePath,
+        sql.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
+      val script = new java.io.File("scripts/duckdb_bench.py")
+      val pb = new ProcessBuilder("python3", script.getAbsolutePath,
+        sfDir, oraclePath.toString, "--json")
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val ok = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS) &&
+        p.exitValue() == 0
+      java.nio.file.Files.deleteIfExists(oraclePath)
+      require(ok, "duckdb_bench.py failed")
+      // flat {"name": sec, ...} line — regex-parse, no JSON dep needed
+      val re = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+      re.findAllMatchIn(out.linesIterator.toSeq.last)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.toOption.filter(_.nonEmpty)
+
+    val duckJson = duckdb match {
+      case Some(m) =>
+        val per = names.flatMap(n => m.get(n).map(v => "\"" + n + "\":" + v))
+          .mkString("{", ",", "}")
+        val dTotal = names.flatMap(m.get).sum
+        val ratio = if (dTotal > 0) total / dTotal else -1.0
+        s""","duckdb":$per,"duckdb_total":$dTotal,"ratio":$ratio"""
+      case None => ""","duckdb":null"""
+    }
+
     // echo the active measurement knobs so a run with non-default
     // warmups/rounds or a SPARK_GRAFT_ONLY subset is self-identifying
     // from its output alone (a dev-knob leak can't masquerade as a
     // contract run)
     val subset = sys.env.get("SPARK_GRAFT_ONLY")
       .map(s => "\"" + s + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset$duckJson}""")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.stop()
     // drop this run's warehouse copy of the layouts

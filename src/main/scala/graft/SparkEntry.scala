@@ -40,6 +40,16 @@ object SparkEntry {
   def benchQueries: Seq[String] =
     allDefs.collect { case (k, d) if d.bench => k }.toSeq.sorted
 
+  /** DuckDB SQL for the headline queries' same-session baseline run
+    * (Bench feeds this to scripts/duckdb_bench.py): the correctness
+    * oracle unless the query declares a distinct [[QueryDef.benchOracle]]. */
+  def benchOracleSql: Map[String, String] =
+    allDefs.collect {
+      case (k, d) if d.bench && (d.benchOracle.orElse(d.oracle)).isDefined =>
+        k -> d.benchOracle.orElse(d.oracle).get
+          .stripMargin.trim.replaceAll("\\s+", " ")
+    }
+
   /** Run `body` under a query's declared execution settings (see
     * [[QueryDef.confs]]), restoring the session's previous values after.
     * Bench and Verify both route query execution through this, so the

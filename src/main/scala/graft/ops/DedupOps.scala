@@ -863,26 +863,48 @@ object DedupOps extends Serializable {
     * pair-keyed join on bounded token arrays. No step is O(n²) in
     * documents. */
   def setSimJoin(docs: DataFrame, tauNum: Long = 4L, tauDen: Long = 5L)
+      : DataFrame =
+    setSimJoinSets(docs.select(col("doc_id"),
+      array_distinct(tokens(col("text"))).as("tk")), tauNum, tauDen)
+
+  /** [[setSimJoin]] over a pre-built set column: `sets` is
+    * (doc_id, tk: array&lt;string&gt;) where `tk` is each document's
+    * DISTINCT element set — unigram tokens, n-gram shingles, category
+    * tags, whatever the caller's similarity domain is. The element
+    * choice decides the join's selectivity: on this corpus's 31-token
+    * vocabulary unigrams make τ=0.8 similarity DENSE (≈25% of all pairs
+    * match — output-bound for any engine, see SCALING.md), while 2-gram
+    * shingles over the same text are sparse and the prefix filter does
+    * its job. */
+  def setSimJoinSets(sets0: DataFrame, tauNum: Long = 4L, tauDen: Long = 5L)
       : DataFrame = {
-    val toks = spread(docs).select(col("doc_id"),
-      array_distinct(tokens(col("text"))).as("tk"))
-    val posts = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
+    // fan a few-file input across cores first — everything downstream
+    // (explode, df join, candidate join) inherits this parallelism
+    val sets = spread(sets0)
+    val posts = sets.select(col("doc_id"), explode(col("tk")).as("tok"))
     val dfc = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // canonical per-doc token order: (df asc, tok asc)
+    // canonical per-doc token order: (df asc, tok asc). PERSISTED: the
+    // frame feeds four consumers (prefix explode, full-postings explode,
+    // and both verification sides) — without the cache each consumer
+    // re-runs the explode + df-count + sort-collect subtree (same
+    // pattern as shingleNovelty's base persist). One row per doc.
     val lists = posts.join(dfc, "tok")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
       .select(col("doc_id"),
         expr("transform(st, x -> x.tok)").as("tk"),
         size(col("st")).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // prefix length: n − ⌈τ·n⌉ + 1 (exact integer ceil-div)
     val ceilTauN =
       floor((lit(tauNum) * col("n") + lit(tauDen - 1)) / lit(tauDen))
     val pref = lists.select(col("doc_id").as("p_id"), col("n").as("p_n"),
       explode(slice(col("tk"), lit(1),
         (col("n") - ceilTauN + 1).cast("int"))).as("tok"))
-    val full = posts.join(lists.select(col("doc_id"), col("n")), "doc_id")
-      .select(col("doc_id").as("f_id"), col("n").as("f_n"), col("tok"))
+    // full postings re-derived from the cached canonical lists (explode
+    // beats re-joining posts×lists: no shuffle, reads the cache)
+    val full = lists.select(col("doc_id").as("f_id"), col("n").as("f_n"),
+      explode(col("tk")).as("tok"))
     val cand = pref.join(full,
         pref("tok") === full("tok") && col("p_id") =!= col("f_id")
           && lit(tauNum) * greatest(col("p_n"), col("f_n"))

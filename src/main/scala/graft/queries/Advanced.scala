@@ -246,7 +246,8 @@ object Advanced {
                CAST(COALESCE(ov.n_err, 0) AS BIGINT) AS n_err
         FROM sess LEFT JOIN ov ON sess.user_id = ov.user_id
           AND sess.session_idx = ov.session_idx
-        ORDER BY sess.user_id, sess.session_idx""")),
+        ORDER BY sess.user_id, sess.session_idx"""),
+      bench = true),
 
     // ---- Corpus-wide top-50 bigrams -------------------------------------
     "q71_top_bigrams" -> QueryDef(

@@ -1155,6 +1155,115 @@ object LlmOps {
         FROM p WHERE 5 * inter >= 4 * (na + nb - inter)
         ORDER BY a, b""")),
 
+    // ---- set-similarity join over word-trigram shingles (sparse) ------
+    // q137 exercises setSimJoin on a DENSE instance (the corpus's
+    // 31-token vocabulary makes ~25% of ALL pairs match at τ=0.8 —
+    // output-bound for any engine, so it stays out of the timed set; the
+    // density analysis is in SCALING.md). This is the same operator on
+    // the set representation a real near-dup pipeline uses — word
+    // n-gram shingles — sized so matches are sparse and prefix
+    // filtering earns its keep: on this corpus 2-grams are still dense
+    // (931-shingle vocab → 36M equi-join pairs, measured ~102 s in BOTH
+    // engines), while 3-grams give a 27k vocab and ~63k candidate pairs
+    // out of 12.5M possible (0.5%) — the subquadratic regime the
+    // operator exists for. The matched pairs are identical either way
+    // (the corpus's planted near-dups). Correctness oracle: brute-force
+    // all-pairs (strongest equivalence proof, fine at sf0.01). Timed
+    // baseline: the SAME prefix-filter algorithm expressed in DuckDB
+    // SQL — a fair algorithm-vs-algorithm engine comparison.
+    "q142_setsim_shingles" -> QueryDef(
+      build = (spark, dir) => {
+        // Fan BEFORE the shingle projection (the transform runs where
+        // its project sits — below any later repartition — so fanning
+        // afterwards would leave the corpus-scale string work on the
+        // scan's 1–2 partitions). Trigrams via zip_with over three
+        // slices, NOT transform+element_at(w, …): projection collapsing
+        // inlines `w` (a regex split) into every lambda-body reference
+        // and higher-order lambdas defeat subexpression elimination, so
+        // the element_at form re-splits the text ~2× per element
+        // (measured 5 s single-threaded at sf0.1); the slice args
+        // evaluate once per row.
+        val docs = Q.fan(Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        // Shingles are FINGERPRINTED to int64 (xxhash64) before the join
+        // machinery: identity is all prefix filtering / df counting /
+        // intersection need, the output exposes no shingle values, and
+        // longs through every shuffle/sort/intersect beat ~25-char
+        // strings. 64-bit over a 27k vocabulary: collision odds ~4e-11.
+        // The timed DuckDB baseline gets the same trick (hash(s)); the
+        // correctness oracle stays on exact strings as the equivalence
+        // proof.
+        val sets = docs
+          .select(col("doc_id"), Q.tokens(col("text")).as("w"))
+          .select(col("doc_id"), array_distinct(expr(
+            """transform(
+                 zip_with(
+                   zip_with(slice(w, 1, size(w)-2), slice(w, 2, size(w)-2),
+                            (a, b) -> concat(a, ' ', b)),
+                   slice(w, 3, size(w)-2),
+                   (ab, c) -> concat(ab, ' ', c)),
+                 s -> xxhash64(s))"""
+          )).as("tk"))
+        DedupOps.setSimJoinSets(sets, tauNum = 4L, tauDen = 5L)
+          .orderBy(col("a"), col("b"))
+      },
+      // the candidate/verify stages are CPU-bound per row (array sorts,
+      // intersections), so keep post-shuffle parallelism instead of
+      // coalescing the small-but-hot shuffles to 1-2 reducers
+      confs = Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true"),
+      oracle = Some(raw"""
+        WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                list_distinct([list_extract(w, i) || ' ' ||
+                               list_extract(w, i+1) || ' ' ||
+                               list_extract(w, i+2)
+                               for i in range(1, len(w) - 1)]) AS sh
+              FROM w),
+        p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                CAST(len(a.sh) AS BIGINT) AS na, CAST(len(b.sh) AS BIGINT) AS nb
+              FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        SELECT a, b, na, nb, inter,
+               round(inter * 1.0 / (na + nb - inter), 6) AS jac
+        FROM p WHERE 5 * inter >= 4 * (na + nb - inter)
+        ORDER BY a, b"""),
+      bench = true,
+      benchOracle = Some(raw"""
+        WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                list_distinct([hash(list_extract(w, i) || ' ' ||
+                               list_extract(w, i+1) || ' ' ||
+                               list_extract(w, i+2))
+                               for i in range(1, len(w) - 1)]) AS sh
+              FROM w),
+        tok AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        dfc AS (SELECT s, count(*) AS c FROM tok GROUP BY 1),
+        ord AS (SELECT t.doc_id, t.s,
+                  row_number() OVER (PARTITION BY t.doc_id ORDER BY d.c, t.s) AS r,
+                  count(*) OVER (PARTITION BY t.doc_id) AS n
+                FROM tok t JOIN dfc d USING (s)),
+        pref AS (SELECT doc_id, s, n FROM ord
+                 WHERE r <= n - CAST(floor((4*n + 4) / 5) AS BIGINT) + 1),
+        full_t AS (SELECT doc_id, s, n FROM ord),
+        cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a,
+                        greatest(a.doc_id, b.doc_id) AS b
+                 FROM pref a JOIN full_t b ON a.s = b.s
+                   AND a.doc_id <> b.doc_id
+                   AND 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+        p AS (SELECT c.a, c.b,
+                CAST(len(list_intersect(ga.sh, gb.sh)) AS BIGINT) AS inter,
+                CAST(len(ga.sh) AS BIGINT) AS na, CAST(len(gb.sh) AS BIGINT) AS nb
+              FROM cand c
+              JOIN g ga ON ga.doc_id = c.a
+              JOIN g gb ON gb.doc_id = c.b)
+        SELECT a, b, na, nb, inter,
+               round(inter * 1.0 / (na + nb - inter), 6) AS jac
+        FROM p WHERE 5 * inter >= 4 * (na + nb - inter)
+        ORDER BY a, b""")),
+
     // ---- per-doc character entropy (gibberish / repetition screen) -----
     "q138_char_entropy" -> QueryDef(
       build = (spark, dir) =>

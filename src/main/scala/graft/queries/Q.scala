@@ -14,6 +14,12 @@ final case class QueryDef(
     oracle: Option[String],
     /** headline queries run in Bench at sf0.1 */
     bench: Boolean = false,
+    /** DuckDB SQL used for the BENCH baseline when it should differ from
+      * the correctness `oracle` — e.g. q137's oracle is deliberately the
+      * brute-force all-pairs join (the strongest equivalence proof), but
+      * the fair timed baseline is how a SQL engine would actually compute
+      * it at scale (token-keyed equi-join). Defaults to `oracle`. */
+    benchOracle: Option[String] = None,
     /** Semantics-free session settings this query wants at execution
       * time (a per-query plan hint, like any engine's query-level
       * config). Applied identically by Bench AND Verify — the

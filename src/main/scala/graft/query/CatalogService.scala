@@ -23,6 +23,31 @@ final class CatalogService(lake: Lake) {
     silver ++ gold
   }
 
+  /** Top-k values of a column for chart/chat context — the reference's
+    * "top values" surface (lambdas/chat_api/tools.py:115-123 caps the
+    * points it sends), computed with the bounded-memory Misra–Gries
+    * sketch ([[graft.functions.MisraGries]]) instead of a full
+    * groupBy/count: ONE streaming pass, ≤ 4k−1 counters per partition,
+    * mergeable partials — at 100 TB the column never materializes a
+    * per-distinct-value aggregation. The 4× over-provisioned sketch
+    * keeps the MG guarantee comfortably ahead of the displayed k (every
+    * value with frequency > N/(4k) survives); returned counts are the
+    * sketch's lower bounds, sorted (count desc, value asc). Nulls are
+    * excluded. */
+  def topValues(domain: String, layer: String, table: String,
+      column: String, k: Int = 10): Seq[(String, Long)] = {
+    require(k >= 1, "topValues needs k >= 1")
+    val spark = lake.spark
+    import spark.implicits._
+    val df = lake.query.dataFrame(s"SELECT * FROM $domain.$layer.$table")
+    val ds = df.select(org.apache.spark.sql.functions.col(column)
+        .cast("string"))
+      .na.drop().as[String]
+    val mg = new graft.functions.MisraGries(4 * k + 1)
+    val summary = ds.select(mg.toColumn.name("summary")).head()
+    summary.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
+  }
+
   /** Sample rows for table preview / LLM context (L4,
     * transformation_agent/.../main.py:152-192). */
   def sampleRows(domain: String, layer: String, table: String,

@@ -226,6 +226,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(tables.exists(t => t.layer == "silver" && t.table == "orders"))
     assert(tables.find(_.table == "orders").get.columns
       .exists(_._1 == "order_id"))
+
+    // top values via the Misra–Gries sketch (chart/chat surface):
+    // customer_id = i % 5 over 1..50 → each of 0..4 appears exactly 10
+    // times; a 4k-provisioned sketch holds all 5 exactly, counts exact
+    val top = lake.catalog.topValues("sales", "silver", "orders",
+      "customer_id", k = 3)
+    assert(top.length == 3)
+    assert(top.forall(_._2 == 10L),
+      s"expected exact counts of 10, got $top")
+    assert(top.map(_._1) == top.map(_._1).sorted,
+      "equal counts must tie-break by value ascending")
   }
 
   test("truncation at 10k rows sets the flag (L1)") {

@@ -133,6 +133,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("row-reuse audit: grouped-iterator operators keep full-row integrity " +
+      "across partitionings") {
+    // The bug class (found the hard way in round 6): Spark's group
+    // iterator over Row-typed batch plans REUSES one backing row, so any
+    // operator retaining a row past iterator.next() must defensively
+    // copy. This audit runs the Row-consuming grouped operator
+    // (StatefulDedup.firstSeen — the only Iterator[Row] retention site;
+    // NearDupStream's iterator is typed tuples, fresh per row, and its
+    // own batch-equality test covers it) over seeded random multi-row
+    // groups where EVERY field is row-unique, through a parquet
+    // roundtrip at several partitionings, and asserts the retained
+    // winner's full row — not just the order column — matches a plain
+    // Scala argmin.
+    import graft.streaming.StatefulDedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    val n = 3000
+    val rows = (0 until n).map { i =>
+      val k = rnd.nextInt(37).toLong
+      val ts = rnd.nextInt(100000).toLong
+      (k, ts, s"p${k}_${ts}_$i", i.toLong)
+    }
+    val dir = Files.createTempDirectory("graft-reuse-").toString
+    rows.toDF("k", "ts", "payload", "rid").write.mode("overwrite").parquet(dir)
+    val expect = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.minBy(r => (r._2, r._4))
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.read.parquet(dir).repartition(parts)
+      val out = StatefulDedup.firstSeen(df, Seq("k"), Seq("ts", "rid"))
+        .collect()
+      assert(out.length == expect.size, s"parts=$parts: wrong key count")
+      out.foreach { r =>
+        val e = expect(r.getAs[Long]("k"))
+        assert((r.getAs[Long]("ts"), r.getAs[String]("payload"),
+          r.getAs[Long]("rid")) == ((e._2, e._3, e._4)),
+          s"parts=$parts key ${r.getAs[Long]("k")}: retained row lost integrity")
+      }
+    }
+  }
+
   test("first-seen string order columns compare by code point, not UTF-16 unit") {
     // U+FFFD (one char) vs U+1F600 (surrogate pair 😀):
     // code-UNIT order says "\uD83D…" < "�" (0xD83D < 0xFFFD), but
