@@ -224,6 +224,39 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("overlapCount equals naive per-left overlap counts incl. zero, " +
+      "for any bucket size") {
+    val us = graft.functions.Dialect.tsUs _
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), us(col("ts")).as("p_end"),
+        lag(us(col("ts")), 1).over(w).as("p_start"))
+      .filter(col("p_start").isNotNull)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        us(col("ts")).as("e_start"),
+        (us(col("ts")) + 600000000L).as("e_end"))
+    // naive: LEFT join on key + inequalities, count matches per left row
+    val naive = purch.as("p").join(errors.as("e"),
+        col("p.user_id") === col("e.user_id") &&
+        col("p_start") <= col("e_end") && col("e_start") <= col("p_end"),
+        "left_outer")
+      .groupBy(col("p_id")).agg(count(col("error_id")).as("n_overlap"))
+    assert(naive.filter(col("n_overlap") === 0).count() > 0 &&
+      naive.filter(col("n_overlap") > 0).count() > 0,
+      "fixture must exercise both zero and non-zero counts")
+    Seq(60000000L, 600000000L, 3600000000L).foreach { b =>
+      val fast = Temporal.overlapCount(purch, errors, Seq("user_id"),
+          "p_start", "p_end", "e_start", "e_end", bucketUs = b)
+        .select(col("p_id"), col("n_overlap"))
+      assert(fast.count() == naive.count(), s"left row count diverged at b=$b")
+      assert(fast.except(naive).count() == 0
+        && naive.except(fast).count() == 0, s"counts diverged at b=$b")
+    }
+  }
+
   test("kmeansRefine reduces inertia and is partition-independent") {
     import graft.ops.VectorOps
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
