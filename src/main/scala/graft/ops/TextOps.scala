@@ -473,30 +473,53 @@ object TextOps {
     * the per-char counts so the only floating step is the final fold of
     * exact integer counts.
     *
-    * Scale: char counting is a (doc_id, char)-keyed aggregation with
-    * map-side combine — ≤ ~100 distinct keys per doc regardless of doc
-    * length — then a doc-keyed rollup; both shuffles carry counts, never
-    * text.
+    * Scale: counting is PURE per-document map work — one typed pass per
+    * partition, a bounded (≤ ~distinct-chars) count table per doc, no
+    * exploded per-character rows and no shuffle at all before the final
+    * per-doc frame (the same imperative-pass pattern as
+    * [[graft.ops.DedupOps.shingleSets]]). The declarative
+    * explode+groupBy form shuffles nothing either but materializes one
+    * row per CHARACTER through codegen — measured 2.5× DuckDB at sf0.1;
+    * this pass is the map-side-combine it was simulating.
     *
-    * Characters are Unicode CODE POINTS (Java-regex `.` matches a
-    * supplementary character as one unit), so emoji / astral CJK count
-    * once — matching RE2-based engines — not twice as a UTF-16
-    * `split(text, "")` would. Empty-text (and null-text) docs are
-    * excluded: entropy is undefined over zero characters, and both this
-    * and the oracle SQL drop them explicitly. */
-  def charEntropy(docs: DataFrame): DataFrame =
-    spread(docs)
+    * Characters are Unicode CODE POINTS (`codePointAt` walks surrogate
+    * pairs), so emoji / astral CJK count once — matching RE2-based
+    * engines — not twice as UTF-16 units. Empty-text (and null-text)
+    * docs are excluded: entropy is undefined over zero characters, and
+    * both this and the oracle SQL drop them explicitly. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // no spread: a pure map pass parallelizes with the scan's file
+    // splits (sized by maxPartitionBytes); an exchange here would add a
+    // stage wave carrying the full text for nothing
+    docs
       .where(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0)))
-          .as("ch"))
-      .groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("k"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_chars"),
-        count(lit(1)).as("n_distinct_chars"),
-        sum(col("k").cast("double") * log(2.0, col("k"))).as("sk"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val counts = new java.util.HashMap[Integer, Long]()
+          var i = 0
+          var n = 0L
+          while (i < text.length) {
+            val cp = text.codePointAt(i)
+            counts.merge(cp, 1L, (a, b) => a + b)
+            i += Character.charCount(cp)
+            n += 1L
+          }
+          var sk = 0.0
+          val it = counts.values().iterator()
+          while (it.hasNext) {
+            val k = it.next().toDouble
+            sk += k * (math.log(k) / math.log(2.0))
+          }
+          (id, n, counts.size.toLong, sk)
+        }
+      }
+      .toDF("doc_id", "n_chars", "n_distinct_chars", "sk")
       .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
         round(log(2.0, col("n_chars")) - col("sk") / col("n_chars"), 6)
           .as("entropy"))
+  }
 }

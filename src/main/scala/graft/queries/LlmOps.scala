@@ -1282,7 +1282,8 @@ object LlmOps {
                 FROM cnt GROUP BY 1)
         SELECT doc_id, n_chars, n_distinct_chars,
                round(log2(n_chars) - sk / n_chars, 6) AS entropy
-        FROM agg ORDER BY doc_id""")),
+        FROM agg ORDER BY doc_id"""),
+      bench = true),
 
     // ---- Misra–Gries heavy hitters (bounded-memory top tokens) ---------
     // Counter VALUES are order-dependent lower bounds (like q57's HLL

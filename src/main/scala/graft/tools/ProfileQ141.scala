@@ -13,7 +13,7 @@ import graft.sources.Tables
   * attach), persist sess, persist+broadcast attach, AQE off for each. */
 object ProfileQ141 {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
