@@ -158,6 +158,42 @@ object DedupOps extends Serializable {
       (0 until k).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
   }
 
+  /** Per-document set of 64-bit shingle FINGERPRINTS (doc_id, shset,
+    * n_sh) — md5-prefix hashes of the distinct char n-gram shingles,
+    * computed in the same imperative pass as [[shingleSets]]. For
+    * consumers that only need shingle IDENTITY (ownership minima,
+    * novelty counts — never the shingle text), longs through the
+    * corpus-sized shuffle beat n-char strings: half the bytes and
+    * long-keyed hash aggregation. Collision odds for a ~10⁶-shingle
+    * corpus at 64 bits: ~10⁻⁷ — the md5 prefix keeps even that
+    * engine-agnostic. */
+  private[graft] def shingleSetsHashed(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        rows.map { case (id, text) =>
+          val sh = distinctShingles(text, n)
+          val out = new Array[Long](sh.length)
+          var i = 0
+          while (i < sh.length) {
+            md.reset()
+            val d = md.digest(sh(i).getBytes(utf8))
+            out(i) = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+            i += 1
+          }
+          (id, out, out.length)
+        }
+      }
+      .toDF("doc_id", "shset", "n_sh")
+  }
+
   /** Per-document shingle set only (doc_id, shset, n_sh) — the
     * verification-side pass, run over the (few) candidate documents, not
     * the corpus. No spread: callers feed an already-filtered frame. */
@@ -474,8 +510,10 @@ object DedupOps extends Serializable {
     // feeds BOTH the ownership branch and the n_sh side — without the
     // cache Spark evaluates the two subtrees independently and the
     // member-scale pass runs twice (same pattern as nearDuplicates'
-    // signatures-only persist)
-    val base = shingleSets(spread(docs), n)
+    // signatures-only persist). HASHED sets: ownership only needs
+    // shingle identity, so the corpus-sized explode+shuffle carries
+    // int64 fingerprints, not n-char strings (see shingleSetsHashed).
+    val base = shingleSetsHashed(spread(docs), n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One corpus-sized shuffle total: the ownership question ("which doc
     // first used this shingle?") is a hash-aggregated min per shingle —

@@ -108,10 +108,20 @@ object Relational {
         val li = graft.silver.BucketedTables.tableOr(
           spark, dir, "lineitem", Seq("l_orderkey"))(
           t(spark, dir, "lineitem"))
-        val o = t(spark, dir, "orders")
+        // orders via its orderkey-co-bucketed projection when the session
+        // maintains one: the fact-fact join then reads both sides
+        // pre-partitioned on the same 32-bucket hash — zipped sort-merge
+        // join, zero exchange, no broadcast build (measured faster than
+        // broadcasting the filtered orders). The merge hint only applies
+        // on the layout path; the raw-parquet fallback (Verify) keeps
+        // the planner's choice.
+        val oLayout = graft.silver.BucketedTables.layout(
+          spark, dir, "orders", Seq("o_orderkey"))
+        val o0 = oLayout.getOrElse(t(spark, dir, "orders"))
           .filter(col("o_orderdate") >= lit("1996-01-01")
             && col("o_orderdate") < lit("1998-01-01"))
           .select(col("o_orderkey"), col("o_custkey"))
+        val o = if (oLayout.isDefined) o0.hint("merge") else o0
         val c = t(spark, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey"))
         val n = t(spark, dir, "nation")

@@ -120,12 +120,18 @@ object BucketedTables {
   }
 
   /** The bucketed layout for (table, keys) if THIS session maintains one
-    * derived from THIS source dir; otherwise the fallback frame. */
-  def tableOr(spark: SparkSession, dir: String, table: String,
-      keys: Seq[String])(fallback: => DataFrame): DataFrame = {
+    * derived from THIS source dir. */
+  def layout(spark: SparkSession, dir: String, table: String,
+      keys: Seq[String]): Option[DataFrame] = {
     val qualified = layoutName(table, keys)
     if (layouts.get((spark, qualified)).contains(dir)
-        && spark.catalog.tableExists(qualified)) spark.table(qualified)
-    else fallback
+        && spark.catalog.tableExists(qualified)) Some(spark.table(qualified))
+    else None
   }
+
+  /** The bucketed layout for (table, keys) if THIS session maintains one
+    * derived from THIS source dir; otherwise the fallback frame. */
+  def tableOr(spark: SparkSession, dir: String, table: String,
+      keys: Seq[String])(fallback: => DataFrame): DataFrame =
+    layout(spark, dir, table, keys).getOrElse(fallback)
 }

@@ -404,4 +404,28 @@ class PlanAuditSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"),
       "overlap join lost its equi-join formulation")
   }
+
+  test("q142 shingle set-sim: fingerprint equi-join candidates, canonical " +
+      "lists cached once, never all-pairs") {
+    val p = plan("q142_setsim_shingles")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"shingle set-similarity degenerated to all-pairs:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"canonical-order lists must come from the persisted frame " +
+        s"(4 consumers):\n$p")
+    assert(p.contains("partial_count"),
+      s"shingle document-frequency counts must combine map-side:\n$p")
+  }
+
+  test("q138 char entropy: pure map pass — no exchange before the typed " +
+      "counting pass") {
+    val p = plan("q138_char_entropy")
+    // the only exchange allowed is the final orderBy's range partitioning
+    val body = p.split("rangepartitioning").head
+    assert(!body.contains("hashpartitioning"),
+      s"entropy counting must not shuffle before the map pass:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"expected the typed counting pass:\n$p")
+  }
 }
