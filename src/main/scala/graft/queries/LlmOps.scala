@@ -1246,12 +1246,11 @@ object LlmOps {
                   count(*) OVER (PARTITION BY t.doc_id) AS n
                 FROM tok t JOIN dfc d USING (s)),
         pref AS (SELECT doc_id, s, n FROM ord
-                 WHERE r <= n - CAST(floor((4*n + 4) / 5) AS BIGINT) + 1),
-        full_t AS (SELECT doc_id, s, n FROM ord),
-        cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a,
-                        greatest(a.doc_id, b.doc_id) AS b
-                 FROM pref a JOIN full_t b ON a.s = b.s
-                   AND a.doc_id <> b.doc_id
+                 WHERE r <= least(n,
+                   n - CAST(floor((4*n + 4) / 5) AS BIGINT) + 2)),
+        cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM pref a JOIN pref b ON a.s = b.s
+                   AND a.doc_id < b.doc_id
                    AND 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
         p AS (SELECT c.a, c.b,
                 CAST(len(list_intersect(ga.sh, gb.sh)) AS BIGINT) AS inter,

@@ -431,4 +431,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
       s"pairs: $got")
   }
+
+  test("setSimJoin equals brute force on seeded random corpora at " +
+      "several taus (symmetric-prefix completeness)") {
+    // guards the prefix-length math: the symmetric (PPJoin-style)
+    // prefix join is complete only with the n−⌈τn⌉+2 prefix; an
+    // off-by-one would drop exactly the boundary-overlap pairs, which
+    // random corpora with heavy overlap are built to contain
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString)
+    val docs = (1L to 120L).map { id =>
+      val base = rnd.shuffle(vocab).take(6 + rnd.nextInt(10))
+      // half the docs are mutations of an earlier doc → many pairs near τ
+      val toks = if (id > 60 && rnd.nextBoolean()) {
+        val parent = rnd.shuffle(vocab).take(8)
+        parent.drop(rnd.nextInt(3)) ++ base.take(rnd.nextInt(3))
+      } else base
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"),
+      array_distinct(split(trim(col("text")), "\\s+")).as("tk"))
+    for ((tn, td) <- Seq((1L, 2L), (3L, 5L), (4L, 5L), (9L, 10L))) {
+      val fast = graft.ops.DedupOps.setSimJoinSets(sets, tn, td)
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val lists = docs.collect().map(r =>
+        r.getLong(0) -> r.getString(1).trim.split("\\s+").distinct.toSet)
+      val brute = (for {
+        (ida, sa) <- lists; (idb, sb) <- lists if ida < idb
+        inter = (sa & sb).size
+        if td * inter >= tn * (sa.size + sb.size - inter)
+      } yield (ida, idb)).sorted.toSeq
+      assert(fast == brute,
+        s"τ=$tn/$td: fast ${fast.size} pairs vs brute ${brute.size}; " +
+          s"missing=${brute.diff(fast).take(5)} extra=${fast.diff(brute).take(5)}")
+    }
+  }
 }
