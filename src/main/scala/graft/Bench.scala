@@ -74,6 +74,13 @@ object Bench {
     graft.silver.BucketedTables.ensureLayout(
       spark, sfDir, "orders", Seq("o_orderkey"),
       sortCols = Seq("o_orderkey"))
+    // events bucketed on user_id, bucket-sorted by (user_id, ts,
+    // event_id): q141's sessionize window reads pre-partitioned,
+    // pre-sorted input — no exchange, no sort (the q06/q20 pattern on
+    // the events fact table)
+    graft.silver.BucketedTables.ensureLayout(
+      spark, sfDir, "events", Seq("user_id"),
+      sortCols = Seq("user_id", "ts", "event_id"))
 
     // Warmup: run every headline query once at the bench SF (untimed).
     // This fills the schema-keyed codegen cache, JIT-compiles the

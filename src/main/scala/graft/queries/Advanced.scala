@@ -200,7 +200,13 @@ object Advanced {
     "q141_overlap_join" -> QueryDef(
       build = (spark, dir) => {
         val us = graft.functions.Dialect.tsUs _
-        val ev = t(spark, dir, "events")
+        // prefer the user_id-bucketed, (user_id, ts, event_id)-sorted
+        // silver layout when the session maintains one: the sessionize
+        // window then reads pre-partitioned pre-sorted input with no
+        // exchange and no sort. Verify never builds layouts, so the
+        // correctness path always exercises raw parquet.
+        val ev = graft.silver.BucketedTables.tableOr(
+          spark, dir, "events", Seq("user_id"))(t(spark, dir, "events"))
         // one-pass form: overlapCount's left-outer bucketed join counts
         // matches (including zero) in the same pass that collapses
         // bucket replicas — no second sess traversal, no attach join.

@@ -75,9 +75,13 @@ object ProfileQ141 {
     // one-pass variant: LEFT OUTER bucketed join with overlap+canonical
     // predicates in the JOIN CONDITION, then a single group-count — no
     // second sess branch, no attach join
-    def buildOuter(): DataFrame = {
+    def buildOuter(bucketed: Boolean = false): DataFrame = {
       val b = 600000000L
-      val ev = Tables.load(spark, sfDir, "events")
+      val ev =
+        if (bucketed) graft.silver.BucketedTables.tableOr(
+          spark, sfDir, "events", Seq("user_id"))(
+          Tables.load(spark, sfDir, "events"))
+        else Tables.load(spark, sfDir, "events")
       val sess = Temporal.sessionize(
           ev.filter(col("event_type") === "click"),
           keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
@@ -108,10 +112,13 @@ object ProfileQ141 {
         .orderBy(col("user_id"), col("session_idx"))
     }
 
-    bench("original            aqe=on ", aqe = true,  build(false, false))
-    bench("outer-onepass       aqe=on ", aqe = true,  buildOuter())
-    bench("original            aqe=on2", aqe = true,  build(false, false))
-    bench("outer-onepass       aqe=on2", aqe = true,  buildOuter())
+    graft.silver.BucketedTables.ensureLayout(
+      spark, sfDir, "events", Seq("user_id"),
+      sortCols = Seq("user_id", "ts", "event_id"))
+    bench("outer raw-parquet   r1", aqe = true, buildOuter(false))
+    bench("outer bucketed-ev   r1", aqe = true, buildOuter(true))
+    bench("outer raw-parquet   r2", aqe = true, buildOuter(false))
+    bench("outer bucketed-ev   r2", aqe = true, buildOuter(true))
 
     // ---- floor decomposition --------------------------------------------
     import spark.implicits._

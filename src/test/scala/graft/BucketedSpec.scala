@@ -76,13 +76,17 @@ class BucketedSpec extends AnyFunSuite {
     }
     // raw-parquet path first (no layouts registered for this session yet)
     val raw = Seq("q03_join_revenue_by_nation", "q06_window_latest_order",
-      "q20_window_running_sum").map(n => n -> run(n)).toMap
+      "q20_window_running_sum", "q141_overlap_join")
+      .map(n => n -> run(n)).toMap
+    val rawShuffles141 = shuffles("q141_overlap_join")
 
     BucketedTables.ensureLayout(spark, dir, "lineitem", Seq("l_orderkey"),
       numBuckets = 4)
     BucketedTables.ensureLayout(spark, dir, "orders", Seq("o_custkey"),
       sortCols = Seq("o_custkey", "o_orderdate", "o_orderkey"),
       numBuckets = 4)
+    BucketedTables.ensureLayout(spark, dir, "events", Seq("user_id"),
+      sortCols = Seq("user_id", "ts", "event_id"), numBuckets = 4)
 
     // q03 on the layout: the per-order reduce and the joins add NO
     // fact-side exchange; the only shuffle left is the ~25-row nation
@@ -97,6 +101,12 @@ class BucketedSpec extends AnyFunSuite {
       "q06 on the o_custkey layout must aggregate exchange-free")
     assert(shuffles("q20_window_running_sum") == 0,
       "q20 on the o_custkey layout must window exchange-free")
+    // q141 on the user_id layout: the sessionize window reads
+    // pre-partitioned, pre-sorted input — exactly one fewer exchange
+    // than the raw path (the bucketed joins downstream keep theirs)
+    assert(shuffles("q141_overlap_join") == rawShuffles141 - 1,
+      s"q141 on the events layout should drop the sessionize-window " +
+        s"exchange: raw=$rawShuffles141 bucketed=${shuffles("q141_overlap_join")}")
 
     // identical results on both paths
     raw.foreach { case (name, expect) =>
