@@ -48,6 +48,53 @@ final class CatalogService(lake: Lake) {
     summary.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
   }
 
+  /** One-pass sketch-based table profile for catalog/chat context — the
+    * product-surface counterpart of the q90 profiling query and the
+    * reference's table-context gathering (transformation_agent/.../
+    * main.py:152-192 samples; this summarizes). ONE aggregation job
+    * computes, per column: row count, null count, approx distinct
+    * (HyperLogLog++, the same sketch q57 exposes), and min/max for
+    * orderable types. All sketches are mergeable partials, so the pass
+    * is a single map-side-combined aggregation at any scale — the
+    * column set is the only width factor, never the row count. */
+  final case class ColumnProfile(column: String, dataType: String,
+      nulls: Long, approxDistinct: Long, min: Option[String],
+      max: Option[String])
+
+  def profile(domain: String, layer: String, table: String)
+      : (Long, Seq[ColumnProfile]) = {
+    import org.apache.spark.sql.functions._
+    val df = lake.query.dataFrame(s"SELECT * FROM $domain.$layer.$table")
+    val fields = df.schema.fields.toSeq
+    val orderable: Set[String] = Set("string", "int", "bigint", "double",
+      "float", "date", "smallint", "tinyint", "boolean") ++
+      fields.map(_.dataType.simpleString).filter(t =>
+        t.startsWith("decimal") || t.startsWith("timestamp"))
+    val aggs = count(lit(1)).as("_rows") +: fields.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        approx_count_distinct(c).as(s"${f.name}__distinct"))
+      if (orderable(f.dataType.simpleString))
+        base ++ Seq(min(c).cast("string").as(s"${f.name}__min"),
+          max(c).cast("string").as(s"${f.name}__max"))
+      else base
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def opt(name: String): Option[String] =
+      if (row.schema.fieldNames.contains(name)) {
+        val i = row.fieldIndex(name)
+        if (row.isNullAt(i)) None else Some(row.getString(i))
+      } else None
+    val profiles = fields.map { f =>
+      ColumnProfile(f.name, f.dataType.simpleString,
+        row.getAs[Long](s"${f.name}__nulls"),
+        row.getAs[Long](s"${f.name}__distinct"),
+        opt(s"${f.name}__min"), opt(s"${f.name}__max"))
+    }
+    (row.getAs[Long]("_rows"), profiles)
+  }
+
   /** Sample rows for table preview / LLM context (L4,
     * transformation_agent/.../main.py:152-192). */
   def sampleRows(domain: String, layer: String, table: String,

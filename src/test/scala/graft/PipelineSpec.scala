@@ -227,6 +227,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(tables.find(_.table == "orders").get.columns
       .exists(_._1 == "order_id"))
 
+    // one-pass sketch profile (catalog/chat surface)
+    val (nRows, cols) = lake.catalog.profile("sales", "silver", "orders")
+    assert(nRows == 50L)
+    val custProf = cols.find(_.column == "customer_id").get
+    assert(custProf.nulls == 0L)
+    // HLL at default precision is exact at this cardinality
+    assert(custProf.approxDistinct == 5L)
+    assert(custProf.min.contains("0") && custProf.max.contains("4"))
+
     // top values via the Misra–Gries sketch (chart/chat surface):
     // customer_id = i % 5 over 1..50 → each of 0..4 appears exactly 10
     // times; a 4k-provisioned sketch holds all 5 exactly, counts exact
