@@ -487,6 +487,61 @@ object TextOps {
     * engines — not twice as UTF-16 units. Empty-text (and null-text)
     * docs are excluded: entropy is undefined over zero characters, and
     * both this and the oracle SQL drop them explicitly. */
+  /** fastText-style hashed linear classifier — the APPLY step of the
+    * quality-filter models real pipelines train offline (CCNet's fastText
+    * LM filter, the LLaMA "looks-like-Wikipedia" classifier): features
+    * are unigram + adjacent-bigram tokens hashed into `dBuckets` buckets,
+    * the model is a `weights(bucket, w)` table of integer milli-weights,
+    * and a document's score is the mean feature weight.
+    *
+    * Exactness: bucket ids are md5-derived ([[graft.queries.Q.h32]] mod
+    * `dBuckets` — non-negative, so `%` agrees across engines), the score
+    * numerator is an exact int64 sum of milli-weights, and the only
+    * floating step is one final IEEE division — bit-identical across
+    * engines, partitionings and retries.
+    *
+    * Scale: the model is `dBuckets` rows — broadcast, never shuffled
+    * (that is the point of the hashing trick: the feature space is fixed
+    * no matter the corpus). Per document the plan is explode → hash →
+    * broadcast-join → one doc-keyed hash aggregation with map-side
+    * combine; the shuffle carries one partial (count, sum) pair per
+    * document, never tokens. At 100 TB this is scan-bound.
+    *
+    * Reference intent: serverless_data_lake curates LLM training corpora
+    * (SURVEY §1); a trained-model quality gate is the standard companion
+    * to its heuristic filters (`quality`, above). */
+  def hashedClassifierScore(docs: DataFrame, weights: DataFrame,
+      dBuckets: Int = 4096): DataFrame = {
+    val toks = tokens(col("text"))
+    // zip_with over two shifted slices: empty (not descending-sequence
+    // garbage) for 1-token docs
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = spread(docs)
+      .select(col("doc_id"), explode(concat(toks, bigrams)).as("f"))
+      .select(col("doc_id"), (h32(concat(lit("f#"), col("f"))) % dBuckets)
+        .as("bucket"))
+    feats.join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_milli"))
+      .select(col("doc_id"), col("n_feats"), col("score_milli"),
+        (col("score_milli").cast("double") /
+          (col("n_feats").cast("double") * 1000.0)).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
+  /** Deterministic stand-in model for [[hashedClassifierScore]]: one
+    * integer milli-weight in [-1000, 1000] per bucket, md5-derived so
+    * any engine regenerates it bit-identically (a real deployment loads
+    * trained weights from a table instead — same shape, same plan). */
+  def demoClassifierWeights(spark: org.apache.spark.sql.SparkSession,
+      dBuckets: Int = 4096): DataFrame =
+    spark.range(dBuckets).toDF("bucket")
+      .select(col("bucket"),
+        (h32(concat(lit("qw#"), col("bucket").cast("string"))) % 2001 - 1000)
+          .as("w"))
+
   def charEntropy(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

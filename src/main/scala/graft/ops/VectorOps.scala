@@ -509,4 +509,90 @@ object VectorOps {
       .select(col("label"), col("nl"), col("intra"), col("nearest_label"),
         col("inter"), (col("inter") / col("intra")).as("separation"))
   }
+
+  // ---- product quantization (the memory-scale path for ANN) -----------
+
+  /** PQ codebook from the first `ks` vectors by vec_id (the engine's
+    * deterministic seed convention, cf. [[ivfAssign]]/`seedCentroids`):
+    * `codebook(sub)(code-1)` is the exact int64-quantized subvector of
+    * seed `code` in subspace `sub`. A real deployment k-means-trains the
+    * codebook on a bounded sample; either way it is m×ks×(d/m) longs —
+    * here 1 KiB — so collecting it to the driver and inlining it into
+    * codegen'd expressions is the bounded-probe pattern, not a
+    * driver-side loop over data. */
+  def pqCodebook(vectors: DataFrame, m: Int = 8,
+      ks: Int = 16): Array[Array[Array[Long]]] = {
+    val seeds = vectors.orderBy(col("vec_id")).limit(ks)
+      .select(quantized(col("embedding")).as("qv"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(seeds.nonEmpty, "pqCodebook: empty vector table")
+    val d = seeds.head.length
+    require(d % m == 0, s"pqCodebook: dims $d not divisible by m=$m")
+    val dsub = d / m
+    Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** PQ encode: each vector → `m` codebook indices (1-based), the
+    * nearest codeword per subspace by exact int64 L2², ties to the
+    * lowest code. 100 TB rationale: the encoded corpus is m small ints
+    * per vector instead of d floats (here 8 bytes vs 256) — the index
+    * that lets ANN hold a trillion vectors in cluster memory. The
+    * argmin unrolls as a `least(struct(dist2, code)…)` chain over
+    * codegen'd [[graft.functions.LongVec.dist2]] kernels against literal
+    * codewords: a pure map pass, no shuffle, no per-row regroup. */
+  def pqEncode(vectors: DataFrame,
+      codebook: Array[Array[Array[Long]]]): DataFrame = {
+    val m = codebook.length
+    val dsub = codebook(0)(0).length
+    val qv = quantized(col("embedding"))
+    val codes = (0 until m).map { s =>
+      val sv = slice(qv, lit(s * dsub + 1), lit(dsub))
+      least(codebook(s).zipWithIndex.map { case (cw, i) =>
+        struct(graft.functions.LongVec.dist2(sv, typedLit(cw.toSeq)).as("d"),
+          lit((i + 1).toLong).as("code"))
+      }: _*).getField("code")
+    }
+    vectors.select(col("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k: score every encoded vector against
+    * each query through the query's per-subspace distance table instead
+    * of its raw vector. Exact int64 throughout, so the ranking is
+    * reproducible (the APPROXIMATION is PQ itself — codeword distance
+    * stands in for vector distance; [[pqEncode]]'s oracle pins the codes
+    * and this operator's oracle pins the table lookup + sum).
+    *
+    * Scale shape: the query side carries one m×ks int table per query,
+    * broadcast; the corpus side streams (vec_id, codes) — the scan reads
+    * NO embedding column. Per (query, vector) the distance is m
+    * element_at lookups + adds, statically unrolled (no lambda, stays in
+    * whole-stage codegen); the global top-k per query plans as a
+    * TakeOrderedAndProject-style windowed heap, never a full sort of the
+    * corpus. */
+  def pqAdcTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      codebook: Array[Array[Array[Long]]]): DataFrame = {
+    val m = codebook.length
+    val ks = codebook(0).length
+    val dsub = codebook(0)(0).length
+    val qv = quantized(col("embedding"))
+    // flat distance table, subspace-major: tab(s*ks + code-1)
+    val tab = array((0 until m).flatMap { s =>
+      val sv = slice(qv, lit(s * dsub + 1), lit(dsub))
+      codebook(s).map(cw =>
+        graft.functions.LongVec.dist2(sv, typedLit(cw.toSeq)))
+    }: _*)
+    val q = queries.select(col("vec_id").as("qid"), tab.as("tab"))
+    val enc = pqEncode(spread(vectors), codebook)
+      .select(col("vec_id").as("cid"), col("codes"))
+    val adist2 = (0 until m).map { s =>
+      element_at(col("tab"), (lit(s * ks) + element_at(col("codes"), s + 1))
+        .cast("int"))
+    }.reduce(_ + _)
+    val scored = enc.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), adist2.as("adist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist2"), col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

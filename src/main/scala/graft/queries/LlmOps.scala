@@ -1326,6 +1326,43 @@ object LlmOps {
         WITH tk AS (SELECT unnest($tokensSql) AS tok FROM documents),
         c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY tok),
         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
-        SELECT tok, n FROM c, t WHERE n * 30 > total ORDER BY tok"""))
+        SELECT tok, n FROM c, t WHERE n * 30 > total ORDER BY tok""")),
+
+    // ---- hashed linear classifier (trained-quality-filter apply) -------
+    // fastText-style apply step: unigram+bigram features hashed to 4096
+    // buckets, broadcast integer milli-weight model, exact int64 score
+    // sum, one final IEEE division. The md5-derived demo weights stand in
+    // for trained ones (same table shape, same plan).
+    "q143_quality_classifier" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.hashedClassifierScore(
+            Tables.load(spark, dir, "documents")
+              .select(col("doc_id"), col("text")),
+            TextOps.demoClassifierWeights(spark), dBuckets = 4096)
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH wt AS (SELECT b AS bucket,
+                (('0x' || substr(md5('qw#' || b::VARCHAR), 1, 8))::BIGINT
+                  % 2001 - 1000) AS w
+              FROM (SELECT unnest(generate_series(0, 4095)) AS b)),
+        t AS (SELECT doc_id, $tokensSql AS a FROM documents),
+        f AS (SELECT doc_id, unnest(a) AS f FROM t
+              UNION ALL
+              SELECT doc_id, unnest([a[i] || ' ' || a[i+1]
+                                     for i in range(1, len(a))]) AS f
+              FROM t),
+        bk AS (SELECT doc_id,
+                 (('0x' || substr(md5('f#' || f), 1, 8))::BIGINT % 4096)
+                   AS bucket
+               FROM f),
+        s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                CAST(SUM(w) AS BIGINT) AS score_milli
+              FROM bk JOIN wt USING (bucket) GROUP BY doc_id)
+        SELECT doc_id, n_feats, score_milli,
+               CAST(score_milli AS DOUBLE)
+                 / (CAST(n_feats AS DOUBLE) * 1000.0) AS score,
+               (CAST(score_milli AS DOUBLE)
+                 / (CAST(n_feats AS DOUBLE) * 1000.0)) > 0 AS keep
+        FROM s ORDER BY doc_id"""))
   )
 }

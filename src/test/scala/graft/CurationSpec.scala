@@ -468,4 +468,39 @@ class CurationSpec extends AnyFunSuite {
           s"missing=${brute.diff(fast).take(5)} extra=${fast.diff(brute).take(5)}")
     }
   }
+
+  test("hashedClassifierScore matches a local recompute incl. 1-token docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "single"),                    // 1 token → no bigrams, not garbage
+      (3L, "  padded   whitespace  "),   // trim + multi-space split
+      (4L, null.asInstanceOf[String])    // null text → no rows
+    ).toDF("doc_id", "text")
+    val w = graft.ops.TextOps.demoClassifierWeights(spark, 64)
+    val got = graft.ops.TextOps.hashedClassifierScore(docs, w, dBuckets = 64)
+      .orderBy(col("doc_id")).collect()
+    // local recompute with the same md5-derived hash and weights
+    val weights = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val expected = Seq(1L -> "the quick brown fox", 2L -> "single",
+        3L -> "  padded   whitespace  ")
+      .map { case (id, text) =>
+        val t = text.trim.split("\\s+").toSeq
+        val feats = t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+        val milli = feats.map(f => weights(h32(s"f#$f") % 64)).sum
+        (id, feats.size.toLong, milli)
+      }
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == expected)
+    got.foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / (r.getLong(1) * 1000.0))
+      assert(r.getBoolean(4) == (r.getDouble(3) > 0))
+    }
+  }
 }
