@@ -563,13 +563,13 @@ object VectorOps {
     * and this operator's oracle pins the table lookup + sum).
     *
     * Scale shape: the query side carries one m×ks int table per query,
-    * broadcast; the corpus side streams (vec_id, codes) — the scan reads
-    * NO embedding column. Per (query, vector) the distance is m
+    * broadcast; the corpus side streams the pre-encoded (vec_id, codes)
+    * index — the scan reads NO embedding column. Per (query, vector) the distance is m
     * element_at lookups + adds, statically unrolled (no lambda, stays in
     * whole-stage codegen); the global top-k per query plans as a
     * TakeOrderedAndProject-style windowed heap, never a full sort of the
     * corpus. */
-  def pqAdcTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+  def pqAdcTopK(encoded: DataFrame, queries: DataFrame, k: Int,
       codebook: Array[Array[Array[Long]]]): DataFrame = {
     val m = codebook.length
     val ks = codebook(0).length
@@ -582,8 +582,7 @@ object VectorOps {
         graft.functions.LongVec.dist2(sv, typedLit(cw.toSeq)))
     }: _*)
     val q = queries.select(col("vec_id").as("qid"), tab.as("tab"))
-    val enc = pqEncode(spread(vectors), codebook)
-      .select(col("vec_id").as("cid"), col("codes"))
+    val enc = encoded.select(col("vec_id").as("cid"), col("codes"))
     val adist2 = (0 until m).map { s =>
       element_at(col("tab"), (lit(s * ks) + element_at(col("codes"), s + 1))
         .cast("int"))

@@ -1363,6 +1363,80 @@ object LlmOps {
                  / (CAST(n_feats AS DOUBLE) * 1000.0) AS score,
                (CAST(score_milli AS DOUBLE)
                  / (CAST(n_feats AS DOUBLE) * 1000.0)) > 0 AS keep
-        FROM s ORDER BY doc_id"""))
+        FROM s ORDER BY doc_id""")),
+
+    // ---- product quantization (memory-scale ANN index) -----------------
+    // Codebook = subvectors of the first 16 vectors (seed convention);
+    // encode = per-subspace exact-int argmin, ties to lowest code. The
+    // encoded corpus is 8 codes/vector instead of 64 floats — the index
+    // that holds a trillion vectors in cluster memory.
+    "q144_pq_encode" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.load(spark, dir, "embeddings")
+        VectorOps.pqEncode(emb, VectorOps.pqCodebook(emb))
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+          .select(col("vec_id"), col("sub").cast("long").as("sub"),
+            col("code"))
+          .orderBy(col("vec_id"), col("sub"))
+      },
+      oracle = Some(raw"""
+        WITH $quantCte,
+        cbids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code
+                  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        cb AS (SELECT code, g, x FROM xv JOIN cbids USING (vec_id)),
+        d AS (SELECT xv.vec_id, (xv.g - 1) // 8 AS sub, cb.code,
+                SUM((xv.x - cb.x) * (xv.x - cb.x)) AS d2
+              FROM xv JOIN cb ON xv.g = cb.g
+              GROUP BY 1, 2, 3),
+        enc AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+                  FROM d) WHERE rn = 1)
+        SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+        FROM enc ORDER BY vec_id, sub""")),
+
+    // ADC top-k: each query scores the ENCODED corpus through its
+    // m×ks distance table (broadcast); the scan never reads the
+    // embedding column. Exact int64, so rank order is reproducible.
+    "q145_pq_adc_topk" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.load(spark, dir, "embeddings")
+        val qs = emb.orderBy(col("vec_id")).limit(8)
+        val cb = VectorOps.pqCodebook(emb)
+        val enc = VectorOps.pqEncode(
+          emb.repartition(spark.sparkContext.defaultParallelism), cb)
+        VectorOps.pqAdcTopK(enc, qs, k = 5, cb)
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(raw"""
+        WITH $quantCte,
+        cbids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS code
+                  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        cb AS (SELECT code, g, x FROM xv JOIN cbids USING (vec_id)),
+        d AS (SELECT xv.vec_id, (xv.g - 1) // 8 AS sub, cb.code,
+                SUM((xv.x - cb.x) * (xv.x - cb.x)) AS d2
+              FROM xv JOIN cb ON xv.g = cb.g
+              GROUP BY 1, 2, 3),
+        enc AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+                  FROM d) WHERE rn = 1),
+        qids AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 8),
+        qt AS (SELECT xv.vec_id AS qid, (xv.g - 1) // 8 AS sub, cb.code,
+                 SUM((xv.x - cb.x) * (xv.x - cb.x)) AS pd
+               FROM xv JOIN qids ON xv.vec_id = qids.qid
+               JOIN cb ON xv.g = cb.g
+               GROUP BY 1, 2, 3),
+        adc AS (SELECT qt.qid, e.vec_id AS cid,
+                  CAST(SUM(qt.pd) AS BIGINT) AS adist2
+                FROM enc e JOIN qt ON e.sub = qt.sub AND e.code = qt.code
+                WHERE e.vec_id != qt.qid
+                GROUP BY 1, 2),
+        r AS (SELECT qid, cid, adist2, row_number() OVER (
+                PARTITION BY qid ORDER BY adist2, cid) AS rank
+              FROM adc)
+        SELECT qid, cid, adist2, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 }

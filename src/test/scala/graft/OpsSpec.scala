@@ -311,4 +311,49 @@ class OpsSpec extends AnyFunSuite {
     assert(got(61) == got(1),
       "identical token content must get an identical weight")
   }
+
+  test("pqEncode/pqAdcTopK match a local exact recompute and rank sanely") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cb = VectorOps.pqCodebook(emb, m = 8, ks = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 8)))
+    val enc = VectorOps.pqEncode(emb, cb)
+    val got = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // local recompute from the raw floats with the same quantization
+    val raw = emb.select(col("vec_id"),
+        VectorOps.quantized(col("embedding")).as("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    raw.foreach { case (id, qv) =>
+      val want = (0 until 8).map { s =>
+        val sv = qv.slice(s * 8, s * 8 + 8)
+        (0 until 16).minBy(c => (d2(sv, cb(s)(c)), c)).toLong + 1
+      }
+      assert(got(id).toSeq == want, s"vec $id codes ${got(id).toSeq} != $want")
+    }
+    // ADC distances are exactly the table-lookup sums of those codes
+    val qs = emb.orderBy(col("vec_id")).limit(3)
+    val top = VectorOps.pqAdcTopK(enc, qs, k = 4, cb).collect()
+    val qraw = qs.select(col("vec_id"),
+        VectorOps.quantized(col("embedding")).as("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    top.foreach { r =>
+      val (qid, cid, ad) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val want = (0 until 8).map { s =>
+        d2(qraw(qid).slice(s * 8, s * 8 + 8),
+          cb(s)(got(cid)(s).toInt - 1))
+      }.sum
+      assert(ad == want, s"adist2($qid,$cid)=$ad != $want")
+    }
+    // every query got exactly k ranked neighbors, rank follows distance
+    val byQ = top.groupBy(_.getLong(0))
+    assert(byQ.size == 3 && byQ.values.forall(_.length == 4))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(2)).toSeq ==
+        sorted.map(_.getLong(2)).sorted.toSeq)
+    }
+  }
 }

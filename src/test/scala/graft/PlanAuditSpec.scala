@@ -428,4 +428,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
       s"expected the typed counting pass:\n$p")
   }
+
+  test("q143 classifier: model broadcast (never shuffled), doc aggregation " +
+      "combines map-side") {
+    val p = plan("q143_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight model must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"score sums must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), s"unexpected all-pairs:\n$p")
+  }
+
+  test("q144 PQ encode: pure map pass — codebook inlined, no join, no " +
+      "pre-sort exchange beyond the output ordering") {
+    val p = plan("q144_pq_encode")
+    assert(!p.contains("Join"), s"encode must not join — codebook is " +
+      s"literal-inlined into the argmin chain:\n$p")
+    assert(p.contains("long_vec_dist2") || p.contains("least"),
+      s"expected the unrolled least(struct(dist2, code)) argmin:\n$p")
+  }
+
+  test("q145 PQ ADC: query tables broadcast, corpus side streams codes, " +
+      "top-k never full-sorts the corpus") {
+    val p = plan("q145_pq_adc_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query distance tables must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"ADC scan must broadcast the bounded query side, not cartesian:\n$p")
+  }
 }
