@@ -66,6 +66,66 @@ object TextOps {
           col("distinct_ratio") >= 0.2, "good").otherwise("low"))
   }
 
+  /** Gopher-style repetition/format quality rules (Rae et al. 2021,
+    * "Scaling Language Models", table A1) as a single narrow transform:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (`#` and `...`), bullet-line and ellipsis-line fractions, fraction
+    * of words with an alphabetic character, and distinct-stopword
+    * presence. Reference intent: the reference's validation predicates
+    * gate rows on cheap per-row quality checks
+    * (`ingestion_agent/.../models.py` payload validation); this is the
+    * document-corpus analog a training-data pipeline runs before
+    * tokenization.
+    *
+    * Scale shape: zero shuffles — every metric is per-row array math over
+    * `split()` products (codegen'd higher-order functions), so at 100 TB
+    * this is one scan at input parallelism. All counts are exact integers;
+    * the ratios are single IEEE divisions of those integers, so results
+    * hash-match any engine computing the same definition.
+    */
+  def gopherRules(docs: DataFrame,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      stopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopHits: Long = 2): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val lines = split(col("text"), "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumLen = aggregate(words, lit(0L), (a, w) => a + length(w))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val hashCount = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val ellipsisCount = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("long") / 3)
+      .cast("long")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast("long")
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+      .cast("long")
+    // distinct stopwords present (presence, not occurrence count)
+    val stopHits = size(array_intersect(words,
+      array(stopWords.map(lit): _*))).cast("long")
+    docs.select(col("doc_id"),
+        nWords.as("n_words"),
+        (sumLen.cast("double") / nWords).as("mean_word_len"),
+        ((hashCount + ellipsisCount).cast("double") / nWords).as("symbol_ratio"),
+        (bulletLines.cast("double") / nLines).as("bullet_ratio"),
+        (ellipsisLines.cast("double") / nLines).as("ellipsis_ratio"),
+        (nAlpha.cast("double") / nWords).as("alpha_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("passes",
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_ratio") <= maxBulletRatio &&
+          col("ellipsis_ratio") <= maxEllipsisRatio &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("stop_hits") >= minStopHits).cast("int"))
+  }
+
   /** Heuristic language ID by stopword-set hit counts. */
   def languageId(docs: DataFrame): DataFrame = {
     val toks = tokenized(docs)

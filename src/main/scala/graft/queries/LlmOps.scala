@@ -666,6 +666,52 @@ object LlmOps {
         FROM st JOIN base ON base.doc_id = st.doc_id
         ORDER BY st.doc_id""")),
 
+    // ---- Gopher-style quality rule set (Rae et al. 2021) ------------------
+    // Word-count / mean-word-length bounds, symbol + bullet + ellipsis
+    // ratios, alphabetic-word fraction, distinct-stopword presence, and the
+    // conjunctive pass flag. Stopword set here is the en marker set so the
+    // fixture exercises both pass and fail branches.
+    "q146_gopher_rules" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.gopherRules(Tables.load(spark, dir, "documents"),
+          stopWords = Seq("the", "a", "of", "and", "to", "in", "is"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH w AS (SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        ws AS (SELECT doc_id, COUNT(*) AS n_words, SUM(len(tok)) AS sum_len,
+            SUM(CASE WHEN regexp_matches(tok, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha,
+            COUNT(DISTINCT CASE WHEN tok IN ('the','a','of','and','to','in','is')
+              THEN tok END) AS stop_hits
+          FROM w GROUP BY doc_id),
+        l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM documents),
+        ls AS (SELECT doc_id, COUNT(*) AS n_lines,
+            SUM(CASE WHEN regexp_matches(line, '^\s*[-*•]') THEN 1 ELSE 0 END) AS bullet_lines,
+            SUM(CASE WHEN regexp_matches(line, '\.\.\.\s*$$') THEN 1 ELSE 0 END) AS ellipsis_lines
+          FROM l GROUP BY doc_id),
+        sy AS (SELECT doc_id,
+            len(text) - len(regexp_replace(text, '#', '', 'g')) AS hash_count,
+            (len(text) - len(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS ell_count
+          FROM documents)
+        SELECT ws.doc_id, n_words,
+          sum_len * 1.0 / n_words AS mean_word_len,
+          (hash_count + ell_count) * 1.0 / n_words AS symbol_ratio,
+          bullet_lines * 1.0 / n_lines AS bullet_ratio,
+          ellipsis_lines * 1.0 / n_lines AS ellipsis_ratio,
+          n_alpha * 1.0 / n_words AS alpha_ratio,
+          stop_hits,
+          CAST(n_words BETWEEN 50 AND 100000
+            AND sum_len * 1.0 / n_words BETWEEN 3.0 AND 10.0
+            AND (hash_count + ell_count) * 1.0 / n_words <= 0.1
+            AND bullet_lines * 1.0 / n_lines <= 0.9
+            AND ellipsis_lines * 1.0 / n_lines <= 0.3
+            AND n_alpha * 1.0 / n_words >= 0.8
+            AND stop_hits >= 2 AS INT) AS passes
+        FROM ws JOIN ls USING (doc_id) JOIN sy USING (doc_id)
+        ORDER BY ws.doc_id""")),
+
     // ---- token counting ---------------------------------------------------
     "q31_token_count" -> QueryDef(
       build = (spark, dir) =>

@@ -356,4 +356,37 @@ class OpsSpec extends AnyFunSuite {
         sorted.map(_.getLong(2)).sorted.toSeq)
     }
   }
+
+  test("gopherRules: hand-computed metrics on a fixture exercising every rule") {
+    import spark.implicits._
+    // the driver's documents fixture has no bullets/ellipses/symbols, so
+    // those branches are pinned here against hand-computed values
+    val docs = Seq(
+      (1L, "the cat sat of the mat with food"),
+      (2L, "- item one\n- item two\nmore text here..."),
+      (3L, "## header # tag ...")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.gopherRules(docs, minWords = 5, maxWords = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = out(1L) // 8 words, sum_len 25, all alpha, stops {the,of,with}=3
+    assert(d1.getLong(1) == 8L)
+    assert(math.abs(d1.getDouble(2) - 25.0 / 8) < 1e-12)
+    assert(d1.getDouble(3) == 0.0 && d1.getDouble(4) == 0.0)
+    assert(d1.getDouble(6) == 1.0 && d1.getLong(7) == 3L)
+    assert(d1.getInt(8) == 1) // within [5,10] words, all other rules pass
+
+    val d2r = out(2L) // 3 lines: 2 bullets, 1 ellipsis line; 9 words, 1 '...'
+    assert(d2r.getLong(1) == 9L)
+    assert(math.abs(d2r.getDouble(3) - 1.0 / 9) < 1e-12)  // symbol_ratio
+    assert(math.abs(d2r.getDouble(4) - 2.0 / 3) < 1e-12)  // bullet_ratio
+    assert(math.abs(d2r.getDouble(5) - 1.0 / 3) < 1e-12)  // ellipsis_ratio
+    assert(math.abs(d2r.getDouble(6) - 7.0 / 9) < 1e-12)  // alpha: '-' x2 fail
+    assert(d2r.getLong(7) == 0L && d2r.getInt(8) == 0)     // no stopwords
+
+    val d3 = out(3L) // 5 words, 3 '#' + 1 '...' => symbol 4/5, alpha 2/5
+    assert(d3.getLong(1) == 5L)
+    assert(math.abs(d3.getDouble(3) - 4.0 / 5) < 1e-12)
+    assert(math.abs(d3.getDouble(6) - 2.0 / 5) < 1e-12)
+    assert(d3.getInt(8) == 0)
+  }
 }
