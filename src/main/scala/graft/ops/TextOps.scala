@@ -176,6 +176,43 @@ object TextOps {
         min(col("c")).as("min_freq"))
   }
 
+  /** Vocabulary-growth (Heaps'-law) curve: walking the corpus in
+    * `doc_id` order in fixed-size buckets of `bucketDocs` documents,
+    * emit the cumulative token count and the cumulative number of
+    * distinct token TYPES seen up to the end of each bucket. The
+    * tokens-vs-types curve is the standard corpus-health diagnostic: a
+    * natural-language corpus follows Heaps' law (types ~ K·tokens^β,
+    * β≈0.5); a template-stamped or truncated-vocabulary corpus plateaus
+    * early, a junk corpus grows near-linearly.
+    *
+    * Shape at scale: each type charges the bucket of its FIRST
+    * occurrence (a token-keyed min aggregation — map-side combined),
+    * so the cumulative-distinct count needs no distinct-over-window
+    * anywhere; bucket token counts are a second map-side-combined
+    * aggregation over the same tokenize pass. Only one row per bucket
+    * (#docs / bucketDocs — pick bucketDocs so this is thousands, not
+    * billions) reaches the single ordered cumulative window at the end;
+    * raw tokens never cross it. */
+  def vocabularyGrowth(docs: DataFrame, bucketDocs: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = tokenized(docs)
+    val bucket = floor(col("doc_id") / bucketDocs).cast("long")
+    val bucketTokens = tk
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tk
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(floor(col("first_doc") / bucketDocs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketTokens.join(newTypes, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .select(col("bucket"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        sum(col("new_types")).over(w).as("cum_types"))
+  }
+
   /** BM25 relevance of every document against a fixed query-term set.
     *
     * Shape at scale: one tokenize pass → per-doc length aggregation; term

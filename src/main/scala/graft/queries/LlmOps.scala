@@ -742,6 +742,33 @@ object LlmOps {
         FROM tk JOIN vc USING (tok)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- vocabulary-growth (Heaps'-law) curve -----------------------------
+    "q147_vocab_growth" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.vocabularyGrowth(Tables.load(spark, dir, "documents")
+            .select(col("doc_id"), col("text")), bucketDocs = 50L)
+          .orderBy(col("bucket")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                    FROM documents),
+        bt AS (SELECT CAST(floor(doc_id / 50) AS BIGINT) AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS n_tokens
+               FROM tk GROUP BY 1),
+        fs AS (SELECT tok, MIN(doc_id) AS first_doc FROM tk GROUP BY 1),
+        nt AS (SELECT CAST(floor(first_doc / 50) AS BIGINT) AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS new_types
+               FROM fs GROUP BY 1)
+        SELECT bt.bucket,
+          CAST(SUM(bt.n_tokens) OVER (ORDER BY bt.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens,
+          CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY bt.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_types
+        FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
+        ORDER BY bt.bucket""")),
+
     // ---- document fingerprinting ------------------------------------------
     "q32_fingerprint" -> QueryDef(
       build = (spark, dir) =>

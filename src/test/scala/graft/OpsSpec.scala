@@ -290,6 +290,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).sum == 4 * lpA + lpZ)
   }
 
+  test("vocabularyGrowth: cumulative types count each type once, at its " +
+      "first bucket; totals match the corpus") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // bucket 0 = docs 0-1, bucket 1 = docs 2-3, bucket 2 = doc 4.
+    // types: a,b (b0) | c (b1, 'a' repeats — no charge) | d (b2)
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b a"),
+      (2L, "c a c"), (3L, "a"),
+      (4L, "d a")).toDF("doc_id", "text")
+    val got = TextOps.vocabularyGrowth(docs, bucketDocs = 2L)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 5L, 2L), (1L, 9L, 3L), (2L, 11L, 4L)))
+  }
+
   test("dsirLogWeights: target-like docs score positive, off-target " +
       "negative; score depends only on the doc's tokens") {
     import spark.implicits._
