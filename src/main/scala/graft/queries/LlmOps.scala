@@ -769,6 +769,63 @@ object LlmOps {
         FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
         ORDER BY bt.bucket""")),
 
+    // ---- BPE tokenizer learning (Sennrich et al., ACL 2016) ---------------
+    // q148 is iteration 1's exact input (green oracle); q149's full merge
+    // table is data-dependent across iterations (not expressible in one
+    // static SQL query) and is anchored by q148 + BpeSpec's plain-Scala
+    // reference; q150 proves learn→apply end-to-end with a green oracle
+    // (one learned merge, applied — replace() semantics in both engines).
+    "q148_bpe_pair_counts" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.Bpe.pairCounts(graft.ops.Bpe.wordFreq(
+            Tables.load(spark, dir, "documents")
+              .select(col("doc_id"), col("text"))))
+          .orderBy(col("n").desc, col("pair").asc).limit(20),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                    FROM documents),
+        w AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM tk WHERE len(tok) > 0 GROUP BY 1),
+        p0 AS (SELECT w, freq, unnest(generate_series(1, len(w) - 1)) AS g
+               FROM w WHERE len(w) >= 2)
+        SELECT substr(w, g, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
+        FROM p0 GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""")),
+
+    "q149_bpe_merges" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.Bpe.mergeTable(spark,
+          graft.ops.Bpe.learn(Tables.load(spark, dir, "documents")
+            .select(col("doc_id"), col("text")), nMerges = 8))
+          .orderBy(col("rank")),
+      oracle = None),
+
+    "q150_bpe_segment" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        graft.ops.Bpe.segmentStats(docs,
+            graft.ops.Bpe.learn(docs, nMerges = 1))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                    FROM documents),
+        w AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM tk WHERE len(tok) > 0 GROUP BY 1),
+        p0 AS (SELECT w, freq, unnest(generate_series(1, len(w) - 1)) AS g
+               FROM w WHERE len(w) >= 2),
+        pc AS (SELECT substr(w, g, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
+               FROM p0 GROUP BY 1),
+        best AS (SELECT pair FROM pc ORDER BY n DESC, pair LIMIT 1)
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+          CAST(SUM(len(replace(tok, (SELECT pair FROM best), chr(57344))))
+            AS BIGINT) AS bpe_tokens,
+          CAST(SUM(len(replace(tok, (SELECT pair FROM best), chr(57344))))
+            AS DOUBLE) / COUNT(*) AS fertility
+        FROM tk GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- document fingerprinting ------------------------------------------
     "q32_fingerprint" -> QueryDef(
       build = (spark, dir) =>

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bpe
+
+/** BPE learning/application vs an independent plain-Scala reference of
+  * the same algorithm (Sennrich et al.'s get_stats/merge loop over a
+  * word-frequency table, single-char symbol encoding). */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Plain-Scala reference: same counting (overlapping positions), same
+    * greedy left-to-right merge (String.replace), same tie-break
+    * (count desc, pair-string asc), same marker allocation. */
+  private def refLearn(words0: Seq[(String, Long)], n: Int,
+      minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+    var words = words0
+    val expand = scala.collection.mutable.Map[Char, String]()
+    def ex(c: Char): String = expand.getOrElse(c, c.toString)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 0
+    var stop = false
+    while (rank < n && !stop) {
+      val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((w, f) <- words; i <- 0 until w.length - 1)
+        counts(w.substring(i, i + 2)) += f
+      val eligible = counts.toSeq.filter(_._2 >= minCount)
+      if (eligible.isEmpty) stop = true
+      else {
+        val (pair, c) = eligible.minBy { case (p, k) => (-k, p) }
+        val marker = (Bpe.markerBase + rank).toChar
+        val (l, r) = (ex(pair.charAt(0)), ex(pair.charAt(1)))
+        expand(marker) = l + r
+        out += ((rank, l, r, c))
+        words = words.map { case (w, f) => (w.replace(pair, marker.toString), f) }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // classic BPE fixture: low*5 lower*2 newest*6 widest*3 — plus a word
+  // with an internal repeat ("aaaa") to pin the overlapping-count /
+  // non-overlapping-merge asymmetry in both implementations.
+  private val wordFreqs = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+    "widest" -> 3L, "aaaa" -> 2L)
+
+  private def fixtureDocs = {
+    import spark.implicits._
+    // one doc per word, text = the word repeated freq times
+    wordFreqs.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, Seq.fill(f.toInt)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("learn matches the plain-Scala reference merge-for-merge") {
+    val got = Bpe.learn(fixtureDocs, nMerges = 10)
+      .map(m => (m.rank, m.left, m.right, m.count))
+    val want = refLearn(wordFreqs, 10)
+    assert(want.nonEmpty && want.size >= 5, s"fixture too small: $want")
+    assert(got == want)
+  }
+
+  test("learn stops early when no pair reaches minCount") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    assert(Bpe.learn(docs, nMerges = 5, minCount = 2L).isEmpty)
+    assert(Bpe.learn(docs, nMerges = 5, minCount = 1L).nonEmpty)
+  }
+
+  test("segmentStats applies merges greedily left-to-right in rank order") {
+    val merges = Bpe.learn(fixtureDocs, nMerges = 4)
+    val got = Bpe.segmentStats(fixtureDocs, merges)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // reference application: same replace chain over each doc's tokens
+    val chain = merges.map(m => (m.pair, m.marker))
+    val want = wordFreqs.zipWithIndex.map { case ((w, f), i) =>
+      val seg = chain.foldLeft(w) { case (s, (p, mk)) => s.replace(p, mk) }
+      (i.toLong, f, f * seg.length.toLong)
+    }
+    assert(got == want)
+    // fertility sanity: merged tokens never longer than raw chars
+    wordFreqs.zip(got).foreach { case ((w, _), (_, nTok, nBpe)) =>
+      assert(nBpe <= w.length * nTok)
+    }
+  }
+}
