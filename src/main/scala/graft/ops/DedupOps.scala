@@ -875,6 +875,59 @@ object DedupOps extends Serializable {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Sketch-calibration report: how well the MinHash signature's
+    * estimated Jaccard tracks the EXACT n-gram Jaccard, measured on the
+    * LSH candidate pairs themselves — the go/no-go diagnostic before
+    * trusting a (k, rowsPerBand) configuration on a new corpus.
+    *
+    * Output: one row per estimate decile — candidate-pair count, mean
+    * estimated and mean exact similarity, and the mean |est − exact|
+    * calibration error. A well-sized sketch shows mean_est ≈ mean_exact
+    * per bucket; a too-small k shows fat error and off-diagonal mass.
+    *
+    * Shape at scale: candidate generation is the banded path (never
+    * all-pairs); exact verification recomputes shingle sets for
+    * CANDIDATE docs only (the `nearDuplicates` pattern); the report is
+    * a ≤`buckets`-row aggregate. Determinism: per-pair similarities are
+    * rounded to ppm int64 BEFORE the bucket sums (the
+    * unigramCrossEntropy rule — never sum raw doubles in shuffle
+    * order), so bucket means are IEEE divisions of exact integers. */
+  def minhashCalibration(docs: DataFrame, n: Int = 8, k: Int = 12,
+      rowsPerBand: Int = 3, buckets: Int = 10): DataFrame = {
+    val sig = signaturesOnly(docs, n, k)
+    val cand = candidatesFromSignatures(sig, k, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id")))
+    val sets = shingleSets(
+      spread(docs.join(candIds, Seq("doc_id"), "left_semi")), n)
+    val sa = sets.select(col("doc_id").as("a"), col("shset").as("seta"),
+      col("n_sh").as("na"))
+    val sb = sets.select(col("doc_id").as("b"), col("shset").as("setb"),
+      col("n_sh").as("nb"))
+    val exact = cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"), col("est_sim"),
+        size(array_intersect(col("seta"), col("setb"))).as("i"),
+        col("na"), col("nb"))
+      .select(col("est_sim"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .as("jaccard"))
+    exact
+      .select(
+        least(floor(col("est_sim") * buckets), lit(buckets - 1))
+          .cast("long").as("bucket"),
+        round(col("est_sim") * 1e6).cast("long").as("est_ppm"),
+        round(col("jaccard") * 1e6).cast("long").as("j_ppm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("est_ppm")).cast("double") / count(lit(1)) / 1e6)
+          .as("mean_est"),
+        (sum(col("j_ppm")).cast("double") / count(lit(1)) / 1e6)
+          .as("mean_exact"),
+        (sum(abs(col("est_ppm") - col("j_ppm"))).cast("double")
+          / count(lit(1)) / 1e6).as("mean_abs_err"))
+  }
+
   /** EXACT-threshold set-similarity self-join (the All-Pairs / PPJoin
     * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): every unordered
     * document pair whose whitespace-token-set Jaccard ≥ tauNum/tauDen,

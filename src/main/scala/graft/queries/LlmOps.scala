@@ -231,6 +231,60 @@ object LlmOps {
         ORDER BY a, b"""),
       bench = true),
 
+    // ---- sketch-calibration report (est vs exact Jaccard per decile) ----
+    "q151_minhash_calibration" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.minhashCalibration(Tables.load(spark, dir, "documents"))
+          .orderBy(col("bucket")),
+      oracle = Some(s"""
+        WITH $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        est AS (SELECT a, b,
+          ((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s8 = sb.s8 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s9 = sb.s9 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s10 = sb.s10 THEN 1 ELSE 0 END) +
+           (CASE WHEN sa.s11 = sb.s11 THEN 1 ELSE 0 END)) * 1.0 / 12 AS est_sim
+          FROM pairs JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a, b, COUNT(*) AS i
+          FROM pairs
+          JOIN sh x ON x.doc_id = a
+          JOIN sh y ON y.doc_id = b AND y.s = x.s
+          GROUP BY a, b),
+        ex AS (SELECT e.est_sim,
+            COALESCE(i.i, 0) * 1.0 /
+              (sa.n_sh + sb.n_sh - COALESCE(i.i, 0)) AS jaccard
+          FROM est e
+          LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+          JOIN sizes sa ON sa.doc_id = e.a
+          JOIN sizes sb ON sb.doc_id = e.b),
+        ppm AS (SELECT
+            CAST(least(floor(est_sim * 10), 9) AS BIGINT) AS bucket,
+            CAST(round(est_sim * 1e6) AS BIGINT) AS est_ppm,
+            CAST(round(jaccard * 1e6) AS BIGINT) AS j_ppm
+          FROM ex)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(est_ppm) AS DOUBLE) / COUNT(*) / 1e6 AS mean_est,
+          CAST(SUM(j_ppm) AS DOUBLE) / COUNT(*) / 1e6 AS mean_exact,
+          CAST(SUM(abs(est_ppm - j_ppm)) AS DOUBLE) / COUNT(*) / 1e6
+            AS mean_abs_err
+        FROM ppm GROUP BY bucket ORDER BY bucket""")),
+
     // ---- cross-corpus (incremental-ingest) near-dup screening -----------
     // The admission path: a synthetic incoming batch (docs 0-49 re-keyed
     // +10000, as q22 does for exact dedup) screened against the full
