@@ -150,6 +150,35 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** ANN recall@k evaluation: per query, how much of the brute-force
+    * cosine top-k the IVF index actually returns — the accuracy side of
+    * the speed/accuracy trade every ANN deployment must measure before
+    * trusting the index (tune nCells/nProbe against this).
+    *
+    * Output per query id: exact-top-k size, hit count, recall
+    * (IEEE division of exact counts). A query whose cell contains no
+    * other vectors scores 0, not absent.
+    *
+    * Scale shape: ground truth is the brute-force pass — inherent to
+    * recall measurement — so run it on a SAMPLED query set (the
+    * standard protocol; `queries` is the sample), against which both
+    * sides broadcast. The hit join is (qid, cid)-keyed on two k-row
+    * frames per query. */
+  def recallAtK(vectors: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16): DataFrame = {
+    val truth = cosineTopK(queries, vectors, k)
+      .select(col("qid"), col("cid"))
+    val approx = ivfTopK(vectors, queries, k, nCells)
+      .select(col("qid"), col("cid"))
+    val nTruth = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+    val hits = truth.join(approx, Seq("qid", "cid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    nTruth.join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("qid"), col("n_truth"), col("hits"),
+        (col("hits").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH-bucket collisions (the scale path for near-dup
     * detection over embeddings). */

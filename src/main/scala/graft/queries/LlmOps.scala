@@ -527,6 +527,57 @@ object LlmOps {
         SELECT vec_id, cell_id, CAST(dist2 AS BIGINT) AS dist2
         FROM r WHERE rn = 1 ORDER BY vec_id""")),
 
+    // ---- ANN recall@k: IVF index vs brute-force ground truth ------------
+    "q152_ann_recall" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.load(spark, dir, "embeddings")
+        VectorOps.recallAtK(emb, emb.filter(col("vec_id") < 10), k = 3)
+          .orderBy(col("qid"))
+      },
+      oracle = Some(s"""
+        WITH $quantCte,
+        q AS (SELECT vec_id AS qid, g, x FROM xv WHERE vec_id < 10),
+        dots AS (SELECT qid, xv.vec_id AS cid, SUM(q.x * xv.x) AS dot
+          FROM q JOIN xv USING (g) WHERE qid <> xv.vec_id GROUP BY 1, 2),
+        norms AS (SELECT vec_id, SUM(x * x) AS nn FROM xv GROUP BY vec_id),
+        scored AS (SELECT qid, cid,
+            dot / (sqrt(nq.nn * 1.0) * sqrt(nc.nn * 1.0)) AS cosine
+          FROM dots JOIN norms nq ON nq.vec_id = qid
+                    JOIN norms nc ON nc.vec_id = cid),
+        truth AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored)
+          WHERE rank <= 3),
+        seeds AS (SELECT vec_id AS cell_id, g, x AS sx FROM xv
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        d AS (SELECT xv.vec_id, cell_id, SUM((x - sx) * (x - sx)) AS dist2
+          FROM xv JOIN seeds USING (g) GROUP BY 1, 2),
+        cells AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist2, cell_id) AS rn FROM d) WHERE rn = 1),
+        cand AS (SELECT qc.qid, cells.vec_id AS cid
+          FROM (SELECT q2.qid, c2.cell_id FROM (SELECT DISTINCT qid FROM q) q2
+                JOIN cells c2 ON c2.vec_id = q2.qid) qc
+          JOIN cells ON cells.cell_id = qc.cell_id AND cells.vec_id <> qc.qid),
+        dots2 AS (SELECT cand.qid, cand.cid, SUM(q.x * xv.x) AS dot
+          FROM cand JOIN q ON q.qid = cand.qid
+          JOIN xv ON xv.vec_id = cand.cid AND xv.g = q.g
+          GROUP BY 1, 2),
+        scored2 AS (SELECT qid, cid,
+            dot / (sqrt(nq.nn * 1.0) * sqrt(nc.nn * 1.0)) AS cosine
+          FROM dots2 JOIN norms nq ON nq.vec_id = qid
+                     JOIN norms nc ON nc.vec_id = cid),
+        approx AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, cid) AS rank FROM scored2)
+          WHERE rank <= 3),
+        nt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth
+               FROM truth GROUP BY 1),
+        h AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS hits
+              FROM truth t JOIN approx a ON a.qid = t.qid AND a.cid = t.cid
+              GROUP BY 1)
+        SELECT nt.qid, nt.n_truth, COALESCE(h.hits, 0) AS hits,
+          CAST(COALESCE(h.hits, 0) AS DOUBLE) / nt.n_truth AS recall
+        FROM nt LEFT JOIN h ON h.qid = nt.qid ORDER BY nt.qid""")),
+
     // ---- label-consistency: exact nearest-centroid classification -------
     "q102_nearest_centroid" -> QueryDef(
       build = (spark, dir) =>
