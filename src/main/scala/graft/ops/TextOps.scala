@@ -518,6 +518,58 @@ object TextOps {
         (-(col("sum_lp").cast("double") / 1e6) / col("n_tok")).as("xent"))
   }
 
+  /** Interpolated bigram-LM cross-entropy — the KenLM-flavored upgrade
+    * of [[unigramCrossEntropy]]: per-bigram probability is
+    * λ·P₂(w₂|w₁) + (1−λ)·P₁(w₂) with add-k smoothing on both levels, so
+    * fluent (high-transition-probability) text scores LOW cross-entropy
+    * and shuffled/junk text scores high even when its unigram profile
+    * looks natural — exactly the signal the unigram model cannot see.
+    *
+    * Determinism contract as [[unigramCrossEntropy]]: each DISTINCT
+    * bigram's log-prob is rounded to ×10⁶ int64 once (IEEE ops in a
+    * fixed written order that the oracle mirrors token-for-token), and
+    * per-doc sums are exact integer adds — order-free across partitions
+    * and engines. Documents with fewer than two tokens have no bigram
+    * distribution and are (documentedly) absent from the output.
+    *
+    * Shape at scale: bigram extraction is map-side (an adjacent-pair
+    * transform over each doc's token array — no self-join, no window);
+    * the bigram-type LM table is built by one (w1,w2)-keyed map-side-
+    * combined aggregation plus two token-keyed attaches; corpus totals
+    * are a broadcast 1-row frame; the per-doc rollup is the only other
+    * corpus-keyed exchange. */
+  def bigramCrossEntropy(docs: DataFrame, addK: Double = 0.5,
+      lambda: Double = 0.7): DataFrame = {
+    val base = spread(docs).select(col("doc_id"), tokens(col("text")).as("a"))
+    val bg = base.where(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a) - 1), i -> struct(a[i-1] AS w1, a[i] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = base.select(explode(col("a")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val lp = big
+      .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c1", "cw1"),
+        "w1")
+      .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c1", "cw2"),
+        "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(log(
+          lit(lambda) * (col("c2") + addK) /
+            (col("cw1") + lit(addK) * col("v")) +
+          lit(1.0 - lambda) * (col("cw2") + addK) /
+            (col("n") + lit(addK) * col("v"))) * 1e6)
+          .cast("long").as("lps"))
+    bg.join(lp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lps")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp"),
+        (-(col("sum_lp").cast("double") / 1e6) / col("n_bigrams")).as("xent"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how much more likely its hashed-unigram features are under a TARGET

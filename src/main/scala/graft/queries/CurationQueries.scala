@@ -456,6 +456,37 @@ object CurationQueries {
         FROM tk JOIN lp USING (tok)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- interpolated bigram-LM cross-entropy (KenLM-flavored) ----------
+    "q153_bigram_xent" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.TextOps.bigramCrossEntropy(t(spark, dir, "documents"),
+            addK = 0.5, lambda = 0.7)
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH arr AS (SELECT doc_id, $tokensSql AS a FROM documents),
+        uni0 AS (SELECT doc_id, unnest(a) AS tok FROM arr),
+        uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+                FROM uni0 GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        pos AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS g
+                FROM arr WHERE len(a) >= 2),
+        bg AS (SELECT doc_id, a[g] AS w1, a[g + 1] AS w2 FROM pos),
+        big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM bg GROUP BY 1, 2),
+        lp AS (SELECT w1, w2,
+            CAST(ROUND(ln(
+              (0.7 * (c2 + 0.5)) / (u1.c1 + 0.5 * v) +
+              ((1 - 0.7) * (u2.c1 + 0.5)) / (n + 0.5 * v)) * 1e6) AS BIGINT)
+              AS lps
+          FROM big JOIN uni u1 ON u1.tok = w1
+                   JOIN uni u2 ON u2.tok = w2, tot)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(lps) AS BIGINT) AS sum_lp,
+          -(CAST(SUM(lps) AS DOUBLE) / 1e6) / COUNT(*) AS xent
+        FROM bg JOIN lp USING (w1, w2)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- DSIR hashed-unigram importance weights -------------------------
     "q123_dsir_weights" -> QueryDef(
       build = (spark, dir) =>

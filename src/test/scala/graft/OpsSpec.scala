@@ -306,6 +306,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 5L, 2L), (1L, 9L, 3L), (2L, 11L, 4L)))
   }
 
+  test("bigramCrossEntropy: high-transition-probability text scores " +
+      "lower than unigram-identical shuffled text; 1-token docs absent") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // docs 1-10 follow the dominant x->y->x pattern; doc 11 has the SAME
+    // unigram profile (3x, 3y) but rare transitions; doc 12 has 1 token
+    val rows = (1L to 10L).map(i => (i, "x y x y x y")) ++
+      Seq((11L, "y y x x y x"), (12L, "x"))
+    val got = TextOps.bigramCrossEntropy(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("xent")).toMap
+    assert(!got.contains(12L), "a 1-token doc has no bigram distribution")
+    assert(got(1L) < got(11L),
+      s"patterned text must score lower xent: ${got(1L)} vs ${got(11L)}")
+  }
+
   test("dsirLogWeights: target-like docs score positive, off-target " +
       "negative; score depends only on the doc's tokens") {
     import spark.implicits._
