@@ -458,4 +458,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"ADC scan must broadcast the bounded query side, not cartesian:\n$p")
   }
+
+  test("q147 vocab growth: both curve inputs combine map-side; only " +
+      "bucket rows reach the ordered cumulative window") {
+    val p = plan("q147_vocab_growth")
+    assert(p.contains("partial_count"),
+      s"bucket token counts must combine map-side:\n$p")
+    assert(p.contains("Window"), s"lost the cumulative window:\n$p")
+    // the window input is the joined bucket frame, never raw tokens:
+    // no explode (Generate) may appear above the window in the plan
+    val winIdx = p.indexOf("Window")
+    assert(!p.substring(0, winIdx).contains("Generate"),
+      s"token explode must stay below the bucket aggregations:\n$p")
+  }
+
+  test("q151 minhash calibration: banded candidates only — no cartesian, " +
+      "no nested-loop; report aggregates combine map-side") {
+    val p = plan("q151_minhash_calibration")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"calibration must never score all pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"decile report must combine map-side:\n$p")
+  }
+
+  test("q153 bigram LM: adjacent pairs extracted map-side — no window, " +
+      "no self-join on the token stream") {
+    val p = plan("q153_bigram_xent")
+    assert(!p.contains("Window"),
+      s"bigram extraction must be the array transform, not a lag window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"LM attach joins must stay keyed:\n$p")
+    assert(p.contains("partial_count"),
+      s"bigram counts must combine map-side:\n$p")
+  }
 }
