@@ -537,7 +537,10 @@ object TextOps {
     * the bigram-type LM table is built by one (w1,w2)-keyed map-side-
     * combined aggregation plus two token-keyed attaches; corpus totals
     * are a broadcast 1-row frame; the per-doc rollup is the only other
-    * corpus-keyed exchange. */
+    * corpus-keyed exchange. (A per-(doc,bigram) pre-collapse before the
+    * LM attach was measured SLOWER at sf0.1 — within-doc bigram
+    * multiplicities are ≈1 in natural text, so the collapse adds an
+    * exchange without shrinking the stream.) */
   def bigramCrossEntropy(docs: DataFrame, addK: Double = 0.5,
       lambda: Double = 0.7): DataFrame = {
     val base = spread(docs).select(col("doc_id"), tokens(col("text")).as("a"))

@@ -283,7 +283,8 @@ object LlmOps {
           CAST(SUM(j_ppm) AS DOUBLE) / COUNT(*) / 1e6 AS mean_exact,
           CAST(SUM(abs(est_ppm - j_ppm)) AS DOUBLE) / COUNT(*) / 1e6
             AS mean_abs_err
-        FROM ppm GROUP BY bucket ORDER BY bucket""")),
+        FROM ppm GROUP BY bucket ORDER BY bucket"""),
+      bench = true),
 
     // ---- cross-corpus (incremental-ingest) near-dup screening -----------
     // The admission path: a synthetic incoming batch (docs 0-49 re-keyed
