@@ -185,24 +185,28 @@ object TextOps {
     * β≈0.5); a template-stamped or truncated-vocabulary corpus plateaus
     * early, a junk corpus grows near-linearly.
     *
-    * Shape at scale: each type charges the bucket of its FIRST
-    * occurrence (a token-keyed min aggregation — map-side combined),
-    * so the cumulative-distinct count needs no distinct-over-window
-    * anywhere; bucket token counts are a second map-side-combined
-    * aggregation over the same tokenize pass. Only one row per bucket
+    * Shape at scale: ONE corpus-keyed exchange — a (token, bucket)
+    * count aggregation (map-side combined) that both curve inputs
+    * derive from (same exchange subtree → ReusedExchange): bucket
+    * token totals by re-keying its counts, and first-occurrence
+    * charging by a min-bucket aggregation per type (floor is monotone
+    * in doc_id, so min bucket = the first doc's bucket — no
+    * distinct-over-window anywhere). Only one row per bucket
     * (#docs / bucketDocs — pick bucketDocs so this is thousands, not
     * billions) reaches the single ordered cumulative window at the end;
     * raw tokens never cross it. */
   def vocabularyGrowth(docs: DataFrame, bucketDocs: Long = 100L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tk = tokenized(docs)
-    val bucket = floor(col("doc_id") / bucketDocs).cast("long")
-    val bucketTokens = tk
-      .groupBy(bucket.as("bucket"))
-      .agg(count(lit(1)).as("n_tokens"))
-    val newTypes = tk
-      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
-      .groupBy(floor(col("first_doc") / bucketDocs).cast("long").as("bucket"))
+    val tb = tokenized(docs)
+      .groupBy(col("tok"),
+        floor(col("doc_id") / bucketDocs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val bucketTokens = tb
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_tokens"))
+    val newTypes = tb
+      .groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket"))
       .agg(count(lit(1)).as("new_types"))
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

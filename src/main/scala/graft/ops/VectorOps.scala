@@ -150,6 +150,38 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-k most-cosine-similar vectors whose LABEL DIFFERS from the
+    * query's — the near-miss examples an embedding model trains
+    * against (in-batch negatives are easy; these are the hard ones).
+    *
+    * Returns (qid, q_label, cid, c_label, cosine, rank), rank ≤ k.
+    *
+    * Shape at scale: the sampled query frame broadcasts (hard-negative
+    * mining always runs per training batch, not per corpus); the
+    * label-inequality predicate prunes INSIDE the broadcast join before
+    * scoring; per-query top-k is a key-partitioned window. Corpus-wide
+    * mining swaps the broadcast for [[lshBuckets]] collisions — same
+    * downstream shape. */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      col("label").cast("long").as("q_label"),
+      quantized(col("embedding")).as("qv"))
+    val c = spread(vectors).select(col("vec_id").as("cid"),
+      col("label").cast("long").as("c_label"),
+      quantized(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("c_label"))
+      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+        (dot(col("qv"), col("cv")).cast("double") /
+          (sqrt(dot(col("qv"), col("qv")).cast("double")) *
+           sqrt(dot(col("cv"), col("cv")).cast("double")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN recall@k evaluation: per query, how much of the brute-force
     * cosine top-k the IVF index actually returns — the accuracy side of
     * the speed/accuracy trade every ANN deployment must measure before

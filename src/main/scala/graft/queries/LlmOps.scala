@@ -577,7 +577,35 @@ object LlmOps {
               GROUP BY 1)
         SELECT nt.qid, nt.n_truth, COALESCE(h.hits, 0) AS hits,
           CAST(COALESCE(h.hits, 0) AS DOUBLE) / nt.n_truth AS recall
-        FROM nt LEFT JOIN h ON h.qid = nt.qid ORDER BY nt.qid""")),
+        FROM nt LEFT JOIN h ON h.qid = nt.qid ORDER BY nt.qid"""),
+      bench = true),
+
+    // ---- hard-negative mining (contrastive training pairs) --------------
+    "q154_hard_negatives" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.load(spark, dir, "embeddings")
+        VectorOps.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(s"""
+        WITH $quantCte,
+        lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        q AS (SELECT vec_id AS qid, g, x FROM xv WHERE vec_id < 10),
+        dots AS (SELECT qid, xv.vec_id AS cid, SUM(q.x * xv.x) AS dot
+          FROM q JOIN xv USING (g) GROUP BY 1, 2),
+        norms AS (SELECT vec_id, SUM(x * x) AS nn FROM xv GROUP BY vec_id),
+        scored AS (SELECT qid, lq.label AS q_label, cid, lc.label AS c_label,
+            dot / (sqrt(nq.nn * 1.0) * sqrt(nc.nn * 1.0)) AS cosine
+          FROM dots JOIN norms nq ON nq.vec_id = qid
+                    JOIN norms nc ON nc.vec_id = cid
+                    JOIN lab lq ON lq.vec_id = qid
+                    JOIN lab lc ON lc.vec_id = cid
+          WHERE lq.label <> lc.label),
+        ranked AS (SELECT qid, q_label, cid, c_label, cosine,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS rank FROM scored)
+        SELECT qid, q_label, cid, c_label, cosine, rank
+        FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
 
     // ---- label-consistency: exact nearest-centroid classification -------
     "q102_nearest_centroid" -> QueryDef(
@@ -873,7 +901,8 @@ object LlmOps {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS cum_types
         FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
-        ORDER BY bt.bucket""")),
+        ORDER BY bt.bucket"""),
+      bench = true),
 
     // ---- BPE tokenizer learning (Sennrich et al., ACL 2016) ---------------
     // q148 is iteration 1's exact input (green oracle); q149's full merge
