@@ -485,8 +485,7 @@ object CurationQueries {
           CAST(SUM(lps) AS BIGINT) AS sum_lp,
           -(CAST(SUM(lps) AS DOUBLE) / 1e6) / COUNT(*) AS xent
         FROM bg JOIN lp USING (w1, w2)
-        GROUP BY doc_id ORDER BY doc_id"""),
-      bench = true),
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- DSIR hashed-unigram importance weights -------------------------
     "q123_dsir_weights" -> QueryDef(

@@ -901,8 +901,7 @@ object LlmOps {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS cum_types
         FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
-        ORDER BY bt.bucket"""),
-      bench = true),
+        ORDER BY bt.bucket""")),
 
     // ---- BPE tokenizer learning (Sennrich et al., ACL 2016) ---------------
     // q148 is iteration 1's exact input (green oracle); q149's full merge
