@@ -473,6 +473,66 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming drift monitor: per-window TV vs static baseline, " +
+      "windows emit once the watermark closes them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DriftStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // baseline: uniform over buckets 0 and 1
+    val baseline = Seq((0L, 0.5), (1L, 0.5)).toDF("bucket", "p")
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "bucket")
+    val out = DriftStream.windowedDrift(df, baseline, col("bucket"),
+      windowLen = "1 hour", watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // window 00:00: all bucket 0 (p=1,0 vs q=.5,.5 -> TV = 0.5)
+    // window 01:00: balanced (TV = 0)
+    input.addData(
+      (ts("2024-01-01 00:05:00"), 0L), (ts("2024-01-01 00:10:00"), 0L),
+      (ts("2024-01-01 01:05:00"), 0L), (ts("2024-01-01 01:10:00"), 1L))
+    q.processAllAvailable()
+    // advance the watermark far enough to close both windows
+    input.addData((ts("2024-01-01 05:00:00"), 0L))
+    q.processAllAvailable()
+    val rows = spark.table("drift_out")
+      .select("window_start", "n_events", "tv").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    q.stop()
+    assert(rows.length == 2, s"both closed windows must emit: ${rows.toSeq}")
+    assert(rows(0) == ("2024-01-01 00:00:00.0", 2L, 0.5), rows(0))
+    assert(rows(1) == ("2024-01-01 01:00:00.0", 2L, 0.0), rows(1))
+  }
+
+  test("drift monitor counts baseline mass missing from the window " +
+      "and ignores out-of-baseline buckets' q-mass symmetrically") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DriftStream
+    import spark.implicits._
+    // baseline has bucket 2 the stream never hits (q-mass 0.25 missing)
+    // and the stream hits bucket 9 the baseline lacks (p treated as 0)
+    val baseline = Seq((0L, 0.5), (1L, 0.25), (2L, 0.25)).toDF("bucket", "p")
+    val events = Seq(
+      ("2024-01-01 00:05:00", 0L), ("2024-01-01 00:10:00", 0L),
+      ("2024-01-01 00:15:00", 9L), ("2024-01-01 00:20:00", 9L))
+      .toDF("ts_s", "bucket")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "bucket")
+    // batch-mode execution of the same plan shape (as windowedCounts test)
+    val rows = DriftStream.windowedDrift(events, baseline, col("bucket"))
+      .collect()
+    assert(rows.length == 1)
+    // p = (.5 on b0, .5 on b9), q = (.5, .25, .25, 0):
+    // TV = .5*(|.5-.5| + |.5-0| + .25 + .25) = 0.5
+    assert(rows(0).getAs[Double]("tv") == 0.5, rows(0).toString)
+  }
+
   test("batch-mode near-dup stream equals the batch lshCandidates pairs") {
     import graft.ops.DedupOps
     import graft.sources.Tables
