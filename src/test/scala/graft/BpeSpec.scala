@@ -70,6 +70,28 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("learn matches the reference on seeded random corpora " +
+      "(tie-break and marker allocation included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val alphabet = "abcd"
+      val words = (1 to 6).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val freqs = words.groupBy(identity).view
+        .mapValues(_.size.toLong * (1 + rnd.nextInt(3))).toSeq.sortBy(_._1)
+      val docs = freqs.zipWithIndex.map { case ((w, f), i) =>
+        (i.toLong, Seq.fill(f.toInt)(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = Bpe.learn(docs, nMerges = 6)
+        .map(m => (m.rank, m.left, m.right, m.count))
+      val want = refLearn(freqs, 6)
+      assert(got == want, s"trial $trial corpus $freqs:\n got $got\nwant $want")
+    }
+  }
+
   test("learn stops early when no pair reaches minCount") {
     import spark.implicits._
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
