@@ -188,6 +188,33 @@ object Temporal {
       .agg(count(col(rStartUs)).as("n_overlap"))
   }
 
+  /** [[overlapCount]] for SELECTIVE keys: joins on `keys` alone with the
+    * overlap test as a join-condition filter — no bucket replication, no
+    * bucket key in the exchange. When per-key interval counts are bounded
+    * (a user's sessions × a user's errors), this is the right plan at ANY
+    * scale: the left side often arrives already partitioned by `keys`
+    * (e.g. straight out of a sessionize window) and then pays NO exchange
+    * at all, while the bucketed form would re-shuffle BOTH sides on
+    * (keys, bucket) and replicate rows per touched bucket. Use the
+    * bucketed [[overlapCount]] when keys are coarse or absent (per-key
+    * match volume unbounded — there the bucket key is what keeps a
+    * single key's timeline parallel and skew-splittable). */
+  def overlapCountKeyed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStartUs: String, lEndUs: String, rStartUs: String, rEndUs: String)
+      : DataFrame = {
+    require(keys.nonEmpty, "keyed overlap count needs join keys; " +
+      "use overlapCount(bucketUs) for the keyless case")
+    val r0 = keys.foldLeft(right.filter(col(rEndUs) >= col(rStartUs))) {
+      (df, k) => df.withColumnRenamed(k, s"_r_$k")
+    }
+    val l = left.filter(col(lEndUs) >= col(lStartUs))
+    val cond = keys.map(k => col(k) === col(s"_r_$k")).reduce(_ && _) &&
+      col(lStartUs) <= col(rEndUs) && col(rStartUs) <= col(lEndUs)
+    l.join(r0, cond, "left_outer")
+      .groupBy(left.columns.map(col).toIndexedSeq: _*)
+      .agg(count(col(rStartUs)).as("n_overlap"))
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gapSeconds`. Returns the
     * input plus a `session_idx` column (1-based, per key, in time order;

@@ -207,9 +207,8 @@ object Advanced {
         // correctness path always exercises raw parquet.
         val ev = graft.silver.BucketedTables.tableOr(
           spark, dir, "events", Seq("user_id"))(t(spark, dir, "events"))
-        // one-pass form: overlapCount's left-outer bucketed join counts
-        // matches (including zero) in the same pass that collapses
-        // bucket replicas — no second sess traversal, no attach join.
+        // one-pass form: the left-outer join counts matches (including
+        // zero) with no second sess traversal and no attach join.
         // (Measured: persist-and-join-back is ~30% slower at sf0.1 —
         // the persist barrier costs more than the recompute it saves.)
         val sess = Temporal.sessionize(
@@ -222,8 +221,14 @@ object Advanced {
         val errors = ev.filter(col("event_type") === "error")
           .select(col("user_id"), us(col("ts")).as("e_start"),
             (us(col("ts")) + 600000000L).as("e_end"))
-        Temporal.overlapCount(sess, errors, Seq("user_id"),
-            "s_start", "s_end", "e_start", "e_end", bucketUs = 600000000L)
+        // user_id is SELECTIVE here (a user's sessions × errors is
+        // bounded), so the keyed form wins at every scale: sess flows
+        // from the sessionize window's user_id partitioning straight
+        // into the join with no exchange and no bucket replication.
+        // The bucketed overlapCount stays the operator for coarse/no
+        // keys (TemporalSpec proves the two forms equal on this data).
+        Temporal.overlapCountKeyed(sess, errors, Seq("user_id"),
+            "s_start", "s_end", "e_start", "e_end")
           .select(col("user_id"), col("session_idx"), col("s_start"),
             col("s_end"), col("n_overlap").as("n_err"))
           .orderBy(col("user_id"), col("session_idx"))

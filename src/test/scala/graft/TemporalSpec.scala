@@ -255,6 +255,13 @@ class TemporalSpec extends AnyFunSuite {
       assert(fast.except(naive).count() == 0
         && naive.except(fast).count() == 0, s"counts diverged at b=$b")
     }
+    // the selective-key form (no buckets) computes the same counts
+    val keyed = Temporal.overlapCountKeyed(purch, errors, Seq("user_id"),
+        "p_start", "p_end", "e_start", "e_end")
+      .select(col("p_id"), col("n_overlap"))
+    assert(keyed.count() == naive.count(), "keyed left row count diverged")
+    assert(keyed.except(naive).count() == 0
+      && naive.except(keyed).count() == 0, "keyed counts diverged")
   }
 
   test("kmeansRefine reduces inertia and is partition-independent") {
