@@ -150,6 +150,48 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Greedy k-center coreset selection (farthest-point traversal — the
+    * classic 2-approximation to the k-center cover, the diversity-
+    * sampling step of embedding-based data pruning): starting from the
+    * smallest vec_id, repeatedly select the vector FARTHEST (exact
+    * int64 squared distance on quantized embeddings) from everything
+    * selected so far. Returns one row per selected center:
+    * (rank, vec_id, d2) where d2 is its min-distance to the previously
+    * selected set at selection time (0 for the seed) — d2 decreasing
+    * in rank is the coverage-radius curve.
+    *
+    * Shape at scale: the k−1 iterations each run ONE corpus pass — the
+    * selected centers are bounded driver state inlined as literal
+    * arrays (the k-means centroid pattern), the per-row min-distance is
+    * a `least` fold over k codegen'd dist2 kernels, and the argmax
+    * plans as TakeOrderedAndProject (per-partition top-1, no corpus
+    * sort). The corpus frame is persisted once across iterations. */
+  def kCenterSelect(vectors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k-center selection needs k >= 1")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = spread(vectors).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = v.orderBy(col("vec_id").asc).limit(1).collect()(0)
+      var centers = List((0, seed.getLong(0),
+        seed.getSeq[Long](1).toArray, 0L))
+      while (centers.size < k) {
+        val minDist = centers.map { case (_, _, cv, _) =>
+          graft.functions.LongVec.dist2(col("qv"), typedLit(cv.toSeq))
+        }.reduce(least(_, _))
+        val best = v.select(col("vec_id"), col("qv"), minDist.as("d2"))
+          .orderBy(col("d2").desc, col("vec_id").asc)
+          .limit(1).collect()(0)
+        centers = centers :+ (centers.size, best.getLong(0),
+          best.getSeq[Long](1).toArray, best.getLong(2))
+      }
+      centers.map { case (r, id, _, d2) => (r.toLong, id, d2) }
+        .toDF("rank", "vec_id", "d2")
+    } finally v.unpersist()
+  }
+
   /** Hard-negative mining for contrastive training: per query vector,
     * the top-k most-cosine-similar vectors whose LABEL DIFFERS from the
     * query's — the near-miss examples an embedding model trains

@@ -580,6 +580,39 @@ object LlmOps {
         FROM nt LEFT JOIN h ON h.qid = nt.qid ORDER BY nt.qid"""),
       bench = true),
 
+    // ---- greedy k-center coreset selection (diversity pruning) ----------
+    // the oracle unrolls the k=4 farthest-point iterations as CTEs —
+    // data-dependent constants per iteration become scalar subqueries
+    "q155_kcenter_select" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.kCenterSelect(Tables.load(spark, dir, "embeddings"), k = 4)
+          .orderBy(col("rank")),
+      oracle = Some(s"""
+        WITH $quantCte,
+        s0 AS (SELECT MIN(vec_id) AS id FROM embeddings),
+        v0 AS (SELECT g, x FROM xv WHERE vec_id = (SELECT id FROM s0)),
+        d0 AS (SELECT xv.vec_id, SUM((xv.x - v0.x) * (xv.x - v0.x)) AS d
+               FROM xv JOIN v0 USING (g) GROUP BY 1),
+        s1 AS (SELECT vec_id AS id, d FROM d0 ORDER BY d DESC, vec_id LIMIT 1),
+        v1 AS (SELECT g, x FROM xv WHERE vec_id = (SELECT id FROM s1)),
+        d1 AS (SELECT xv.vec_id, SUM((xv.x - v1.x) * (xv.x - v1.x)) AS d
+               FROM xv JOIN v1 USING (g) GROUP BY 1),
+        m1 AS (SELECT d0.vec_id, least(d0.d, d1.d) AS d
+               FROM d0 JOIN d1 USING (vec_id)),
+        s2 AS (SELECT vec_id AS id, d FROM m1 ORDER BY d DESC, vec_id LIMIT 1),
+        v2 AS (SELECT g, x FROM xv WHERE vec_id = (SELECT id FROM s2)),
+        d2t AS (SELECT xv.vec_id, SUM((xv.x - v2.x) * (xv.x - v2.x)) AS d
+                FROM xv JOIN v2 USING (g) GROUP BY 1),
+        m2 AS (SELECT m1.vec_id, least(m1.d, d2t.d) AS d
+               FROM m1 JOIN d2t USING (vec_id)),
+        s3 AS (SELECT vec_id AS id, d FROM m2 ORDER BY d DESC, vec_id LIMIT 1)
+        SELECT CAST(0 AS BIGINT) AS rank, (SELECT id FROM s0) AS vec_id,
+               CAST(0 AS BIGINT) AS d2
+        UNION ALL SELECT 1, (SELECT id FROM s1), CAST((SELECT d FROM s1) AS BIGINT)
+        UNION ALL SELECT 2, (SELECT id FROM s2), CAST((SELECT d FROM s2) AS BIGINT)
+        UNION ALL SELECT 3, (SELECT id FROM s3), CAST((SELECT d FROM s3) AS BIGINT)
+        ORDER BY rank""")),
+
     // ---- hard-negative mining (contrastive training pairs) --------------
     "q154_hard_negatives" -> QueryDef(
       build = (spark, dir) => {

@@ -306,6 +306,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 5L, 2L), (1L, 9L, 3L), (2L, 11L, 4L)))
   }
 
+  test("kCenterSelect: distinct centers, non-increasing coverage radius, " +
+      "farthest-first greedy") {
+    import graft.ops.VectorOps
+    val emb = Tables.load(spark, dir, "embeddings")
+    val got = VectorOps.kCenterSelect(emb, k = 5)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0L until 5L), "ranks must be 0..k-1")
+    assert(got.map(_._2).distinct.length == 5, "centers must be distinct")
+    assert(got(0)._3 == 0L, "seed has no prior set; d2 = 0")
+    // farthest-point traversal: each new center's min-dist to the prior
+    // set can never exceed the previous selection's (coverage radius
+    // shrinks or holds)
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"coverage radii must be non-increasing: ${radii.toSeq}")
+  }
+
   test("bigramCrossEntropy: high-transition-probability text scores " +
       "lower than unigram-identical shuffled text; 1-token docs absent") {
     import spark.implicits._
