@@ -150,6 +150,42 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Seeded random projection (Johnson–Lindenstrauss) to `outDim`
+    * integer components: proj_j(v) = Σ_g v_g·p(j,g) with the SAME
+    * md5-derived plane constants the LSH bucket kernel uses (ints in
+    * [-1000, 1000] — no RNG state, reproducible in any engine), but
+    * keeping the full dot product instead of just its sign — the
+    * magnitude-preserving dimension reduction that speeds downstream
+    * ANN/clustering while JL-preserving relative distances.
+    *
+    * Plane constants are j,g-indexed CONSTANTS, so they inline as
+    * literal arrays and each component is one codegen'd exact-int dot
+    * kernel at scan width — zero shuffles, zero plane joins (the
+    * composed posexplode/broadcast-join form pays dims×outDim row
+    * inflation for what is per-row arithmetic). Returns one
+    * (vec_id, j, s) row per component. */
+  def randomProjection(vectors: DataFrame, outDim: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32s(s: String): Long = {
+      md.reset()
+      val h = md.digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        h.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val planes = (0 until outDim).map { j =>
+      (1 to dim).map(g => h32s(s"$j,$g") % 2001L - 1000L)
+    }
+    val projCols = planes.zipWithIndex.map { case (p, j) =>
+      struct(lit(j.toLong).as("j"),
+        graft.functions.LongVec.dot(col("qv"), typedLit(p)).as("s"))
+    }
+    spread(vectors).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+      .select(col("vec_id"), explode(array(projCols: _*)).as("pr"))
+      .select(col("vec_id"), col("pr.j").as("j"), col("pr.s").as("s"))
+  }
+
   /** Greedy k-center coreset selection (farthest-point traversal — the
     * classic 2-approximation to the k-center cover, the diversity-
     * sampling step of embedding-based data pruning): starting from the

@@ -580,6 +580,23 @@ object LlmOps {
         FROM nt LEFT JOIN h ON h.qid = nt.qid ORDER BY nt.qid"""),
       bench = true),
 
+    // ---- seeded random projection (JL dimension reduction) --------------
+    "q156_random_projection" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.randomProjection(Tables.load(spark, dir, "embeddings"),
+            outDim = 16)
+          .orderBy(col("vec_id"), col("j")),
+      oracle = Some(s"""
+        WITH $quantCte,
+        pl AS (SELECT j, g,
+            ((('0x' || substr(md5(CAST(j AS VARCHAR) || ',' || CAST(g AS VARCHAR)), 1, 8))::BIGINT)
+              % 2001 - 1000) AS p
+          FROM (SELECT unnest(generate_series(0, 15)) AS j) a,
+               (SELECT unnest(generate_series(1, 64)) AS g) b)
+        SELECT vec_id, j, CAST(SUM(x * p) AS BIGINT) AS s
+        FROM xv JOIN pl USING (g)
+        GROUP BY 1, 2 ORDER BY vec_id, j""")),
+
     // ---- greedy k-center coreset selection (diversity pruning) ----------
     // the oracle unrolls the k=4 farthest-point iterations as CTEs —
     // data-dependent constants per iteration become scalar subqueries
