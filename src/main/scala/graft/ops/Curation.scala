@@ -81,6 +81,46 @@ object Curation {
         (col("max_c").cast("double") / col("n_tokens")).as("top_frac"))
   }
 
+  /** Gopher-style duplicated-N-GRAM repetition metrics (Rae et al. 2021
+    * App. A1.2 — the n-gram complement of [[repetitionStats]]'s unigram
+    * signals): per document, the fraction of characters inside token
+    * n-grams that repeat WITHIN the doc, and the fraction inside the
+    * single most frequent n-gram. Character mass is counted per
+    * occurrence (c·len(gram), the standard implementation — overlapping
+    * coverage is NOT deduplicated; exact positional coverage is what
+    * [[graft.ops.DedupOps.duplicateSpans]] computes when spans matter),
+    * normalized by the doc's trimmed character count.
+    *
+    * Shape at scale: n-grams assemble map-side from each doc's token
+    * array (slice + concat_ws — no self-join); the only corpus-keyed
+    * exchanges are the (doc, gram) count and the doc rollup, both
+    * map-side combined. Ratios are IEEE divisions of exact integer
+    * sums; the top gram ties break on the gram string ascending. */
+  def ngramRepetition(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 2, "use repetitionStats for unigram signals")
+    val grams = docs
+      .select(col("doc_id"), length(trim(col("text"))).as("total_chars"),
+        tokens(col("text")).as("a"))
+      .where(size(col("a")) >= n)
+      .select(col("doc_id"), col("total_chars"),
+        explode(expr(s"transform(sequence(1, size(a) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(a, i, $n)))")).as("gram"))
+    val perGram = grams
+      .groupBy(col("doc_id"), col("total_chars"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("total_chars"), col("c"),
+        (col("c") * length(col("gram"))).as("mass"))
+    perGram.groupBy(col("doc_id"))
+      .agg(first(col("total_chars")).as("total_chars"),
+        sum(when(col("c") >= 2, col("mass")).otherwise(0L)).as("dup_mass"),
+        max(col("mass")).as("top_mass"))
+      .select(col("doc_id"),
+        (col("dup_mass").cast("double") / col("total_chars"))
+          .as("dup_ngram_char_frac"),
+        (col("top_mass").cast("double") / col("total_chars"))
+          .as("top_ngram_char_frac"))
+  }
+
   /** Mask long digit runs (≥ minRun) — account numbers, row ids, phone
     * numbers — with a fixed placeholder. Pattern is RE2-safe so the same
     * regex runs in Spark (Java regex) and DuckDB (RE2). */

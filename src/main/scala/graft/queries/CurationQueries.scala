@@ -456,6 +456,29 @@ object CurationQueries {
         FROM tk JOIN lp USING (tok)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Gopher duplicated-n-gram repetition metrics --------------------
+    "q157_ngram_repetition" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.ngramRepetition(t(spark, dir, "documents"), n = 3)
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH arr AS (SELECT doc_id, len(trim(text)) AS total_chars,
+                       $tokensSql AS a FROM documents),
+        pos AS (SELECT doc_id, total_chars, a,
+                  unnest(generate_series(1, len(a) - 2)) AS i
+                FROM arr WHERE len(a) >= 3),
+        g AS (SELECT doc_id, total_chars,
+                array_to_string(a[i:i+2], ' ') AS gram FROM pos),
+        pg AS (SELECT doc_id, total_chars, gram,
+                 CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2, 3),
+        pm AS (SELECT doc_id, total_chars, c,
+                 c * len(gram) AS mass FROM pg)
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN c >= 2 THEN mass ELSE 0 END) AS DOUBLE)
+            / MAX(total_chars) AS dup_ngram_char_frac,
+          CAST(MAX(mass) AS DOUBLE) / MAX(total_chars) AS top_ngram_char_frac
+        FROM pm GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- interpolated bigram-LM cross-entropy (KenLM-flavored) ----------
     "q153_bigram_xent" -> QueryDef(
       build = (spark, dir) =>

@@ -107,6 +107,21 @@ class CurationSpec extends AnyFunSuite {
     assert(m(2L)._1 == 0.0 && m(2L)._2 == 0.125)
   }
 
+  test("ngramRepetition: repeated trigram mass vs clean text; short docs " +
+      "absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c d"), // "a b c" twice: dup mass 2*5=10 of 13 chars
+      (2L, "w x y z q r s t"), // no repeated trigram
+      (3L, "a b") // fewer than 3 tokens: no trigram distribution
+    ).toDF("doc_id", "text")
+    val m = Curation.ngramRepetition(df, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(!m.contains(3L))
+    assert(m(1L)._1 == 10.0 / 13 && m(1L)._2 == 10.0 / 13, m(1L).toString)
+    assert(m(2L)._1 == 0.0 && m(2L)._2 == 5.0 / 15, m(2L).toString)
+  }
+
   test("splitAssign: total, disjoint, and stable under corpus growth") {
     val docs = Tables.load(spark, dir, "documents")
     val assigned = docs.select(col("doc_id"),
