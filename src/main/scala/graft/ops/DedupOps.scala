@@ -875,6 +875,45 @@ object DedupOps extends Serializable {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** CONTAINMENT near-duplicate pairs: pairs where the smaller
+    * document's shingle set is ≥`tau` contained in the other's —
+    * C(A,B) = |A∩B| / min(|A|,|B|). Catches the subset relations
+    * symmetric Jaccard structurally under-scores (a tweet quoted inside
+    * an article: containment 1.0, Jaccard ≈ |tweet|/|article| ≈ 0), the
+    * other standard dedup screen next to [[nearDuplicates]].
+    *
+    * Same scale shape as nearDuplicates: banded LSH candidates, exact
+    * verification on candidate docs only. Note the candidate generator
+    * is MinHash — an estimator of JACCARD — so high-containment pairs
+    * with tiny Jaccard can escape banding (inherent to MinHash
+    * containment screens; a containment-complete generator needs
+    * size-stratified banding). Pairs that do band-collide are verified
+    * with EXACT containment. */
+  def containmentPairs(docs: DataFrame, n: Int = 8, tau: Double = 0.9,
+      k: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val sig = signaturesOnly(docs, n, k)
+    val pairs = rawPairsFromBands(sig, k, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id")))
+    val sets = shingleSets(
+      spread(docs.join(candIds, Seq("doc_id"), "left_semi")), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sa = sets.select(col("doc_id").as("a"), col("shset").as("seta"),
+      col("n_sh").as("na"))
+    val sb = sets.select(col("doc_id").as("b"), col("shset").as("setb"),
+      col("n_sh").as("nb"))
+    pairs.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("seta"), col("setb"))).as("i"),
+        col("na"), col("nb"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / least(col("na"), col("nb")))
+          .as("containment"))
+      .filter(col("containment") >= tau)
+      .distinct()
+  }
+
   /** Sketch-calibration report: how well the MinHash signature's
     * estimated Jaccard tracks the EXACT n-gram Jaccard, measured on the
     * LSH candidate pairs themselves — the go/no-go diagnostic before

@@ -231,6 +231,34 @@ object LlmOps {
         ORDER BY a, b"""),
       bench = true),
 
+    // ---- containment near-dup pairs (subset relations) ------------------
+    "q158_containment_pairs" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.containmentPairs(Tables.load(spark, dir, "documents"),
+            tau = 0.5)
+          .orderBy(col("a"), col("b")),
+      oracle = Some(s"""
+        WITH $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a, b, COUNT(*) AS i
+          FROM pairs
+          JOIN sh x ON x.doc_id = a
+          JOIN sh y ON y.doc_id = b AND y.s = x.s
+          GROUP BY a, b)
+        SELECT a, b,
+          i * 1.0 / least(sa.n_sh, sb.n_sh) AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE i * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.5
+        ORDER BY a, b""")),
+
     // ---- sketch-calibration report (est vs exact Jaccard per decile) ----
     "q151_minhash_calibration" -> QueryDef(
       build = (spark, dir) =>
