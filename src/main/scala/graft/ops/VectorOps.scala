@@ -150,6 +150,62 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Persist the IVF structure as a bucketed, cell-sorted table:
+    * (vec_id, cell_id, qv) bucketed by cell_id — the ingest-time
+    * amortization for repeated ANN queries ([[buildBandIndex]] /
+    * [[graft.ops.TextOps.buildTermIndex]]'s pattern on the vector
+    * side). Query-time cost drops to a bucket-local scan of the probed
+    * cells: no corpus-side assignment recompute, no corpus exchange
+    * (the cell join reads the bucketed layout pre-partitioned). */
+  def buildIvfIndex(vectors: DataFrame, db: String, table: String,
+      nCells: Int = 16, numBuckets: Int = 8): Unit = {
+    val spark = vectors.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    ivfAssign(vectors, nCells).select(col("vec_id"), col("cell_id"))
+      .join(spread(vectors).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), quantized(col("embedding")).as("qv")),
+        "vec_id")
+      .write
+      .bucketBy(numBuckets, "cell_id")
+      .sortBy("cell_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"$db.$table")
+  }
+
+  /** [[ivfTopK]] against a persisted [[buildIvfIndex]] table: identical
+    * output for the same corpus (OpsSpec-proven), with the corpus-side
+    * quantization + assignment replaced by an index scan. The seed
+    * quantizer is recovered deterministically from the index itself
+    * (the `nCells` lowest vec_ids — exactly [[ivfAssign]]'s seeds), so
+    * the index is self-contained. */
+  def ivfTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16): DataFrame = {
+    val seeds = index.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("qv").as("cv"))
+    val qcell = queries
+      .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qv"))
+      .join(broadcast(seeds))
+      .select(col("qid"), col("qv"), col("cell_id"),
+        graft.functions.LongVec.dist2(col("qv"), col("cv")).as("dist2"))
+      .groupBy(col("qid"))
+      .agg(min_by(struct(col("cell_id")),
+          struct(col("dist2"), col("cell_id"))).as("m"),
+        first(col("qv")).as("qv"))
+      .select(col("qid"), col("m.cell_id").as("cell_id"), col("qv"))
+    val scored = index
+      .select(col("vec_id").as("cid"), col("cell_id"), col("qv").as("cv"))
+      .join(broadcast(qcell), Seq("cell_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")).cast("double") /
+          (sqrt(dot(col("qv"), col("qv")).cast("double")) *
+           sqrt(dot(col("cv"), col("cv")).cast("double")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Seeded random projection (Johnson–Lindenstrauss) to `outDim`
     * integer components: proj_j(v) = Σ_g v_g·p(j,g) with the SAME
     * md5-derived plane constants the LSH bucket kernel uses (ints in

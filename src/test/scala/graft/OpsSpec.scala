@@ -306,6 +306,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 5L, 2L), (1L, 9L, 3L), (2L, 11L, 4L)))
   }
 
+  test("ivfTopKIndexed: persisted bucketed index gives exactly ivfTopK's " +
+      "output; corpus side reads the index") {
+    import graft.ops.VectorOps
+    val wh = java.nio.file.Files.createTempDirectory("graft-ivfidx-").toString
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val db = s"ivf${System.nanoTime()}"
+    val emb = Tables.load(s, dir, "embeddings")
+    VectorOps.buildIvfIndex(emb, db, "ivf")
+    val idx = s.table(s"$db.ivf")
+    val q = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val viaIndex = rows(VectorOps.ivfTopKIndexed(idx, q, k = 3))
+    val direct = rows(VectorOps.ivfTopK(emb, q, k = 3))
+    assert(viaIndex.nonEmpty && viaIndex == direct)
+  }
+
   test("kCenterSelect: distinct centers, non-increasing coverage radius, " +
       "farthest-first greedy") {
     import graft.ops.VectorOps
