@@ -231,6 +231,49 @@ object LlmOps {
         ORDER BY a, b"""),
       bench = true),
 
+    // ---- cross-source duplication matrix (who copies from whom) ---------
+    // composition: verified near-dup pairs + source labels → per ordered
+    // source pair, how many near-dup pairs cross it — the corpus-level
+    // provenance report that decides which source to dedup against which
+    "q159_source_overlap_matrix" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        DedupOps.nearDuplicates(docs)
+          .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+          .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      oracle = Some(s"""
+        WITH $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a, b, COUNT(*) AS i
+          FROM pairs
+          JOIN sh x ON x.doc_id = a
+          JOIN sh y ON y.doc_id = b AND y.s = x.s
+          GROUP BY a, b),
+        nd AS (SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+          WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2)
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM nd JOIN documents da ON da.doc_id = a
+                JOIN documents db ON db.doc_id = b
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- containment near-dup pairs (subset relations) ------------------
     "q158_containment_pairs" -> QueryDef(
       build = (spark, dir) =>
