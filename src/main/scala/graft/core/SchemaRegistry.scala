@@ -76,6 +76,34 @@ final class SchemaRegistry(root: String) {
       .sorted
   }
 
+  /** Structural diff between two registered schema versions: which
+    * columns were added, removed, or changed (type / required /
+    * primary-key flags) — the audit surface behind "what did v3 change?"
+    * that versioned registries exist for. Returns one (kind, column,
+    * detail) tuple per difference, `kind` ∈ {added, removed, changed},
+    * ordered by column name. Throws on unknown versions. */
+  def diffVersions(domain: String, name: String, fromV: Int, toV: Int)
+      : Seq[(String, String, String)] = {
+    def cols(v: Int) = get(domain, name, Some(v))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$domain.$name has no version v$v"))
+      .schema.columns.map(c => c.name -> c).toMap
+    val a = cols(fromV)
+    val b = cols(toV)
+    def describe(c: graft.core.ColumnDefinition): String =
+      s"${graft.core.RefType.name(c.refType)}" +
+        (if (c.required) " required" else "") +
+        (if (c.primaryKey) " pk" else "")
+    val added = (b.keySet -- a.keySet).toSeq.sorted
+      .map(n => ("added", n, describe(b(n))))
+    val removed = (a.keySet -- b.keySet).toSeq.sorted
+      .map(n => ("removed", n, describe(a(n))))
+    val changed = (a.keySet & b.keySet).toSeq.sorted
+      .filter(n => describe(a(n)) != describe(b(n)))
+      .map(n => ("changed", n, s"${describe(a(n))} -> ${describe(b(n))}"))
+    (added ++ removed ++ changed).sortBy(t => (t._2, t._1))
+  }
+
   def listEndpoints(domain: String): Seq[String] = {
     val dir = Paths.get(root, "schemas", domain)
     Fs.children(dir)

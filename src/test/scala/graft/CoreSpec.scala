@@ -102,6 +102,31 @@ class CoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { reg.create(v1) }
   }
 
+  test("registry: version diff reports added/removed/changed columns") {
+    val root = Files.createTempDirectory("graft-regdiff-").toString
+    val reg = new core.SchemaRegistry(root)
+    val v1 = reg.create(EndpointSchema("orders", "sales", 1, SchemaMode.Manual,
+      SchemaDefinition(Seq(
+        ColumnDefinition("order_id", RefType.IntegerT, required = true,
+          primaryKey = true),
+        ColumnDefinition("status", RefType.StringT),
+        ColumnDefinition("legacy", RefType.StringT)))))
+    reg.update(v1.copy(schema = SchemaDefinition(Seq(
+      ColumnDefinition("order_id", RefType.IntegerT, required = true,
+        primaryKey = true),
+      ColumnDefinition("status", RefType.StringT, required = true), // changed
+      ColumnDefinition("amount", RefType.DoubleT))))) // added; legacy removed
+    val d = reg.diffVersions("sales", "orders", 1, 2)
+    assert(d == Seq(
+      ("added", "amount", "double"),
+      ("removed", "legacy", "string"),
+      ("changed", "status", "string -> string required")), d.toString)
+    assert(reg.diffVersions("sales", "orders", 1, 1).isEmpty)
+    intercept[IllegalArgumentException] {
+      reg.diffVersions("sales", "orders", 1, 9)
+    }
+  }
+
   test("ingest retry: 5 attempts with capped exponential backoff (S9)") {
     val lake = new Lake(null, Files.createTempDirectory("graft-retry-").toString)
     val delays = scala.collection.mutable.Buffer.empty[Long]
