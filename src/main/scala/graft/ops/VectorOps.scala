@@ -150,6 +150,47 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Exact embedding-dimension covariance matrix — the embedding-space
+    * QA screen (dead dimensions: cov(g,g) ≈ 0; redundant dimensions:
+    * high off-diagonal mass) and the input to whitening. One row per
+    * unordered dimension pair (g1 ≤ g2, 1-based like the per-dim stats
+    * op): (g1, g2, n, sxy, cov) with cov = Sxy/n − (Sx/n)(Sy/n) — IEEE
+    * ops in a fixed written order over EXACT integer sums (pair
+    * products summed in DECIMAL: at 1e9 vectors the Σx·y sum overflows
+    * int64, the same rule as money sums).
+    *
+    * Shape at scale: the d²/2 pair stream assembles map-side from each
+    * vector's array and combines map-side onto d²/2 keys — the
+    * exchange carries one row per (partition, pair), never per vector;
+    * per-dim sums and the count ride the d-keyed and 1-row frames. The
+    * d² row inflation is CPU paid at scan width (any covariance
+    * computation does these multiplies); for very high d use a fused
+    * accumulator kernel instead. */
+  def dimCovariance(vectors: DataFrame): DataFrame = {
+    val v = spread(vectors).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+    val n1 = v.agg(count(lit(1)).as("n"))
+    val dims = v.select(posexplode(col("qv")).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).as("g"))
+      .agg(sum(col("x")).as("sx"))
+    val pairs = v
+      .select(posexplode(col("qv")).as(Seq("p1", "x1")), col("qv"))
+      .select(col("p1"), col("x1"),
+        posexplode(col("qv")).as(Seq("p2", "x2")))
+      .where(col("p1") <= col("p2"))
+      .groupBy((col("p1") + 1).as("g1"), (col("p2") + 1).as("g2"))
+      .agg(sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("sxyd"))
+      .select(col("g1"), col("g2"), col("sxyd").cast("long").as("sxy"))
+    pairs
+      .join(dims.select(col("g").as("g1"), col("sx").as("sx1")), "g1")
+      .join(dims.select(col("g").as("g2"), col("sx").as("sx2")), "g2")
+      .crossJoin(broadcast(n1))
+      .select(col("g1"), col("g2"), col("n"), col("sxy"),
+        (col("sxy").cast("double") / col("n") -
+          (col("sx1").cast("double") / col("n")) *
+          (col("sx2").cast("double") / col("n"))).as("cov"))
+  }
+
   /** Persist the IVF structure as a bucketed, cell-sorted table:
     * (vec_id, cell_id, qv) bucketed by cell_id — the ingest-time
     * amortization for repeated ANN queries ([[buildBandIndex]] /

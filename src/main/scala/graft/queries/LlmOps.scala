@@ -651,6 +651,25 @@ object LlmOps {
         FROM nt LEFT JOIN h ON h.qid = nt.qid ORDER BY nt.qid"""),
       bench = true),
 
+    // ---- exact dimension-covariance matrix (embedding-space QA) ---------
+    "q160_dim_covariance" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.dimCovariance(Tables.load(spark, dir, "embeddings"))
+          .orderBy(col("g1"), col("g2")),
+      oracle = Some(s"""
+        WITH $quantCte,
+        nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM xv),
+        s AS (SELECT g, CAST(SUM(x) AS BIGINT) AS sx FROM xv GROUP BY g),
+        p AS (SELECT a.g AS g1, b.g AS g2,
+                CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+              FROM xv a JOIN xv b ON a.vec_id = b.vec_id AND a.g <= b.g
+              GROUP BY 1, 2)
+        SELECT g1, g2, n, sxy,
+          CAST(sxy AS DOUBLE) / n -
+            (CAST(s1.sx AS DOUBLE) / n) * (CAST(s2.sx AS DOUBLE) / n) AS cov
+        FROM p JOIN s s1 ON s1.g = g1 JOIN s s2 ON s2.g = g2, nn
+        ORDER BY g1, g2""")),
+
     // ---- seeded random projection (JL dimension reduction) --------------
     "q156_random_projection" -> QueryDef(
       build = (spark, dir) =>
