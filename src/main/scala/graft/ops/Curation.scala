@@ -204,6 +204,25 @@ object Curation {
     * join-derived flags (e.g. a dedup-loser column attached upstream);
     * the funnel itself never adds a shuffle beyond the final global
     * aggregate. */
+  /** Streaming-safe contamination guard: flag each document whose
+    * char-n-gram shingles MIGHT hit a benchmark Bloom filter (built once
+    * from the benchmark suite via [[graft.functions.Bloom.buildFilter]])
+    * — the per-ROW, stateless admission face of [[bloomContamination]].
+    * `maybe_contaminated = false` is SAFE to admit immediately (Bloom
+    * has no false negatives); `true` rows go to the exact verification
+    * join (the batch operator) — at a live ingest edge that means the
+    * clean ~everything flows through with zero state and zero shuffle,
+    * and only the sliver pays verification. Runs identically in batch
+    * and Structured Streaming (pure row expression: shingle transform +
+    * exists-probe — StreamingSpec proves the stream face). */
+  def bloomGuard(docs: DataFrame, filter: Array[Byte],
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    val sh = expr(s"transform(sequence(1, greatest(length($textCol) - " +
+      s"${n - 1}, 1)), i -> substring($textCol, i, $n))")
+    docs.withColumn("maybe_contaminated",
+      exists(sh, s => graft.functions.Bloom.mightContain(filter, s)))
+  }
+
   def filterFunnel(df: DataFrame,
       stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "filterFunnel needs at least one stage")

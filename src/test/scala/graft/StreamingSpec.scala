@@ -533,6 +533,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Double]("tv") == 0.5, rows(0).toString)
   }
 
+  test("bloomGuard: no false negatives vs exact contamination, and runs " +
+      "stateless in a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Curation, DedupOps}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("text"))
+    val benchmark = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val benchSh = DedupOps.charShingles(benchmark, 8).select(col("s")).distinct()
+    val filter = graft.functions.Bloom.buildFilter(
+      benchSh, col("s"), expectedItems = 1 << 18, numBits = 1L << 22)
+
+    // batch face: every exactly-contaminated doc must be flagged (no
+    // false negatives — the property that makes false=admit safe)
+    val flagged = Curation.bloomGuard(corpus, filter)
+      .filter(col("maybe_contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exact = Curation.contamination(corpus, benchmark)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "fixture must have contaminated docs")
+    assert(exact.subsetOf(flagged),
+      s"bloom guard missed exact hits: ${(exact -- flagged).take(5)}")
+
+    // stream face: same expression over a MemoryStream, no state store
+    val input = MemoryStream[(Long, String)]
+    val out = Curation.bloomGuard(
+      input.toDF().toDF("doc_id", "text"), filter)
+    val q = out.writeStream.format("memory").queryName("guard_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val sample = corpus.limit(5).collect().map(r => (r.getLong(0), r.getString(1)))
+    input.addData(sample.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("guard_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    q.stop()
+    val batchSame = Curation.bloomGuard(
+        spark.createDataFrame(sample.toSeq).toDF("doc_id", "text"), filter)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(streamed == batchSame, "stream and batch faces must agree")
+  }
+
   test("batch-mode near-dup stream equals the batch lshCandidates pairs") {
     import graft.ops.DedupOps
     import graft.sources.Tables
