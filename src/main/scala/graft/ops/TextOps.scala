@@ -522,6 +522,38 @@ object TextOps {
         (-(col("sum_lp").cast("double") / 1e6) / col("n_tok")).as("xent"))
   }
 
+  /** Hashed bag-of-words text embedding (feature hashing / "hashing
+    * trick", Weinberger et al. 2009, composed with a seeded signed
+    * projection): token counts hash into `buckets` bins, and component
+    * j is Σ_b count(b)·p(j,b) with the SAME md5-derived plane constants
+    * the LSH/JL kernels use — a deterministic, model-free featurizer
+    * that gives every document a fixed-dim integer vector any
+    * downstream vector op (ANN, k-means, SemDeDup, hard negatives) can
+    * consume when no learned embeddings exist. Exact integer math end
+    * to end; one (vec-compatible) row per (doc_id, j).
+    *
+    * Shape at scale: one tokenize pass → (doc, bucket) counts
+    * (map-side combined, ≤`buckets` keys per doc); the plane table
+    * (buckets×outDim rows, constants) broadcasts onto it; the (doc, j)
+    * rollup combines map-side. No corpus-sized join, no explode beyond
+    * the bounded bucket×outDim fan. */
+  def hashedEmbedding(docs: DataFrame, buckets: Int = 1024,
+      outDim: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val db = tokenized(docs)
+      .groupBy(col("doc_id"), (h32(col("tok")) % buckets).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val planes = spark.range(outDim).toDF("j")
+      .crossJoin(spark.range(buckets).toDF("b"))
+      .select(col("j"), col("b"),
+        (h32(concat(col("j").cast("string"), lit(","),
+          col("b").cast("string"))) % 2001L - 1000L).as("p"))
+    db.join(broadcast(planes), "b")
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("c") * col("p")).as("v"))
+  }
+
   /** Interpolated bigram-LM cross-entropy — the KenLM-flavored upgrade
     * of [[unigramCrossEntropy]]: per-bigram probability is
     * λ·P₂(w₂|w₁) + (1−λ)·P₁(w₂) with add-k smoothing on both levels, so

@@ -1016,6 +1016,26 @@ object LlmOps {
         FROM tk JOIN vc USING (tok)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- hashed bag-of-words text embedding (model-free featurizer) -----
+    "q161_hashed_embedding" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.hashedEmbedding(Tables.load(spark, dir, "documents")
+            .select(col("doc_id"), col("text")))
+          .orderBy(col("doc_id"), col("j")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        db AS (SELECT doc_id, ${h32Sql("tok")} % 1024 AS b,
+                 CAST(COUNT(*) AS BIGINT) AS c
+               FROM tk GROUP BY 1, 2),
+        pl AS (SELECT j, b,
+            ((${h32Sql("CAST(j AS VARCHAR) || ',' || CAST(b AS VARCHAR)")})
+              % 2001 - 1000) AS p
+          FROM (SELECT unnest(generate_series(0, 15)) AS j) a,
+               (SELECT unnest(generate_series(0, 1023)) AS b) bb)
+        SELECT doc_id, j, CAST(SUM(c * p) AS BIGINT) AS v
+        FROM db JOIN pl USING (b)
+        GROUP BY 1, 2 ORDER BY doc_id, j""")),
+
     // ---- vocabulary-growth (Heaps'-law) curve -----------------------------
     "q147_vocab_growth" -> QueryDef(
       build = (spark, dir) =>
