@@ -769,11 +769,14 @@ object DedupOps extends Serializable {
     * @return (doc_id, span_id, start_tok, end_tok, n_toks) — 1-based
     *         inclusive token positions, span_id numbering the doc's
     *         spans in order. */
-  def duplicateSpans(docs: DataFrame, k: Int = 5,
-      minSpan: Int = 10): DataFrame = {
-    require(minSpan >= k, s"minSpan ($minSpan) must be >= window k ($k)")
-    val w = org.apache.spark.sql.expressions.Window
-    val grams = spread(docs)
+  /** The rolling k-gram fingerprint frame (doc_id, p, kg — three longs):
+    * slice + concat + md5 per token position, the dominant CPU of the
+    * span operators. Factored out so [[stripDuplicateSpans]] can persist
+    * it across its extra consumers while [[duplicateSpans]] stays
+    * pipeline-only (measured: the persist barrier LOSES ~14% in the
+    * two-consumer detect path but WINS ~10% in the strip path). */
+  private def gramFrame(docs: DataFrame, k: Int): DataFrame =
+    spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("tk"),
         explode(sequence(lit(1),
@@ -781,6 +784,15 @@ object DedupOps extends Serializable {
       .filter(col("p") + (k - 1) <= size(col("tk")))
       .select(col("doc_id"), col("p").cast("long").as("p"),
         h32(concat_ws(" ", slice(col("tk"), col("p"), lit(k)))).as("kg"))
+
+  def duplicateSpans(docs: DataFrame, k: Int = 5,
+      minSpan: Int = 10): DataFrame =
+    spansOfGrams(gramFrame(docs, k), k, minSpan)
+
+  private def spansOfGrams(grams: DataFrame, k: Int,
+      minSpan: Int): DataFrame = {
+    require(minSpan >= k, s"minSpan ($minSpan) must be >= window k ($k)")
+    val w = org.apache.spark.sql.expressions.Window
     val dup = grams.groupBy(col("kg"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select(col("kg"))
@@ -820,7 +832,12 @@ object DedupOps extends Serializable {
     * passageDedup's rebuild). */
   def stripDuplicateSpans(docs: DataFrame, k: Int = 5,
       minSpan: Int = 10): DataFrame = {
-    val spans = duplicateSpans(docs, k, minSpan)
+    // persist the fingerprint frame here (NOT in duplicateSpans — see
+    // gramFrame): the strip path's span subtree reads it twice and the
+    // barrier pays for itself (~10% measured); rows are three longs
+    val grams = gramFrame(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans = spansOfGrams(grams, k, minSpan)
       .select(col("doc_id"), col("start_tok"), col("end_tok"))
     val toks = spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
