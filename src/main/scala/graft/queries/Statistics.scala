@@ -631,6 +631,42 @@ object Statistics {
                COUNT(DISTINCT user_id) AS n_users
         FROM e GROUP BY 1, 2 ORDER BY w_start_us, event_type""")),
 
+    // ---- streaming drift monitor, batch face (same plan both modes) -----
+    // the ONE floating fold in the TV report (per-window sum over ≤4
+    // bucket contributions) is order-dependent at the 1e-16 level; the
+    // op rounds to 9 decimals, far above that noise, so the hash-match
+    // against DuckDB's differently-ordered SUM is exact
+    "q162_stream_drift" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val ev = t(spark, dir, "events").select(col("ts"),
+          least(floor(col("value") / 125.0), lit(3)).cast("long").as("bucket"))
+        val baseline = Seq((0L, 0.25), (1L, 0.25), (2L, 0.25), (3L, 0.25))
+          .toDF("bucket", "p")
+        graft.streaming.DriftStream.windowedDrift(ev, baseline, col("bucket"))
+          .select(
+            graft.functions.Dialect.tsUs(col("window_start")).as("w_start_us"),
+            col("n_events"), col("tv"))
+          .orderBy(col("w_start_us"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT
+            (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us,
+            least(CAST(floor(value / 125.0) AS BIGINT), 3) AS bucket
+          FROM events),
+        h AS (SELECT w_start_us, bucket, CAST(COUNT(*) AS BIGINT) AS n
+              FROM e GROUP BY 1, 2),
+        wb AS (SELECT h.w_start_us, h.n, COALESCE(b.p, 0.0) AS p
+               FROM h LEFT JOIN (VALUES (0, 0.25), (1, 0.25), (2, 0.25),
+                 (3, 0.25)) AS b(bucket, p) ON b.bucket = h.bucket),
+        t AS (SELECT w_start_us, CAST(SUM(n) AS BIGINT) AS ntot
+              FROM h GROUP BY 1)
+        SELECT wb.w_start_us, CAST(SUM(wb.n) AS BIGINT) AS n_events,
+          round((SUM(abs(CAST(wb.n AS DOUBLE) / t.ntot - wb.p))
+            + (1.0 - SUM(wb.p))) / 2.0, 9) AS tv
+        FROM wb JOIN t USING (w_start_us)
+        GROUP BY wb.w_start_us ORDER BY wb.w_start_us""")),
+
     // ---- UNPIVOT (wide metrics -> long) ----------------------------------
     "q88_unpivot" -> QueryDef(
       build = (spark, dir) =>
