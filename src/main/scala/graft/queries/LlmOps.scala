@@ -162,6 +162,48 @@ object LlmOps {
         FROM reach GROUP BY src ORDER BY doc_id"""),
       bench = false),
 
+    // ---- dup-cluster size histogram (dedup-severity QA report) ----------
+    // how big do duplicate families get — the number that sizes the
+    // survivorship win and flags template storms (one giant cluster)
+    "q163_cluster_size_histogram" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.duplicateClusters(Tables.load(spark, dir, "documents"))
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("cluster_size")),
+      oracle = Some(s"""
+        WITH RECURSIVE $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a, b, COUNT(*) AS i
+          FROM pairs
+          JOIN sh x ON x.doc_id = a
+          JOIN sh y ON y.doc_id = b AND y.s = x.s
+          GROUP BY a, b),
+        verified AS (SELECT a, b
+          FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+          WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2),
+        edges AS (SELECT a, b FROM verified
+          UNION ALL SELECT b AS a, a AS b FROM verified),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
+        comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                 FROM reach GROUP BY src),
+        cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+               FROM comp GROUP BY 1)
+        SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM cs GROUP BY 1 ORDER BY cluster_size""")),
+
     // ---- survivorship: keep the highest-quality member per cluster ------
     "q108_dedup_survivorship" -> QueryDef(
       build = (spark, dir) =>
