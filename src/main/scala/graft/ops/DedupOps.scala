@@ -771,10 +771,10 @@ object DedupOps extends Serializable {
     *         spans in order. */
   /** The rolling k-gram fingerprint frame (doc_id, p, kg — three longs):
     * slice + concat + md5 per token position, the dominant CPU of the
-    * span operators. Factored out so [[stripDuplicateSpans]] can persist
-    * it across its extra consumers while [[duplicateSpans]] stays
-    * pipeline-only (measured: the persist barrier LOSES ~14% in the
-    * two-consumer detect path but WINS ~10% in the strip path). */
+    * span operators. Deliberately NOT persisted: the barrier was
+    * measured ~14% SLOWER than letting the dup-count and position-join
+    * consumers re-pipeline it (ProfileQ127 — recompute beats
+    * materialize at this row width). */
   private def gramFrame(docs: DataFrame, k: Int): DataFrame =
     spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -832,39 +832,35 @@ object DedupOps extends Serializable {
     * passageDedup's rebuild). */
   def stripDuplicateSpans(docs: DataFrame, k: Int = 5,
       minSpan: Int = 10): DataFrame = {
-    // persist the fingerprint frame here (NOT in duplicateSpans — see
-    // gramFrame): the strip path's span subtree reads it twice and the
-    // barrier pays for itself (~10% measured); rows are three longs
-    val grams = gramFrame(docs, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spans = spansOfGrams(grams, k, minSpan)
-      .select(col("doc_id"), col("start_tok"), col("end_tok"))
-    val toks = spread(docs)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
-        posexplode(col("tk")).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), col("n_tok"),
-        (col("pos0") + 1).cast("long").as("pos"), col("tok"))
-    // Explicit aliases: toks and spans share lineage (both derive from
-    // docs), so unqualified toks("doc_id") === spans("doc_id") resolves
-    // to ONE attribute — a trivially-true predicate that only works by
-    // grace of Spark's ambiguous-self-join rewrite (and warns every run).
-    val kept = toks.as("tk").join(spans.as("sp"),
-        col("tk.doc_id") === col("sp.doc_id")
-          && col("tk.pos") >= col("sp.start_tok")
-          && col("tk.pos") <= col("sp.end_tok"),
-        "left_anti")
+    // spans collected per doc: a ≥minSpan-run-bearing sliver of the
+    // corpus, each doc carrying its few (start,end) ranges
+    val spans = duplicateSpans(docs, k, minSpan)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          t => t.getField("tok"))).as("clean_text"))
-    docs.select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
-      .join(kept, Seq("doc_id"), "left")
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("sp"))
+    // Rebuild MAP-SIDE: join the span lists back (unhinted — AQE
+    // broadcasts the typical sparse-span case and keeps a shuffle join
+    // when half the corpus carries spans, the nearDuplicates semi-join
+    // rule), then drop covered tokens with array lambdas per row. This
+    // replaces the round-2 shape (posexplode every token → range
+    // anti-join → doc-keyed sort-collect rebuild): one corpus-wide
+    // explode shuffle and one rebuild aggregation less, measured 24%
+    // faster at sf0.1 (ProfileQ127) and strictly fewer corpus-sized
+    // exchanges at any scale. The per-token lambda work is the same
+    // coverage test the anti-join evaluated, just without moving rows.
+    docs.select(col("doc_id"), col("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), tokens(col("text")).as("tk"),
+        coalesce(col("sp"), expr("array()")).as("sp"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        expr("""filter(transform(sequence(1, size(tk)),
+                  i -> struct(i AS pos, tk[i - 1] AS tok)),
+                x -> NOT exists(sp, s -> x.pos >= s.start_tok
+                  AND x.pos <= s.end_tok))""").as("kept"))
       .select(col("doc_id"), col("n_tok"),
-        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", expr("transform(kept, x -> x.tok)"))
+          .as("clean_text"))
   }
 
   /** SimHash near-dup pairs within a Hamming radius: OR-banded candidate
