@@ -298,7 +298,12 @@ object VectorOps {
     * arrays (the k-means centroid pattern), the per-row min-distance is
     * a `least` fold over k codegen'd dist2 kernels, and the argmax
     * plans as TakeOrderedAndProject (per-partition top-1, no corpus
-    * sort). The corpus frame is persisted once across iterations. */
+    * sort). The corpus frame is persisted once across iterations.
+    *
+    * Degenerate corner: once every remaining vector duplicates a
+    * selected center (coverage radius 0), the argmax tie-break
+    * re-selects the lowest id — rows after that carry d2 = 0, the
+    * signal that k exceeds the corpus's distinct-point count. */
   def kCenterSelect(vectors: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k-center selection needs k >= 1")
     val spark = vectors.sparkSession
