@@ -283,9 +283,9 @@ object VectorOps {
       .select(col("vec_id"), col("pr.j").as("j"), col("pr.s").as("s"))
   }
 
-  /** Greedy k-center coreset selection (farthest-point traversal — the
-    * classic 2-approximation to the k-center cover, the diversity-
-    * sampling step of embedding-based data pruning): starting from the
+  /** Greedy k-center coreset selection (farthest-point traversal —
+    * Gonzalez 1985's classic 2-approximation to the k-center cover, the
+    * diversity-sampling step of embedding-based data pruning): starting from the
     * smallest vec_id, repeatedly select the vector FARTHEST (exact
     * int64 squared distance on quantized embeddings) from everything
     * selected so far. Returns one row per selected center:
