@@ -1078,4 +1078,104 @@ object DedupOps extends Serializable {
       .select(col("a"), col("b"), col("na"), col("nb"), col("inter"),
         round(col("inter").cast("double") / col("uni"), 6).as("jac"))
   }
+
+  /** C4-style "fuzzy-exact" dedup: normalize (lowercase, strip
+    * punctuation to spaces, collapse whitespace, trim), fingerprint the
+    * normalized text, keep the FIRST occurrence (min doc_id) of each
+    * fingerprint. This is the normalization-then-exact-hash step of the
+    * C4 / RefinedWeb pipelines — it collapses trivially-reformatted
+    * copies that byte-exact dedup ([[exactDedup]]) misses, without
+    * paying near-dup candidate generation.
+    *
+    * Returns one row per input document:
+    * (doc_id, norm_fp, keep_id, n_copies, is_dup).
+    *
+    * Shape at scale: normalization + md5 are map-side; the keep-first
+    * and group-size stats are ONE window over the fp-keyed exchange
+    * (no groupBy + join-back second shuffle). Per-fp group size is the
+    * duplication factor of one normalized text — bounded in any real
+    * corpus, so the window never sees a giant partition. */
+  def normalizedDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("norm_fp"))
+    docs.select(col(idCol).as("doc_id"),
+        md5(trim(regexp_replace(
+          regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "),
+          "\\s+", " "))).as("norm_fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
+  /** Sorted-neighborhood entity-resolution pairs (Hernández & Stolfo
+    * 1995): sort the corpus by a blocking key, compare each record only
+    * against its `w` neighbors in the sorted order, verify candidates
+    * with exact token-set Jaccard. The classic complement to LSH
+    * blocking ([[lshCandidates]]): O(N·w) comparisons with a
+    * user-chosen sort key instead of probabilistic buckets.
+    *
+    * Returns (a, b, rank_gap, jac) for neighbor pairs with
+    * Jaccard ≥ tauNum/tauDen, a < b in sort order.
+    *
+    * Shape at scale — the global sort rank WITHOUT a single-partition
+    * window (the [[graft.ops.Curation.packSequences]] two-phase
+    * pattern): range-partition by the key, count rows per partition,
+    * prefix-scan the ~numPartitions subtotals on the driver, broadcast
+    * the offsets back, and rank only WITHIN partitions. The neighbor
+    * self-join then never materializes rank ranges on one node either:
+    * ranks are bucketed at width `w`, the left side replicated to its
+    * home and successor bucket, joined bucket-equi on the right's home
+    * bucket — every |Δrank| ≤ w pair appears exactly once (the
+    * [[graft.ops.Temporal]] canonical-bucket attribution trick on rank
+    * space), and the shuffle key is the bucket, never the pair. */
+  def sortedNeighborhood(docs: DataFrame, w: Int = 4,
+      tauNum: Long = 1L, tauDen: Long = 2L, keyLen: Int = 16): DataFrame = {
+    require(w >= 1, "window w must be >= 1")
+    val spark = docs.sparkSession
+    val keyed = spread(docs).select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "\\s+", ""), 1, keyLen)
+          .as("bkey"),
+        array_distinct(tokens(col("text"))).as("tk"))
+      .repartitionByRange(col("bkey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // pid must be observed from ONE materialization (subtotal count +
+      // rank join): persist before both consumers
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subtotals = keyed.groupBy(col("pid"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+        (pid, acc + c)
+      }.tail.zip(subtotals).map { case ((pid, cumIncl), (_, c)) =>
+        (pid, cumIncl - c)
+      }
+      import spark.implicits._
+      val offsetDf = offsets.toSeq.toDF("pid", "offset")
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("bkey"), col("doc_id"))
+      val ranked = keyed.join(broadcast(offsetDf), "pid")
+        .withColumn("r", row_number().over(win) + col("offset") - 1)
+        .select(col("doc_id"), col("tk"), col("r"))
+      // neighbor join on rank buckets of width w: pair (ra < rb,
+      // rb − ra ≤ w) has floor(rb/w) ∈ {floor(ra/w), floor(ra/w)+1};
+      // left emits home+successor, right stays home → exactly one match
+      val left = ranked.select(col("doc_id").as("a"), col("tk").as("tka"),
+          col("r").as("ra"),
+          explode(array(floor(col("r") / w),
+            floor(col("r") / w) + 1)).as("bk"))
+      val right = ranked.select(col("doc_id").as("b"), col("tk").as("tkb"),
+        col("r").as("rb"), floor(col("r") / w).as("bk"))
+      left.join(right,
+          left("bk") === right("bk") && col("rb") > col("ra")
+            && col("rb") - col("ra") <= w)
+        .withColumn("inter",
+          size(array_intersect(col("tka"), col("tkb"))).cast("long"))
+        .withColumn("uni",
+          size(col("tka")).cast("long") + size(col("tkb")) - col("inter"))
+        .filter(lit(tauDen) * col("inter") >= lit(tauNum) * col("uni"))
+        .select(col("a"), col("b"), (col("rb") - col("ra")).as("rank_gap"),
+          round(col("inter").cast("double") / col("uni"), 6).as("jac"))
+    } finally keyed.unpersist()
+  }
 }

@@ -273,6 +273,80 @@ object LlmOps {
         ORDER BY a, b"""),
       bench = true),
 
+    // ---- C4-style normalized (fuzzy-exact) dedup ------------------------
+    // normalization (lowercase, punct→space, collapse ws) + hash + keep-
+    // first: the cheap dedup rung between byte-exact (q22) and near-dup
+    // (q25) — catches reformatted copies without candidate generation
+    "q164_normalized_dedup" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.normalizedDedup(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some(raw"""
+        WITH n AS (SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+          FROM documents)
+        SELECT doc_id, norm_fp,
+          MIN(doc_id) OVER (PARTITION BY norm_fp) AS keep_id,
+          COUNT(*) OVER (PARTITION BY norm_fp) AS n_copies,
+          doc_id <> MIN(doc_id) OVER (PARTITION BY norm_fp) AS is_dup
+        FROM n ORDER BY doc_id""")),
+
+    // ---- winnowing fingerprint overlap pairs (MOSS) ---------------------
+    // Schleimer et al. 2003: k-gram hashes, per-window minima, pairs
+    // sharing >= 2 selected fingerprints (df-capped) — the plagiarism-
+    // detection fingerprint with the shared-substring guarantee
+    "q165_winnow_pairs" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.winnowPairs(Tables.load(spark, dir, "documents"),
+            k = 8, w = 4, minShared = 2L, dfCap = 64L)
+          .orderBy(col("a"), col("b")),
+      oracle = Some(raw"""
+        WITH g AS (SELECT doc_id, i,
+            ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))::BIGINT AS h
+          FROM (SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
+                FROM documents WHERE len(text) >= 8)),
+        wm AS (SELECT doc_id, i,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+            COUNT(*) OVER (PARTITION BY doc_id) AS ng
+          FROM g),
+        sel AS (SELECT DISTINCT doc_id, fp FROM wm
+          WHERE i <= greatest(ng - 3, 1)),
+        keep AS (SELECT fp FROM sel GROUP BY fp
+          HAVING COUNT(*) BETWEEN 2 AND 64),
+        p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+          FROM sel x JOIN sel y USING (fp)
+          WHERE x.doc_id < y.doc_id
+            AND fp IN (SELECT fp FROM keep)
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT a, b, n_shared FROM p ORDER BY a, b""")),
+
+    // ---- sorted-neighborhood entity-resolution pairs --------------------
+    // Hernández & Stolfo 1995: sort by blocking key, compare within a
+    // w-record window, verify with exact token Jaccard — the classic
+    // deterministic complement to LSH blocking (q24)
+    "q166_sorted_neighborhood" -> QueryDef(
+      build = (spark, dir) =>
+        DedupOps.sortedNeighborhood(Tables.load(spark, dir, "documents"),
+            w = 4, tauNum = 1L, tauDen = 2L)
+          .orderBy(col("a"), col("b")),
+      oracle = Some(raw"""
+        WITH t AS (SELECT doc_id,
+            substr(regexp_replace(lower(text), '\s+', '', 'g'), 1, 16) AS bkey,
+            list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+          FROM documents),
+        r AS (SELECT doc_id, tk,
+            row_number() OVER (ORDER BY bkey, doc_id) - 1 AS r FROM t),
+        p AS (SELECT x.doc_id AS a, y.doc_id AS b, y.r - x.r AS rank_gap,
+            CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+            CAST(len(x.tk) + len(y.tk)
+              - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS uni
+          FROM r x JOIN r y ON y.r - x.r BETWEEN 1 AND 4)
+        SELECT a, b, rank_gap, round(inter * 1.0 / uni, 6) AS jac
+        FROM p WHERE 2 * inter >= uni ORDER BY a, b""")),
+
     // ---- cross-source duplication matrix (who copies from whom) ---------
     // composition: verified near-dup pairs + source labels → per ordered
     // source pair, how many near-dup pairs cross it — the corpus-level

@@ -461,4 +461,82 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(d3.getDouble(6) - 2.0 / 5) < 1e-12)
     assert(d3.getInt(8) == 0)
   }
+
+  test("normalizedDedup collapses punctuation/whitespace variants to one " +
+      "fingerprint, keeps the first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "The cat sat on the mat."),
+      (11L, "the  cat,   sat on the MAT"),   // same after normalization
+      (12L, "THE CAT... sat -- on the mat!"),
+      (13L, "a different document entirely")).toDF("doc_id", "text")
+    val out = DedupOps.normalizedDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(10L)._1 == out(11L)._1 && out(11L)._1 == out(12L)._1)
+    assert(out(13L)._1 != out(10L)._1)
+    assert(Seq(10L, 11L, 12L).forall(id => out(id)._2 == 10L))
+    assert(Seq(10L, 11L, 12L).forall(id => out(id)._3 == 3L))
+    assert(!out(10L)._4 && out(11L)._4 && out(12L)._4)
+    assert(out(13L) == ((out(13L)._1, 13L, 1L, false)))
+  }
+
+  test("winnowing guarantee: a shared substring of length >= k+w-1 " +
+      "yields a shared selected fingerprint") {
+    import spark.implicits._
+    val shared = "zqxjvkwpfyb" // length 11 = k + w - 1, the guarantee bound
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaa" + shared + "cccccccccccc"),
+      (2L, "dddddddddddd" + shared + "eeeeeeeeeeeeeeee"),
+      (3L, "ffffffffffffffffffffffffffffffff")).toDF("doc_id", "text")
+    val fps = graft.ops.TextOps.winnowFingerprints(docs, k = 8, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    // the winnowing property: docs 1 and 2 share >= 1 selected fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // density: selections are a strict subset of all gram hashes
+    val nGrams1 = docs.filter($"doc_id" === 1L).collect()(0)
+      .getString(1).length - 7
+    assert(byDoc(1L).size < nGrams1)
+    // pair surface finds (1,2) and nothing involving the disjoint doc 3
+    val pairs = graft.ops.TextOps.winnowPairs(docs, k = 8, w = 4,
+        minShared = 1L, dfCap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("sortedNeighborhood finds adjacent near-duplicates, is exact vs a " +
+      "local reference, and is input-partitioning-independent") {
+    import spark.implicits._
+    // typo variants sort adjacently on the squashed-prefix key
+    val docs = Seq(
+      (1L, "acme corporation limited west street"),
+      (2L, "acme corporation limited west streat"),  // typo of 1
+      (3L, "acme corporation ltd west street"),
+      (4L, "zenith holdings north avenue tower"),
+      (5L, "zenith holdings north avenue towers"),   // variant of 4
+      (6L, "middle company with other words here")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.sortedNeighborhood(df, w = 2, tauNum = 1L, tauDen = 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val out = run(docs)
+    assert(out.map(p => (p._1, p._2)).contains((4L, 5L)))
+    assert(out.map(p => (p._1, p._2)).contains((1L, 2L)))
+    // local reference: full sort, all pairs within the rank window, jac>=.5
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ranked = rows.sortBy { case (id, t) =>
+      (t.toLowerCase.replaceAll("\\s+", "").take(16), id) }.zipWithIndex
+    val expect = (for {
+      ((ia, ta), ra) <- ranked; ((ib, tb), rb) <- ranked
+      if rb > ra && rb - ra <= 2
+      sa = ta.trim.split("\\s+").toSet; sb = tb.trim.split("\\s+").toSet
+      inter = (sa & sb).size
+      if 2 * inter >= sa.size + sb.size - inter
+    } yield (ia, ib, (rb - ra).toLong)).toSet
+    assert(out == expect)
+    // global rank must not depend on how the input arrives partitioned
+    assert(run(docs.repartition(7)) == out)
+  }
 }
