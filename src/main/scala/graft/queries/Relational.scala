@@ -755,6 +755,69 @@ object Relational {
       oracle = Some("""
         SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-        FROM events GROUP BY 1 ORDER BY 1"""))
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- bounded top-k per group (aggregator, not window) ----------------
+    // the scale-grade form of "top 5 per key": the TopKByScore typed
+    // Aggregator carries <= k pairs through partial aggregation, where
+    // the row_number window (the oracle) would shuffle + sort EVERY row
+    // of each group. Same result, k-bounded wire.
+    "q167_grouped_topk" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.Encoders
+        val topk = udaf(new graft.functions.TopKByScore(5),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        t(spark, dir, "documents")
+          .groupBy(col("source"))
+          .agg(topk(col("n_chars"), col("doc_id")).as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("i", "e")))
+          .select(col("source"), (col("i") + 1).cast("long").as("rnk"),
+            col("e._2").as("doc_id"), col("e._1").as("n_chars"))
+          .orderBy(col("source"), col("rnk"))
+      },
+      oracle = Some("""
+        SELECT source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk,
+               doc_id, n_chars
+        FROM documents
+        QUALIFY rnk <= 5
+        ORDER BY source, rnk""")),
+
+    // ---- frequent co-occurrence pairs (a-priori pruned) ------------------
+    // market-basket: part pairs co-ordered in >= 2 orders. The frequent-
+    // 1-itemset prefilter (a-priori downward closure) shrinks the self-
+    // join input BEFORE the orderkey-keyed pair expansion; pair fan-out
+    // per order is bounded by the per-order line count, so the join never
+    // goes quadratic in the corpus.
+    "q168_copurchase_pairs" -> QueryDef(
+      build = (spark, dir) => {
+        val lp = t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val freq = lp.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_ord"))
+          .filter(col("n_ord") >= 2).select(col("l_partkey"))
+        val fl = lp.join(freq, "l_partkey")
+        fl.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(fl.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+            Seq("l_orderkey"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+          .orderBy(col("part_a"), col("part_b"))
+      },
+      oracle = Some("""
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        f AS (SELECT l_partkey FROM lp GROUP BY l_partkey
+              HAVING COUNT(*) >= 2),
+        fl AS (SELECT l_orderkey, l_partkey FROM lp
+               WHERE l_partkey IN (SELECT l_partkey FROM f))
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM fl a JOIN fl b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ORDER BY part_a, part_b"""))
   )
 }

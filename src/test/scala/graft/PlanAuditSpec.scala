@@ -492,4 +492,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       s"bigram counts must combine map-side:\n$p")
   }
+
+  test("q167 grouped top-k: k-bounded aggregator, not a window — partial " +
+      "aggregation present, no per-group full sort") {
+    val p = plan("q167_grouped_topk")
+    assert(!p.contains("Window"),
+      s"grouped top-k must not fall back to the row_number window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"TopKByScore aggregation missing from the plan:\n$p")
+    assert(p.contains("partial_topkbyscore") || p.contains("partial_"),
+      s"top-k partials must combine map-side:\n$p")
+  }
+
+  test("q168 co-purchase: a-priori filter feeds an orderkey equi-join, " +
+      "never cartesian; pair counts combine map-side") {
+    val p = plan("q168_copurchase_pairs")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"co-purchase pair join degenerated to all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair-support counts must combine map-side:\n$p")
+  }
+
+  test("q164 normalized dedup: ONE fp-keyed exchange feeds the window — " +
+      "no groupBy + join-back second shuffle") {
+    val p = plan("q164_normalized_dedup")
+    assert(p.contains("Window"), "keep-first stats must be window-computed")
+    // exchanges: one for the fp hash partitioning + the final orderBy's
+    // range exchange; anything more means a join-back appeared
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"normalizedDedup grew extra shuffles ($exchanges):\n$p")
+  }
 }
