@@ -630,4 +630,38 @@ object Curation {
       .limit(k)
       .select(col("key"), col("w"), round(col("r_exact"), 6).as("r"))
   }
+
+  /** Seeded weighted sampling without replacement PER GROUP — A-ES
+    * ([[weightedSample]]) composed with the k-bounded
+    * [[graft.functions.TopKByScore]] aggregator: each stratum draws its
+    * own k winners by the same deterministic rank keys. This is the
+    * stratified epoch-sampling primitive (k docs per source/language,
+    * weighted by length or quality) that a per-group `row_number`
+    * window would pay a full shuffle+sort of the population for; here
+    * every map task forwards at most k rows per group.
+    *
+    * The rank ln(u)/w is rounded ONCE to a scaled (×10⁶) int64 — the
+    * q122 determinism contract — so selection and the reported rank are
+    * exact cross-engine; ties break by key ascending. Non-positive
+    * weights are excluded (zero mass), as in [[weightedSample]].
+    *
+    * Returns (grp, rnk, key, r): rank 1..k within each group, r the
+    * scaled A-ES rank key in nats. */
+  def weightedSamplePerGroup(df: DataFrame, group: Column, key: Column,
+      weight: Column, k: Int, seed: String = "42"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val u = (h32(concat(key.cast("string"), lit("#" + seed))) + lit(1L))
+      .cast("double") / lit(4294967297.0)
+    val rs = round(log(u) / weight.cast("double") * 1e6).cast("long")
+    val topk = udaf(new graft.functions.TopKByScore(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    df.where(weight.cast("double") > 0)
+      .select(group.as("grp"), key.cast("long").as("key"), rs.as("rs"))
+      .groupBy(col("grp"))
+      .agg(topk(col("rs"), col("key")).as("top"))
+      .select(col("grp"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("grp"), (col("i") + 1).cast("long").as("rnk"),
+        col("e._2").as("key"),
+        (col("e._1").cast("double") / 1e6).as("r"))
+  }
 }

@@ -838,4 +838,82 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Pairwise source-distribution divergence: add-k-smoothed KL and
+    * Jensen–Shannon divergence between every ordered pair of sources'
+    * unigram token distributions — the corpus-comparison report that
+    * decides which sources are interchangeable and which shift the
+    * mixture (the distributional face of the q159 duplication matrix).
+    *
+    * p_s(t) = (c_s(t) + k) / (N_s + k·V) over the GLOBAL vocabulary V,
+    * so zero-count tokens carry smoothed mass. Returns one row per
+    * ordered source pair: (source_a, source_b, kl, js) in nats.
+    *
+    * Determinism (the q122 contract): every per-token contribution is
+    * rounded ONCE to a scaled (×10⁶) int64, so the cross-engine result
+    * is exact integer summation + one IEEE division.
+    *
+    * Shape at scale: one token-keyed count aggregation pivots to an
+    * S-column frame (S = #sources, a bounded catalog dimension — the
+    * only driver-side collects are the source list and the S²-row
+    * result), and every pair's per-token contributions are computed
+    * MAP-SIDE from each sparse row — vocab × pairs never materializes
+    * as rows, the vocabulary is shuffled exactly once. Tokens absent
+    * from both sources of a pair contribute a per-pair constant (the
+    * smoothed floor doesn't depend on t); at large S that term could be
+    * strength-reduced to (support count × constant) per pair — here it
+    * is evaluated per row, which keeps the arithmetic identical to the
+    * oracle's dense form. */
+  def sourceDivergence(docs: DataFrame, addK: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tk = tokenized(docs, idCol = "source")
+      .select(col("source").cast("string").as("source"), col("tok"))
+    val counts = tk.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val sources = docs.select(col("source").cast("string"))
+      .distinct().as[String].collect().sorted.toSeq
+    require(sources.size >= 2, "sourceDivergence needs >= 2 sources")
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val vocabV = counts.select(col("tok")).distinct().count()
+    // smoothed log-prob of count c under source s, as a plain function
+    def lp(c: Column, s: String): Column =
+      log((c.cast("double") + addK) / (totals(s) + addK * vocabV))
+    def lpMix(ca: Column, cb: Column, a: String, b: String): Column =
+      log(((ca.cast("double") + addK) / (totals(a) + addK * vocabV)
+        + (cb.cast("double") + addK) / (totals(b) + addK * vocabV)) / 2.0)
+    def pOf(c: Column, s: String): Column =
+      (c.cast("double") + addK) / (totals(s) + addK * vocabV)
+    // token × S sparse matrix (null = absent); S is bounded
+    val mat = counts.groupBy(col("tok"))
+      .pivot("source", sources).sum("c")
+    val pairs = for {
+      a <- sources; b <- sources if a != b
+    } yield (a, b)
+    // per-token, per-pair scaled contributions — map-side from each row
+    val contrib = mat.select(pairs.map { case (a, b) =>
+      val ca = coalesce(col(s"`$a`"), lit(0L))
+      val cb = coalesce(col(s"`$b`"), lit(0L))
+      val klT = round(pOf(ca, a) * (lp(ca, a) - lp(cb, b)) * 1e6)
+        .cast("long")
+      val jsT = round((pOf(ca, a) * (lp(ca, a) - lpMix(ca, cb, a, b))
+        + pOf(cb, b) * (lp(cb, b) - lpMix(ca, cb, a, b))) / 2.0 * 1e6)
+        .cast("long")
+      struct(klT.as("kl"), jsT.as("js")).as(s"$a|$b")
+    }: _*)
+    val head = pairs.head
+    val tail = pairs.tail
+    def sumPair(p: (String, String)) = {
+      val (a, b) = p
+      struct(sum(col(s"`$a|$b`.kl")).as("kl"),
+        sum(col(s"`$a|$b`.js")).as("js")).as(s"$a|$b")
+    }
+    val row = contrib.agg(sumPair(head), tail.map(sumPair): _*).head()
+    val out = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val st = row.getStruct(i)
+      (a, b, st.getLong(0) / 1e6, st.getLong(1) / 1e6)
+    }
+    out.toDF("source_a", "source_b", "kl", "js")
+  }
 }

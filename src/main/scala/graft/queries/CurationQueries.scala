@@ -595,6 +595,27 @@ object CurationQueries {
           FROM documents),
         top AS (SELECT key, w, ln(u) / w AS r_exact FROM s
                 ORDER BY r_exact DESC, key LIMIT 20)
-        SELECT key, w, round(r_exact, 6) AS r FROM top ORDER BY key"""))
+        SELECT key, w, round(r_exact, 6) AS r FROM top ORDER BY key""")),
+
+    // ---- stratified weighted sampling (A-ES per group, k-bounded) -------
+    // q139's A-ES composed with the TopKByScore aggregator: 3 winners
+    // per source, weighted by n_chars — each map task forwards <= k
+    // rows per group where the row_number window (the oracle) would
+    // shuffle and sort the whole population
+    "q170_group_weighted_sample" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.weightedSamplePerGroup(t(spark, dir, "documents"),
+            col("source"), col("doc_id"), col("n_chars"), k = 3)
+          .orderBy(col("grp"), col("rnk")),
+      oracle = Some(s"""
+        WITH s AS (SELECT source AS grp, doc_id AS key,
+            CAST(round(ln((${h32Sql("CAST(doc_id AS VARCHAR) || '#42'")} + 1)
+                / 4294967297.0) / n_chars * 1000000.0) AS BIGINT) AS rs
+          FROM documents WHERE n_chars > 0),
+        r AS (SELECT grp, key, rs, row_number() OVER (
+                PARTITION BY grp ORDER BY rs DESC, key) AS rnk FROM s)
+        SELECT grp, CAST(rnk AS BIGINT) AS rnk, key,
+               CAST(rs AS DOUBLE) / 1000000.0 AS r
+        FROM r WHERE rnk <= 3 ORDER BY grp, rnk"""))
   )
 }

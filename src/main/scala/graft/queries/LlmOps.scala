@@ -347,6 +347,51 @@ object LlmOps {
         SELECT a, b, rank_gap, round(inter * 1.0 / uni, 6) AS jac
         FROM p WHERE 2 * inter >= uni ORDER BY a, b""")),
 
+    // ---- pairwise source-distribution divergence (KL / JS) --------------
+    // the distributional complement of q159: which sources' unigram
+    // distributions diverge, smoothed over the global vocabulary,
+    // scaled-int-exact per the q122 determinism contract
+    "q169_source_divergence" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.sourceDivergence(Tables.load(spark, dir, "documents"))
+          .orderBy(col("source_a"), col("source_b")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT source,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        t AS (SELECT source, COUNT(*) AS n FROM tk GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT tok) AS v FROM tk),
+        u AS (SELECT DISTINCT tok FROM tk),
+        s AS (SELECT DISTINCT source FROM documents),
+        pc AS (SELECT sa.source AS a, sb.source AS b, u.tok,
+            coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+          FROM s sa JOIN s sb ON sa.source <> sb.source
+          CROSS JOIN u
+          LEFT JOIN c ca ON ca.source = sa.source AND ca.tok = u.tok
+          LEFT JOIN c cb ON cb.source = sb.source AND cb.tok = u.tok),
+        terms AS (SELECT a, b,
+            CAST(round(((ca + 0.5) / (ta.n + 0.5 * v.v))
+              * (ln((ca + 0.5) / (ta.n + 0.5 * v.v))
+                 - ln((cb + 0.5) / (tb.n + 0.5 * v.v)))
+              * 1000000.0) AS BIGINT) AS klt,
+            CAST(round((((ca + 0.5) / (ta.n + 0.5 * v.v))
+                * (ln((ca + 0.5) / (ta.n + 0.5 * v.v))
+                   - ln((((ca + 0.5) / (ta.n + 0.5 * v.v))
+                        + ((cb + 0.5) / (tb.n + 0.5 * v.v))) / 2))
+              + ((cb + 0.5) / (tb.n + 0.5 * v.v))
+                * (ln((cb + 0.5) / (tb.n + 0.5 * v.v))
+                   - ln((((ca + 0.5) / (ta.n + 0.5 * v.v))
+                        + ((cb + 0.5) / (tb.n + 0.5 * v.v))) / 2)))
+              / 2 * 1000000.0) AS BIGINT) AS jst
+          FROM pc JOIN t ta ON ta.source = pc.a
+                  JOIN t tb ON tb.source = pc.b
+                  CROSS JOIN v)
+        SELECT a AS source_a, b AS source_b,
+          CAST(SUM(klt) AS DOUBLE) / 1000000.0 AS kl,
+          CAST(SUM(jst) AS DOUBLE) / 1000000.0 AS js
+        FROM terms GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- cross-source duplication matrix (who copies from whom) ---------
     // composition: verified near-dup pairs + source labels → per ordered
     // source pair, how many near-dup pairs cross it — the corpus-level
