@@ -855,65 +855,66 @@ object TextOps {
     *
     * Shape at scale: one token-keyed count aggregation pivots to an
     * S-column frame (S = #sources, a bounded catalog dimension — the
-    * only driver-side collects are the source list and the S²-row
-    * result), and every pair's per-token contributions are computed
-    * MAP-SIDE from each sparse row — vocab × pairs never materializes
-    * as rows, the vocabulary is shuffled exactly once. Tokens absent
-    * from both sources of a pair contribute a per-pair constant (the
-    * smoothed floor doesn't depend on t); at large S that term could be
-    * strength-reduced to (support count × constant) per pair — here it
-    * is evaluated per row, which keeps the arithmetic identical to the
-    * oracle's dense form. */
+    * only driver-side collects are the source list and the totals row),
+    * then each sparse row fans out MAP-SIDE against the broadcast
+    * S(S−1)-row pair frame straight into a combining aggregation: the
+    * expanded (token, pair) rows never hit the wire — partial
+    * aggregation reduces them to S(S−1) groups per partition, so the
+    * pair shuffle carries S² × partitions rows regardless of
+    * vocabulary size. (A first cut computed all S(S−1) pair terms as
+    * one wide projection per row instead — 760 aggregate columns —
+    * and the giant expression tree cost 6.6 s on 31 cached rows;
+    * row-wise fan-out with ONE small codegen'd term expression is 20×
+    * faster and S-scalable.) */
   def sourceDivergence(docs: DataFrame, addK: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val tk = tokenized(docs, idCol = "source")
       .select(col("source").cast("string").as("source"), col("tok"))
+    // persisted: the (source, tok) counts feed four consumers (source
+    // list, totals, vocab size, pivot) — without the cache each one
+    // re-tokenizes the whole corpus
     val counts = tk.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c"))
-    val sources = docs.select(col("source").cast("string"))
-      .distinct().as[String].collect().sorted.toSeq
-    require(sources.size >= 2, "sourceDivergence needs >= 2 sources")
-    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
-      .as[(String, Long)].collect().toMap
-    val vocabV = counts.select(col("tok")).distinct().count()
-    // smoothed log-prob of count c under source s, as a plain function
-    def lp(c: Column, s: String): Column =
-      log((c.cast("double") + addK) / (totals(s) + addK * vocabV))
-    def lpMix(ca: Column, cb: Column, a: String, b: String): Column =
-      log(((ca.cast("double") + addK) / (totals(a) + addK * vocabV)
-        + (cb.cast("double") + addK) / (totals(b) + addK * vocabV)) / 2.0)
-    def pOf(c: Column, s: String): Column =
-      (c.cast("double") + addK) / (totals(s) + addK * vocabV)
-    // token × S sparse matrix (null = absent); S is bounded
-    val mat = counts.groupBy(col("tok"))
-      .pivot("source", sources).sum("c")
-    val pairs = for {
-      a <- sources; b <- sources if a != b
-    } yield (a, b)
-    // per-token, per-pair scaled contributions — map-side from each row
-    val contrib = mat.select(pairs.map { case (a, b) =>
-      val ca = coalesce(col(s"`$a`"), lit(0L))
-      val cb = coalesce(col(s"`$b`"), lit(0L))
-      val klT = round(pOf(ca, a) * (lp(ca, a) - lp(cb, b)) * 1e6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sources = counts.select(col("source"))
+        .distinct().as[String].collect().sorted.toSeq
+      require(sources.size >= 2, "sourceDivergence needs >= 2 sources")
+      val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+        .as[(String, Long)].collect().toMap
+      val vocabV = counts.select(col("tok")).distinct().count()
+      // token × S sparse matrix folded to ONE map column per token
+      val mat = counts.groupBy(col("tok")).pivot("source", sources).sum("c")
+        .select(col("tok"), map_from_arrays(
+          array(sources.map(lit(_)): _*),
+          array(sources.map(s => coalesce(col(s"`$s`"), lit(0L))): _*))
+          .as("cm"))
+      // smoothed denominators per source as a literal map: the double
+      // (N_s + k·V) is computed once here, exactly as the oracle's SQL
+      // double arithmetic computes it
+      val denom = map_from_arrays(
+        array(sources.map(lit(_)): _*),
+        array(sources.map(s => lit(totals(s) + addK * vocabV)): _*))
+      val pairsDf =
+        (for { a <- sources; b <- sources if a != b } yield (a, b))
+          .toDF("source_a", "source_b")
+      val ca = element_at(col("cm"), col("source_a")).cast("double")
+      val cb = element_at(col("cm"), col("source_b")).cast("double")
+      val pa = (ca + addK) / element_at(denom, col("source_a"))
+      val pb = (cb + addK) / element_at(denom, col("source_b"))
+      val lpa = log(pa)
+      val lpb = log(pb)
+      val lpm = log((pa + pb) / 2.0)
+      val klT = round(pa * (lpa - lpb) * 1e6).cast("long")
+      val jsT = round((pa * (lpa - lpm) + pb * (lpb - lpm)) / 2.0 * 1e6)
         .cast("long")
-      val jsT = round((pOf(ca, a) * (lp(ca, a) - lpMix(ca, cb, a, b))
-        + pOf(cb, b) * (lp(cb, b) - lpMix(ca, cb, a, b))) / 2.0 * 1e6)
-        .cast("long")
-      struct(klT.as("kl"), jsT.as("js")).as(s"$a|$b")
-    }: _*)
-    val head = pairs.head
-    val tail = pairs.tail
-    def sumPair(p: (String, String)) = {
-      val (a, b) = p
-      struct(sum(col(s"`$a|$b`.kl")).as("kl"),
-        sum(col(s"`$a|$b`.js")).as("js")).as(s"$a|$b")
-    }
-    val row = contrib.agg(sumPair(head), tail.map(sumPair): _*).head()
-    val out = pairs.zipWithIndex.map { case ((a, b), i) =>
-      val st = row.getStruct(i)
-      (a, b, st.getLong(0) / 1e6, st.getLong(1) / 1e6)
-    }
-    out.toDF("source_a", "source_b", "kl", "js")
+      mat.crossJoin(broadcast(pairsDf))
+        .select(col("source_a"), col("source_b"),
+          klT.as("klt"), jsT.as("jst"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg((sum(col("klt")).cast("double") / 1e6).as("kl"),
+          (sum(col("jst")).cast("double") / 1e6).as("js"))
+    } finally counts.unpersist()
   }
 }

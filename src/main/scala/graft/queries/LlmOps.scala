@@ -321,7 +321,8 @@ object LlmOps {
           WHERE x.doc_id < y.doc_id
             AND fp IN (SELECT fp FROM keep)
           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
-        SELECT a, b, n_shared FROM p ORDER BY a, b""")),
+        SELECT a, b, n_shared FROM p ORDER BY a, b"""),
+      bench = true),
 
     // ---- sorted-neighborhood entity-resolution pairs --------------------
     // Hernández & Stolfo 1995: sort by blocking key, compare within a
@@ -345,7 +346,8 @@ object LlmOps {
               - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS uni
           FROM r x JOIN r y ON y.r - x.r BETWEEN 1 AND 4)
         SELECT a, b, rank_gap, round(inter * 1.0 / uni, 6) AS jac
-        FROM p WHERE 2 * inter >= uni ORDER BY a, b""")),
+        FROM p WHERE 2 * inter >= uni ORDER BY a, b"""),
+      bench = true),
 
     // ---- pairwise source-distribution divergence (KL / JS) --------------
     // the distributional complement of q159: which sources' unigram

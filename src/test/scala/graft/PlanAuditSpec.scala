@@ -514,6 +514,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pair-support counts must combine map-side:\n$p")
   }
 
+  test("q165 winnow pairs: fingerprint-keyed equi-joins only, pair " +
+      "support combines map-side") {
+    val p = plan("q165_winnow_pairs")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow pair join degenerated to all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"df/pair counts must combine map-side:\n$p")
+  }
+
+  test("q166 sorted neighborhood: rank-bucket equi-join, never cartesian; " +
+      "offsets broadcast") {
+    val p = plan("q166_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"neighbor join degenerated to all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "rank-bucket join lost its equi-join formulation")
+  }
+
   test("q164 normalized dedup: ONE fp-keyed exchange feeds the window — " +
       "no groupBy + join-back second shuffle") {
     val p = plan("q164_normalized_dedup")
