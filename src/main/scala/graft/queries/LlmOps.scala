@@ -322,7 +322,14 @@ object LlmOps {
             AND fp IN (SELECT fp FROM keep)
           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
         SELECT a, b, n_shared FROM p ORDER BY a, b"""),
-      bench = true),
+      bench = true,
+      // the fp-keyed pair join + support aggregation carry compact long
+      // rows that are CPU-heavy to reduce — same advisory-coalescing
+      // starvation as q168 once the candidate stream grows (sf1
+      // measured 43 s advisory-coalesced vs 29 s parallelism-first;
+      // sf0.1: 6.1 s vs 5.5 s)
+      confs = Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true")),
 
     // ---- sorted-neighborhood entity-resolution pairs --------------------
     // Hernández & Stolfo 1995: sort by blocking key, compare within a
@@ -348,6 +355,46 @@ object LlmOps {
         SELECT a, b, rank_gap, round(inter * 1.0 / uni, 6) AS jac
         FROM p WHERE 2 * inter >= uni ORDER BY a, b"""),
       bench = true),
+
+    // ---- entity clusters from sorted-neighborhood pairs -----------------
+    // the end of the ER pipeline: SNM candidate pairs (q166) fed through
+    // the adaptive connected-components operator (q66's engine) —
+    // every record gets an entity id (min doc_id of its component) and
+    // a canonical flag
+    "q171_entity_clusters" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        val pairs = DedupOps.sortedNeighborhood(docs,
+            w = 4, tauNum = 1L, tauDen = 2L)
+          .select(col("a"), col("b"))
+        DedupOps.connectedComponents(
+            docs.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("comp").as("entity_id"),
+            (col("id") === col("comp")).as("canonical"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(raw"""
+        WITH RECURSIVE t AS (SELECT doc_id,
+            substr(regexp_replace(lower(text), '\s+', '', 'g'), 1, 16) AS bkey,
+            list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+          FROM documents),
+        r AS (SELECT doc_id, tk,
+            row_number() OVER (ORDER BY bkey, doc_id) - 1 AS r FROM t),
+        p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+            CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+            CAST(len(x.tk) + len(y.tk)
+              - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS uni
+          FROM r x JOIN r y ON y.r - x.r BETWEEN 1 AND 4),
+        verified AS (SELECT a, b FROM p WHERE 2 * inter >= uni),
+        edges AS (SELECT a, b FROM verified
+          UNION ALL SELECT b AS a, a AS b FROM verified),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT rr.src, e.b AS dst FROM reach rr JOIN edges e ON e.a = rr.dst)
+        SELECT src AS doc_id, MIN(dst) AS entity_id,
+               (src = MIN(dst)) AS canonical
+        FROM reach GROUP BY src ORDER BY doc_id""")),
 
     // ---- pairwise source-distribution divergence (KL / JS) --------------
     // the distributional complement of q159: which sources' unigram

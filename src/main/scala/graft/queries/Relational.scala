@@ -822,6 +822,13 @@ object Relational {
         FROM fl a JOIN fl b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ORDER BY part_a, part_b"""))
+        ORDER BY part_a, part_b"""),
+      // the pair-support aggregation's shuffle rows are compact longs
+      // but CPU-heavy to reduce; the session-wide advisory-size
+      // coalescing (64 MB per reducer) starves it of parallelism once
+      // the pair stream grows (sf1: 21 s advisory-coalesced vs 5 s with
+      // parallelism-first). Semantics-free; applied by Bench AND Verify.
+      confs = Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true"))
   )
 }
