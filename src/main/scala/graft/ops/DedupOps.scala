@@ -456,6 +456,82 @@ object DedupOps extends Serializable {
       index.select(col("doc_id"), col("band"), col("bk")),
       incoming, corpus, n, threshold)
 
+  private def tombstoneTable(table: String) = s"${table}_tombstones"
+
+  /** Incremental [[buildBandIndex]] maintenance — the lakehouse index
+    * pattern that avoids rebuilding a corpus-sized table per batch:
+    *
+    *  - `admitted` docs APPEND their own band rows into the bucketed
+    *    table (Spark appends to a bucketed table with matching bucket
+    *    spec, so new files land in the same bk-hash buckets and the
+    *    bucket-pruned candidate join keeps working unchanged);
+    *  - `removedIds` (retracted/redacted docs) append to a tombstone
+    *    side table — parquet files are immutable, so deletes are
+    *    logical until the next [[compactBandIndex]] folds them in.
+    *
+    * Cost per batch: band rows of the batch (map-side) + a tombstone
+    * append — never a corpus-sized write. */
+  def updateBandIndex(spark: org.apache.spark.sql.SparkSession,
+      db: String, table: String, admitted: DataFrame,
+      removedIds: DataFrame, n: Int = 8, k: Int = 12,
+      rowsPerBand: Int = 3, numBuckets: Int = 8): Unit = {
+    import spark.implicits._
+    if (!admitted.isEmpty) {
+      bandsOf(admitted, n, k, rowsPerBand)
+        .write
+        .bucketBy(numBuckets, "bk")
+        .sortBy("bk")
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .saveAsTable(s"$db.$table")
+    }
+    val ts = s"$db.${tombstoneTable(table)}"
+    if (!spark.catalog.tableExists(ts)) {
+      Seq.empty[Long].toDF("doc_id").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(ts)
+    }
+    if (!removedIds.isEmpty) {
+      removedIds.select(col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(ts)
+    }
+  }
+
+  /** The live view of a maintained band index: persisted rows minus
+    * tombstoned docs (a broadcast anti-join — the tombstone set is the
+    * retracted sliver, never corpus-sized; compaction keeps it so). */
+  def liveBandIndex(spark: org.apache.spark.sql.SparkSession,
+      db: String, table: String): DataFrame = {
+    val idx = spark.table(s"$db.$table")
+    val ts = s"$db.${tombstoneTable(table)}"
+    if (spark.catalog.tableExists(ts))
+      idx.join(broadcast(spark.table(ts)), Seq("doc_id"), "left_anti")
+    else idx
+  }
+
+  /** Fold tombstones into the index: rewrite the LIVE view into a
+    * staged bucketed table, then swap it in with a metastore
+    * drop+rename — the corpus-sized write happens entirely off to the
+    * side, and the exposure window shrinks to two metadata operations
+    * (a crash before the rename leaves the old index intact plus an
+    * orphan staging table the next compaction overwrites). Run when the
+    * tombstone sliver or the accumulated per-batch appended files
+    * warrant it — the same economics as any lakehouse compaction. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      db: String, table: String, numBuckets: Int = 8): Unit = {
+    import spark.implicits._
+    val staged = s"${table}_staged"
+    liveBandIndex(spark, db, table)
+      .write
+      .bucketBy(numBuckets, "bk")
+      .sortBy("bk")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"$db.$staged")
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    spark.sql(s"ALTER TABLE $db.$staged RENAME TO $db.$table")
+    Seq.empty[Long].toDF("doc_id").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"$db.${tombstoneTable(table)}")
+  }
+
   private def crossScreen(incomingBands: DataFrame, corpusBands: DataFrame,
       incoming: DataFrame, corpus: DataFrame, n: Int,
       threshold: Double): DataFrame = {

@@ -264,6 +264,59 @@ class DiagnosticsSpec extends AnyFunSuite {
       s"indexed screen should scan the bucketed band table:\n$plan")
   }
 
+  test("updateBandIndex/compactBandIndex: incremental add + tombstone " +
+      "delete equals a fresh rebuild; compaction folds tombstones") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bmx-").toString
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    val db = s"bmx${System.nanoTime()}"
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val initial = docs.filter(col("doc_id") < 400)
+    val added = docs.filter(col("doc_id") >= 400)
+    val removedIds = Seq(3L, 7L, 11L).toDF("doc_id")
+    // incremental: build on initial, append `added`, tombstone 3 ids
+    DedupOps.buildBandIndex(initial, db, "bands")
+    DedupOps.updateBandIndex(s, db, "bands", added, removedIds)
+    val live = DedupOps.liveBandIndex(s, db, "bands")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // reference: rebuild from the post-update corpus
+    val corpus2 = docs.filter(!col("doc_id").isin(3L, 7L, 11L))
+    DedupOps.buildBandIndex(corpus2, db, "fresh")
+    val fresh = s.table(s"$db.fresh")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(live.nonEmpty && live == fresh)
+    // screens agree end-to-end through the maintained live view
+    val incoming = docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val viaMaintained = DedupOps.crossNearDuplicatesIndexed(
+        incoming, corpus2, DedupOps.liveBandIndex(s, db, "bands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val viaDirect = DedupOps.crossNearDuplicates(incoming, corpus2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(viaMaintained == viaDirect)
+    // compaction: tombstones fold in, live view unchanged, table bucketed
+    DedupOps.compactBandIndex(s, db, "bands")
+    assert(s.table(s"$db.bands_tombstones").count() == 0)
+    val compacted = s.table(s"$db.bands")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(compacted == fresh)
+    val plan = DedupOps.crossNearDuplicatesIndexed(
+        incoming, corpus2, DedupOps.liveBandIndex(s, db, "bands"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"compacted index must still scan bucketed:\n$plan")
+  }
+
   test("termSearch matches only docs containing ALL terms and plans " +
       "no exchange") {
     import spark.implicits._
