@@ -52,6 +52,32 @@ object Curation {
         splitAssign(key, valPct, testPct).as("split"))
       .agg(count(lit(1)).as("n_docs"), sum(sizeCol).as("n_chars"))
 
+  /** Leakage-free train/val/test split: assign splits by NEAR-DUP
+    * CLUSTER, not by document — the fix for the cross-split
+    * contamination that q128 measures. Whole duplicate families land in
+    * one split (the split key is the cluster's min doc_id from
+    * [[graft.ops.DedupOps.duplicateClusters]]), so no near-identical
+    * text straddles the train/eval boundary — the Pile/FineWeb-style
+    * decontaminated split. Deterministic: same hash-bucket machinery as
+    * [[splitAssign]], keyed by cluster id, stable under re-runs and
+    * incremental arrival of MORE members of an existing cluster.
+    *
+    * Returns (doc_id, cluster_id, split).
+    *
+    * Shape at scale: the cluster computation is the q66 engine
+    * (banded candidates → verified edges → adaptive connected
+    * components); the split itself is one map-side hash on the joined
+    * label — no extra shuffle beyond the label attach. */
+  def leakageFreeSplit(docs: DataFrame, valPct: Int = 20,
+      testPct: Int = 10): DataFrame = {
+    val clusters = graft.ops.DedupOps.duplicateClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(clusters, "doc_id")
+      .select(col("doc_id"), col("cluster_id"),
+        splitAssign(col("cluster_id"), valPct, testPct).as("split"))
+  }
+
   /** Per-stratum sampling accounting at `pct`%: (stratum, n_total,
     * n_sampled, rate). One small-cardinality aggregation, no extra pass
     * over the sampled subset. */

@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.Dialect.tsUs
 
 /** Temporal operators the reference's DuckDB dialect exposes but Spark has
   * no single built-in for: as-of joins (DuckDB `ASOF JOIN`) and gap-based
@@ -231,5 +233,37 @@ object Temporal {
         sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))
       .drop("_new")
+  }
+
+  /** Exponentially time-decayed aggregate per key: each event
+    * contributes value · 2^(−age/halfLife), age measured against the
+    * corpus max timestamp — the recency-weighted engagement/importance
+    * score of feature stores and trending rankers, computed batch-side
+    * in closed form (no per-event state machine).
+    *
+    * Returns (key, n_events, decayed) with decayed = Σ value·2^(−age/hl).
+    *
+    * Determinism (the q122 contract): each event's decayed term is
+    * rounded ONCE to scaled (×10⁶) int64 — all microsecond arithmetic
+    * is exact int64, the exponent division and pow are single IEEE
+    * operations on exact inputs — so the per-key sum is order-free
+    * integer math that any engine reproduces.
+    *
+    * Shape at scale: the reference timestamp is a 1-row aggregate
+    * broadcast (`crossJoin(broadcast(…))`); terms are map-side; ONE
+    * key-partitioned map-combined aggregation. An incremental refresh
+    * multiplies a stored total by a constant decay factor and adds the
+    * new batch — the closed form here is what makes that fold correct. */
+  def decayedAggregate(events: DataFrame, key: Column, ts: Column,
+      value: Column, halfLifeHours: Double = 6.0): DataFrame = {
+    val tmax = events.agg(max(tsUs(ts)).as("tmax_us"))
+    events.crossJoin(broadcast(tmax))
+      .select(key.as("key"),
+        round(value * pow(lit(2.0),
+          -((col("tmax_us") - tsUs(ts)) / 3600000000.0) / halfLifeHours)
+          * 1e6).cast("long").as("term"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("term")).cast("double") / 1e6).as("decayed"))
   }
 }

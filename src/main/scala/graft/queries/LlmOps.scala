@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, Multimodal, TextOps, VectorOps}
+import graft.ops.{Curation, DedupOps, Multimodal, TextOps, VectorOps}
 import graft.sources.Tables
 import Q.{h32Sql, tokensSql}
 
@@ -355,6 +355,49 @@ object LlmOps {
         SELECT a, b, rank_gap, round(inter * 1.0 / uni, 6) AS jac
         FROM p WHERE 2 * inter >= uni ORDER BY a, b"""),
       bench = true),
+
+    // ---- leakage-free split (split by dup cluster, not by doc) ----------
+    // the FIX for what q128 measures: whole near-dup families land in
+    // one split, keyed by the cluster's min doc_id through the same
+    // deterministic hash-bucket machinery as q98
+    "q172_leakage_free_split" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.leakageFreeSplit(Tables.load(spark, dir, "documents"))
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        WITH RECURSIVE $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a, b, COUNT(*) AS i
+          FROM pairs
+          JOIN sh x ON x.doc_id = a
+          JOIN sh y ON y.doc_id = b AND y.s = x.s
+          GROUP BY a, b),
+        verified AS (SELECT a, b
+          FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+          WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2),
+        edges AS (SELECT a, b FROM verified
+          UNION ALL SELECT b AS a, a AS b FROM verified),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
+        cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+               FROM reach GROUP BY src)
+        SELECT doc_id, cluster_id,
+          CASE WHEN ${h32Sql("CAST(cluster_id AS VARCHAR)")} % 100 < 10
+                 THEN 'test'
+               WHEN ${h32Sql("CAST(cluster_id AS VARCHAR)")} % 100 < 30
+                 THEN 'val'
+               ELSE 'train' END AS split
+        FROM cl ORDER BY doc_id""")),
 
     // ---- entity clusters from sorted-neighborhood pairs -----------------
     // the end of the ER pipeline: SNM candidate pairs (q166) fed through

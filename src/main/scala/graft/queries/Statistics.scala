@@ -1158,6 +1158,26 @@ object Statistics {
           CAST(SUM(CASE WHEN num > den * 9 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_outliers
         FROM d WHERE den > 0
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- exponentially time-decayed aggregate (recency weighting) -------
+    // feature-store/trending-ranker scoring in closed batch form: each
+    // event contributes value·2^(−age/halfLife) against the corpus max
+    // timestamp; per-event terms round once to scaled int64 (the q122
+    // contract), so the per-user sum is order-free integer math
+    "q173_decayed_engagement" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.Temporal.decayedAggregate(t(spark, dir, "events"),
+            col("user_id"), col("ts"), col("value"), halfLifeHours = 6.0)
+          .select(col("key").as("user_id"), col("n_events"), col("decayed"))
+          .orderBy(col("user_id")),
+      oracle = Some("""
+        WITH m AS (SELECT MAX(epoch_us(ts)) AS tmax_us FROM events)
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(CAST(round(value * pow(2.0,
+              -((tmax_us - epoch_us(ts)) / 3600000000.0) / 6.0)
+            * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS decayed
+        FROM events CROSS JOIN m
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }
