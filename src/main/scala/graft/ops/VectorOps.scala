@@ -835,4 +835,77 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Round-half-away-from-zero on the EXACT binary value of a double —
+    * the semantics Spark's SQL `round` (BigDecimal HALF_UP) and
+    * DuckDB's `round` share. `math.round` (floor(x+0.5)) double-rounds
+    * near halves, so it cannot be used where a SQL oracle must
+    * reproduce the result. */
+  private def rhu(x: Double): Long =
+    new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  /** Top principal component by power iteration over the EXACT
+    * dimension covariance ([[dimCovariance]]) — embedding-space QA's
+    * next step after the covariance screen: the dominant variance
+    * direction and its eigenvalue (whitening, drift tracking, dead-dim
+    * analysis all start here).
+    *
+    * Returns one row per dimension: (g, loading, eigenvalue) with the
+    * final iterate's unit-norm loading and the Rayleigh-quotient
+    * eigenvalue (same value on every row).
+    *
+    * Distribution boundary (the k-center/k-means-seed pattern): the
+    * corpus-sized work is the covariance pass — distributed, exact,
+    * one shuffle; the iteration itself runs on the driver over the
+    * d²-bounded matrix, which is the correct side of the boundary for
+    * d in the thousands and below.
+    *
+    * Determinism (cross-engine, the q122 contract taken to a fixpoint
+    * loop): the iterate v is an EXACT ×10⁶-scaled int64 vector at every
+    * step. One step: term_ij = round(C_ij·v_j) (HALF_UP — [[rhu]]),
+    * w_i = Σ_j term_ij (exact int64), ‖w‖² = Σ w_i² (exact BigInt —
+    * w_i reaches ~6e17, its square overflows int64), and
+    * v'_i = round(w_i/√‖w‖²·10⁶). Every float op is a single IEEE
+    * operation on exactly-agreed inputs, every sum is integer, so an
+    * unrolled SQL replica (the q174 oracle) reproduces the ENTIRE
+    * trajectory bit-for-bit — no float-summation-order hazard at any
+    * step. C itself hash-matches cross-engine already (q160). */
+  def pcaTopComponent(vectors: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val covRows = dimCovariance(vectors)
+      .select(col("g1"), col("g2"), col("cov")).collect()
+    val d = covRows.map(_.getInt(1)).max
+    val C = Array.ofDim[Double](d + 1, d + 1)
+    covRows.foreach { r =>
+      val (a, b, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      C(a)(b) = c
+      C(b)(a) = c
+    }
+    def step(v: Array[Long]): Array[Long] =
+      Array.tabulate(d + 1) { i =>
+        if (i == 0) 0L
+        else {
+          var s = 0L
+          var j = 1
+          while (j <= d) { s += rhu(C(i)(j) * v(j)); j += 1 }
+          s
+        }
+      }
+    var v = Array.tabulate(d + 1)(i =>
+      if (i == 0) 0L else rhu(1e6 / math.sqrt(d.toDouble)))
+    (1 to iters).foreach { _ =>
+      val w = step(v)
+      val norm2 = w.map(x => BigInt(x) * BigInt(x)).sum
+      val nrm = math.sqrt(norm2.toDouble)
+      v = w.map(wi => rhu(wi.toDouble / nrm * 1e6))
+    }
+    val wf = step(v)
+    val num = (1 to d).map(i => BigInt(wf(i)) * BigInt(v(i))).sum
+    val den = (1 to d).map(i => v(i) * v(i)).sum
+    val lam = num.toDouble / den.toDouble
+    (1 to d).map(g => (g.toLong, v(g).toDouble / 1e6, lam))
+      .toDF("g", "loading", "eigenvalue")
+  }
 }

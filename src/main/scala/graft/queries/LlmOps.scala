@@ -923,6 +923,65 @@ object LlmOps {
         FROM p JOIN s s1 ON s1.g = g1 JOIN s s2 ON s2.g = g2, nn
         ORDER BY g1, g2""")),
 
+    // ---- top principal component (power iteration, exact trajectory) ----
+    // the covariance screen's next step: dominant variance direction +
+    // Rayleigh eigenvalue. Corpus-sized work is the distributed q160
+    // covariance; the iteration runs driver-side over the d²-bounded
+    // matrix with an exact ×10⁶-int iterate at every step, so the
+    // unrolled SQL below reproduces the ENTIRE 100-step trajectory
+    // bit-for-bit (100 steps because the synthetic embeddings are
+    // near-isotropic - eigengap 1.07 - and power iteration needs
+    // (l2/l1)^t to die; see VectorOps.pcaTopComponent scaladoc)
+    "q174_pca_power" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.pcaTopComponent(Tables.load(spark, dir, "embeddings"),
+            iters = 100)
+          .orderBy(col("g")),
+      oracle = Some {
+        val iters = 100
+        // every per-step CTE is MATERIALIZED: v_t references w_t twice
+        // (directly and through the norm), so default inlining would
+        // DOUBLE the expression tree per step — 2^100 by the last
+        // iteration (measured as a >10-minute optimizer hang)
+        val iterCtes = (1 to iters).map { t =>
+          s"""w$t AS MATERIALIZED (SELECT c.g1 AS g,
+               CAST(SUM(CAST(round(c.cov * v.v) AS BIGINT)) AS BIGINT) AS w
+             FROM cfull c JOIN v${t - 1} v ON v.g = c.g2 GROUP BY c.g1),
+           n$t AS MATERIALIZED (SELECT CAST(SUM(CAST(w AS HUGEINT) * w)
+                     AS DOUBLE) AS norm2 FROM w$t),
+           v$t AS MATERIALIZED (SELECT g,
+               CAST(round(w / sqrt(norm2) * 1000000.0) AS BIGINT) AS v
+             FROM w$t CROSS JOIN n$t)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH $quantCte,
+        nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM xv),
+        s AS (SELECT g, CAST(SUM(x) AS BIGINT) AS sx FROM xv GROUP BY g),
+        p AS (SELECT a.g AS g1, b.g AS g2,
+                CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+              FROM xv a JOIN xv b ON a.vec_id = b.vec_id AND a.g <= b.g
+              GROUP BY 1, 2),
+        cmat AS (SELECT g1, g2,
+            CAST(sxy AS DOUBLE) / n -
+              (CAST(s1.sx AS DOUBLE) / n) * (CAST(s2.sx AS DOUBLE) / n)
+              AS cov
+          FROM p JOIN s s1 ON s1.g = g1 JOIN s s2 ON s2.g = g2, nn),
+        cfull AS MATERIALIZED (SELECT g1, g2, cov FROM cmat
+          UNION ALL SELECT g2 AS g1, g1 AS g2, cov FROM cmat WHERE g1 <> g2),
+        v0 AS (SELECT g, CAST(round(1000000.0 / sqrt(64.0)) AS BIGINT) AS v
+               FROM (SELECT unnest(generate_series(1, 64)) AS g)),
+        $iterCtes,
+        wf AS (SELECT c.g1 AS g,
+            CAST(SUM(CAST(round(c.cov * v.v) AS BIGINT)) AS BIGINT) AS w
+          FROM cfull c JOIN v$iters v ON v.g = c.g2 GROUP BY c.g1),
+        num AS (SELECT CAST(SUM(CAST(w.w AS HUGEINT) * v.v) AS DOUBLE)
+                  AS num FROM wf w JOIN v$iters v USING (g)),
+        den AS (SELECT CAST(SUM(v * v) AS DOUBLE) AS den FROM v$iters)
+        SELECT g, CAST(v AS DOUBLE) / 1000000.0 AS loading,
+               num / den AS eigenvalue
+        FROM v$iters CROSS JOIN num CROSS JOIN den ORDER BY g"""
+      }),
+
     // ---- seeded random projection (JL dimension reduction) --------------
     "q156_random_projection" -> QueryDef(
       build = (spark, dir) =>

@@ -462,6 +462,33 @@ class OpsSpec extends AnyFunSuite {
     assert(d3.getInt(8) == 0)
   }
 
+  test("pcaTopComponent converges to the true dominant eigenvector " +
+      "(breeze reference) with matching Rayleigh eigenvalue") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val out = VectorOps.pcaTopComponent(emb, iters = 100).collect()
+      .map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val d = out.length
+    val v = breeze.linalg.DenseVector(out.map(_._2))
+    assert(math.abs(breeze.linalg.norm(v) - 1.0) < 1e-3, "unit norm")
+    // reference: dense eig of the same covariance matrix
+    val covRows = VectorOps.dimCovariance(emb)
+      .select(col("g1"), col("g2"), col("cov")).collect()
+    val c = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    covRows.foreach { r =>
+      c(r.getInt(0) - 1, r.getInt(1) - 1) = r.getDouble(2)
+      c(r.getInt(1) - 1, r.getInt(0) - 1) = r.getDouble(2)
+    }
+    val es = breeze.linalg.eigSym(c)
+    val top = es.eigenvalues.toArray.zipWithIndex.maxBy(_._1)
+    val ref = es.eigenvectors(::, top._2)
+    val cos = math.abs((v dot ref) / breeze.linalg.norm(v)
+      / breeze.linalg.norm(ref))
+    assert(cos > 0.999, s"loading direction off: |cos|=$cos")
+    assert(math.abs(out.head._3 - top._1) / top._1 < 1e-3,
+      s"eigenvalue ${out.head._3} vs reference ${top._1}")
+  }
+
   test("normalizedDedup collapses punctuation/whitespace variants to one " +
       "fingerprint, keeps the first occurrence") {
     import spark.implicits._
