@@ -839,6 +839,50 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Top adjacent-bigram collocations by pointwise mutual information:
+    * PMI(a,b) = ln( c_ab·N / (c_a·_·c_·b) ) over exact integer bigram
+    * counts, with first-slot/second-slot marginals derived from the
+    * SAME bigram count frame (one aggregation feeds all three
+    * factors). High-PMI pairs are collocations ("new york"); raw
+    * frequency top-k (the [[topNgrams]] face) surfaces stopword pairs
+    * instead — PMI is the standard collocation fix. `minCount` guards
+    * the classic PMI low-count pathology (a 1-occurrence pair of two
+    * hapaxes maxes the score).
+    *
+    * Determinism: PMI's argument is a RATIONAL of exact int64 counts —
+    * one IEEE division chain + one ln, rounded once to ×10⁶ (the q122
+    * contract); ranking ties break (a, b) ascending.
+    *
+    * Shape at scale: bigram counts shuffle once (map-side combined);
+    * marginals re-aggregate that reduced frame twice and attach by
+    * broadcast-or-shuffle joins on its own keys; the global top-k plans
+    * as TakeOrderedAndProject. */
+  def pmiBigrams(docs: DataFrame, k: Int = 25, minCount: Long = 5L)
+      : DataFrame = {
+    val pairs = spread(docs)
+      .select(tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> struct(element_at(w, i) AS a,
+                         element_at(w, i + 1) AS b))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cab"))
+    val tot = pairs.agg(sum(col("cab")).as("nb"))
+    val ma = pairs.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val mb = pairs.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    pairs.filter(col("cab") >= minCount)
+      .join(ma, "a")
+      .join(mb, "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("cab"),
+        (round(log(col("cab").cast("double") * col("nb")
+          / (col("ca").cast("double") * col("cb"))) * 1e6)
+          .cast("long").cast("double") / 1e6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Pairwise source-distribution divergence: add-k-smoothed KL and
     * Jensen–Shannon divergence between every ordered pair of sources'
     * unigram token distributions — the corpus-comparison report that

@@ -836,6 +836,89 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** One-way ANOVA F-statistic per embedding dimension against a label
+    * column — the classic filter-method feature selector: which
+    * dimensions separate the classes (high F) and which are noise
+    * (F ≈ 1). Returns (g, ssb, ssw, f): scaled between-/within-class
+    * sums of squares and F = (ssb/(k−1)) / (ssw/(N−k)).
+    *
+    * Determinism: group sums and sums-of-squares are exact int64 over
+    * the quantized components; the two division-bearing reductions
+    * (Σ_l s_l²/n_l and S²/N) round each term ONCE to an integer before
+    * the exact sum (the q122 contract — a plain float Σ over labels
+    * would be merge-order-dependent), so ssb/ssw are exact int64 and F
+    * is one IEEE expression over them.
+    *
+    * Shape at scale: ONE (label, dim)-keyed aggregation (map-side
+    * combined; k·d rows out), re-aggregated to d rows — the label
+    * dimension is bounded, nothing corpus-sized crosses the wire
+    * twice. Overflow: Σx² reaches ~5e13 per (label, dim) at these
+    * magnitudes; at ≥1e9 rows per label widen the ss sums to
+    * DECIMAL(38,0) as in [[dimCovariance]]. */
+  def anovaFPerDim(vectors: DataFrame, labelCol: String = "label")
+      : DataFrame = {
+    val xv = spread(vectors)
+      .filter(col("embedding").isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("long").as("lbl"),
+        posexplode(quantized(col("embedding"))).as(Seq("p", "x")))
+      .select(col("lbl"), (col("p") + 1).cast("long").as("g"), col("x"))
+    val perLbl = xv.groupBy(col("g"), col("lbl"))
+      .agg(count(lit(1)).as("nl"), sum(col("x")).as("sl"),
+        sum(col("x") * col("x")).as("ssl"))
+    perLbl
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("nl")).as("n"),
+        sum(col("sl")).as("s"),
+        sum(col("ssl")).as("ss"),
+        // Σ_l round(s_l²/n_l): per-label term rounded once, exact sum
+        sum(round(col("sl").cast("double") * col("sl") / col("nl"))
+          .cast("long")).as("a"))
+      .select(col("g"), col("k"), col("n"),
+        (col("a") - round(col("s").cast("double") * col("s") / col("n"))
+          .cast("long")).as("ssb"),
+        (col("ss") - col("a")).as("ssw"))
+      .select(col("g"), col("ssb"), col("ssw"),
+        ((col("ssb").cast("double") / (col("k") - 1))
+          / (col("ssw").cast("double") / (col("n") - col("k")))).as("f"))
+  }
+
+  /** Z-score standardization of every embedding component against the
+    * corpus per-dimension mean/variance — the preprocessing step ahead
+    * of cosine/k-means work when dimensions carry wildly different
+    * scales. Returns (vec_id, g, z) with z rounded to 6 decimals.
+    *
+    * Determinism: μ_g = S/N and σ²_g = SS/N − μ² are fixed-order IEEE
+    * expressions over exact int64 sums (the [[dimCovariance]]
+    * discipline); z rounds once. Dimensions with σ² ≤ 0 (constant
+    * columns) emit z = 0 rather than NaN.
+    *
+    * Shape at scale: ONE d-keyed stats aggregation (map-side combined,
+    * d rows out) broadcast back onto the component stream — the corpus
+    * is touched twice map-side, shuffled never (beyond the d-row
+    * frame). */
+  def standardized(vectors: DataFrame): DataFrame = {
+    val xv = spread(vectors).filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        posexplode(quantized(col("embedding"))).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("g"), col("x"))
+    val stats = xv.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      .select(col("g"),
+        (col("s").cast("double") / col("n")).as("mu"),
+        (col("ss").cast("double") / col("n") -
+          (col("s").cast("double") / col("n")) *
+          (col("s").cast("double") / col("n"))).as("var"))
+    xv.join(broadcast(stats), "g")
+      .select(col("vec_id"), col("g"),
+        when(col("var") > 0,
+          round((col("x") - col("mu")) / sqrt(col("var")) * 1e6)
+            .cast("long").cast("double") / 1e6)
+          .otherwise(0.0).as("z"))
+  }
+
   /** Round-half-away-from-zero on the EXACT binary value of a double —
     * the semantics Spark's SQL `round` (BigDecimal HALF_UP) and
     * DuckDB's `round` share. `math.round` (floor(x+0.5)) double-rounds

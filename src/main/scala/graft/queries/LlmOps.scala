@@ -982,6 +982,91 @@ object LlmOps {
         FROM v$iters CROSS JOIN num CROSS JOIN den ORDER BY g"""
       }),
 
+    // ---- per-dimension ANOVA F vs labels (filter feature selection) -----
+    // which embedding dimensions separate the classes: exact int group
+    // sums, per-label division terms rounded once before the exact
+    // reduction (a float sum over labels would be merge-order-dependent)
+    "q175_anova_f" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.anovaFPerDim(Tables.load(spark, dir, "embeddings"))
+          .orderBy(col("g")),
+      oracle = Some("""
+        WITH xg AS (SELECT CAST(label AS BIGINT) AS lbl, g,
+            CAST(floor(CAST(embedding[g] AS DOUBLE) * 100000) AS BIGINT) AS x
+          FROM (SELECT label, embedding,
+                  unnest(generate_series(1, 64)) AS g
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL)),
+        pl AS (SELECT g, lbl, COUNT(*) AS nl,
+                 CAST(SUM(x) AS BIGINT) AS sl,
+                 CAST(SUM(x * x) AS BIGINT) AS ssl
+               FROM xg GROUP BY 1, 2),
+        agg AS (SELECT g, COUNT(*) AS k, CAST(SUM(nl) AS BIGINT) AS n,
+                 CAST(SUM(sl) AS BIGINT) AS s,
+                 CAST(SUM(ssl) AS BIGINT) AS ss,
+                 CAST(SUM(CAST(round(CAST(sl AS DOUBLE) * sl / nl)
+                   AS BIGINT)) AS BIGINT) AS a
+               FROM pl GROUP BY g),
+        fs AS (SELECT g,
+                 a - CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS ssb,
+                 ss - a AS ssw, k, n
+               FROM agg)
+        SELECT g, ssb, ssw,
+          (CAST(ssb AS DOUBLE) / (k - 1))
+            / (CAST(ssw AS DOUBLE) / (n - k)) AS f
+        FROM fs ORDER BY g""")),
+
+    // ---- per-dimension z-score standardization --------------------------
+    // the preprocessing ahead of cosine/k-means when dimensions carry
+    // different scales; one d-keyed stats agg broadcast back map-side
+    "q177_standardize" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.standardized(Tables.load(spark, dir, "embeddings"))
+          .orderBy(col("vec_id"), col("g")),
+      oracle = Some("""
+        WITH xv AS (SELECT vec_id, g,
+            CAST(floor(CAST(embedding[g] AS DOUBLE) * 100000) AS BIGINT) AS x
+          FROM (SELECT vec_id, embedding,
+                  unnest(generate_series(1, 64)) AS g
+                FROM embeddings WHERE embedding IS NOT NULL)),
+        st AS (SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+                 CAST(SUM(x * x) AS BIGINT) AS ss
+               FROM xv GROUP BY g),
+        mv AS (SELECT g, CAST(s AS DOUBLE) / n AS mu,
+                 CAST(ss AS DOUBLE) / n -
+                   (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var
+               FROM st)
+        SELECT vec_id, g,
+          CASE WHEN var > 0
+            THEN CAST(CAST(round((x - mu) / sqrt(var) * 1000000.0)
+                   AS BIGINT) AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS z
+        FROM xv JOIN mv USING (g) ORDER BY vec_id, g""")),
+
+    // ---- PMI collocations (top bigrams by association, not frequency) ---
+    "q176_pmi_bigrams" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.pmiBigrams(Tables.load(spark, dir, "documents"),
+          k = 25, minCount = 5L),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+                    FROM documents),
+        bg AS (SELECT list_extract(w, CAST(i AS INT)) AS a,
+                 list_extract(w, CAST(i AS INT) + 1) AS b
+               FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                     FROM tk WHERE len(w) >= 2)),
+        c AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+        nbt AS (SELECT CAST(SUM(cab) AS BIGINT) AS nb FROM c),
+        ma AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM c GROUP BY a),
+        mb AS (SELECT b, CAST(SUM(cab) AS BIGINT) AS cb FROM c GROUP BY b),
+        s AS (SELECT c.a, c.b, cab,
+                CAST(CAST(round(ln(CAST(cab AS DOUBLE) * nb
+                    / (CAST(ca AS DOUBLE) * cb)) * 1000000.0) AS BIGINT)
+                  AS DOUBLE) / 1000000.0 AS pmi
+              FROM c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nbt
+              WHERE cab >= 5)
+        SELECT a, b, cab, pmi FROM s ORDER BY pmi DESC, a, b LIMIT 25""")),
+
     // ---- seeded random projection (JL dimension reduction) --------------
     "q156_random_projection" -> QueryDef(
       build = (spark, dir) =>
