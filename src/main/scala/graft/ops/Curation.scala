@@ -657,6 +657,40 @@ object Curation {
       .select(col("key"), col("w"), round(col("r_exact"), 6).as("r"))
   }
 
+  /** Deterministic epoch assembly from a temperature mixture — the step
+    * AFTER [[temperatureMixture]] computes per-source sampling rates:
+    * materialize which documents (and how many copies of each) make up
+    * one training epoch. A document in a source with rate r appears
+    * ⌊r⌋ times plus one more with probability frac(r), decided by the
+    * same md5 hash-bucket coin as every sampler here — so the epoch is
+    * a pure function of (corpus, alpha, budget, seed): reproducible
+    * across runs, engines and partitionings, and auditable row-by-row.
+    *
+    * Returns (doc_id, source, copy) with copy ∈ 1..n_copies.
+    *
+    * Shape at scale: rates are an S-row broadcast joined map-side; the
+    * copy expansion is a per-row explode bounded by ⌈r⌉ — no shuffle
+    * beyond the S-row aggregation inside [[temperatureMixture]].
+    * The fractional coin compares against round(frac·10⁶) so both
+    * engines quantize the threshold identically. */
+  def assembleEpoch(docs: DataFrame, stratum: Column, nTokens: Column,
+      alpha: Double = 0.7, budget: Long = 100000L,
+      seed: String = "42"): DataFrame = {
+    val rates = temperatureMixture(docs, stratum, nTokens, alpha, budget)
+      .select(col("stratum"), col("rate"))
+    val coin = h32(concat(col("doc_id").cast("string"), lit("#" + seed)))
+      .%(1000000L)
+    docs.select(col("doc_id"), stratum.as("stratum"))
+      .join(broadcast(rates), "stratum")
+      .select(col("doc_id"), col("stratum").as("source"),
+        (floor(col("rate")).cast("long") +
+          when(coin < round((col("rate") - floor(col("rate"))) * 1e6)
+            .cast("long"), 1L).otherwise(0L)).as("n_copies"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   /** Seeded weighted sampling without replacement PER GROUP — A-ES
     * ([[weightedSample]]) composed with the k-bounded
     * [[graft.functions.TopKByScore]] aggregator: each stratum draws its

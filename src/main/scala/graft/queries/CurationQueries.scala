@@ -436,6 +436,43 @@ object CurationQueries {
           CAST(ws AS DOUBLE) / w_total * 100000 / n_tok AS rate
         FROM w, t ORDER BY stratum""")),
 
+    // ---- deterministic epoch assembly (materialize the mixture) ---------
+    // q121 computes per-source rates; this materializes the epoch:
+    // floor(rate) copies per doc plus a seeded-coin extra for the
+    // fraction - the epoch is a pure function of (corpus, alpha,
+    // budget, seed), auditable row-by-row
+    "q178_epoch_assembly" -> QueryDef(
+      build = (spark, dir) =>
+        Curation.assembleEpoch(t(spark, dir, "documents"),
+            col("source"), size(tokens(col("text"))).cast("long"),
+            alpha = 0.7, budget = 100000L)
+          .orderBy(col("doc_id"), col("copy")),
+      oracle = Some(raw"""
+        WITH n AS (SELECT source AS stratum,
+            CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS n_tok
+          FROM documents GROUP BY source),
+        w AS (SELECT stratum, n_tok,
+            CAST(ROUND(pow(CAST(n_tok AS DOUBLE), 0.7) * 1e6) AS BIGINT)
+              AS ws
+          FROM n),
+        t AS (SELECT SUM(ws) AS w_total FROM w),
+        r AS (SELECT stratum,
+            CAST(ws AS DOUBLE) / w_total * 100000 / n_tok AS rate
+          FROM w, t),
+        d AS (SELECT doc_id, d.source,
+            CAST(floor(rate) AS BIGINT) +
+              (CASE WHEN (${h32Sql("CAST(doc_id AS VARCHAR) || '#42'")})
+                      % 1000000
+                    < CAST(round((rate - floor(rate)) * 1000000.0)
+                        AS BIGINT)
+                THEN 1 ELSE 0 END) AS n_copies
+          FROM documents d JOIN r ON r.stratum = d.source)
+        SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies))
+          AS BIGINT) AS copy
+        FROM d WHERE n_copies >= 1
+        ORDER BY doc_id, copy""")),
+
     // ---- CCNet-style unigram-LM cross-entropy quality score -------------
     "q122_unigram_xent" -> QueryDef(
       build = (spark, dir) =>
