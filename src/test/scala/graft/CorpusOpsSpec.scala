@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curation, TextOps, Temporal}
+
+/** Property tests for the round-7 corpus operators beyond their oracle
+  * rows: divergence axioms, collocation ranking, epoch-assembly mass,
+  * decay closed form. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("sourceDivergence: KL >= 0, near-zero for identically-distributed " +
+      "sources, JS symmetric and bounded by ln 2") {
+    import spark.implicits._
+    // a and b share one distribution; c is disjoint vocabulary
+    val docs = Seq(
+      (1L, "x y z x y z", "a"), (2L, "x y z x y z", "b"),
+      (3L, "q r s q r s", "c"), (4L, "x y z x y z", "a"),
+      (5L, "q r s q r s", "c")).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceDivergence(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    // KL non-negative everywhere (Gibbs), within rounding slack
+    assert(out.values.forall(_._1 >= -1e-5))
+    // identically-distributed (not identical-size, so add-k smoothing
+    // leaves a small residual): tiny divergence; disjoint: large
+    assert(out(("a", "b"))._1 < 0.05 && out(("b", "a"))._1 < 0.05)
+    assert(out(("a", "c"))._1 > 1.0)
+    // JS symmetric and bounded by ln 2
+    out.keys.foreach { case (x, y) =>
+      assert(math.abs(out((x, y))._2 - out((y, x))._2) < 1e-5)
+      assert(out((x, y))._2 <= math.log(2.0) + 1e-5)
+    }
+  }
+
+  test("pmiBigrams ranks a planted collocation above stopword pairs") {
+    import spark.implicits._
+    // "hong kong" always co-occurs; "the" pairs with everything
+    val base = "the cat the dog the bird the fish"
+    val docs = (1L to 12L).map(i =>
+      (i, s"$base hong kong item$i the end")).toDF("doc_id", "text")
+    val out = TextOps.pmiBigrams(docs, k = 10, minCount = 5L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    val byPair = out.toMap
+    assert(byPair.contains(("hong", "kong")))
+    val stopPairs = out.filter(_._1._1 == "the").map(_._2)
+    assert(stopPairs.forall(_ < byPair(("hong", "kong"))),
+      "collocation must outrank every stopword pair")
+  }
+
+  test("assembleEpoch: copy counts bracket rate and repeat docs when " +
+      "rate > 1") {
+    import spark.implicits._
+    // tiny source -> upsampled above 1 by the alpha<1 mixture
+    val docs = ((1L to 50L).map(i => (i, ("w " * 40).trim, "big")) ++
+      Seq((101L, ("w " * 40).trim, "small")))
+      .toDF("doc_id", "text", "source")
+    val rates = Curation.temperatureMixture(docs, col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long"),
+        alpha = 0.5, budget = 4000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val epoch = Curation.assembleEpoch(docs, col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long"),
+        alpha = 0.5, budget = 4000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val copies = epoch.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    // every emitted doc has copies in {floor(r), floor(r)+1}
+    docs.collect().foreach { row =>
+      val (id, src) = (row.getLong(0), row.getString(2))
+      val r = rates(src)
+      val c = copies.getOrElse(id, 0L)
+      assert(c == math.floor(r).toLong || c == math.floor(r).toLong + 1,
+        s"doc $id: $c copies for rate $r")
+    }
+    // the upsampled small source must actually repeat
+    assert(rates("small") > 1.0)
+    assert(copies(101L) >= math.floor(rates("small")).toLong)
+    // copy indices are dense 1..n
+    epoch.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("decayedAggregate matches the closed form on a hand-built fixture") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(hours: Double) =
+      new java.sql.Timestamp(t0.getTime + (hours * 3600 * 1000).toLong)
+    val events = Seq(
+      (1L, at(0.0), 100.0),   // age 12h at tmax -> weight 2^-2 = 0.25
+      (1L, at(6.0), 100.0),   // age 6h -> 0.5
+      (1L, at(12.0), 100.0),  // age 0 -> 1.0
+      (2L, at(12.0), 40.0)).toDF("user_id", "ts", "value")
+    val out = Temporal.decayedAggregate(events, col("user_id"), col("ts"),
+        col("value"), halfLifeHours = 6.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (25.0 + 50.0 + 100.0)) < 1e-6)
+    assert(math.abs(out(2L)._2 - 40.0) < 1e-6)
+  }
+}
