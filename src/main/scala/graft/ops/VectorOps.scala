@@ -919,6 +919,39 @@ object VectorOps {
           .otherwise(0.0).as("z"))
   }
 
+  /** Robust per-dimension scaling — (x − median) / IQR — the
+    * outlier-resistant cousin of [[standardized]] (a handful of
+    * corrupt extreme components move the mean/variance but not the
+    * quartiles). Returns (vec_id, g, r) rounded to 6 decimals;
+    * zero-IQR dimensions emit 0.
+    *
+    * Cross-engine exactness: Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the linear-interpolation definition over
+    * exact int64 components (hash-match precedent: q95), and the scale
+    * expression rounds once.
+    *
+    * Scale note: EXACT per-group percentiles buffer the group's values
+    * (this is the QA/audit face, like q95); at corpus scale swap the
+    * quartile frame for `percentile_approx` — rank-error bounded as
+    * q117 proves — and the apply pass is unchanged (the quartile frame
+    * stays d rows either way, broadcast back onto a map-side pass). */
+  def robustScaled(vectors: DataFrame): DataFrame = {
+    val xv = spread(vectors).filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        posexplode(quantized(col("embedding"))).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("g"), col("x"))
+    val q = xv.groupBy(col("g"))
+      .agg(expr("percentile(x, 0.5)").as("med"),
+        (expr("percentile(x, 0.75)") - expr("percentile(x, 0.25)"))
+          .as("iqr"))
+    xv.join(broadcast(q), "g")
+      .select(col("vec_id"), col("g"),
+        when(col("iqr") > 0,
+          round((col("x") - col("med")) / col("iqr") * 1e6)
+            .cast("long").cast("double") / 1e6)
+          .otherwise(0.0).as("r"))
+  }
+
   /** Round-half-away-from-zero on the EXACT binary value of a double —
     * the semantics Spark's SQL `round` (BigDecimal HALF_UP) and
     * DuckDB's `round` share. `math.round` (floor(x+0.5)) double-rounds

@@ -1043,6 +1043,30 @@ object LlmOps {
             ELSE 0.0 END AS z
         FROM xv JOIN mv USING (g) ORDER BY vec_id, g""")),
 
+    // ---- robust per-dimension scaling (median/IQR) ----------------------
+    // the outlier-resistant cousin of q177; exact quartiles are the
+    // QA face (percentile/quantile_cont parity per q95) - swap in the
+    // q117 sketch at corpus scale
+    "q179_robust_scale" -> QueryDef(
+      build = (spark, dir) =>
+        VectorOps.robustScaled(Tables.load(spark, dir, "embeddings"))
+          .orderBy(col("vec_id"), col("g")),
+      oracle = Some("""
+        WITH xv AS (SELECT vec_id, g,
+            CAST(floor(CAST(embedding[g] AS DOUBLE) * 100000) AS BIGINT) AS x
+          FROM (SELECT vec_id, embedding,
+                  unnest(generate_series(1, 64)) AS g
+                FROM embeddings WHERE embedding IS NOT NULL)),
+        q AS (SELECT g, quantile_cont(x, 0.5) AS med,
+                quantile_cont(x, 0.75) - quantile_cont(x, 0.25) AS iqr
+              FROM xv GROUP BY g)
+        SELECT vec_id, g,
+          CASE WHEN iqr > 0
+            THEN CAST(CAST(round((x - med) / iqr * 1000000.0)
+                   AS BIGINT) AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS r
+        FROM xv JOIN q USING (g) ORDER BY vec_id, g""")),
+
     // ---- PMI collocations (top bigrams by association, not frequency) ---
     "q176_pmi_bigrams" -> QueryDef(
       build = (spark, dir) =>
