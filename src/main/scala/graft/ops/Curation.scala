@@ -69,14 +69,13 @@ object Curation {
     * components); the split itself is one map-side hash on the joined
     * label — no extra shuffle beyond the label attach. */
   def leakageFreeSplit(docs: DataFrame, valPct: Int = 20,
-      testPct: Int = 10): DataFrame = {
-    val clusters = graft.ops.DedupOps.duplicateClusters(docs)
-      .select(col("doc_id"), col("cluster_id"))
-    docs.select(col("doc_id"))
-      .join(clusters, "doc_id")
+      testPct: Int = 10): DataFrame =
+    // duplicateClusters already emits exactly one row per input doc
+    // (singletons included) — no join back onto docs needed, the split
+    // is one map-side hash on the cluster label
+    graft.ops.DedupOps.duplicateClusters(docs)
       .select(col("doc_id"), col("cluster_id"),
         splitAssign(col("cluster_id"), valPct, testPct).as("split"))
-  }
 
   /** Per-stratum sampling accounting at `pct`%: (stratum, n_total,
     * n_sampled, rate). One small-cardinality aggregation, no extra pass
@@ -364,34 +363,36 @@ object Curation {
     * Returns (doc_id, n_tok, pack_id). */
   def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
     val spark = docs.sparkSession
-    val parted = docs
+    // STAGED, not persist+finally-unpersist: spark_partition_id must be
+    // observed from ONE materialization by ALL consumers, including the
+    // returned lazy plan that executes after this function returns. An
+    // unpersisted recompute re-runs repartitionByRange with a fresh
+    // sampling seed (derived from the new RDD id), so partition bounds
+    // — and therefore every pack assignment — could silently shift.
+    // Stage() materializes eagerly and cuts lineage.
+    val parted = graft.core.Stage(docs
       .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
       .repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      // materialize pid before it is observed twice (subtotals + join):
-      // spark_partition_id is only stable for a materialized partitioning
-      .persist()
-    try {
-      val subtotals = parted.groupBy(col("pid"))
-        .agg(sum(col("n_tok")).as("t"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1)))
-        .sortBy(_._1)
-      val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
-        (pid, acc + t)
-      }.tail.zip(subtotals).map { case ((pid, cumIncl), (_, t)) =>
-        (pid, cumIncl - t) // exclusive prefix: total BEFORE this partition
-      }
-      import spark.implicits._
-      val offsetDf = offsets.toSeq.toDF("pid", "offset")
-      val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      parted.join(broadcast(offsetDf), "pid")
-        .withColumn("cum0",
-          sum(col("n_tok")).over(w) - col("n_tok") + col("offset"))
-        .select(col("doc_id"), col("n_tok"),
-          floor(col("cum0") / budget).as("pack_id"))
-    } finally parted.unpersist()
+      .withColumn("pid", spark_partition_id()))
+    val subtotals = parted.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.tail.zip(subtotals).map { case ((pid, cumIncl), (_, t)) =>
+      (pid, cumIncl - t) // exclusive prefix: total BEFORE this partition
+    }
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("pid", "offset")
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offsetDf), "pid")
+      .withColumn("cum0",
+        sum(col("n_tok")).over(w) - col("n_tok") + col("offset"))
+      .select(col("doc_id"), col("n_tok"),
+        floor(col("cum0") / budget).as("pack_id"))
   }
 
   /** Pack-level accounting for packSequences: (pack_id, n_docs, n_tokens). */

@@ -438,6 +438,8 @@ object DedupOps extends Serializable {
     val spark = docs.sparkSession
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     bandsOf(docs, n, k, rowsPerBand)
+      // generation stamp for incremental maintenance ([[updateBandIndex]])
+      .withColumn("batch", lit(0L))
       .write
       .bucketBy(numBuckets, "bk")
       .sortBy("bk")
@@ -462,22 +464,33 @@ object DedupOps extends Serializable {
     * pattern that avoids rebuilding a corpus-sized table per batch:
     *
     *  - `admitted` docs APPEND their own band rows into the bucketed
-    *    table (Spark appends to a bucketed table with matching bucket
-    *    spec, so new files land in the same bk-hash buckets and the
+    *    table, stamped with a monotonically increasing `batch` id
+    *    (Spark appends to a bucketed table with matching bucket spec,
+    *    so new files land in the same bk-hash buckets and the
     *    bucket-pruned candidate join keeps working unchanged);
     *  - `removedIds` (retracted/redacted docs) append to a tombstone
-    *    side table — parquet files are immutable, so deletes are
-    *    logical until the next [[compactBandIndex]] folds them in.
+    *    side table as (doc_id, as_of = this batch) — parquet files are
+    *    immutable, so deletes are logical until [[compactBandIndex]]
+    *    folds them in. The as-of generation is what makes
+    *    RE-ADMISSION correct: a tombstone hides only rows with
+    *    batch ≤ as_of, so a doc deleted in batch 3 and re-ingested
+    *    (possibly with different text) in batch 5 shows exactly its
+    *    new rows — the stale pre-deletion rows stay hidden.
     *
-    * Cost per batch: band rows of the batch (map-side) + a tombstone
-    * append — never a corpus-sized write. */
+    * Cost per batch: band rows of the batch (map-side) + a 1-row max
+    * over the index's batch column + a tombstone append — never a
+    * corpus-sized write. Single-writer maintenance, like any
+    * non-transactional metastore table. */
   def updateBandIndex(spark: org.apache.spark.sql.SparkSession,
       db: String, table: String, admitted: DataFrame,
       removedIds: DataFrame, n: Int = 8, k: Int = 12,
       rowsPerBand: Int = 3, numBuckets: Int = 8): Unit = {
     import spark.implicits._
+    val nextBatch = spark.table(s"$db.$table")
+      .agg(max(col("batch"))).head().getLong(0) + 1L
     if (!admitted.isEmpty) {
       bandsOf(admitted, n, k, rowsPerBand)
+        .withColumn("batch", lit(nextBatch))
         .write
         .bucketBy(numBuckets, "bk")
         .sortBy("bk")
@@ -486,48 +499,62 @@ object DedupOps extends Serializable {
     }
     val ts = s"$db.${tombstoneTable(table)}"
     if (!spark.catalog.tableExists(ts)) {
-      Seq.empty[Long].toDF("doc_id").write
+      Seq.empty[(Long, Long)].toDF("doc_id", "as_of").write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(ts)
     }
     if (!removedIds.isEmpty) {
-      removedIds.select(col("doc_id"))
+      removedIds.select(col("doc_id"), lit(nextBatch).as("as_of"))
         .write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(ts)
     }
   }
 
   /** The live view of a maintained band index: persisted rows minus
-    * tombstoned docs (a broadcast anti-join — the tombstone set is the
-    * retracted sliver, never corpus-sized; compaction keeps it so). */
+    * rows hidden by a tombstone of generation ≥ their batch (a
+    * broadcast anti-join — the tombstone set is the retracted sliver,
+    * never corpus-sized; compaction keeps it so). */
   def liveBandIndex(spark: org.apache.spark.sql.SparkSession,
       db: String, table: String): DataFrame = {
     val idx = spark.table(s"$db.$table")
     val ts = s"$db.${tombstoneTable(table)}"
-    if (spark.catalog.tableExists(ts))
-      idx.join(broadcast(spark.table(ts)), Seq("doc_id"), "left_anti")
-    else idx
+    if (spark.catalog.tableExists(ts)) {
+      val dead = broadcast(spark.table(ts))
+      idx.join(dead,
+        idx("doc_id") === dead("doc_id") && idx("batch") <= dead("as_of"),
+        "left_anti")
+    } else idx
   }
 
   /** Fold tombstones into the index: rewrite the LIVE view into a
-    * staged bucketed table, then swap it in with a metastore
-    * drop+rename — the corpus-sized write happens entirely off to the
-    * side, and the exposure window shrinks to two metadata operations
-    * (a crash before the rename leaves the old index intact plus an
-    * orphan staging table the next compaction overwrites). Run when the
-    * tombstone sliver or the accumulated per-batch appended files
-    * warrant it — the same economics as any lakehouse compaction. */
+    * staged bucketed table, then swap via rename-out / rename-in /
+    * drop-old — the corpus-sized write happens entirely off to the
+    * side, and at EVERY instant either the old or the new table data
+    * exists under a well-known name: a crash between the renames
+    * leaves the previous index intact under `<table>_old` (recovery =
+    * one rename, never a rebuild), a crash before the first rename
+    * leaves the index untouched with an orphan staging table the next
+    * compaction overwrites. Single-writer maintenance (tombstones
+    * appended CONCURRENTLY with a running compaction would be folded
+    * out by the final truncate — don't do that without a transactional
+    * metastore). Run when the tombstone sliver or the accumulated
+    * per-batch appended files warrant it — the same economics as any
+    * lakehouse compaction. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       db: String, table: String, numBuckets: Int = 8): Unit = {
     import spark.implicits._
     val staged = s"${table}_staged"
+    val old = s"${table}_old"
+    spark.sql(s"DROP TABLE IF EXISTS $db.$staged")
+    spark.sql(s"DROP TABLE IF EXISTS $db.$old")
     liveBandIndex(spark, db, table)
       .write
       .bucketBy(numBuckets, "bk")
       .sortBy("bk")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"$db.$staged")
-    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    spark.sql(s"ALTER TABLE $db.$table RENAME TO $db.$old")
     spark.sql(s"ALTER TABLE $db.$staged RENAME TO $db.$table")
-    Seq.empty[Long].toDF("doc_id").write
+    spark.sql(s"DROP TABLE $db.$old")
+    Seq.empty[(Long, Long)].toDF("doc_id", "as_of").write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"$db.${tombstoneTable(table)}")
   }
@@ -1208,50 +1235,61 @@ object DedupOps extends Serializable {
       tauNum: Long = 1L, tauDen: Long = 2L, keyLen: Int = 16): DataFrame = {
     require(w >= 1, "window w must be >= 1")
     val spark = docs.sparkSession
-    val keyed = spread(docs).select(col("doc_id"),
-        substring(regexp_replace(lower(col("text")), "\\s+", ""), 1, keyLen)
-          .as("bkey"),
-        array_distinct(tokens(col("text"))).as("tk"))
-      .repartitionByRange(col("bkey"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      // pid must be observed from ONE materialization (subtotal count +
-      // rank join): persist before both consumers
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val subtotals = keyed.groupBy(col("pid"))
-        .agg(count(lit(1)).as("c")).collect()
-        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
-        (pid, acc + c)
-      }.tail.zip(subtotals).map { case ((pid, cumIncl), (_, c)) =>
-        (pid, cumIncl - c)
-      }
-      import spark.implicits._
-      val offsetDf = offsets.toSeq.toDF("pid", "offset")
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("pid")).orderBy(col("bkey"), col("doc_id"))
-      val ranked = keyed.join(broadcast(offsetDf), "pid")
-        .withColumn("r", row_number().over(win) + col("offset") - 1)
-        .select(col("doc_id"), col("tk"), col("r"))
-      // neighbor join on rank buckets of width w: pair (ra < rb,
-      // rb − ra ≤ w) has floor(rb/w) ∈ {floor(ra/w), floor(ra/w)+1};
-      // left emits home+successor, right stays home → exactly one match
-      val left = ranked.select(col("doc_id").as("a"), col("tk").as("tka"),
-          col("r").as("ra"),
-          explode(array(floor(col("r") / w),
-            floor(col("r") / w) + 1)).as("bk"))
-      val right = ranked.select(col("doc_id").as("b"), col("tk").as("tkb"),
-        col("r").as("rb"), floor(col("r") / w).as("bk"))
-      left.join(right,
-          left("bk") === right("bk") && col("rb") > col("ra")
-            && col("rb") - col("ra") <= w)
-        .withColumn("inter",
-          size(array_intersect(col("tka"), col("tkb"))).cast("long"))
-        .withColumn("uni",
-          size(col("tka")).cast("long") + size(col("tkb")) - col("inter"))
-        .filter(lit(tauDen) * col("inter") >= lit(tauNum) * col("uni"))
-        .select(col("a"), col("b"), (col("rb") - col("ra")).as("rank_gap"),
-          round(col("inter").cast("double") / col("uni"), 6).as("jac"))
-    } finally keyed.unpersist()
+    // null text is excluded up front: a null blocking key would rank
+    // NULLS FIRST in Spark but NULLS LAST in most SQL engines, silently
+    // shifting every neighbor window by the null count.
+    //
+    // STAGED, not persisted: spark_partition_id is only meaningful for
+    // ONE materialization, and three consumers observe it (subtotal
+    // count, rank window, pair join) — the last one AFTER this function
+    // returns. A persist + finally-unpersist here would let the
+    // returned lazy plan recompute the range exchange from scratch,
+    // and RangePartitioner's sampling seed derives from the (new) RDD
+    // id, so recomputed partition bounds can differ from the ones the
+    // offsets were computed from — silently shifting every global rank.
+    // Stage() materializes eagerly and cuts lineage, so every consumer
+    // reads the same blocks.
+    val keyed = graft.core.Stage(
+      spread(docs.where(col("text").isNotNull))
+        .select(col("doc_id"),
+          substring(regexp_replace(lower(col("text")), "\\s+", ""), 1,
+            keyLen).as("bkey"),
+          array_distinct(tokens(col("text"))).as("tk"))
+        .repartitionByRange(col("bkey"), col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val subtotals = keyed.groupBy(col("pid"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.tail.zip(subtotals).map { case ((pid, cumIncl), (_, c)) =>
+      (pid, cumIncl - c)
+    }
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("pid", "offset")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("bkey"), col("doc_id"))
+    val ranked = keyed.join(broadcast(offsetDf), "pid")
+      .withColumn("r", row_number().over(win) + col("offset") - 1)
+      .select(col("doc_id"), col("tk"), col("r"))
+    // neighbor join on rank buckets of width w: pair (ra < rb,
+    // rb − ra ≤ w) has floor(rb/w) ∈ {floor(ra/w), floor(ra/w)+1};
+    // left emits home+successor, right stays home → exactly one match
+    val left = ranked.select(col("doc_id").as("a"), col("tk").as("tka"),
+        col("r").as("ra"),
+        explode(array(floor(col("r") / w),
+          floor(col("r") / w) + 1)).as("bk"))
+    val right = ranked.select(col("doc_id").as("b"), col("tk").as("tkb"),
+      col("r").as("rb"), floor(col("r") / w).as("bk"))
+    left.join(right,
+        left("bk") === right("bk") && col("rb") > col("ra")
+          && col("rb") - col("ra") <= w)
+      .withColumn("inter",
+        size(array_intersect(col("tka"), col("tkb"))).cast("long"))
+      .withColumn("uni",
+        size(col("tka")).cast("long") + size(col("tkb")) - col("inter"))
+      .filter(lit(tauDen) * col("inter") >= lit(tauNum) * col("uni"))
+      .select(col("a"), col("b"), (col("rb") - col("ra")).as("rank_gap"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jac"))
   }
 }

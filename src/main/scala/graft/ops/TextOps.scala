@@ -953,12 +953,21 @@ object TextOps {
       val klT = round(pa * (lpa - lpb) * 1e6).cast("long")
       val jsT = round((pa * (lpa - lpm) + pb * (lpb - lpm)) / 2.0 * 1e6)
         .cast("long")
-      mat.crossJoin(broadcast(pairsDf))
+      // the result is S(S−1) rows — collect it INSIDE the cached scope
+      // (the final aggregation is the heaviest consumer of `counts`;
+      // returning it lazily would re-tokenize the corpus uncached after
+      // the finally-unpersist) and hand back a local-backed frame
+      val result = mat.crossJoin(broadcast(pairsDf))
         .select(col("source_a"), col("source_b"),
           klT.as("klt"), jsT.as("jst"))
         .groupBy(col("source_a"), col("source_b"))
         .agg((sum(col("klt")).cast("double") / 1e6).as("kl"),
           (sum(col("jst")).cast("double") / 1e6).as("js"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getDouble(2), r.getDouble(3)))
+        .toSeq
+      result.toDF("source_a", "source_b", "kl", "js")
     } finally counts.unpersist()
   }
 }

@@ -992,6 +992,8 @@ object VectorOps {
     import spark.implicits._
     val covRows = dimCovariance(vectors)
       .select(col("g1"), col("g2"), col("cov")).collect()
+    require(covRows.nonEmpty,
+      "pcaTopComponent needs a non-empty embedding column")
     val d = covRows.map(_.getInt(1)).max
     val C = Array.ofDim[Double](d + 1, d + 1)
     covRows.foreach { r =>
@@ -1011,11 +1013,20 @@ object VectorOps {
       }
     var v = Array.tabulate(d + 1)(i =>
       if (i == 0) 0L else rhu(1e6 / math.sqrt(d.toDouble)))
+    var live = true
     (1 to iters).foreach { _ =>
-      val w = step(v)
-      val norm2 = w.map(x => BigInt(x) * BigInt(x)).sum
-      val nrm = math.sqrt(norm2.toDouble)
-      v = w.map(wi => rhu(wi.toDouble / nrm * 1e6))
+      if (live) {
+        val w = step(v)
+        val norm2 = w.map(x => BigInt(x) * BigInt(x)).sum
+        // degenerate (all-zero covariance, e.g. constant embeddings):
+        // C·v = 0 — stop at the current iterate rather than divide by 0
+        // and feed NaN into the rounding
+        if (norm2 == 0) live = false
+        else {
+          val nrm = math.sqrt(norm2.toDouble)
+          v = w.map(wi => rhu(wi.toDouble / nrm * 1e6))
+        }
+      }
     }
     val wf = step(v)
     val num = (1 to d).map(i => BigInt(wf(i)) * BigInt(v(i))).sum

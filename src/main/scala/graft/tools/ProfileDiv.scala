@@ -8,7 +8,7 @@ import graft.sources.Tables
 /** Dev-only: decompose q168/q169 costs at sf0.1. */
 object ProfileDiv {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -303,13 +303,42 @@ class DiagnosticsSpec extends AnyFunSuite {
     val viaDirect = DedupOps.crossNearDuplicates(incoming, corpus2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
     assert(viaMaintained == viaDirect)
+    // RE-ADMISSION with changed text: doc 7 comes back in a later batch.
+    // Its NEW band rows must show; its stale pre-deletion rows must NOT.
+    val readmitted = docs.filter(col("doc_id") === 7L)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.concat(col("text"),
+          org.apache.spark.sql.functions.lit(" entirely new suffix text"))
+          .as("text"))
+    DedupOps.updateBandIndex(s, db, "bands", readmitted,
+      Seq.empty[Long].toDF("doc_id"))
+    val live7 = DedupOps.liveBandIndex(s, db, "bands")
+      .filter(col("doc_id") === 7L)
+      .collect().map(r => (r.getInt(1), r.getString(2))).sorted.toSeq
+    val expect7 = DedupOps.bandsOf(readmitted)
+      .collect().map(r => (r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(live7.nonEmpty && live7 == expect7,
+      "re-admitted doc must expose exactly its NEW band rows")
+    // docs 3 and 11 stay hidden (their tombstones outrank batch 0)
+    assert(DedupOps.liveBandIndex(s, db, "bands")
+      .filter(col("doc_id").isin(3L, 11L)).count() == 0)
+
     // compaction: tombstones fold in, live view unchanged, table bucketed
     DedupOps.compactBandIndex(s, db, "bands")
     assert(s.table(s"$db.bands_tombstones").count() == 0)
+    // post-compaction: re-admitted doc still visible, removed still gone
+    assert(DedupOps.liveBandIndex(s, db, "bands")
+      .filter(col("doc_id") === 7L).count() == live7.size)
+    assert(DedupOps.liveBandIndex(s, db, "bands")
+      .filter(col("doc_id").isin(3L, 11L)).count() == 0)
     val compacted = s.table(s"$db.bands")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
-      .sortBy(t => (t._1, t._2)).toSeq
-    assert(compacted == fresh)
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    // reference now includes the re-admitted doc 7 with its NEW text
+    val fresh2 = (fresh.filterNot(_._1 == 7L) ++
+      expect7.map { case (band, bk) => (7L, band, bk) })
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(compacted == fresh2)
     val plan = DedupOps.crossNearDuplicatesIndexed(
         incoming, corpus2, DedupOps.liveBandIndex(s, db, "bands"))
       .queryExecution.executedPlan.toString

@@ -500,7 +500,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"grouped top-k must not fall back to the row_number window:\n$p")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       s"TopKByScore aggregation missing from the plan:\n$p")
-    assert(p.contains("partial_topkbyscore") || p.contains("partial_"),
+    assert(p.contains("partial_topkbyscore"),
       s"top-k partials must combine map-side:\n$p")
   }
 
