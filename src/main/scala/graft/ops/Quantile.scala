@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT order statistics at corpus scale — k-th smallest (type-1
+  * quantile, DuckDB's `quantile_disc` / ceil(q·n) rank) of an integer
+  * column WITHOUT buffering any group in memory.
+  *
+  * Spark's exact `percentile` (q95) collects every value of the group
+  * into one aggregation buffer — fine for QA at test scale, lethal on a
+  * 10¹² -row column. This operator instead bisects the VALUE DOMAIN with
+  * histogram passes: each round buckets the remaining [lo, hi] range
+  * into ≤ 2¹⁶ intervals with one map-side-combined aggregation
+  * (≤ 65 536 rows cross the wire), the driver walks the cumulative
+  * histogram to find the bucket containing rank k, and the next round
+  * refines inside it. An int64 domain needs ⌈64/16⌉ = 4 rounds; each
+  * later round's scan carries a pushdown-friendly BETWEEN predicate.
+  * Exactness is unconditional — no sketch error, no per-group memory.
+  *
+  * This is the classic "median of a billion numbers" counting algorithm
+  * (distribution-histogram bisection), expressed as Spark aggregations.
+  */
+object Quantile {
+
+  /** Exact type-1 quantiles of a long-valued column. Returns
+    * (q, rank k = ⌈q·n⌉, value) per requested quantile. Null values are
+    * excluded (SQL aggregate semantics). */
+  def exactLongQuantiles(df: DataFrame, value: Column,
+      qs: Seq[Double]): Seq[(Double, Long, Long)] = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must lie in (0, 1]")
+    val vdf = df.select(value.cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val head = vdf.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+      max(col("v")).as("mx")).head()
+    val n = head.getLong(0)
+    require(n > 0, "exactLongQuantiles needs at least one non-null row")
+    val (mn, mx) = (head.getLong(1), head.getLong(2))
+    qs.map { q =>
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      (q, k, kthSmallest(vdf, k, mn, mx))
+    }
+  }
+
+  /** The k-th smallest value of `vdf.v` within [lo0, hi0], by
+    * histogram bisection. One aggregation job per refinement round. */
+  private def kthSmallest(vdf: DataFrame, k: Long, lo0: Long,
+      hi0: Long): Long = {
+    var lo = lo0
+    var hi = hi0
+    var kk = k
+    // v − lo must not wrap: a span beyond 2^62 (min/max straddling most
+    // of the int64 range) would need unsigned bucket arithmetic
+    require(BigInt(hi) - BigInt(lo) <= (BigInt(1) << 62),
+      s"value domain [$lo, $hi] spans more than 2^62")
+    while (hi > lo) {
+      // bucket shift so the remaining span fits ≤ 2^16 buckets; spans
+      // are computed in BigInt — (hi − lo) overflows long for a
+      // full-domain first round
+      val span = BigInt(hi) - BigInt(lo) + 1
+      val shift = math.max(0, span.bitLength - 16)
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, whose
+      // 53-bit mantissa would misbucket values beyond 2^53
+      val hist = vdf.where(col("v").between(lo, hi))
+        .groupBy(expr(s"(v - ${lo}L) div ${1L << shift}L").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // walk the cumulative histogram to the bucket holding rank kk
+      var acc = 0L
+      var i = 0
+      while (i < hist.length && acc + hist(i)._2 < kk) {
+        acc += hist(i)._2
+        i += 1
+      }
+      require(i < hist.length, s"rank $kk exceeds rows in [$lo, $hi]")
+      val b = hist(i)._1
+      kk -= acc
+      // bucket bounds in BigInt: at a full-int64 first round the raw
+      // long arithmetic could overflow transiently
+      val newLo = (BigInt(lo) + BigInt(b) * (BigInt(1) << shift)).toLong
+      val cap = BigInt(newLo) + (BigInt(1) << shift) - 1
+      hi = if (cap >= BigInt(hi)) hi else cap.toLong
+      lo = newLo
+      if (shift == 0) return lo
+    }
+    lo
+  }
+}

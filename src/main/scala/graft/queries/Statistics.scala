@@ -1160,6 +1160,34 @@ object Statistics {
         FROM d WHERE den > 0
         GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- exact quantiles WITHOUT buffering (histogram bisection) --------
+    // the scale-correct complement of q95: Spark's exact percentile
+    // buffers every group value; this bisects the VALUE DOMAIN with
+    // <= 4 histogram passes of <= 2^16 rows each (ops.Quantile) -
+    // unconditionally exact at any row count, no sketch, no buffering
+    "q180_exact_quantile_bisect" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        graft.ops.Quantile.exactLongQuantiles(
+            t(spark, dir, "orders"), cents(col("o_totalprice")),
+            Seq(0.5, 0.9, 0.99))
+          .toDF("q", "k", "value")
+          .orderBy(col("q"))
+      },
+      oracle = Some("""
+        SELECT CAST(0.5 AS DOUBLE) AS q, CAST(ceil(0.5 * COUNT(*)) AS BIGINT) AS k,
+               quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+                 AS value FROM orders
+        UNION ALL
+        SELECT CAST(0.9 AS DOUBLE), CAST(ceil(0.9 * COUNT(*)) AS BIGINT),
+               quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)
+          FROM orders
+        UNION ALL
+        SELECT CAST(0.99 AS DOUBLE), CAST(ceil(0.99 * COUNT(*)) AS BIGINT),
+               quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.99)
+          FROM orders
+        ORDER BY q""")),
+
     // ---- exponentially time-decayed aggregate (recency weighting) -------
     // feature-store/trending-ranker scoring in closed batch form: each
     // event contributes value·2^(−age/halfLife) against the corpus max

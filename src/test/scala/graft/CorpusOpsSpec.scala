@@ -90,6 +90,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactLongQuantiles equals local-sort ranks across negative, " +
+      "duplicated and wide-magnitude domains") {
+    import spark.implicits._
+    // deterministic tricky fixture: dupes, negatives, ±2^40 outliers
+    val values: Seq[Long] =
+      (1 to 500).map(i => ((i * 2654435761L) % 1000) - 500) ++
+        Seq.fill(50)(42L) ++ Seq(-(1L << 40), 1L << 40)
+    val df = values.toDF("x").repartition(7)
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 1.0)
+    val got = graft.ops.Quantile.exactLongQuantiles(df, col("x"), qs)
+    val sorted = values.sorted
+    qs.zip(got).foreach { case (q, (qq, k, v)) =>
+      assert(qq == q)
+      val expectK = math.max(1L, math.ceil(q * values.size).toLong)
+      assert(k == expectK)
+      assert(v == sorted((expectK - 1).toInt),
+        s"q=$q: got $v, want ${sorted((expectK - 1).toInt)}")
+    }
+  }
+
   test("decayedAggregate matches the closed form on a hand-built fixture") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
