@@ -43,6 +43,83 @@ object Quantile {
     }
   }
 
+  /** Per-GROUP exact type-1 quantile of a long column — every group
+    * bisects its own value range SIMULTANEOUSLY: one aggregation per
+    * round computes (group, bucket) histograms for all unconverged
+    * groups at once (per-group bounds ride a broadcast join, bucket
+    * width varies per group via shiftleft), so the round count stays
+    * ≤ ⌈64/16⌉ + 1 TOTAL regardless of group count — not per group.
+    * The wire carries ≤ groups × 2¹⁶ rows per round; group cardinality
+    * must be driver-bounded (it is the state table), which is the same
+    * contract as any grouped-quantile report.
+    *
+    * This is the at-scale answer to grouped `percentile` (q95), whose
+    * aggregation buffer holds every value of the group.
+    *
+    * Returns (group, n, k, value) for the single quantile `q`. */
+  def exactGroupedQuantile(df: DataFrame, group: Column, value: Column,
+      q: Double): DataFrame = {
+    require(q > 0 && q <= 1, "quantile must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vdf = df.select(group.cast("string").as("g"),
+        value.cast("long").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+    // per-group rank targets and initial bounds, one aggregation
+    val init = vdf.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // mutable per-group state: (lo, hi, remaining rank kk)
+    val state = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    val nOf = init.map { case (g, (n, _, _)) => g -> n }
+    init.foreach { case (g, (n, mn, mx)) =>
+      require(BigInt(mx) - BigInt(mn) <= (BigInt(1) << 62),
+        s"group $g: value domain spans more than 2^62")
+      state(g) = (mn, mx, math.max(1L, math.ceil(q * n).toLong))
+    }
+    while (state.exists { case (_, (lo, hi, _)) => hi > lo }) {
+      val open = state.filter { case (_, (lo, hi, _)) => hi > lo }
+      val bounds = open.toSeq.map { case (g, (lo, hi, _)) =>
+        val shift =
+          math.max(0, (BigInt(hi) - BigInt(lo) + 1).bitLength - 16)
+        (g, lo, hi, shift)
+      }
+      val boundsDf = bounds.toDF("g", "lo", "hi", "shift")
+      val hist = vdf.join(broadcast(boundsDf), "g")
+        .where(col("v").between(col("lo"), col("hi")))
+        .groupBy(col("g"),
+          expr("(v - lo) div shiftleft(1L, shift)").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      bounds.foreach { case (g, lo, hi, shift) =>
+        val (_, _, kk) = state(g)
+        val hs = hist(g).map(t => (t._2, t._3)).sortBy(_._1)
+        var acc = 0L
+        var i = 0
+        while (i < hs.length && acc + hs(i)._2 < kk) {
+          acc += hs(i)._2
+          i += 1
+        }
+        require(i < hs.length, s"group $g: rank $kk exceeds [$lo, $hi]")
+        val b = hs(i)._1
+        val newLo = (BigInt(lo) + BigInt(b) * (BigInt(1) << shift)).toLong
+        val cap = BigInt(newLo) + (BigInt(1) << shift) - 1
+        val newHi = if (cap >= BigInt(hi)) hi else cap.toLong
+        state(g) =
+          (newLo, if (shift == 0) newLo else newHi, kk - acc)
+      }
+    }
+    state.toSeq.sortBy(_._1).map { case (g, (lo, _, _)) =>
+      (g, nOf(g), math.max(1L, math.ceil(q * nOf(g)).toLong), lo)
+    }.toDF("g", "n", "k", "value")
+  }
+
   /** The k-th smallest value of `vdf.v` within [lo0, hi0], by
     * histogram bisection. One aggregation job per refinement round. */
   private def kthSmallest(vdf: DataFrame, k: Long, lo0: Long,

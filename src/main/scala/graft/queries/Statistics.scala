@@ -1188,6 +1188,24 @@ object Statistics {
           FROM orders
         ORDER BY q""")),
 
+    // ---- per-group exact quantile, simultaneous bisection ---------------
+    // all groups bisect at once: round count stays <= 5 TOTAL (not per
+    // group), each round one (group, bucket)-keyed aggregation
+    "q181_grouped_quantile_bisect" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.Quantile.exactGroupedQuantile(
+            t(spark, dir, "events"), col("event_type"),
+            cents(col("value")), q = 0.5)
+          .withColumnRenamed("g", "event_type")
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(ceil(0.5 * COUNT(*)) AS BIGINT) AS k,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+                 AS value
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
     // ---- exponentially time-decayed aggregate (recency weighting) -------
     // feature-store/trending-ranker scoring in closed batch form: each
     // event contributes value·2^(−age/halfLife) against the corpus max

@@ -110,6 +110,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactGroupedQuantile: every group's median equals its local " +
+      "sort rank, groups converging at different rounds") {
+    import spark.implicits._
+    // groups with wildly different domains: tight, wide, singleton
+    val rows: Seq[(String, Long)] =
+      (1 to 101).map(i => ("tight", (i % 7).toLong)) ++
+        (1 to 100).map(i => ("wide", i * 1234567891L - 50L * 1234567891L)) ++
+        Seq(("single", 99L))
+    val df = rows.toDF("grp", "x").repartition(5)
+    val got = graft.ops.Quantile
+      .exactGroupedQuantile(df, col("grp"), col("x"), q = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val k = math.max(1L, math.ceil(0.5 * sorted.size).toLong)
+      assert(got(g) == ((sorted.size.toLong, k, sorted((k - 1).toInt))),
+        s"group $g")
+    }
+  }
+
   test("decayedAggregate matches the closed form on a hand-built fixture") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
