@@ -884,6 +884,45 @@ object VectorOps {
           / (col("ssw").cast("double") / (col("n") - col("k")))).as("f"))
   }
 
+  /** Embedding-level benchmark contamination screen — the SEMANTIC face
+    * of the contamination family (q65 exact n-grams, q115 bloom, q126
+    * text near-dups): flag corpus vectors whose nearest same-bucket
+    * benchmark vector reaches `threshold` cosine. Paraphrased benchmark
+    * leakage carries no shared n-grams — the embedding screen is what
+    * catches it.
+    *
+    * Returns one row per corpus vector with ≥ 1 same-bucket benchmark
+    * candidate: (vec_id, best_match, cosine, contaminated).
+    *
+    * Shape at scale: the benchmark side is eval-set-sized by contract —
+    * its bucketed quantized vectors BROADCAST; the corpus streams
+    * map-side through its own bucket hash and an equi-join on the
+    * bucket key. Candidates are bucket-restricted (the q46 recall
+    * contract: single-table LSH — recall rises with nPlanes tables in
+    * [[ivfTopK]]-style variants); cosines are exact-int dot/norm
+    * rationals, so the screen is deterministic cross-engine. */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.35, nPlanes: Int = 8): DataFrame = {
+    val cb = corpus.select(col("vec_id"),
+        quantized(col("embedding")).as("cv"))
+      .join(lshBuckets(corpus, nPlanes), "vec_id")
+    val bb = benchmark.select(col("vec_id").as("bid"),
+        quantized(col("embedding")).as("bv"))
+      .join(lshBuckets(benchmark, nPlanes)
+        .withColumnRenamed("vec_id", "bid"), "bid")
+    val scored = cb.join(broadcast(bb), Seq("bucket"))
+      .select(col("vec_id"), col("bid"),
+        (dot(col("cv"), col("bv")).cast("double") /
+          (sqrt(dot(col("cv"), col("cv")).cast("double")) *
+           sqrt(dot(col("bv"), col("bv")).cast("double")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("bid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bid").as("best_match"), col("cosine"),
+        (col("cosine") >= threshold).as("contaminated"))
+  }
+
   /** Z-score standardization of every embedding component against the
     * corpus per-dimension mean/variance — the preprocessing step ahead
     * of cosine/k-means work when dimensions carry wildly different

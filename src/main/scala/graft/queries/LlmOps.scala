@@ -1043,6 +1043,38 @@ object LlmOps {
             ELSE 0.0 END AS z
         FROM xv JOIN mv USING (g) ORDER BY vec_id, g""")),
 
+    // ---- embedding-level benchmark contamination screen -----------------
+    // the SEMANTIC face of the contamination family (q65 exact n-gram,
+    // q115 bloom, q126 text near-dup): paraphrased leakage shares no
+    // n-grams but lands next to the benchmark in embedding space
+    "q182_semantic_contamination" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.load(spark, dir, "embeddings")
+        VectorOps.semanticContamination(
+            emb.filter(col("vec_id") >= 16),
+            emb.filter(col("vec_id") < 16))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(s"""
+        WITH $quantCte, ${planesCte(8)}, $cosineCtes,
+        b AS (SELECT xv.vec_id AS bid, g, x, bucket
+          FROM xv JOIN buckets USING (vec_id) WHERE vec_id < 16),
+        c AS (SELECT xv.vec_id, g, x, bucket
+          FROM xv JOIN buckets USING (vec_id) WHERE vec_id >= 16),
+        dots AS (SELECT c.vec_id, bid, SUM(c.x * b.x) AS dot
+          FROM c JOIN b ON c.g = b.g AND c.bucket = b.bucket
+          GROUP BY 1, 2),
+        scored AS (SELECT dots.vec_id AS vec_id, bid,
+            dot / (sqrt(nc.nn * 1.0) * sqrt(nb.nn * 1.0)) AS cosine
+          FROM dots JOIN norms nc ON nc.vec_id = dots.vec_id
+                    JOIN norms nb ON nb.vec_id = bid),
+        best AS (SELECT vec_id, bid, cosine, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, bid) AS rn
+          FROM scored)
+        SELECT vec_id, bid AS best_match, cosine,
+               cosine >= 0.35 AS contaminated
+        FROM best WHERE rn = 1 ORDER BY vec_id""")),
+
     // ---- robust per-dimension scaling (median/IQR) ----------------------
     // the outlier-resistant cousin of q177; exact quartiles are the
     // QA face (percentile/quantile_cont parity per q95) - swap in the
