@@ -235,6 +235,40 @@ object Temporal {
       .drop("_new")
   }
 
+  /** Top event PATHS: the most frequent ordered `len`-step event-type
+    * sequences across users — the path-mining complement of pairwise
+    * transition counts (q110b): "view > cart > purchase" as a first-class
+    * countable object.
+    *
+    * Returns the top `k` (path, n) rows, path as "a>b>c", ranked
+    * (n desc, path asc).
+    *
+    * Shape at scale: ONE user-keyed shuffle collects each user's
+    * (ts, event_id, type) triples; ordering and window extraction are
+    * per-row array lambdas on the collected list (per-user event counts
+    * are bounded in any real funnel corpus — the same per-key-bounded
+    * contract as sessionize); path counts combine map-side and the
+    * global top-k plans as TakeOrderedAndProject. Total order
+    * (ts, event_id) makes the sequence deterministic under ties. */
+  def topPaths(events: DataFrame, len: Int = 3, k: Int = 20): DataFrame = {
+    require(len >= 2, "path length must be >= 2")
+    val perUser = events
+      .where(col("event_type").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(expr("transform(evs, e -> e.event_type)").as("ts"))
+    perUser
+      .where(size(col("ts")) >= len)
+      .select(explode(expr(
+        s"""transform(sequence(1, size(ts) - ${len - 1}),
+            i -> array_join(slice(ts, i, $len), '>'))""")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Exponentially time-decayed aggregate per key: each event
     * contributes value · 2^(−age/halfLife), age measured against the
     * corpus max timestamp — the recency-weighted engagement/importance

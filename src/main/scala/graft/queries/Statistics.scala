@@ -1206,6 +1206,26 @@ object Statistics {
         FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- top event paths (ordered 3-step journeys) ----------------------
+    // path mining: the most frequent ordered event-type trigrams per
+    // user timeline - q110b's pairwise transitions, extended to
+    // first-class countable journeys
+    "q183_event_paths" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.Temporal.topPaths(t(spark, dir, "events"),
+          len = 3, k = 20),
+      oracle = Some("""
+        WITH seq AS (SELECT user_id,
+            list(event_type ORDER BY ts, event_id) AS ts
+          FROM events WHERE event_type IS NOT NULL GROUP BY user_id),
+        w AS (SELECT list_extract(ts, CAST(i AS INT)) || '>' ||
+                list_extract(ts, CAST(i AS INT) + 1) || '>' ||
+                list_extract(ts, CAST(i AS INT) + 2) AS path
+              FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+                    FROM seq WHERE len(ts) >= 3))
+        SELECT path, COUNT(*) AS n FROM w
+        GROUP BY path ORDER BY n DESC, path LIMIT 20""")),
+
     // ---- exponentially time-decayed aggregate (recency weighting) -------
     // feature-store/trending-ranker scoring in closed batch form: each
     // event contributes value·2^(−age/halfLife) against the corpus max
