@@ -1075,6 +1075,56 @@ object LlmOps {
                cosine >= 0.35 AS contaminated
         FROM best WHERE rn = 1 ORDER BY vec_id""")),
 
+    // ---- Count-Min sketch point estimates vs exact counts ---------------
+    // the sketch family's point-query member (q57 HLL distinct, q117
+    // quantile sketch, q140 Misra-Gries heavy hitters): fixed-size
+    // mergeable counter matrix; estimates always >= exact (deterministic
+    // with the fixed md5 hash rows), overcount bounded by collisions.
+    // The SQL oracle reproduces the sketch EXACTLY (same h32 cells).
+    "q184_count_min" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val probes = Seq("table", "value", "scan", "row", "key",
+          "vector", "spark", "zzz_absent")
+        val cm = new graft.functions.CountMin(4, 256)
+        val toks = TextOps.tokenized(
+            Tables.load(spark, dir, "documents"))
+          .select(col("tok")).as[String]
+        val sketch = toks.select(cm.toColumn.name("sk")).head()
+        val exact = toks.filter(col("tok").isin(probes: _*))
+          .groupBy(col("tok")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        probes.sorted.map { t =>
+          val ex = exact.getOrElse(t, 0L)
+          val est = cm.estimate(sketch, t)
+          (t, ex, est, est - ex)
+        }.toDF("tok", "exact", "est", "overcount")
+      },
+      oracle = Some(raw"""
+        WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+            AS tok FROM documents),
+        c AS (SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok),
+        cells AS (SELECT i,
+            (('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tok), 1, 8))::BIGINT
+              % 256) AS b,
+            CAST(SUM(n) AS BIGINT) AS cv
+          FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) d
+          GROUP BY 1, 2),
+        probes(tok) AS (VALUES ('table'), ('value'), ('scan'), ('row'),
+          ('key'), ('vector'), ('spark'), ('zzz_absent')),
+        e AS (SELECT p.tok, MIN(coalesce(cells.cv, 0)) AS est
+          FROM probes p
+          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) d
+          LEFT JOIN cells ON cells.i = d.i AND cells.b =
+            (('0x' || substr(md5(CAST(d.i AS VARCHAR) || '|' || p.tok), 1, 8))::BIGINT
+              % 256)
+          GROUP BY p.tok)
+        SELECT p.tok, coalesce(c.n, 0) AS exact,
+               coalesce(e.est, 0) AS est,
+               coalesce(e.est, 0) - coalesce(c.n, 0) AS overcount
+        FROM probes p LEFT JOIN c ON c.tok = p.tok
+        JOIN e ON e.tok = p.tok ORDER BY p.tok""")),
+
     // ---- robust per-dimension scaling (median/IQR) ----------------------
     // the outlier-resistant cousin of q177; exact quartiles are the
     // QA face (percentile/quantile_cont parity per q95) - swap in the
