@@ -48,6 +48,31 @@ final class CatalogService(lake: Lake) {
     summary.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
   }
 
+  /** One-pass frequency estimates for GIVEN values of a column — the
+    * point-query face of the sketch surface ([[topValues]] answers
+    * "which values are common", this answers "how common are THESE"),
+    * computed with the mergeable [[graft.functions.CountMin]] sketch:
+    * ONE streaming pass, a fixed depth×width counter matrix per
+    * partition, map-side combine — at 100 TB the column never
+    * materializes a per-value aggregation and the probe list can be
+    * decided AFTER the pass. Estimates are deterministic upper bounds
+    * (≥ the true count; overcount bounded by cell collisions — widen
+    * `width` to tighten). */
+  def valueFrequencies(domain: String, layer: String, table: String,
+      column: String, values: Seq[String], depth: Int = 4,
+      width: Int = 4096): Seq[(String, Long)] = {
+    require(values.nonEmpty, "valueFrequencies needs probe values")
+    val spark = lake.spark
+    import spark.implicits._
+    val ds = lake.query
+      .dataFrame(s"SELECT * FROM $domain.$layer.$table")
+      .select(org.apache.spark.sql.functions.col(column).cast("string"))
+      .na.drop().as[String]
+    val cm = new graft.functions.CountMin(depth, width)
+    val sketch = ds.select(cm.toColumn.name("sk")).head()
+    values.sorted.map(v => v -> cm.estimate(sketch, v))
+  }
+
   /** One-pass sketch-based table profile for catalog/chat context — the
     * product-surface counterpart of the q90 profiling query and the
     * reference's table-context gathering (transformation_agent/.../

@@ -246,6 +246,14 @@ class PipelineSpec extends AnyFunSuite {
       s"expected exact counts of 10, got $top")
     assert(top.map(_._1) == top.map(_._1).sorted,
       "equal counts must tie-break by value ascending")
+
+    // point-query face: CountMin estimates for chosen values — exact
+    // here (4096-wide sketch, 5 distinct values → no collisions), and
+    // an absent probe reports 0
+    val freqs = lake.catalog.valueFrequencies("sales", "silver", "orders",
+      "customer_id", Seq("0", "3", "no_such_value")).toMap
+    assert(freqs("0") == 10L && freqs("3") == 10L)
+    assert(freqs("no_such_value") == 0L)
   }
 
   test("truncation at 10k rows sets the flag (L1)") {
