@@ -28,6 +28,14 @@ import org.apache.spark.sql.DataFrame
   * Both forms are eager — the frame is materialized before `stage`
   * returns, so callers can unpersist/overwrite inputs the staged frame
   * was derived from (the snapshot-rewrite pattern in silver.Snapshots).
+  *
+  * Lifetime: localCheckpoint blocks free when the RDD is
+  * garbage-collected (ContextCleaner); reliable checkpoint FILES are
+  * only removed automatically when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — set it in
+  * long-lived cluster deployments that stage per-call frames
+  * (sortedNeighborhood, packSequences), or stale checkpoint dirs
+  * accumulate on DFS.
   */
 object Stage {
   def apply(df: DataFrame): DataFrame =

@@ -486,8 +486,13 @@ object DedupOps extends Serializable {
       removedIds: DataFrame, n: Int = 8, k: Int = 12,
       rowsPerBand: Int = 3, numBuckets: Int = 8): Unit = {
     import spark.implicits._
-    val nextBatch = spark.table(s"$db.$table")
-      .agg(max(col("batch"))).head().getLong(0) + 1L
+    // null-safe: a zero-row index (empty-corpus bootstrap) has no max.
+    // Indexes persisted by the pre-generation code version lack the
+    // batch column entirely — adopt them with one rewrite adding
+    // lit(0L).as("batch") before maintaining incrementally.
+    val nextBatch = Option(spark.table(s"$db.$table")
+        .agg(max(col("batch"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L) + 1L
     if (!admitted.isEmpty) {
       bandsOf(admitted, n, k, rowsPerBand)
         .withColumn("batch", lit(nextBatch))
@@ -503,7 +508,10 @@ object DedupOps extends Serializable {
         .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(ts)
     }
     if (!removedIds.isEmpty) {
-      removedIds.select(col("doc_id"), lit(nextBatch).as("as_of"))
+      // as_of = nextBatch − 1: a removal hides all PRIOR generations
+      // but never this same call's admissions — so "remove + re-admit
+      // in one batch" is a REPLACE, not a permanent disappearance
+      removedIds.select(col("doc_id"), lit(nextBatch - 1).as("as_of"))
         .write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(ts)
     }
   }
@@ -543,8 +551,17 @@ object DedupOps extends Serializable {
     import spark.implicits._
     val staged = s"${table}_staged"
     val old = s"${table}_old"
+    // crash recovery BEFORE any destructive step: a previous compaction
+    // that died between its two renames left the only live copy under
+    // <table>_old — restore it; if both exist, the previous run died
+    // after its second rename and _old is a stale leftover
+    if (!spark.catalog.tableExists(s"$db.$table")
+        && spark.catalog.tableExists(s"$db.$old")) {
+      spark.sql(s"ALTER TABLE $db.$old RENAME TO $db.$table")
+    } else if (spark.catalog.tableExists(s"$db.$old")) {
+      spark.sql(s"DROP TABLE $db.$old")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $db.$staged")
-    spark.sql(s"DROP TABLE IF EXISTS $db.$old")
     liveBandIndex(spark, db, table)
       .write
       .bucketBy(numBuckets, "bk")

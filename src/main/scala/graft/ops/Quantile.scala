@@ -23,13 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object Quantile {
 
+  /** ⌈q·n⌉ computed in DECIMAL, not IEEE double: math.ceil(0.07 * 100)
+    * is ceil(7.000000000000001) = 8 in double arithmetic, while the
+    * SQL engines evaluate the literal in exact decimal and get 7 — an
+    * off-by-one rank for many (q, n) pairs. */
+  private def rankOf(q: Double, n: Long): Long =
+    math.max(1L, (BigDecimal(q.toString) * n)
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+
   /** Exact type-1 quantiles of a long-valued column. Returns
     * (q, rank k = ⌈q·n⌉, value) per requested quantile. Null values are
-    * excluded (SQL aggregate semantics). */
+    * excluded (SQL aggregate semantics).
+    *
+    * All requested quantiles bisect SIMULTANEOUSLY (each rides its own
+    * [lo, hi, k] state through shared per-round histogram passes — the
+    * same trick [[exactGroupedQuantile]] plays across groups), so the
+    * total pass count stays ≤ ⌈64/16⌉ + 1 regardless of |qs|. */
   def exactLongQuantiles(df: DataFrame, value: Column,
       qs: Seq[Double]): Seq[(Double, Long, Long)] = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       "quantiles must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
     val vdf = df.select(value.cast("long").as("v"))
       .where(col("v").isNotNull)
     val head = vdf.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
@@ -37,9 +52,51 @@ object Quantile {
     val n = head.getLong(0)
     require(n > 0, "exactLongQuantiles needs at least one non-null row")
     val (mn, mx) = (head.getLong(1), head.getLong(2))
-    qs.map { q =>
-      val k = math.max(1L, math.ceil(q * n).toLong)
-      (q, k, kthSmallest(vdf, k, mn, mx))
+    require(BigInt(mx) - BigInt(mn) <= (BigInt(1) << 62),
+      s"value domain [$mn, $mx] spans more than 2^62")
+    // per-quantile state: (lo, hi, remaining rank kk)
+    val state = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
+    qs.zipWithIndex.foreach { case (q, i) =>
+      state(i) = (mn, mx, rankOf(q, n))
+    }
+    while (state.exists { case (_, (lo, hi, _)) => hi > lo }) {
+      val open = state.filter { case (_, (lo, hi, _)) => hi > lo }
+      val bounds = open.toSeq.map { case (qi, (lo, hi, _)) =>
+        val shift =
+          math.max(0, (BigInt(hi) - BigInt(lo) + 1).bitLength - 16)
+        (qi, lo, hi, shift)
+      }
+      val boundsDf = bounds.toDF("qi", "lo", "hi", "shift")
+      // ranges may overlap: a row contributes to every open quantile
+      // whose window contains it (fan-out ≤ |qs|, map-side)
+      val hist = vdf.crossJoin(broadcast(boundsDf))
+        .where(col("v").between(col("lo"), col("hi")))
+        .groupBy(col("qi"),
+          expr("(v - lo) div shiftleft(1L, shift)").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      bounds.foreach { case (qi, lo, hi, shift) =>
+        val (_, _, kk) = state(qi)
+        val hs = hist(qi).map(t => (t._2, t._3)).sortBy(_._1)
+        var acc = 0L
+        var i = 0
+        while (i < hs.length && acc + hs(i)._2 < kk) {
+          acc += hs(i)._2
+          i += 1
+        }
+        require(i < hs.length, s"rank $kk exceeds rows in [$lo, $hi]")
+        val b = hs(i)._1
+        val newLo = (BigInt(lo) + BigInt(b) * (BigInt(1) << shift)).toLong
+        val cap = BigInt(newLo) + (BigInt(1) << shift) - 1
+        val newHi = if (cap >= BigInt(hi)) hi else cap.toLong
+        state(qi) =
+          (newLo, if (shift == 0) newLo else newHi, kk - acc)
+      }
+    }
+    qs.zipWithIndex.map { case (q, i) =>
+      (q, rankOf(q, n), state(i)._1)
     }
   }
 
@@ -79,7 +136,7 @@ object Quantile {
     init.foreach { case (g, (n, mn, mx)) =>
       require(BigInt(mx) - BigInt(mn) <= (BigInt(1) << 62),
         s"group $g: value domain spans more than 2^62")
-      state(g) = (mn, mx, math.max(1L, math.ceil(q * n).toLong))
+      state(g) = (mn, mx, rankOf(q, n))
     }
     while (state.exists { case (_, (lo, hi, _)) => hi > lo }) {
       val open = state.filter { case (_, (lo, hi, _)) => hi > lo }
@@ -116,51 +173,8 @@ object Quantile {
       }
     }
     state.toSeq.sortBy(_._1).map { case (g, (lo, _, _)) =>
-      (g, nOf(g), math.max(1L, math.ceil(q * nOf(g)).toLong), lo)
+      (g, nOf(g), rankOf(q, nOf(g)), lo)
     }.toDF("g", "n", "k", "value")
   }
 
-  /** The k-th smallest value of `vdf.v` within [lo0, hi0], by
-    * histogram bisection. One aggregation job per refinement round. */
-  private def kthSmallest(vdf: DataFrame, k: Long, lo0: Long,
-      hi0: Long): Long = {
-    var lo = lo0
-    var hi = hi0
-    var kk = k
-    // v − lo must not wrap: a span beyond 2^62 (min/max straddling most
-    // of the int64 range) would need unsigned bucket arithmetic
-    require(BigInt(hi) - BigInt(lo) <= (BigInt(1) << 62),
-      s"value domain [$lo, $hi] spans more than 2^62")
-    while (hi > lo) {
-      // bucket shift so the remaining span fits ≤ 2^16 buckets; spans
-      // are computed in BigInt — (hi − lo) overflows long for a
-      // full-domain first round
-      val span = BigInt(hi) - BigInt(lo) + 1
-      val shift = math.max(0, span.bitLength - 16)
-      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, whose
-      // 53-bit mantissa would misbucket values beyond 2^53
-      val hist = vdf.where(col("v").between(lo, hi))
-        .groupBy(expr(s"(v - ${lo}L) div ${1L << shift}L").as("b"))
-        .agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      // walk the cumulative histogram to the bucket holding rank kk
-      var acc = 0L
-      var i = 0
-      while (i < hist.length && acc + hist(i)._2 < kk) {
-        acc += hist(i)._2
-        i += 1
-      }
-      require(i < hist.length, s"rank $kk exceeds rows in [$lo, $hi]")
-      val b = hist(i)._1
-      kk -= acc
-      // bucket bounds in BigInt: at a full-int64 first round the raw
-      // long arithmetic could overflow transiently
-      val newLo = (BigInt(lo) + BigInt(b) * (BigInt(1) << shift)).toLong
-      val cap = BigInt(newLo) + (BigInt(1) << shift) - 1
-      hi = if (cap >= BigInt(hi)) hi else cap.toLong
-      lo = newLo
-      if (shift == 0) return lo
-    }
-    lo
-  }
 }

@@ -98,12 +98,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1 to 500).map(i => ((i * 2654435761L) % 1000) - 500) ++
         Seq.fill(50)(42L) ++ Seq(-(1L << 40), 1L << 40)
     val df = values.toDF("x").repartition(7)
-    val qs = Seq(0.01, 0.25, 0.5, 0.9, 1.0)
+    // 0.07 is the adversarial rank case: math.ceil(0.07 * n) overshoots
+    // in IEEE double (ceil(7.000000000000001) = 8 at n=100) — the rank
+    // must be computed in decimal to match quantile_disc
+    val qs = Seq(0.01, 0.07, 0.25, 0.5, 0.9, 1.0)
     val got = graft.ops.Quantile.exactLongQuantiles(df, col("x"), qs)
     val sorted = values.sorted
     qs.zip(got).foreach { case (q, (qq, k, v)) =>
       assert(qq == q)
-      val expectK = math.max(1L, math.ceil(q * values.size).toLong)
+      val expectK = math.max(1L, (BigDecimal(q.toString) * values.size)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
       assert(k == expectK)
       assert(v == sorted((expectK - 1).toInt),
         s"q=$q: got $v, want ${sorted((expectK - 1).toInt)}")

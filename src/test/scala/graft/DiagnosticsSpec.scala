@@ -344,6 +344,20 @@ class DiagnosticsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"),
       s"compacted index must still scan bucketed:\n$plan")
+
+    // SAME-CALL replace: remove + re-admit doc 11 in one update — the
+    // tombstone (as_of = batch − 1) must hide prior generations but
+    // never this call's own admissions
+    val re11 = docs.filter(col("doc_id") === 11L)
+    DedupOps.updateBandIndex(s, db, "bands", re11,
+      Seq(11L).toDF("doc_id"))
+    val live11 = DedupOps.liveBandIndex(s, db, "bands")
+      .filter(col("doc_id") === 11L)
+      .collect().map(r => (r.getInt(1), r.getString(2))).sorted.toSeq
+    val expect11 = DedupOps.bandsOf(re11)
+      .collect().map(r => (r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(live11.nonEmpty && live11 == expect11,
+      "same-call remove+re-admit must behave as REPLACE")
   }
 
   test("termSearch matches only docs containing ALL terms and plans " +
