@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed iterative graph analytics — the join-per-round pattern
+  * that [[DedupOps.connectedComponents]] uses for labels, applied to
+  * weighted PageRank. Each round is ONE edge-keyed join plus ONE
+  * dst-keyed aggregation (both map-side combined), with
+  * [[graft.core.Stage]] truncating lineage per round so the plan stays
+  * flat at any iteration count — the execution shape that survives a
+  * 1000-executor graph.
+  *
+  * Determinism (the q174 contract on a graph): ranks are EXACT
+  * ×10⁹-scaled int64 at every round. A round computes per-edge
+  * contributions round(d · r_src · w / outW_src) — one IEEE expression
+  * over exactly-agreed ints, rounded once (Spark SQL `round` = HALF_UP
+  * = DuckDB `round`) — and per-node sums are order-free integer math,
+  * so an unrolled SQL replica reproduces the entire trajectory
+  * bit-for-bit regardless of partitioning.
+  */
+object Graph {
+
+  /** Weighted PageRank over a SYMMETRIC edge list (src, dst, w) —
+    * symmetric input means no dangling mass (every node that receives
+    * also emits), which is exactly the shape of co-occurrence graphs.
+    * Returns (id, rank) with rank the final scaled iterate / 10⁹.
+    *
+    * `edges` must contain each undirected edge in BOTH directions. */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank needs iters >= 1")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+    val ow = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // staged once: the per-round join re-reads this frame every
+    // iteration — (src, dst, w, ow), lineage cut, no recompute
+    val ew = graft.core.Stage(e.join(ow, "src"))
+    val nodes = graft.core.Stage(
+      e.select(col("src").as("id")).distinct())
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    // constants in the same arithmetic shape the SQL oracle uses —
+    // HALF_UP on the exact double value (math.round's floor(x+0.5)
+    // double-rounds near halves; SQL round does not)
+    def rhu(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val r0 = rhu(1000000000.0 / n)
+    val base = rhu((1 - damping) * 1000000000.0 / n)
+    var r = nodes.select(col("id"), lit(r0).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = ew.join(r, ew("src") === r("id"))
+        .select(col("dst"),
+          round(lit(damping) * col("r") * col("w") / col("ow"))
+            .cast("long").as("t"))
+        .groupBy(col("dst"))
+        .agg((sum(col("t")) + base).as("r"))
+        .select(col("dst").as("id"), col("r"))
+      // lineage truncation per round — without it the plan nests one
+      // join deeper every iteration and a recompute cascades
+      r = graft.core.Stage(contrib)
+    }
+    r.select(col("id"), (col("r").cast("double") / 1e9).as("rank"))
+  }
+}

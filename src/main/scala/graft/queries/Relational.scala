@@ -829,6 +829,69 @@ object Relational {
       // the pair stream grows (sf1: 21 s advisory-coalesced vs 5 s with
       // parallelism-first). Semantics-free; applied by Bench AND Verify.
       confs = Map(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true"))
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true")),
+
+    // ---- PageRank over the co-purchase graph -----------------------------
+    // distributed iterative joins with per-round lineage truncation (the
+    // CC pattern) and an exact ×10⁹-int iterate per round (the q174
+    // contract on a graph): the unrolled SQL reproduces all 10 rounds
+    // bit-for-bit. Every DECIMAL-defaulting literal in the oracle is
+    // CAST to DOUBLE so both engines run the identical IEEE chain.
+    "q185_copurchase_pagerank" -> QueryDef(
+      build = (spark, dir) => {
+        val lp = t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = lp
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps)),
+                           y -> struct(x AS pa, y AS pb))))""")).as("p"))
+          .select(col("p.pa"), col("p.pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        val edges = pairs
+          .select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+          .unionAll(pairs
+            .select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+        graft.ops.Graph.pageRank(edges, iters = 10)
+          .orderBy(col("id"))
+      },
+      oracle = Some {
+        val iters = 10
+        val iterCtes = (1 to iters).map { t =>
+          s"""v$t AS MATERIALIZED (SELECT e.dst AS id,
+               CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * v.r * e.w / o.ow)
+                 AS BIGINT)) AS BIGINT)
+               + (SELECT CAST(round((CAST(1.0 AS DOUBLE)
+                     - CAST(0.85 AS DOUBLE))
+                   * CAST(1000000000.0 AS DOUBLE) / n) AS BIGINT) FROM nn)
+                 AS r
+             FROM ed e JOIN v${t - 1} v ON v.id = e.src
+                       JOIN ow o ON o.src = e.src
+             GROUP BY e.dst)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 COUNT(*) AS w
+               FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        ed AS MATERIALIZED (SELECT pa AS src, pb AS dst, w FROM pr
+          UNION ALL SELECT pb AS src, pa AS dst, w FROM pr),
+        ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+          FROM ed GROUP BY src),
+        nn AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM ed),
+        v0 AS MATERIALIZED (SELECT src AS id,
+            (SELECT CAST(round(CAST(1000000000.0 AS DOUBLE) / n)
+               AS BIGINT) FROM nn) AS r
+          FROM (SELECT DISTINCT src FROM ed)),
+        $iterCtes
+        SELECT id, CAST(r AS DOUBLE) / 1000000000.0 AS rank
+        FROM v$iters ORDER BY id"""
+      })
   )
 }

@@ -135,6 +135,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank: mass conserved, hub outranks leaves, partitioning-" +
+      "independent") {
+    import spark.implicits._
+    // star with one hub (0) plus a detached triangle (10,11,12)
+    val und = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L), (0L, 4L, 1L),
+      (10L, 11L, 1L), (11L, 12L, 1L), (10L, 12L, 1L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val out = graft.ops.Graph.pageRank(edges, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 8)
+    // total mass stays ~1 (rounding drifts at most n ulps of 1e-9)
+    assert(math.abs(out.values.sum - 1.0) < 1e-6)
+    // the hub holds more rank than any of its leaves
+    assert(Seq(1L, 2L, 3L, 4L).forall(l => out(0L) > out(l)))
+    // symmetric triangle nodes are equal by symmetry
+    assert(out(10L) == out(11L) && out(11L) == out(12L))
+    // input partitioning must not change a single scaled rank
+    val out2 = graft.ops.Graph.pageRank(edges.repartition(7), iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out2 == out)
+  }
+
   test("decayedAggregate matches the closed form on a hand-built fixture") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
