@@ -61,4 +61,58 @@ object Graph {
     }
     r.select(col("id"), (col("r").cast("double") / 1e9).as("rank"))
   }
+
+  /** Per-node triangle counts over an UNDIRECTED edge list (a, b),
+    * a ≠ b, by the degree-ordered orientation algorithm (Suri & Vassilvitskii,
+    * WWW'11 "Counting Triangles and the Curse of the Last Reducer"):
+    * orient every edge from its lower-(degree, id) endpoint to the
+    * higher one, build wedges only from each node's ORIENTED neighbor
+    * list, and close them against the oriented edge set. The
+    * orientation is the scale story: a hub of degree Δ has oriented
+    * out-degree O(√m), so wedge volume is O(m^{3/2}) total instead of
+    * Σ deg² — the "last reducer" never happens.
+    *
+    * Returns (id, n_tri) for every node in ≥ 1 triangle. Exact integer
+    * counts — trivially deterministic.
+    *
+    * Shape: two aggregations (degrees, wedge grouping is implicit in
+    * the self-join) and two equi-joins, all on node/edge keys. */
+  def triangleCounts(undirected: DataFrame): DataFrame = {
+    val e = undirected.select(
+        least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient by the (degree, id) total order: lo -> hi
+    val oriented = e
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
+          .as("e"))
+      .select(col("e.u"), col("e.v"))
+    // wedges u -> (v, w) from u's oriented neighbors, v < w in the
+    // SAME orientation order is not needed: close (v, w) against the
+    // oriented edge set directly (each triangle has exactly ONE node
+    // with two oriented out-edges into it — exactly-once by design)
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .where(col("v") < col("w"))
+    // canonicalize the closure edge numerically so the join stays a
+    // pure equi-join on (v, w) — an OR of the two orientations would
+    // degenerate to a nested-loop join
+    val closures = oriented
+      .select(least(col("u"), col("v")).as("v"),
+        greatest(col("u"), col("v")).as("w"))
+    val tris = wedges.join(closures, Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
 }

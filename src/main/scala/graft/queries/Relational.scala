@@ -892,6 +892,55 @@ object Relational {
         $iterCtes
         SELECT id, CAST(r AS DOUBLE) / 1000000000.0 AS rank
         FROM v$iters ORDER BY id"""
-      })
+      }),
+
+    // ---- triangle counts in the co-purchase graph ------------------------
+    // degree-ordered orientation (Suri & Vassilvitskii WWW'11): hubs get
+    // O(sqrt m) oriented out-degree, so wedge volume is O(m^1.5) — the
+    // "curse of the last reducer" never happens. Exact integer counts.
+    "q186_copurchase_triangles" -> QueryDef(
+      build = (spark, dir) => {
+        val lp = t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = lp
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps)),
+                           y -> struct(x AS a, y AS b))))""")).as("p"))
+          .select(col("p.a"), col("p.b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select(col("a"), col("b"))
+        graft.ops.Graph.triangleCounts(pairs)
+          .orderBy(col("id"))
+      },
+      oracle = Some("""
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+               FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        deg AS (SELECT id, COUNT(*) AS d FROM (
+                  SELECT pa AS id FROM pr
+                  UNION ALL SELECT pb AS id FROM pr) GROUP BY id),
+        o AS (SELECT
+            CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+              THEN pa ELSE pb END AS u,
+            CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+              THEN pb ELSE pa END AS v
+          FROM pr JOIN deg da ON da.id = pa JOIN deg db ON db.id = pb),
+        wd AS (SELECT o1.u, o1.v, o2.v AS w
+               FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+        cl AS (SELECT least(u, v) AS v, greatest(u, v) AS w FROM o),
+        tr AS (SELECT wd.u, wd.v, wd.w
+               FROM wd JOIN cl ON cl.v = wd.v AND cl.w = wd.w),
+        corners AS (SELECT u AS id FROM tr
+          UNION ALL SELECT v AS id FROM tr
+          UNION ALL SELECT w AS id FROM tr)
+        SELECT id, COUNT(*) AS n_tri FROM corners
+        GROUP BY id ORDER BY id"""))
   )
 }

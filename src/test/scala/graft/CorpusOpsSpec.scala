@@ -158,6 +158,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
+  test("triangleCounts: exact counts on known shapes, duplicate/reversed " +
+      "edges tolerated") {
+    import spark.implicits._
+    // K4 on 1..4 (every node in C(3,2)=3 triangles) + one pendant node
+    // + a duplicate and a reversed edge that must not double-count
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (2L, 1L), (1L, 2L)).toDF("a", "b")
+    val out = graft.ops.Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 corners must each sit in 3 triangles: $out")
+  }
+
   test("decayedAggregate matches the closed form on a hand-built fixture") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
