@@ -399,6 +399,77 @@ object LlmOps {
                ELSE 'train' END AS split
         FROM cl ORDER BY doc_id""")),
 
+    // ---- near-dup graph centrality (PageRank over verified pairs) -------
+    // which documents sit at the CENTER of duplicate families: PageRank
+    // over the jaccard-verified near-dup graph, edge weight = exact
+    // shingle intersection. Centrality-based canonical selection is the
+    // graph-aware alternative to q108's quality-based survivorship.
+    "q187_neardup_centrality" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        // edge weight = the verified jaccard, scaled once to an exact
+        // int (the same double both engines compute — q25's contract)
+        val pairs = DedupOps.nearDuplicates(docs)
+          .select(col("a"), col("b"),
+            round(col("jaccard") * 1e6).cast("long").as("w"))
+        val edges = pairs
+          .select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .unionAll(pairs
+            .select(col("b").as("src"), col("a").as("dst"), col("w")))
+        graft.ops.Graph.pageRank(edges, iters = 10)
+          .select(col("id").as("doc_id"), col("rank"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val iters = 10
+        val iterCtes = (1 to iters).map { t =>
+          s"""v$t AS MATERIALIZED (SELECT e.dst AS id,
+               CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * v.r * e.w / o.ow)
+                 AS BIGINT)) AS BIGINT)
+               + (SELECT CAST(round((CAST(1.0 AS DOUBLE)
+                     - CAST(0.85 AS DOUBLE))
+                   * CAST(1000000000.0 AS DOUBLE) / n) AS BIGINT) FROM nn)
+                 AS r
+             FROM ed e JOIN v${t - 1} v ON v.id = e.src
+                       JOIN ow o ON o.src = e.src
+             GROUP BY e.dst)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a, b, COUNT(*) AS i
+          FROM pairs
+          JOIN sh x ON x.doc_id = a
+          JOIN sh y ON y.doc_id = b AND y.s = x.s
+          GROUP BY a, b),
+        verified AS (SELECT a, b,
+            CAST(round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i)
+              * 1000000.0) AS BIGINT) AS w
+          FROM inter JOIN sizes sa ON sa.doc_id = a
+                     JOIN sizes sb ON sb.doc_id = b
+          WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2),
+        ed AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM verified
+          UNION ALL SELECT b AS src, a AS dst, w FROM verified),
+        ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+          FROM ed GROUP BY src),
+        nn AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM ed),
+        v0 AS MATERIALIZED (SELECT src AS id,
+            (SELECT CAST(round(CAST(1000000000.0 AS DOUBLE) / n)
+               AS BIGINT) FROM nn) AS r
+          FROM (SELECT DISTINCT src FROM ed)),
+        $iterCtes
+        SELECT id AS doc_id, CAST(r AS DOUBLE) / 1000000000.0 AS rank
+        FROM v$iters ORDER BY doc_id"""
+      }),
+
     // ---- entity clusters from sorted-neighborhood pairs -----------------
     // the end of the ER pipeline: SNM candidate pairs (q166) fed through
     // the adaptive connected-components operator (q66's engine) —
