@@ -883,6 +883,47 @@ object TextOps {
       .limit(k)
   }
 
+  /** Pairwise source VOCABULARY overlap — exact Jaccard and overlap
+    * coefficient between the distinct-token sets of every source pair:
+    * the set-based complement of [[sourceDivergence]] (which compares
+    * the distributions over a shared vocabulary; this measures how
+    * shared the vocabulary itself is — containment shows up in the
+    * overlap coefficient long before Jaccard moves).
+    *
+    * Returns (source_a, source_b, va, vb, inter, jaccard,
+    * overlap_coef) for pairs with ≥ 1 shared token, a < b.
+    *
+    * Shape at scale: one (source, token) presence-dedup shuffle; each
+    * token's source set collapses to ONE row whose pairs fan out
+    * MAP-SIDE into the combining intersection count (≤ S²/2 per token,
+    * S bounded) — the q169 fan-out pattern; vocab sizes ride a
+    * broadcast join. The token stream is shuffled once. */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val tk = tokenized(docs, idCol = "source")
+      .select(col("source").cast("string").as("source"), col("tok"))
+      .distinct()
+    val sizes = tk.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = tk.groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+             transform(slice(ss, i + 2, size(ss)),
+                       y -> struct(x AS sa, y AS sb))))""")).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("nv").as("va"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("nv").as("vb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("va"), col("vb"),
+        col("inter"),
+        round(col("inter").cast("double")
+          / (col("va") + col("vb") - col("inter")), 6).as("jaccard"),
+        round(col("inter").cast("double")
+          / least(col("va"), col("vb")), 6).as("overlap_coef"))
+  }
+
   /** Pairwise source-distribution divergence: add-k-smoothed KL and
     * Jensen–Shannon divergence between every ordered pair of sources'
     * unigram token distributions — the corpus-comparison report that

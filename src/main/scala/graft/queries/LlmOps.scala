@@ -510,6 +510,32 @@ object LlmOps {
                (src = MIN(dst)) AS canonical
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---- pairwise source vocabulary overlap -----------------------------
+    // the set face beside q169's distributional face: how shared the
+    // vocabularies themselves are (containment shows in overlap_coef
+    // before jaccard moves)
+    "q188_vocab_overlap" -> QueryDef(
+      build = (spark, dir) =>
+        TextOps.vocabOverlap(Tables.load(spark, dir, "documents"))
+          .orderBy(col("source_a"), col("source_b")),
+      oracle = Some(raw"""
+        WITH tk AS (SELECT DISTINCT source, tok FROM (
+            SELECT source,
+              unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents)),
+        v AS (SELECT source, COUNT(*) AS nv FROM tk GROUP BY source),
+        i AS (SELECT a.source AS source_a, b.source AS source_b,
+                COUNT(*) AS inter
+              FROM tk a JOIN tk b ON a.tok = b.tok
+                AND a.source < b.source
+              GROUP BY 1, 2)
+        SELECT source_a, source_b, va.nv AS va, vb.nv AS vb, inter,
+          round(inter * 1.0 / (va.nv + vb.nv - inter), 6) AS jaccard,
+          round(inter * 1.0 / least(va.nv, vb.nv), 6) AS overlap_coef
+        FROM i JOIN v va ON va.source = source_a
+               JOIN v vb ON vb.source = source_b
+        ORDER BY source_a, source_b""")),
+
     // ---- pairwise source-distribution divergence (KL / JS) --------------
     // the distributional complement of q159: which sources' unigram
     // distributions diverge, smoothed over the global vocabulary,
