@@ -81,4 +81,60 @@ object Diagnostics {
         abs(col("p_base") - col("p_cand")) / 2.0)
       .orderBy(col("bucket"))
   }
+
+  /** Pairwise two-sample Kolmogorov–Smirnov statistic between every
+    * group's distribution of an integer-valued column — the
+    * distribution-shape drift test that total-variation bucketing
+    * ([[distributionDrift]]) approximates: D = max_x |F_a(x) − F_b(x)|
+    * over the empirical CDFs, location- and shape-sensitive with no
+    * bucketing choice to tune.
+    *
+    * Returns (group_a, group_b, na, nb, ks) for all ordered pairs
+    * a < b.
+    *
+    * EXACT arithmetic: the CDFs are compared as integer cross products
+    * — D's numerator is max |cum_a·n_b − cum_b·n_a| over the merged
+    * support, all int64, and ks is ONE division by n_a·n_b. No float
+    * comparison ever happens, so the max is engine-independent. The
+    * cross products stay in int64 up to ~3·10⁹ rows per group; widen
+    * them to DECIMAL(38,0) beyond (the [[graft.queries.Q.cents]] rule).
+    *
+    * Shape at scale: one (group, value) count aggregation; the value
+    * grid (distinct values of the column — the bounded-domain contract
+    * of any KS over ints) broadcasts against the per-group histograms;
+    * cumulative counts are per-group windows over grid-sized frames;
+    * the pair comparison is a grid-keyed equi-join whose output
+    * reduces map-side to one row per pair. */
+  def ksPairwise(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val h = df.select(group.cast("string").as("g"),
+        value.cast("long").as("x"))
+      .where(col("g").isNotNull && col("x").isNotNull)
+      .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+    val grid = h.select(col("x")).distinct()
+    val groups = h.select(col("g")).distinct()
+    // zero-filled per-group histogram on the merged support, then
+    // cumulative counts via a per-group window (grid-sized partitions)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = groups.crossJoin(broadcast(grid))
+      .join(h, Seq("g", "x"), "left")
+      .select(col("g"), col("x"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    val sizes = h.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val a = cum.join(sizes, "g")
+      .select(col("g").as("group_a"), col("x"),
+        col("cum").as("ca"), col("n").as("na"))
+    val b = cum.join(sizes, "g")
+      .select(col("g").as("group_b"), col("x"),
+        col("cum").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("x"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num"))
+      .select(col("group_a"), col("group_b"), col("na"), col("nb"),
+        (col("num").cast("double") / (col("na") * col("nb"))).as("ks"))
+  }
 }

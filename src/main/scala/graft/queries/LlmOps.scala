@@ -510,6 +510,40 @@ object LlmOps {
                (src = MIN(dst)) AS canonical
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---- pairwise KS drift between source length distributions ----------
+    // the exact distribution-shape test beside q136's bucketed length
+    // drift: D = max |F_a - F_b| over merged support, compared as
+    // integer cross products - no float comparison anywhere
+    "q189_length_ks" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.Diagnostics.ksPairwise(
+            Tables.load(spark, dir, "documents"),
+            col("source"), col("n_chars"))
+          .orderBy(col("group_a"), col("group_b")),
+      oracle = Some("""
+        WITH h AS (SELECT source AS g, n_chars AS x, COUNT(*) AS c
+                   FROM documents GROUP BY 1, 2),
+        grid AS (SELECT DISTINCT x FROM h),
+        gs AS (SELECT DISTINCT g FROM h),
+        z AS (SELECT gs.g, grid.x, coalesce(h.c, 0) AS c
+              FROM gs CROSS JOIN grid
+              LEFT JOIN h ON h.g = gs.g AND h.x = grid.x),
+        cum AS (SELECT g, x,
+                  CAST(SUM(c) OVER (PARTITION BY g ORDER BY x) AS BIGINT)
+                    AS cum
+                FROM z),
+        sz AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY g),
+        p AS (SELECT a.g AS group_a, b.g AS group_b,
+                sa.n AS na, sb.n AS nb,
+                CAST(MAX(abs(a.cum * sb.n - b.cum * sa.n)) AS BIGINT)
+                  AS num
+              FROM cum a JOIN cum b ON a.x = b.x AND a.g < b.g
+              JOIN sz sa ON sa.g = a.g JOIN sz sb ON sb.g = b.g
+              GROUP BY 1, 2, 3, 4)
+        SELECT group_a, group_b, na, nb,
+               CAST(num AS DOUBLE) / (na * nb) AS ks
+        FROM p ORDER BY group_a, group_b""")),
+
     // ---- pairwise source vocabulary overlap -----------------------------
     // the set face beside q169's distributional face: how shared the
     // vocabularies themselves are (containment shows in overlap_coef

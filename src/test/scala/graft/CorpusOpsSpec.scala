@@ -171,6 +171,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"K4 corners must each sit in 3 triangles: $out")
   }
 
+  test("ksPairwise: 0 for identical distributions, 1 for disjoint, " +
+      "hand-computed for a known shift") {
+    import spark.implicits._
+    val rows =
+      (1 to 10).map(i => ("a", i.toLong)) ++
+        (1 to 10).map(i => ("b", i.toLong)) ++        // identical to a
+        (1 to 10).map(i => ("c", i + 100L)) ++        // disjoint from a
+        (1 to 10).map(i => ("d", i + 5L))             // half-shifted vs a
+    val out = graft.ops.Diagnostics
+      .ksPairwise(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out(("a", "b")) == 0.0)
+    assert(out(("a", "c")) == 1.0)
+    // a: 1..10, d: 6..15 → max gap at x=5: F_a=0.5, F_d=0 → D=0.5
+    assert(out(("a", "d")) == 0.5)
+  }
+
   test("decayedAggregate matches the closed form on a hand-built fixture") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
