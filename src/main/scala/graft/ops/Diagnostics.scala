@@ -105,6 +105,45 @@ object Diagnostics {
     * cumulative counts are per-group windows over grid-sized frames;
     * the pair comparison is a grid-keyed equi-join whose output
     * reduces map-side to one row per pair. */
+  /** Chi-squared independence screen between two categorical columns
+    * (e.g. source × language): the full contingency grid with observed
+    * counts, expected counts under independence, and each cell's χ²
+    * contribution — the standard "is language balanced across sources"
+    * corpus-QA check, with the cells that drive the statistic visible
+    * instead of just the aggregate.
+    *
+    * Returns (a, b, o, e, chi2) per grid cell (zero-observation cells
+    * of observed margins included — they contribute e).
+    *
+    * Determinism (the q122 contract): o and the margins are exact
+    * int64; e = row·col/n and the cell term (o−e)²/e are single IEEE
+    * chains on exact ints, the term rounds once to ×10⁶ and the grand
+    * total (if the caller sums chi2) is order-free integer math.
+    *
+    * Shape at scale: one (a, b) count aggregation; margins re-aggregate
+    * that reduced frame; the grid is margins × margins (bounded
+    * categorical dimensions) assembled with broadcast joins. */
+  def chiSquared(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val obs = df.select(aCol.cast("string").as("a"),
+        bCol.cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(col("a")).agg(sum(col("o")).as("rs"))
+    val cb = obs.groupBy(col("b")).agg(sum(col("o")).as("cs"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    ra.crossJoin(broadcast(cb))
+      .join(obs, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("o"),
+        col("rs"), col("cs"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("o"),
+        ((col("rs") * col("cs")).cast("double") / col("n")).as("e"))
+      .withColumn("chi2",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e")
+          * 1e6).cast("long").cast("double") / 1e6)
+      .drop("rs", "cs")
+  }
+
   def ksPairwise(df: DataFrame, group: Column, value: Column): DataFrame = {
     val h = df.select(group.cast("string").as("g"),
         value.cast("long").as("x"))

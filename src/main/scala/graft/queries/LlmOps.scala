@@ -510,6 +510,34 @@ object LlmOps {
                (src = MIN(dst)) AS canonical
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---- chi-squared independence: source x language ---------------------
+    // is language balanced across sources - the contingency grid with
+    // per-cell chi^2 contributions (the cells that drive the statistic
+    // visible, not just the aggregate)
+    "q190_source_lang_chi2" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.Diagnostics.chiSquared(
+            Tables.load(spark, dir, "documents"),
+            col("source"), col("lang"))
+          .orderBy(col("a"), col("b")),
+      oracle = Some("""
+        WITH obs AS (SELECT source AS a, lang AS b, COUNT(*) AS o
+                     FROM documents
+                     WHERE source IS NOT NULL AND lang IS NOT NULL
+                     GROUP BY 1, 2),
+        ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rs FROM obs GROUP BY a),
+        cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cs FROM obs GROUP BY b),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+        grid AS (SELECT ra.a, cb.b, coalesce(obs.o, 0) AS o,
+                   CAST(ra.rs * cb.cs AS DOUBLE) / tot.n AS e
+                 FROM ra CROSS JOIN cb
+                 LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+                 CROSS JOIN tot)
+        SELECT a, b, o, e,
+               CAST(CAST(round((o - e) * (o - e) / e * 1000000.0)
+                 AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
+        FROM grid ORDER BY a, b""")),
+
     // ---- pairwise KS drift between source length distributions ----------
     // the exact distribution-shape test beside q136's bucketed length
     // drift: D = max |F_a - F_b| over merged support, compared as
