@@ -436,6 +436,7 @@ object DedupOps extends Serializable {
       n: Int = 8, k: Int = 12, rowsPerBand: Int = 3,
       numBuckets: Int = 8): Unit = {
     val spark = docs.sparkSession
+    requireIndexNames(db, table)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     bandsOf(docs, n, k, rowsPerBand)
       // generation stamp for incremental maintenance ([[updateBandIndex]])
@@ -460,6 +461,28 @@ object DedupOps extends Serializable {
 
   private def tombstoneTable(table: String) = s"${table}_tombstones"
 
+  /** Metastore identifier guard for the band-index maintenance surface:
+    * db/table names are interpolated into `spark.sql` DDL text
+    * (CREATE DATABASE / ALTER TABLE … RENAME / DROP TABLE), so they are
+    * restricted to `[A-Za-z0-9_]+` up front — a clear failure at the
+    * call site instead of a half-executed rename on an exotic name.
+    * The suffixes `_staged`, `_old` and `_tombstones` are RESERVED for
+    * the maintenance side tables ([[updateBandIndex]],
+    * [[compactBandIndex]]); an index table named with one would collide
+    * with its own machinery, so those are rejected too. */
+  private def requireIndexNames(db: String, table: String): Unit = {
+    val ident = "[A-Za-z0-9_]+"
+    require(db.matches(ident),
+      s"band-index database name '$db' must match $ident")
+    require(table.matches(ident),
+      s"band-index table name '$table' must match $ident")
+    Seq("_staged", "_old", "_tombstones").foreach { suf =>
+      require(!table.endsWith(suf),
+        s"band-index table name '$table' ends in reserved maintenance " +
+          s"suffix '$suf'")
+    }
+  }
+
   /** Incremental [[buildBandIndex]] maintenance — the lakehouse index
     * pattern that avoids rebuilding a corpus-sized table per batch:
     *
@@ -477,22 +500,42 @@ object DedupOps extends Serializable {
     *    (possibly with different text) in batch 5 shows exactly its
     *    new rows — the stale pre-deletion rows stay hidden.
     *
-    * Cost per batch: band rows of the batch (map-side) + a 1-row max
-    * over the index's batch column + a tombstone append — never a
-    * corpus-sized write. Single-writer maintenance, like any
+    * Cost per batch: band rows of the batch (map-side) + two 1-row
+    * maxes (index batch, tombstone as_of) + a tombstone append — never
+    * a corpus-sized write. Single-writer maintenance, like any
     * non-transactional metastore table. */
   def updateBandIndex(spark: org.apache.spark.sql.SparkSession,
       db: String, table: String, admitted: DataFrame,
       removedIds: DataFrame, n: Int = 8, k: Int = 12,
       rowsPerBand: Int = 3, numBuckets: Int = 8): Unit = {
     import spark.implicits._
-    // null-safe: a zero-row index (empty-corpus bootstrap) has no max.
-    // Indexes persisted by the pre-generation code version lack the
-    // batch column entirely — adopt them with one rewrite adding
+    requireIndexNames(db, table)
+    val ts = s"$db.${tombstoneTable(table)}"
+    if (!spark.catalog.tableExists(ts)) {
+      Seq.empty[(Long, Long)].toDF("doc_id", "as_of").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(ts)
+    }
+    // Generation id for THIS call: strictly greater than every id any
+    // prior call wrote, whether that call admitted rows (batch =
+    // nextBatch) or only removed them (as_of = nextBatch − 1). Deriving
+    // from the index's max(batch) alone would hand consecutive
+    // removal-only calls the SAME id; folding in max(as_of) + 1 keeps
+    // generations strictly increasing without changing tombstone
+    // semantics (pre-existing tombstones always satisfy
+    // as_of + 1 ≤ max(batch) + 1, so they never skip ids).
+    // Both maxes are null-safe: a zero-row index (empty-corpus
+    // bootstrap) or a fresh tombstone table has no max. Indexes
+    // persisted by the pre-generation code version lack the batch
+    // column entirely — adopt them with one rewrite adding
     // lit(0L).as("batch") before maintaining incrementally.
-    val nextBatch = Option(spark.table(s"$db.$table")
+    val maxBatch = Option(spark.table(s"$db.$table")
         .agg(max(col("batch"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L) + 1L
+      .map(_.asInstanceOf[Long])
+    val maxAsOf = Option(spark.table(ts)
+        .agg(max(col("as_of"))).head().get(0))
+      .map(_.asInstanceOf[Long])
+    val nextBatch = math.max(maxBatch.getOrElse(-1L),
+      maxAsOf.map(_ + 1L).getOrElse(-1L)) + 1L
     if (!admitted.isEmpty) {
       bandsOf(admitted, n, k, rowsPerBand)
         .withColumn("batch", lit(nextBatch))
@@ -501,11 +544,6 @@ object DedupOps extends Serializable {
         .sortBy("bk")
         .mode(org.apache.spark.sql.SaveMode.Append)
         .saveAsTable(s"$db.$table")
-    }
-    val ts = s"$db.${tombstoneTable(table)}"
-    if (!spark.catalog.tableExists(ts)) {
-      Seq.empty[(Long, Long)].toDF("doc_id", "as_of").write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(ts)
     }
     if (!removedIds.isEmpty) {
       // as_of = nextBatch − 1: a removal hides all PRIOR generations
@@ -549,6 +587,7 @@ object DedupOps extends Serializable {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       db: String, table: String, numBuckets: Int = 8): Unit = {
     import spark.implicits._
+    requireIndexNames(db, table)
     val staged = s"${table}_staged"
     val old = s"${table}_old"
     // crash recovery BEFORE any destructive step: a previous compaction

@@ -141,7 +141,6 @@ object Diagnostics {
       .withColumn("chi2",
         round((col("o") - col("e")) * (col("o") - col("e")) / col("e")
           * 1e6).cast("long").cast("double") / 1e6)
-      .drop("rs", "cs")
   }
 
   def ksPairwise(df: DataFrame, group: Column, value: Column): DataFrame = {

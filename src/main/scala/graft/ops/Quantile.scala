@@ -122,11 +122,25 @@ object Quantile {
     val vdf = df.select(group.cast("string").as("g"),
         value.cast("long").as("v"))
       .where(col("v").isNotNull && col("g").isNotNull)
-    // per-group rank targets and initial bounds, one aggregation
-    val init = vdf.groupBy(col("g"))
+    // per-group rank targets and initial bounds, one aggregation.
+    // The group column IS the driver-held state table (scaladoc
+    // contract) — enforce the bound via a LIMIT-capped collect (same
+    // single aggregation, at most maxGroups+1 rows ever reach the
+    // driver) with a clear error instead of a driver OOM: each round
+    // also ships up to groups × 2¹⁶ histogram rows. High-cardinality
+    // grouped quantiles belong to percentile_approx, not an exact
+    // bisection.
+    val maxGroups = 4096
+    val initRows = vdf.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
         max(col("v")).as("mx"))
+      .limit(maxGroups + 1)
       .collect()
+    require(initRows.length <= maxGroups,
+      s"exactGroupedQuantile holds per-group bisection state on the " +
+        s"driver; the group column exceeds the $maxGroups-group bound " +
+        "— use percentile_approx (or pre-bucket the groups) instead")
+    val init = initRows
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap

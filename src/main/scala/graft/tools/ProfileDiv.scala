@@ -73,6 +73,7 @@ object ProfileDiv {
   * keeps the wide form runnable for comparison. */
 object ProfileDiv2 {
   def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -81,7 +82,7 @@ object ProfileDiv2 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
     def time(label: String)(f: => Unit): Unit = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

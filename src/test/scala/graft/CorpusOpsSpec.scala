@@ -135,6 +135,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactGroupedQuantile: rejects group cardinality beyond the " +
+      "driver-state bound with a clear error, not an OOM") {
+    import spark.implicits._
+    val df = (1 to 4097).map(i => (s"g$i", i.toLong)).toDF("grp", "x")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Quantile.exactGroupedQuantile(df, col("grp"), col("x"),
+        q = 0.5)
+    }
+    assert(ex.getMessage.contains("percentile_approx"))
+  }
+
   test("pageRank: mass conserved, hub outranks leaves, partitioning-" +
       "independent") {
     import spark.implicits._

@@ -358,6 +358,44 @@ class DiagnosticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(1), r.getString(2))).sorted.toSeq
     assert(live11.nonEmpty && live11 == expect11,
       "same-call remove+re-admit must behave as REPLACE")
+
+    // REMOVAL-ONLY calls must each get a fresh generation: two
+    // consecutive removal-only updates write strictly increasing as_of
+    // stamps (deriving nextBatch from the index's max(batch) alone
+    // would reuse one id), and a later re-admission still wins over
+    // both tombstones
+    DedupOps.updateBandIndex(s, db, "bands",
+      docs.filter(org.apache.spark.sql.functions.lit(false)),
+      Seq(7L).toDF("doc_id"))
+    DedupOps.updateBandIndex(s, db, "bands",
+      docs.filter(org.apache.spark.sql.functions.lit(false)),
+      Seq(11L).toDF("doc_id"))
+    val asOfs = s.table(s"$db.bands_tombstones")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(asOfs(7L) != asOfs(11L),
+      s"removal-only calls must not reuse a generation id: $asOfs")
+    assert(DedupOps.liveBandIndex(s, db, "bands")
+      .filter(col("doc_id").isin(7L, 11L)).count() == 0)
+    val re7 = docs.filter(col("doc_id") === 7L)
+    DedupOps.updateBandIndex(s, db, "bands", re7,
+      Seq.empty[Long].toDF("doc_id"))
+    assert(DedupOps.liveBandIndex(s, db, "bands")
+      .filter(col("doc_id") === 7L).count() ==
+      DedupOps.bandsOf(re7).count(),
+      "re-admission after removal-only generations must be visible")
+
+    // the DDL surface rejects identifiers it cannot interpolate safely
+    // and the reserved maintenance suffixes
+    intercept[IllegalArgumentException] {
+      DedupOps.compactBandIndex(s, "bad-db", "bands")
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.updateBandIndex(s, db, "x; DROP TABLE y", re7,
+        Seq.empty[Long].toDF("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.buildBandIndex(docs, db, "mine_tombstones")
+    }
   }
 
   test("termSearch matches only docs containing ALL terms and plans " +
