@@ -40,12 +40,14 @@ object SparkEntry {
   def benchQueries: Seq[String] =
     allDefs.collect { case (k, d) if d.bench => k }.toSeq.sorted
 
-  /** DuckDB SQL for the headline queries' same-session baseline run
-    * (Bench feeds this to scripts/duckdb_bench.py): the correctness
-    * oracle unless the query declares a distinct [[QueryDef.benchOracle]]. */
+  /** DuckDB SQL for the same-session baseline run (Bench feeds this to
+    * scripts/duckdb_bench.py, filtered to the selected query names):
+    * the correctness oracle unless the query declares a distinct
+    * [[QueryDef.benchOracle]]. Covers every declared query so
+    * SPARK_GRAFT_ONLY scaling studies can baseline non-headline rows. */
   def benchOracleSql: Map[String, String] =
     allDefs.collect {
-      case (k, d) if d.bench && (d.benchOracle.orElse(d.oracle)).isDefined =>
+      case (k, d) if d.benchOracle.orElse(d.oracle).isDefined =>
         k -> d.benchOracle.orElse(d.oracle).get
           .stripMargin.trim.replaceAll("\\s+", " ")
     }

@@ -34,6 +34,16 @@ import org.apache.spark.sql.functions._
   * the corpus itself is touched exactly once, by the initial word
   * count. Assumes BMP text with no private-use chars in the corpus
   * (documented; guarded by a filter).
+  *
+  * Job-count bound: [[learn]] is exact sequential greedy — ONE Spark
+  * job pair (top-1 aggregation + vocab rewrite) PER MERGE. That is the
+  * right tool up to a few hundred merges (QA fertility probes, the
+  * oracle corpus); a production 32k-merge vocabulary would be 32k
+  * sequential scheduler round-trips. [[learnBatched]] is the scale
+  * path: identical output (proof in its scaladoc), but each pass
+  * admits every merge that sequential greedy provably picks next, so
+  * the pass count collapses to vocabulary structure (tens of passes
+  * for typical corpora), not merge count.
   */
 object Bpe {
 
@@ -104,6 +114,95 @@ object Bpe {
         words.unpersist()
         words = next
         rank += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** [[learn]] with BATCHED passes — bit-identical merge table, job
+    * count per pass instead of per merge. Each pass sorts the pair
+    * table by the greedy order (count DESC, pair ASC), collects a
+    * bounded prefix, and admits a batch that sequential greedy is
+    * PROVEN to pick in exactly that order:
+    *
+    *  - the top pair always enters (it is greedy's next pick by
+    *    definition);
+    *  - a further pair enters while it shares no symbol with any
+    *    earlier-admitted pair of this pass AND its count is STRICTLY
+    *    above `nStop` — the best count among pairs that do share a
+    *    symbol (bounded by the sorted prefix's edge when truncated).
+    *
+    * Exactness argument:
+    *  - merging a pair never INCREASES any existing pair's count, and
+    *    symbol-disjoint pairs' counts are UNCHANGED (the marker
+    *    replaces a whole occurrence, creating no new adjacency between
+    *    symbols outside it) — so admitted pairs keep their counts and
+    *    sorted order while the batch applies;
+    *  - every pair CREATED by an admitted merge a·b→X maps
+    *    occurrence-for-occurrence into a pre-existing pair sharing a
+    *    symbol with it ("yX" ← "y·a", "X·z" ← "b·z", and the
+    *    self-overlap "XX" ← the middle "b·a" of "abab"), so created
+    *    counts are ≤ nStop — STRICTLY below every later-admitted
+    *    count, which also rules the tie-break out.
+    * Worst case (top pairs all chained on shared symbols) a pass
+    * degrades to [[learn]]'s single exact merge; typical vocabularies
+    * admit wide batches. */
+  def learnBatched(docs: DataFrame, nMerges: Int, minCount: Long = 2L,
+      maxBatch: Int = 256): Seq[Merge] = {
+    require(nMerges >= 0 && nMerges < 6400, "marker alphabet is U+E000..U+F8FF")
+    require(maxBatch >= 1, "maxBatch must be >= 1")
+    var words = wordFreq(docs).cache()
+    words.count() // materialize before the loop
+    val expand = scala.collection.mutable.Map[Char, String]()
+    def expandSym(c: Char): String = expand.getOrElse(c, c.toString)
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var stop = false
+    while (merges.size < nMerges && !stop) {
+      val want = math.min(maxBatch, nMerges - merges.size)
+      val collectK = want * 4 + 1
+      val top = pairCounts(words)
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(collectK).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (top.isEmpty || top(0)._2 < minCount) stop = true
+      else {
+        val symbols = scala.collection.mutable.Set[Char]()
+        val admitted = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        var i = 0
+        var scanning = true
+        while (scanning && i < top.length && admitted.size < want) {
+          val (pair, n) = top(i)
+          if (n >= minCount && (admitted.isEmpty ||
+              (!symbols(pair.charAt(0)) && !symbols(pair.charAt(1))))) {
+            admitted += ((pair, n))
+            symbols += pair.charAt(0)
+            symbols += pair.charAt(1)
+            i += 1
+          } else scanning = false
+        }
+        // nStop bounds the count of ANY pair a batch merge can create:
+        // the first unadmitted row bounds all sharing pairs at/after it
+        // (sorted order), and a truncated prefix's edge bounds the
+        // unseen tail; -1 = no sharing pair can exist at all, so no
+        // pair can be created either
+        var nStop = if (top.length == collectK) top.last._2 else -1L
+        if (i < top.length) nStop = math.max(nStop, top(i)._2)
+        val keep = admitted.head +: admitted.tail.takeWhile(_._2 > nStop)
+        val startRank = merges.size
+        var mergedCol = col("w")
+        keep.zipWithIndex.foreach { case ((pair, n), k) =>
+          val marker = (markerBase + startRank + k).toChar
+          expand(marker) =
+            expandSym(pair.charAt(0)) + expandSym(pair.charAt(1))
+          merges += Merge(startRank + k, pair, marker.toString,
+            expandSym(pair.charAt(0)), expandSym(pair.charAt(1)), n)
+          mergedCol = replace(mergedCol, lit(pair), lit(marker.toString))
+        }
+        val next = words.withColumn("w", mergedCol).cache()
+        next.count()
+        words.unpersist()
+        words = next
       }
     }
     words.unpersist()

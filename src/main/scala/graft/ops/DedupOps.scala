@@ -1217,10 +1217,14 @@ object DedupOps extends Serializable {
     val prefLen = least(col("n"), col("n") - ceilTauN + 2).cast("int")
     val pref = lists.select(col("doc_id").as("p_id"), col("n").as("p_n"),
       explode(slice(col("tk"), lit(1), prefLen)).as("tok"))
+    // the probe side renames ALL columns (including the join token) so
+    // the condition is a plain two-attribute equi-join — comparing
+    // pref("tok") to a same-lineage "tok" relies on Spark's self-join
+    // disambiguation and logs a trivially-true-predicate warning
     val prefB = pref.select(col("p_id").as("f_id"), col("p_n").as("f_n"),
-      col("tok"))
+      col("tok").as("f_tok"))
     val cand = pref.join(prefB,
-        pref("tok") === prefB("tok") && col("p_id") < col("f_id")
+        col("tok") === col("f_tok") && col("p_id") < col("f_id")
           && lit(tauNum) * greatest(col("p_n"), col("f_n"))
              <= lit(tauDen) * least(col("p_n"), col("f_n")))
       .select(col("p_id").as("a"), col("f_id").as("b"))

@@ -442,6 +442,9 @@ object TextOps {
   def buildTermIndex(docs: DataFrame, db: String, table: String,
       numBuckets: Int = 8): Unit = {
     val spark = docs.sparkSession
+    // db goes into DDL text — same identifier guard as the other indexes
+    require(db.matches("[A-Za-z0-9_]+") && table.matches("[A-Za-z0-9_]+"),
+      s"term index names must match [A-Za-z0-9_]+: '$db'.'$table'")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

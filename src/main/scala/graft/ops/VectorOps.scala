@@ -201,6 +201,9 @@ object VectorOps {
   def buildIvfIndex(vectors: DataFrame, db: String, table: String,
       nCells: Int = 16, numBuckets: Int = 8): Unit = {
     val spark = vectors.sparkSession
+    // same identifier guard as DedupOps' band index: db goes into DDL text
+    require(db.matches("[A-Za-z0-9_]+") && table.matches("[A-Za-z0-9_]+"),
+      s"IVF index names must match [A-Za-z0-9_]+: '$db'.'$table'")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     ivfAssign(vectors, nCells).select(col("vec_id"), col("cell_id"))
       .join(spread(vectors).filter(col("embedding").isNotNull)

@@ -1747,10 +1747,13 @@ object LlmOps {
         SELECT substr(w, g, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
         FROM p0 GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""")),
 
+    // runs the BATCHED learner (the production-vocab scale path) —
+    // BpeSpec proves it merge-for-merge identical to sequential learn,
+    // so this row exercises the pass-batching machinery end-to-end
     "q149_bpe_merges" -> QueryDef(
       build = (spark, dir) =>
         graft.ops.Bpe.mergeTable(spark,
-          graft.ops.Bpe.learn(Tables.load(spark, dir, "documents")
+          graft.ops.Bpe.learnBatched(Tables.load(spark, dir, "documents")
             .select(col("doc_id"), col("text")), nMerges = 8))
           .orderBy(col("rank")),
       oracle = None),

@@ -80,9 +80,9 @@ object ProfileQ142 {
         explode(slice(col("tk"), lit(1),
           (col("n") - ceilTauN + 1).cast("int"))).as("tok"))
       val full = lists.select(col("doc_id").as("f_id"), col("n").as("f_n"),
-        explode(col("tk")).as("tok"))
+        explode(col("tk")).as("f_tok"))
       val cand = pref.join(full,
-          pref("tok") === full("tok") && col("p_id") =!= col("f_id")
+          col("tok") === col("f_tok") && col("p_id") =!= col("f_id")
             && lit(4L) * greatest(col("p_n"), col("f_n"))
                <= lit(5L) * least(col("p_n"), col("f_n")))
         .select(least(col("p_id"), col("f_id")).as("a"),

@@ -92,6 +92,50 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("learnBatched is merge-for-merge identical to sequential learn " +
+      "across batch widths, fixtures and random corpora") {
+    import spark.implicits._
+    val want = Bpe.learn(fixtureDocs, nMerges = 10)
+    for (b <- Seq(1, 2, 256)) {
+      val got = Bpe.learnBatched(fixtureDocs, nMerges = 10, maxBatch = b)
+      assert(got == want, s"maxBatch=$b")
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val alphabet = "abcde"
+      val freqs = (1 to 8).map { _ =>
+        val len = 2 + rnd.nextInt(6)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.groupBy(identity).view
+        .mapValues(_.size.toLong * (1 + rnd.nextInt(4))).toSeq.sortBy(_._1)
+      val docs = freqs.zipWithIndex.map { case ((w, f), i) =>
+        (i.toLong, Seq.fill(f.toInt)(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      val w = Bpe.learn(docs, nMerges = 8)
+      for (b <- Seq(1, 3, 64)) {
+        val g = Bpe.learnBatched(docs, nMerges = 8, maxBatch = b)
+        assert(g == w, s"trial $trial maxBatch=$b corpus $freqs")
+      }
+    }
+  }
+
+  test("learnBatched: created marker pairs cannot jump a batch — the " +
+      "adversarial chained case defers to the next pass") {
+    import spark.implicits._
+    // "abab"×100: greedy merges ab→X (200), then the CREATED pair XX
+    // (100) outranks nothing else but must come before any pair a
+    // naive batcher would have pre-admitted at count ≤ 100
+    val docs = Seq(
+      (1L, Seq.fill(100)("abab").mkString(" ")),
+      (2L, Seq.fill(90)("cd").mkString(" "))).toDF("doc_id", "text")
+    val want = Bpe.learn(docs, nMerges = 3, minCount = 1L)
+    assert(want.map(_.pair) == Seq("ab", "\uE000\uE000", "cd"),
+      s"fixture must exercise the created-pair path: $want")
+    val got = Bpe.learnBatched(docs, nMerges = 3, minCount = 1L,
+      maxBatch = 16)
+    assert(got == want)
+  }
+
   test("learn stops early when no pair reaches minCount") {
     import spark.implicits._
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
