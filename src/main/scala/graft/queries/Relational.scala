@@ -892,7 +892,13 @@ object Relational {
         $iterCtes
         SELECT id, CAST(r AS DOUBLE) / 1000000000.0 AS rank
         FROM v$iters ORDER BY id"""
-      }),
+      },
+      // the pair-mining aggregation is CPU-bound combine work — AQE's
+      // advisory coalescing starves it of cores (the q168 finding;
+      // edges phase measured 3.9 s → 0.77 s at sf0.1 in ProfilePr)
+      confs = Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+          -> "true")),
 
     // ---- triangle counts in the co-purchase graph ------------------------
     // degree-ordered orientation (Suri & Vassilvitskii WWW'11): hubs get
@@ -941,6 +947,10 @@ object Relational {
           UNION ALL SELECT v AS id FROM tr
           UNION ALL SELECT w AS id FROM tr)
         SELECT id, COUNT(*) AS n_tri FROM corners
-        GROUP BY id ORDER BY id"""))
+        GROUP BY id ORDER BY id"""),
+      // same CPU-bound pair/wedge aggregations as q185 — keep the cores
+      confs = Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+          -> "true"))
   )
 }
