@@ -185,9 +185,16 @@ object Bench {
         sfDir, oraclePath.toString, "--json")
       pb.redirectErrorStream(false)
       val p = pb.start()
+      // enforce the cap BEFORE reading: readAllBytes blocks until the
+      // child closes stdout, so reading first would let one hung oracle
+      // query hang the whole bench past the 600 s budget (found when a
+      // recursive-CTE oracle ran >12 min at sf1). The output is one
+      // short JSON line, far under the pipe buffer, so the child never
+      // blocks on a full pipe while we wait.
+      val finished = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) { p.destroyForcibly(); p.waitFor() }
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      val ok = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS) &&
-        p.exitValue() == 0
+      val ok = finished && p.exitValue() == 0
       java.nio.file.Files.deleteIfExists(oraclePath)
       require(ok, "duckdb_bench.py failed")
       // flat {"name": sec, ...} line — regex-parse, no JSON dep needed

@@ -31,15 +31,7 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "pageRank needs iters >= 1")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
-    val ow = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    // staged once, HASH-PARTITIONED BY src: each round's rank join then
-    // matches the rank frame's partitioning (the dst-keyed aggregation
-    // leaves r clustered by id = next round's join key, and Stage's
-    // checkpoint preserves partitioning), so the join plans with no
-    // exchange — the one shuffle per round is the dst aggregation,
-    // i.e. the graph's actual message traffic. Measured −20% over the
-    // planner-chosen join at sf0.1 (ProfilePr).
-    val ew = graft.core.Stage(e.join(ow, "src").repartition(col("src")))
+    val ew = prEdges(e)
     val nodes = graft.core.Stage(
       e.select(col("src").as("id")).distinct())
     val n = nodes.count()
@@ -53,13 +45,7 @@ object Graph {
     val base = rhu((1 - damping) * 1000000000.0 / n)
     var r = nodes.select(col("id"), lit(r0).as("r"))
     (1 to iters).foreach { i =>
-      val contrib = ew.join(r, ew("src") === r("id"))
-        .select(col("dst"),
-          round(lit(damping) * col("r") * col("w") / col("ow"))
-            .cast("long").as("t"))
-        .groupBy(col("dst"))
-        .agg((sum(col("t")) + base).as("r"))
-        .select(col("dst").as("id"), col("r"))
+      val contrib = prRound(ew, r, damping, base)
       // lineage truncation every 5 rounds — without ANY truncation the
       // plan nests one join deeper per iteration and a recompute
       // cascades; truncating EVERY round pays a full materialization
@@ -69,8 +55,43 @@ object Graph {
       r = if (i % 5 == 0 || i == iters) graft.core.Stage(contrib)
           else contrib
     }
+    // the final iterate is materialized (Stage is eager), so the cached
+    // edge frame can be released before returning — a long-lived session
+    // must not accumulate a pinned edge copy per pageRank call
+    ew.unpersist(false)
     r.select(col("id"), (col("r").cast("double") / 1e9).as("rank"))
   }
+
+  /** The persisted per-round edge frame (src, dst, w, ow) — computed
+    * once, HASH-PARTITIONED BY src, held with `cache()` rather than a
+    * checkpoint: an `InMemoryTableScan` REPORTS its partitioning to the
+    * planner (and AQE leaves cached output partitioning alone —
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`
+    * defaults false), while a checkpoint's `LogicalRDD` comes back with
+    * unknown partitioning and re-shuffles the EDGES — the graph-sized
+    * side — every round (observed in the r8 plan audit). With the
+    * cache, each round's rank join consumes the src clustering in
+    * place, so the only per-round edge-sized movement is gone; the dst
+    * message aggregation (node-sized) is the round's one shuffle.
+    * Callers unpersist after the final iterate is materialized. */
+  private[graft] def prEdges(e: DataFrame): DataFrame = {
+    val ow = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    e.join(ow, "src").repartition(col("src")).cache()
+  }
+
+  /** One PageRank round: rank join on src (exchange-free against the
+    * src-partitioned staged edge frame) then the dst-keyed message
+    * aggregation — the round's single shuffle. Package-visible so
+    * PlanAuditSpec can pin that shape. */
+  private[graft] def prRound(ew: DataFrame, r: DataFrame,
+      damping: Double, base: Long): DataFrame =
+    ew.join(r, ew("src") === r("id"))
+      .select(col("dst"),
+        round(lit(damping) * col("r") * col("w") / col("ow"))
+          .cast("long").as("t"))
+      .groupBy(col("dst"))
+      .agg((sum(col("t")) + base).as("r"))
+      .select(col("dst").as("id"), col("r"))
 
   /** Per-node triangle counts over an UNDIRECTED edge list (a, b),
     * a ≠ b, by the degree-ordered orientation algorithm (Suri & Vassilvitskii,

@@ -1224,7 +1224,13 @@ object Statistics {
               FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
                     FROM seq WHERE len(ts) >= 3))
         SELECT path, COUNT(*) AS n FROM w
-        GROUP BY path ORDER BY n DESC, path LIMIT 20""")),
+        GROUP BY path ORDER BY n DESC, path LIMIT 20"""),
+      // the per-user list build + path explode is CPU-bound combine
+      // work over a compact shuffled frame — the q168/q185 class that
+      // AQE's 64 MB-advisory coalescing starves at sf1
+      confs = Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+          -> "true")),
 
     // ---- exponentially time-decayed aggregate (recency weighting) -------
     // feature-store/trending-ranker scoring in closed batch form: each

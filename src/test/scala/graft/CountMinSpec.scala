@@ -54,4 +54,58 @@ class CountMinSpec extends AnyFunSuite {
       assert(cm.estimate(sketch, tok) == n)
     }
   }
+
+  // The published estimator bound (Cormode & Muthukrishnan 2005, Thm 1):
+  // with eps = e/width and delta = e^-depth,
+  //   Pr[ estimate(x) > true(x) + eps * N ] <= delta,
+  // the probability taken over the hash family. Our family is fixed
+  // (md5-derived rows), so the empirical face is the violation RATE
+  // across many seeded random streams and keys — it must not exceed
+  // delta. Deterministic: seeds and hashes are both fixed, so this is
+  // a reproducible measurement of estimator quality, not a flaky
+  // statistical test. Also checks the expectation face E[overcount]
+  // <= N/width that Markov's inequality starts from.
+  test("overcount <= eps*N at confidence delta on seeded random streams") {
+    val depth = 4
+    val width = 64
+    val cm = new CountMin(depth, width)
+    val eps = math.E / width
+    val delta = math.exp(-depth.toDouble)
+    var checks = 0L
+    var violations = 0L
+    var overcountSum = 0.0
+    var nSum = 0.0
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(seed)
+      // Zipf-ish skew over a vocab much wider than the sketch, so
+      // collisions are real and heavy keys dominate the mass
+      val n = 2000
+      val vocab = 500
+      val s = Seq.fill(n) {
+        val r = rnd.nextDouble()
+        val k = math.min((math.pow(vocab.toDouble, r) - 1).toInt, vocab - 1)
+        s"k${seed}_$k"
+      }
+      val sketch = s.grouped(311).toSeq
+        .map(_.foldLeft(cm.zero)(cm.reduce)).reduce(cm.merge)
+      val ex = exact(s)
+      ex.foreach { case (tok, t) =>
+        val over = cm.estimate(sketch, tok) - t
+        assert(over >= 0, s"$tok under-counted")
+        checks += 1
+        if (over > eps * n) violations += 1
+        overcountSum += over.toDouble
+        nSum += n.toDouble
+      }
+    }
+    assert(checks > 5000, s"need a real sample, got $checks")
+    val rate = violations.toDouble / checks
+    assert(rate <= delta,
+      f"violation rate $rate%.4f exceeds delta=$delta%.4f " +
+        s"($violations of $checks keys over eps*N)")
+    val meanOver = overcountSum / checks
+    val meanBound = nSum / checks / width
+    assert(meanOver <= meanBound,
+      f"mean overcount $meanOver%.2f exceeds E-bound N/width=$meanBound%.2f")
+  }
 }

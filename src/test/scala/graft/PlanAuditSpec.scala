@@ -545,4 +545,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2,
       s"normalizedDedup grew extra shuffles ($exchanges):\n$p")
   }
+
+  test("pageRank round: the cached src-partitioned edge frame is NEVER " +
+      "re-shuffled — per-round movement is node-sized only") {
+    import org.apache.spark.sql.functions._
+    // cluster-scale planning: no auto-broadcast of the rank frame (at
+    // 100 TB the rank frame is node-count-sized; per-round re-broadcast
+    // would be a driver round-trip per iteration)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ids = spark.range(0, 400)
+      val e = ids.selectExpr("id AS src", "(id * 7 + 1) % 400 AS dst")
+        .unionAll(ids.selectExpr("(id * 7 + 1) % 400 AS src", "id AS dst"))
+        .select(col("src"), col("dst"), lit(1L).as("w"))
+      val ew = graft.ops.Graph.prEdges(e)
+      // audit a stage-boundary round (rank side fresh off a checkpoint —
+      // its node-sized partitioning is lost there, the WORST case): the
+      // graph-sized side must still join in place off the cache
+      val r1 = graft.core.Stage(
+        graft.ops.Graph.prRound(ew,
+          ew.select(col("src").as("id")).distinct()
+            .select(col("id"), lit(1000000L).as("r")), 0.85, 150L))
+      // audit the static plan (AQE off): the tree is then directly
+      // traversable and InMemoryTableScan is a leaf, so the cached
+      // frame's one-time build shuffle (inside the relation) cannot be
+      // confused with per-round work. EnsureRequirements — the rule
+      // that decides whether the cache's src clustering is consumed in
+      // place — runs identically in static and adaptive planning.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exec = graft.ops.Graph.prRound(ew, r1, 0.85, 150L)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      assert(exec.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+        s"edge frame must come from the cache:\n$exec")
+      val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+      assert(!shuffles.exists(_.outputPartitioning.toString.contains("src")),
+        s"the edge frame was re-shuffled inside a round:\n$exec")
+      // everything that DOES move per round is node-sized: the rank
+      // rebase after the checkpoint + the dst message aggregation
+      assert(shuffles.length <= 2,
+        s"a PageRank round grew extra shuffles (${shuffles.length}):\n$exec")
+      ew.unpersist(true)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
 }
