@@ -761,9 +761,18 @@ object DedupOps extends Serializable {
         .select(col("id"), col("id").as("comp"))
       return labels.union(singles)
     }
+    // re-clustered by src AFTER the distinct: the dedup exchange hashes
+    // on (src, dst), which does NOT satisfy the per-iteration join's
+    // src clustering — without the explicit repartition every round
+    // re-shuffles the EDGE-SIZED frame out of the cache (the round-8
+    // PageRank finding, same class). One extra build-time exchange buys
+    // an iteration loop whose only per-round movement is node-sized
+    // (labels join + min-label aggregation); the cached clustering is
+    // visible to the planner via InMemoryTableScan.
     val e = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // propagate over edge-INCIDENT nodes only: a node with no edges can
     // never receive a smaller label, so the iteration never needs to
