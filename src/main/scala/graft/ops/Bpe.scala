@@ -139,12 +139,16 @@ object Bpe {
     *    replaces a whole occurrence, creating no new adjacency between
     *    symbols outside it) — so admitted pairs keep their counts and
     *    sorted order while the batch applies;
-    *  - every pair CREATED by an admitted merge a·b→X maps
+    *  - every pair CREATED by an admitted merge a·b→X with a ≠ b maps
     *    occurrence-for-occurrence into a pre-existing pair sharing a
     *    symbol with it ("yX" ← "y·a", "X·z" ← "b·z", and the
     *    self-overlap "XX" ← the middle "b·a" of "abab"), so created
     *    counts are ≤ nStop — STRICTLY below every later-admitted
-    *    count, which also rules the tie-break out.
+    *    count, which also rules the tie-break out;
+    *  - a SELF-pair merge a·a→X is the one exception: its created
+    *    "XX" maps onto the pair's OWN occurrences ("aaaa" → "XX"),
+    *    which nothing bounds — so a self-pair ENDS its batch, and the
+    *    argument above covers everything admitted before it.
     * Worst case (top pairs all chained on shared symbols) a pass
     * degrades to [[learn]]'s single exact merge; typical vocabularies
     * admit wide batches. */
@@ -179,6 +183,19 @@ object Bpe {
             symbols += pair.charAt(0)
             symbols += pair.charAt(1)
             i += 1
+            // a SELF-pair (aa→X) ends the batch: its created marker
+            // run-pair XX maps onto the admitted pair's OWN occurrences
+            // ("aaaa"→"XX"), not onto a pre-existing sharing pair, so
+            // nStop does NOT bound it — greedy could pick XX before any
+            // later-admitted pair (review finding, reproduced with
+            // 'aaaa'×200 + 'cd'×150: sequential learns [aa, XX, cd],
+            // an unbounded batch would learn [aa, cd, ...]). Every
+            // NON-self created pair ("yX"←"y·a", "Xz"←"b·z", the
+            // "XX"←middle "b·a" of "abab") maps occurrence-for-
+            // occurrence onto a pre-existing sharing pair and stays
+            // nStop-bounded, so the exactness argument holds for the
+            // pairs admitted BEFORE the self-pair.
+            if (pair.charAt(0) == pair.charAt(1)) scanning = false
           } else scanning = false
         }
         // nStop bounds the count of ANY pair a batch merge can create:

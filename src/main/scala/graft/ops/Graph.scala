@@ -44,21 +44,25 @@ object Graph {
     val r0 = rhu(1000000000.0 / n)
     val base = rhu((1 - damping) * 1000000000.0 / n)
     var r = nodes.select(col("id"), lit(r0).as("r"))
-    (1 to iters).foreach { i =>
-      val contrib = prRound(ew, r, damping, base)
-      // lineage truncation every 5 rounds — without ANY truncation the
-      // plan nests one join deeper per iteration and a recompute
-      // cascades; truncating EVERY round pays a full materialization
-      // job per iteration. Five nested rounds stay a flat chain of
-      // shuffle stages inside one job (measured fastest; trajectory
-      // identical by construction)
-      r = if (i % 5 == 0 || i == iters) graft.core.Stage(contrib)
-          else contrib
+    try {
+      (1 to iters).foreach { i =>
+        val contrib = prRound(ew, r, damping, base)
+        // lineage truncation every 5 rounds — without ANY truncation the
+        // plan nests one join deeper per iteration and a recompute
+        // cascades; truncating EVERY round pays a full materialization
+        // job per iteration. Five nested rounds stay a flat chain of
+        // shuffle stages inside one job (measured fastest; trajectory
+        // identical by construction)
+        r = if (i % 5 == 0 || i == iters) graft.core.Stage(contrib)
+            else contrib
+      }
+    } finally {
+      // the final iterate is materialized (Stage is eager), so the
+      // cached edge frame can be released before returning — and a
+      // FAILED iteration must release it too, or each crashed call pins
+      // a graph-sized copy in this long-lived session's cache
+      ew.unpersist(false)
     }
-    // the final iterate is materialized (Stage is eager), so the cached
-    // edge frame can be released before returning — a long-lived session
-    // must not accumulate a pinned edge copy per pageRank call
-    ew.unpersist(false)
     r.select(col("id"), (col("r").cast("double") / 1e9).as("rank"))
   }
 

@@ -61,6 +61,10 @@ object Quantile {
     val vdf = df.select(value.cast("long").as("v"))
       .where(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // finally-unpersist: the empty-input / domain-span requires below
+    // throw AFTER the persist — without the finally each failed call
+    // would pin a full column copy in this long-lived session's cache
+    try {
     val head = vdf.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
       max(col("v")).as("mx")).head()
     val n = head.getLong(0)
@@ -109,11 +113,10 @@ object Quantile {
           (newLo, if (shift == 0) newLo else newHi, kk - acc)
       }
     }
-    val out = qs.zipWithIndex.map { case (q, i) =>
+    qs.zipWithIndex.map { case (q, i) =>
       (q, rankOf(q, n), state(i)._1)
     }
-    vdf.unpersist()
-    out
+    } finally vdf.unpersist()
   }
 
   /** Per-GROUP exact type-1 quantile of a long column — every group
@@ -140,6 +143,10 @@ object Quantile {
         value.cast("long").as("v"))
       .where(col("v").isNotNull && col("g").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // finally-unpersist: the group-cap / domain-span requires below are
+    // EXPECTED failure modes (that is their point) — they must not pin
+    // a column copy in the session cache on the way out
+    try {
     // per-group rank targets and initial bounds, one aggregation.
     // The group column IS the driver-held state table (scaladoc
     // contract) — enforce the bound via a LIMIT-capped collect (same
@@ -204,10 +211,10 @@ object Quantile {
           (newLo, if (shift == 0) newLo else newHi, kk - acc)
       }
     }
-    vdf.unpersist()
     state.toSeq.sortBy(_._1).map { case (g, (lo, _, _)) =>
       (g, nOf(g), rankOf(q, nOf(g)), lo)
     }.toDF("g", "n", "k", "value")
+    } finally vdf.unpersist()
   }
 
 }

@@ -250,7 +250,18 @@ object Advanced {
             "s_start", "s_end", "e_start", "e_end")
           .select(col("user_id"), col("session_idx"), col("s_start"),
             col("s_end"), col("n_overlap").as("n_err"))
-          .orderBy(col("user_id"), col("session_idx"))
+          // single-partition presentation sort expressed in the PLAN:
+          // one hash exchange of the report-sized RESULT to a single
+          // partition (upstream stages keep full parallelism — unlike
+          // coalesce(1), which would back-propagate, or a
+          // shuffle.partitions=1 conf, which would serialize the
+          // fallback path's sessionize too; and unlike round-robin
+          // repartition(1), which pays sortBeforeRepartition's local
+          // sort of every upstream partition), then sorting within the
+          // one partition skips orderBy's range-sampling job (0.33 s →
+          // 0.14 s for the sort step at sf0.1, ProfileQ141C)
+          .repartition(1, lit(0))
+          .sortWithinPartitions(col("user_id"), col("session_idx"))
       },
       oracle = Some(raw"""
         WITH c AS (SELECT user_id, ts, event_id, epoch_us(ts) AS tus,
@@ -283,19 +294,20 @@ object Advanced {
       // Plan hints measured in ProfileQ141C (sf0.1, sessions layout):
       //  - autoBroadcastJoinThreshold=-1: both sides are co-bucketed on
       //    user_id, so the sort-merge join is a single zero-exchange
-      //    stage — the broadcast plan spends a whole extra job building
-      //    a hash relation the bucketing already provides (0.160 s →
-      //    0.133 s);
-      //  - shuffle.partitions=1: the presentation sort's range exchange
-      //    otherwise runs a separate SAMPLING job to pick 32 bounds for
-      //    a report-sized output; 1 partition skips sampling entirely
-      //    (0.33 s → 0.14 s for the sort step). Sized to the session-
-      //    report output like shuffle.partitions itself — a 100 TB run
-      //    sizes it to output/200 MB.
-      // Together: 0.46 s → 0.130 s at sf0.1.
+      //    stage; the broadcast plan spends a whole extra job building
+      //    a hash relation the bucketing already provides;
+      //  - adaptive.enabled=false: the layout plan is already fully
+      //    static (bucketed scans, zero-exchange join, one report-sized
+      //    exchange) — AQE's per-stage re-planning is pure overhead at
+      //    this shape (0.364 s → 0.180 s same-session in ProfileQ141C)
+      //    and is semantics-free on the fallback path too.
+      // The single-partition presentation sort moved INTO the plan
+      // (repartition(1, lit(0)) + sortWithinPartitions above) after
+      // review caught that a shuffle.partitions=1 conf would also
+      // serialize the fallback path's sessionize through one task.
       confs = Map(
-        "spark.sql.shuffle.partitions" -> "1",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")),
 
     // ---- Corpus-wide top-50 bigrams -------------------------------------
     "q71_top_bigrams" -> QueryDef(

@@ -136,6 +136,28 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("learnBatched: a SELF-pair ends its batch — its created marker " +
+      "run-pair is not nStop-bounded (review regression)") {
+    import spark.implicits._
+    // "aaaa"×200: aa counts 600 (overlapping) and has NO sharing pair
+    // in the top list to stop the scan, so an unbounded batch would
+    // also admit cd (150). But merging aa→X rewrites "aaaa" to "XX"
+    // (200), which sequential greedy picks BEFORE cd — the created
+    // pair maps onto aa's OWN occurrences, not a pre-existing bounded
+    // pair. The batch must stop at the self-pair.
+    val docs = Seq(
+      (1L, Seq.fill(200)("aaaa").mkString(" ")),
+      (2L, Seq.fill(150)("cd").mkString(" "))).toDF("doc_id", "text")
+    val want = Bpe.learn(docs, nMerges = 3, minCount = 1L)
+    assert(want.map(_.pair) == Seq("aa", "\uE000\uE000", "cd"),
+      s"fixture must exercise the self-pair path: $want")
+    for (b <- Seq(2, 16)) {
+      val got = Bpe.learnBatched(docs, nMerges = 3, minCount = 1L,
+        maxBatch = b)
+      assert(got == want, s"maxBatch=$b:\n got $got\nwant $want")
+    }
+  }
+
   test("learn stops early when no pair reaches minCount") {
     import spark.implicits._
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
