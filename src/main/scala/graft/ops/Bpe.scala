@@ -95,28 +95,31 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var rank = 0
     var stop = false
-    while (rank < nMerges && !stop) {
-      val best = pairCounts(words)
-        .orderBy(col("n").desc, col("pair").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(1) < minCount) stop = true
-      else {
-        val pair = best(0).getString(0)
-        val n = best(0).getLong(1)
-        val marker = (markerBase + rank).toChar
-        expand(marker) = expandSym(pair.charAt(0)) + expandSym(pair.charAt(1))
-        merges += Merge(rank, pair, marker.toString,
-          expandSym(pair.charAt(0)), expandSym(pair.charAt(1)), n)
-        val next = words
-          .withColumn("w", replace(col("w"), lit(pair), lit(marker.toString)))
-          .cache()
-        next.count()
-        words.unpersist()
-        words = next
-        rank += 1
+    // finally-unpersist the CURRENT vocabulary frame: a failed
+    // iteration must not pin it in the long-lived session's cache
+    try {
+      while (rank < nMerges && !stop) {
+        val best = pairCounts(words)
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.isEmpty || best(0).getLong(1) < minCount) stop = true
+        else {
+          val pair = best(0).getString(0)
+          val n = best(0).getLong(1)
+          val marker = (markerBase + rank).toChar
+          expand(marker) = expandSym(pair.charAt(0)) + expandSym(pair.charAt(1))
+          merges += Merge(rank, pair, marker.toString,
+            expandSym(pair.charAt(0)), expandSym(pair.charAt(1)), n)
+          val next = words
+            .withColumn("w", replace(col("w"), lit(pair), lit(marker.toString)))
+            .cache()
+          next.count()
+          words.unpersist()
+          words = next
+          rank += 1
+        }
       }
-    }
-    words.unpersist()
+    } finally words.unpersist()
     merges.toSeq
   }
 
@@ -162,6 +165,8 @@ object Bpe {
     def expandSym(c: Char): String = expand.getOrElse(c, c.toString)
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var stop = false
+    // finally-unpersist, as in [[learn]]
+    try {
     while (merges.size < nMerges && !stop) {
       val want = math.min(maxBatch, nMerges - merges.size)
       val collectK = want * 4 + 1
@@ -222,7 +227,7 @@ object Bpe {
         words = next
       }
     }
-    words.unpersist()
+    } finally words.unpersist()
     merges.toSeq
   }
 

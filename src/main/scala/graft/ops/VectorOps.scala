@@ -532,31 +532,36 @@ object VectorOps {
     val v = spread(vectors)
       .select(col("vec_id"), quantized(col("embedding")).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed centroids: the first nCells vectors, as exact-int means
-    var centroids = seedCentroids(v, nCells)
-    (1 to iters).foreach { _ =>
-      val asg = assignToCentroids(v, centroids)
-      // exact per-cell int64 component sums -> double means, directly as
-      // dimension-ordered arrays: vec_moments keeps rows whole through
-      // the member pass (same values as centroidStats — kmeansStep's
-      // oracle pins that code path — without the posexplode +
-      // collect_list/array_sort regroup)
-      val fresh = asg.join(v, "vec_id")
-        .groupBy(col("cell_id"))
-        .agg(graft.functions.VecMoments(col("qv")).as("m"))
-        .select(col("cell_id"),
-          transform(col("m.s"), s => s.cast("double") / col("m.n"))
-            .as("cm"))
-      // empty cells keep the previous centroid
-      centroids = graft.core.Stage(
-        centroids.select(col("cell_id"), col("cm").as("old_cm"))
-          .join(fresh, Seq("cell_id"), "left")
+    // finally-unpersist: a failed refinement round (Stage materializes
+    // eagerly) must not pin the quantized corpus in the session cache
+    try {
+      // seed centroids: the first nCells vectors, as exact-int means
+      var centroids = seedCentroids(v, nCells)
+      (1 to iters).foreach { _ =>
+        val asg = assignToCentroids(v, centroids)
+        // exact per-cell int64 component sums -> double means, directly
+        // as dimension-ordered arrays: vec_moments keeps rows whole
+        // through the member pass (same values as centroidStats —
+        // kmeansStep's oracle pins that code path — without the
+        // posexplode + collect_list/array_sort regroup)
+        val fresh = asg.join(v, "vec_id")
+          .groupBy(col("cell_id"))
+          .agg(graft.functions.VecMoments(col("qv")).as("m"))
           .select(col("cell_id"),
-            coalesce(col("cm"), col("old_cm")).as("cm")))
-    }
-    val out = assignToCentroids(v, centroids)
-    v.unpersist()
-    out
+            transform(col("m.s"), s => s.cast("double") / col("m.n"))
+              .as("cm"))
+        // empty cells keep the previous centroid
+        centroids = graft.core.Stage(
+          centroids.select(col("cell_id"), col("cm").as("old_cm"))
+            .join(fresh, Seq("cell_id"), "left")
+            .select(col("cell_id"),
+              coalesce(col("cm"), col("old_cm")).as("cm")))
+      }
+      // the final assignment CONSUMES v lazily — materialize the
+      // centroid side only; the assignment itself is a map pass over
+      // the (re-readable) quantized projection, safe after unpersist
+      assignToCentroids(v, centroids)
+    } finally v.unpersist()
   }
 
   /** Symmetric int8 scalar-quantization QA (embedding compression):
