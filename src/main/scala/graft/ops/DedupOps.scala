@@ -723,6 +723,32 @@ object DedupOps extends Serializable {
     * Both paths produce the identical min-label fixpoint (spec-asserted
     * against each other on real data).
     */
+  /** The persisted symmetric edge frame for label propagation —
+    * re-clustered by src AFTER the distinct: the dedup exchange hashes
+    * on (src, dst), which does NOT satisfy the per-iteration join's
+    * src clustering, so without the explicit repartition every round
+    * would re-shuffle the EDGE-SIZED frame out of the cache (the
+    * round-8 PageRank finding, same class). One extra build-time
+    * exchange buys an iteration loop whose only per-round movement is
+    * node-sized; the cached clustering is visible to the planner via
+    * InMemoryTableScan. Package-visible so PlanAuditSpec pins the
+    * shape. */
+  private[graft] def ccEdges(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** One label-propagation round's candidate frame: the rank join on
+    * src (exchange-free against [[ccEdges]]'s clustering) feeding the
+    * node-keyed min-label aggregation — the round's node-sized
+    * shuffle. */
+  private[graft] def ccCand(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels, e("src") === labels("id"))
+      .select(col("dst").as("id"), col("comp").as("cand"))
+      .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 50, driverEdgeLimit: Int = 1 << 20): DataFrame = {
     // one undirected edge per pair for the size probe / driver path
@@ -761,19 +787,7 @@ object DedupOps extends Serializable {
         .select(col("id"), col("id").as("comp"))
       return labels.union(singles)
     }
-    // re-clustered by src AFTER the distinct: the dedup exchange hashes
-    // on (src, dst), which does NOT satisfy the per-iteration join's
-    // src clustering — without the explicit repartition every round
-    // re-shuffles the EDGE-SIZED frame out of the cache (the round-8
-    // PageRank finding, same class). One extra build-time exchange buys
-    // an iteration loop whose only per-round movement is node-sized
-    // (labels join + min-label aggregation); the cached clustering is
-    // visible to the planner via InMemoryTableScan.
-    val e = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = ccEdges(edges)
     // propagate over edge-INCIDENT nodes only: a node with no edges can
     // never receive a smaller label, so the iteration never needs to
     // carry it. In a near-dup graph the incident set is the duplicated
@@ -794,9 +808,7 @@ object DedupOps extends Serializable {
       // `changed` flag — the separate next⋈labels convergence join the
       // previous shape paid per iteration is a filter over the frame the
       // checkpoint just materialized.
-      val cand = e.join(labels, e("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp").as("cand"))
-        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      val cand = ccCand(e, labels)
       val next = graft.core.Stage(labels.join(cand, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),

@@ -468,7 +468,16 @@ object LlmOps {
         $iterCtes
         SELECT id AS doc_id, CAST(r AS DOUBLE) / 1000000000.0 AS rank
         FROM v$iters ORDER BY doc_id"""
-      }),
+      },
+      // headline row (round 8): the oracle runs the SAME pipeline
+      // (LSH near-dup pairs + unrolled integer PageRank), 1.8× at
+      // sf0.1 on a 4.7 s absolute, and 0.11× (9× AHEAD) at sf1 —
+      // DuckDB grows 46× for 10× data (SCALING.md §Round-8)
+      bench = true,
+      // keep cores on the near-dup pair aggregations (the q168 class)
+      confs = Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+          -> "true")),
 
     // ---- entity clusters from sorted-neighborhood pairs -----------------
     // the end of the ER pipeline: SNM candidate pairs (q166) fed through

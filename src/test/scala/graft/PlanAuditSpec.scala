@@ -593,4 +593,35 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
+
+  test("connected-components round: the cached src-clustered edge frame " +
+      "is never re-shuffled — per-round movement is node-sized only") {
+    import org.apache.spark.sql.functions._
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ids = spark.range(0, 300)
+      val edges = ids.selectExpr("id AS a", "(id * 11 + 3) % 300 AS b")
+      val e = DedupOps.ccEdges(edges)
+      val labels = graft.core.Stage(
+        e.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("comp")))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exec = DedupOps.ccCand(e, labels)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      assert(exec.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+        s"edge frame must come from the cache:\n$exec")
+      val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+      assert(!shuffles.exists(_.outputPartitioning.toString.contains("src")),
+        s"the edge frame was re-shuffled inside a round:\n$exec")
+      assert(shuffles.length <= 2,
+        s"a label-propagation round grew extra shuffles (${shuffles.length}):\n$exec")
+      e.unpersist(true)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
 }
