@@ -133,33 +133,85 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     }
-    // Best of seven timed runs per query, ROUND-ROBIN interleaved: the
-    // noise on this shared box comes in multi-second stretches (GC,
-    // co-tenant CPU), so back-to-back repeats of one query can all land
-    // in the same bad window. Interleaving decorrelates the repeats;
-    // the per-query min is the honest steady-state.
-    val best = scala.collection.mutable.Map[String, Double]()
+    // Seven timed runs per query, ROUND-ROBIN interleaved: the noise on
+    // this shared box comes in multi-second stretches (GC, co-tenant
+    // CPU), so back-to-back repeats of one query can all land in the
+    // same bad window. Interleaving decorrelates the repeats; the
+    // per-query min is the honest steady-state, and the FULL per-query
+    // spread (min/median/max) is emitted too so floor-row grades are
+    // argued from the distribution, not a single sample (r8 verdict
+    // task 2).
+    def timeOne(name: String): Double = {
+      // drop cached intermediates (persisted sketch frames) so each
+      // timed run measures the full computation, not cache reuse
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      try SparkEntry.withQueryConfs(spark, name) {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val samples = scala.collection.mutable.Map[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
     (1 to rounds).foreach { _ =>
       names.foreach { name =>
-        // drop cached intermediates (persisted sketch frames) so each
-        // timed run measures the full computation, not cache reuse
-        spark.sharedState.cacheManager.clearCache()
-        val t0 = System.nanoTime()
-        try SparkEntry.withQueryConfs(spark, name) {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-        }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+        samples.getOrElseUpdate(
+          name, scala.collection.mutable.ArrayBuffer[Double]()) += timeOne(name)
       }
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    val best = samples.map { case (k, v) => k -> v.min }
     val results = names.map(n => n -> best(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val spreadJson = names.map { n =>
+      val s = samples(n)
+      "\"" + n + "\":{\"min\":" + r4(s.min) + ",\"med\":" + r4(median(s.toSeq)) +
+        ",\"max\":" + r4(s.max) + "}"
+    }.mkString("{", ",", "}")
+    val totalMedian = r4(names.map(n => median(samples(n).toSeq)).sum)
+
+    // No-layout counterpart timings (QueryDef.benchNoLayout): the same
+    // query with silver-layout resolution suppressed, i.e. the inline
+    // fallback path Verify always measures — emitted so a
+    // layout-assisted headline number discloses the layout's
+    // contribution in the same artifact.
+    val noLayoutNames = names.filter(n =>
+      SparkEntry.allDefs.get(n).exists(_.benchNoLayout))
+    val noLayout: Map[String, Double] = noLayoutNames.map { name =>
+      graft.silver.BucketedTables.withoutLayouts {
+        (1 to warmups).foreach(_ => timeOne(name))
+        name -> r4((1 to rounds).map(_ => timeOne(name)).min)
+      }
+    }.toMap
+    val noLayoutJson =
+      if (noLayout.isEmpty) ""
+      else ",\"nolayout\":" + noLayout.map { case (k, v) =>
+        "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // Per-query disclosures (QueryDef.benchNote), verbatim
+    def escJ(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val notes = names.flatMap(n =>
+      SparkEntry.allDefs.get(n).flatMap(_.benchNote).map(n -> _))
+    val notesJson =
+      if (notes.isEmpty) ""
+      else ",\"notes\":" + notes.map { case (k, v) =>
+        "\"" + k + "\":" + escJ(v) }.mkString("{", ",", "}")
 
     // Same-session DuckDB baseline (best-effort): measure the reference
     // engine's side of the ratio under the SAME machine conditions as the
@@ -183,7 +235,12 @@ object Bench {
       val script = new java.io.File("scripts/duckdb_bench.py")
       val pb = new ProcessBuilder("python3", script.getAbsolutePath,
         sfDir, oraclePath.toString, "--json")
-      pb.redirectErrorStream(false)
+      // stderr goes to a FILE, not a pipe: an unread stderr pipe blocks
+      // the child once it exceeds the ~64 KB buffer (DuckDB warnings,
+      // tracebacks), and the 600 s cap would then force-kill a healthy
+      // run and silently drop the baseline via the Try wrapper
+      val errPath = java.nio.file.Files.createTempFile("bench-duckdb-", ".err")
+      pb.redirectError(errPath.toFile)
       val p = pb.start()
       // enforce the cap BEFORE reading: readAllBytes blocks until the
       // child closes stdout, so reading first would let one hung oracle
@@ -195,7 +252,11 @@ object Bench {
       if (!finished) { p.destroyForcibly(); p.waitFor() }
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       val ok = finished && p.exitValue() == 0
+      if (!ok) System.err.println("[bench] duckdb stderr tail: " +
+        scala.util.Try(java.nio.file.Files.readString(errPath).takeRight(2000))
+          .getOrElse("<unreadable>"))
       java.nio.file.Files.deleteIfExists(oraclePath)
+      java.nio.file.Files.deleteIfExists(errPath)
       require(ok, "duckdb_bench.py failed")
       // flat {"name": sec, ...} line — regex-parse, no JSON dep needed
       val re = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
@@ -219,7 +280,7 @@ object Bench {
     // contract run)
     val subset = sys.env.get("SPARK_GRAFT_ONLY")
       .map(s => "\"" + s + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset$duckJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"total_median":$totalMedian,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset$noLayoutJson$notesJson$duckJson}""")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.stop()
     // drop this run's warehouse copy of the layouts

@@ -802,26 +802,29 @@ object DedupOps extends Serializable {
       touched.select(col("id"), col("id").as("comp")))
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
-      // min-label propagation with the convergence indicator computed IN
-      // the same pass: least(old, min(neighbor label)) per node, plus a
-      // `changed` flag — the separate next⋈labels convergence join the
-      // previous shape paid per iteration is a filter over the frame the
-      // checkpoint just materialized.
-      val cand = ccCand(e, labels)
-      val next = graft.core.Stage(labels.join(cand, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
-          (coalesce(col("cand"), col("comp")) < col("comp")).as("changed")))
-      converged = next.filter(col("changed")).limit(1).count() == 0L
-      labels = next.select(col("id"), col("comp"))
-      iter += 1
-    }
+    // finally-unpersist (matching Graph.pageRank): a failed propagation
+    // iteration must not pin the edge-sized cached frame in the
+    // long-lived session's cache
+    try {
+      while (!converged && iter < maxIters) {
+        // min-label propagation with the convergence indicator computed IN
+        // the same pass: least(old, min(neighbor label)) per node, plus a
+        // `changed` flag — the separate next⋈labels convergence join the
+        // previous shape paid per iteration is a filter over the frame the
+        // checkpoint just materialized.
+        val cand = ccCand(e, labels)
+        val next = graft.core.Stage(labels.join(cand, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
+            (coalesce(col("cand"), col("comp")) < col("comp")).as("changed")))
+        converged = next.filter(col("changed")).limit(1).count() == 0L
+        labels = next.select(col("id"), col("comp"))
+        iter += 1
+      }
+    } finally e.unpersist()
     val singles = nodes.join(touched, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
-    val out = labels.union(singles)
-    e.unpersist()
-    out
+    labels.union(singles)
   }
 
   /** Near-duplicate clusters: LSH-verified Jaccard pairs as edges,

@@ -307,7 +307,20 @@ object Advanced {
       // serialize the fallback path's sessionize through one task.
       confs = Map(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.adaptive.enabled" -> "false")),
+        "spark.sql.adaptive.enabled" -> "false"),
+      // bench-artifact disclosure (r8 verdict task 1): the two facts
+      // that previously lived only in COVERAGE.md, plus the nolayout
+      // counterpart timing, emitted in the JSON itself
+      benchNote = Some("input asymmetry: the Spark column reads the " +
+        "maintained click_sessions derived silver layout (built untimed " +
+        "in the maintenance phase, the incremental-gold pattern; the " +
+        "reference's gold tables are likewise precomputed) while the " +
+        "DuckDB column sessionizes inline from raw events. The " +
+        "symmetric no-layout Spark path is emitted alongside as " +
+        "'nolayout'. Same-session sf1: Spark 0.32s vs DuckDB 0.33s = " +
+        "0.96x (ahead); the sf0.1 ratio is a multi-stage 0.1s floor " +
+        "under machine load (see COVERAGE.md q141 sign-off)."),
+      benchNoLayout = true),
 
     // ---- Corpus-wide top-50 bigrams -------------------------------------
     "q71_top_bigrams" -> QueryDef(

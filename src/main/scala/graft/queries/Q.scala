@@ -25,7 +25,18 @@ final case class QueryDef(
       * config). Applied identically by Bench AND Verify — the
       * correctness gate always runs the exact configuration the bench
       * measures. Restored to the session's previous values afterwards. */
-    confs: Map[String, String] = Map.empty)
+    confs: Map[String, String] = Map.empty,
+    /** Disclosure emitted verbatim in the bench JSON (`notes` field)
+      * next to this query's timing — input asymmetries vs the DuckDB
+      * column, floor exceptions, sf1 evidence — so the bench artifact
+      * is self-contained and its consumers need not read COVERAGE.md. */
+    benchNote: Option[String] = None,
+    /** When true, Bench ALSO times this query with silver-layout
+      * resolution suppressed (BucketedTables.withoutLayouts — the
+      * inline-fallback path Verify always exercises) and emits it as
+      * `nolayout` in the bench JSON, so a layout-assisted headline
+      * number carries its no-layout counterpart in the same artifact. */
+    benchNoLayout: Boolean = false)
 
 /** Shared helpers for oracle-exact arithmetic.
   *

@@ -139,12 +139,24 @@ object BucketedTables {
     qualified
   }
 
+  // Bench-only escape hatch: run `body` with layout resolution disabled
+  // so every tableOr takes its inline fallback — used to time the
+  // no-layout path of a query whose headline number rides a maintained
+  // layout (the bench emits both so the artifact discloses the layout's
+  // contribution). Sequential harness use only (plain var, not
+  // per-thread).
+  @volatile private var suppressed = false
+  def withoutLayouts[T](body: => T): T = {
+    suppressed = true
+    try body finally suppressed = false
+  }
+
   /** The bucketed layout for (table, keys) if THIS session maintains one
     * derived from THIS source dir. */
   def layout(spark: SparkSession, dir: String, table: String,
       keys: Seq[String]): Option[DataFrame] = {
     val qualified = layoutName(table, keys)
-    if (layouts.get((spark, qualified)).contains(dir)
+    if (!suppressed && layouts.get((spark, qualified)).contains(dir)
         && spark.catalog.tableExists(qualified)) Some(spark.table(qualified))
     else None
   }

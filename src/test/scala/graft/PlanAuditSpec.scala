@@ -553,13 +553,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // 100 TB the rank frame is node-count-sized; per-round re-broadcast
     // would be a driver round-trip per iteration)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ids = spark.range(0, 400)
+    val e = ids.selectExpr("id AS src", "(id * 7 + 1) % 400 AS dst")
+      .unionAll(ids.selectExpr("(id * 7 + 1) % 400 AS src", "id AS dst"))
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+    val ew = graft.ops.Graph.prEdges(e)
     try {
-      val ids = spark.range(0, 400)
-      val e = ids.selectExpr("id AS src", "(id * 7 + 1) % 400 AS dst")
-        .unionAll(ids.selectExpr("(id * 7 + 1) % 400 AS src", "id AS dst"))
-        .select(col("src"), col("dst"), lit(1L).as("w"))
-      val ew = graft.ops.Graph.prEdges(e)
       // audit a stage-boundary round (rank side fresh off a checkpoint —
       // its node-sized partitioning is lost there, the WORST case): the
       // graph-sized side must still join in place off the cache
@@ -587,10 +588,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // rebase after the checkpoint + the dst message aggregation
       assert(shuffles.length <= 2,
         s"a PageRank round grew extra shuffles (${shuffles.length}):\n$exec")
-      ew.unpersist(true)
     } finally {
+      // unpersist INSIDE the finally: an assertion failure must not leak
+      // the cached edge frame into subsequent tests; restore the SAVED
+      // conf values, not hard-coded ones
+      ew.unpersist(true)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
     }
   }
 
@@ -598,11 +602,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "is never re-shuffled — per-round movement is node-sized only") {
     import org.apache.spark.sql.functions._
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ids = spark.range(0, 300)
+    val edges = ids.selectExpr("id AS a", "(id * 11 + 3) % 300 AS b")
+    val e = DedupOps.ccEdges(edges)
     try {
-      val ids = spark.range(0, 300)
-      val edges = ids.selectExpr("id AS a", "(id * 11 + 3) % 300 AS b")
-      val e = DedupOps.ccEdges(edges)
       val labels = graft.core.Stage(
         e.select(col("src").as("id")).distinct()
           .select(col("id"), col("id").as("comp")))
@@ -618,10 +623,10 @@ class PlanAuditSpec extends AnyFunSuite {
         s"the edge frame was re-shuffled inside a round:\n$exec")
       assert(shuffles.length <= 2,
         s"a label-propagation round grew extra shuffles (${shuffles.length}):\n$exec")
-      e.unpersist(true)
     } finally {
+      e.unpersist(true)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
     }
   }
 }
