@@ -29,16 +29,13 @@ object Advanced {
     * sf0.1 — the persist barrier costs more than the recompute it
     * saves.) */
   def clickSessions(spark: SparkSession, dir: String): DataFrame = {
-    val us = graft.functions.Dialect.tsUs _
     val ev = graft.silver.BucketedTables.tableOr(
       spark, dir, "events", Seq("user_id"))(t(spark, dir, "events"))
-    Temporal.sessionize(
-        ev.filter(col("event_type") === "click"),
-        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
-        gapSeconds = 1800L)
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(us(min(col("ts"))).as("s_start"),
-        us(max(col("ts"))).as("s_end"))
+    // one-shot rebuild; silver.IncrementalSessions.sessions is the
+    // SAME computation, and its update() folds appends into the
+    // click_sessions layout at O(batch + affected users) instead
+    graft.silver.IncrementalSessions.sessions(
+      ev.filter(col("event_type") === "click"), gapSeconds = 1800L)
   }
 
   val defs: Map[String, QueryDef] = Map(

@@ -126,17 +126,41 @@ object BucketedTables {
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
       }
-      val sorts = if (sortCols.nonEmpty) sortCols else keys
-      build
-        .repartition(numBuckets, keys.map(col): _*)
-        .write
-        .bucketBy(numBuckets, keys.head, keys.tail: _*)
-        .sortBy(sorts.head, sorts.tail: _*)
-        .mode(SaveMode.Overwrite)
-        .saveAsTable(qualified)
+      layoutWrite(build, qualified, keys, sortCols, numBuckets)
       layouts((spark, qualified)) = dir
     }
     qualified
+  }
+
+  /** Rewrite a derived layout in place from an incrementally refreshed
+    * state frame (see silver.IncrementalSessions: the state FOLD is
+    * O(batch + affected keys); this bucketed rewrite refreshes what the
+    * query read path resolves). Unlike [[ensureDerivedLayout]], always
+    * writes. */
+  def refreshDerivedLayout(spark: SparkSession, dir: String, name: String,
+      keys: Seq[String], sortCols: Seq[String] = Nil,
+      numBuckets: Int = 32)(refreshed: DataFrame): String = {
+    val qualified = layoutName(name, keys)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
+    // saveAsTable(Overwrite) on an EXISTING bucketed table validates the
+    // spec matches; dropping first keeps the rewrite unconditional
+    // (single-writer maintenance, same contract as writeMerged's swap)
+    if (spark.catalog.tableExists(qualified))
+      spark.sql(s"DROP TABLE $qualified")
+    layoutWrite(refreshed, qualified, keys, sortCols, numBuckets)
+    layouts((spark, qualified)) = dir
+    qualified
+  }
+
+  private def layoutWrite(df: DataFrame, qualified: String,
+      keys: Seq[String], sortCols: Seq[String], numBuckets: Int): Unit = {
+    val sorts = if (sortCols.nonEmpty) sortCols else keys
+    df.repartition(numBuckets, keys.map(col): _*)
+      .write
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(qualified)
   }
 
   // Bench-only escape hatch: run `body` with layout resolution disabled

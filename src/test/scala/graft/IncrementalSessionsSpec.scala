@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.silver.IncrementalSessions
+
+/** Incremental sessionize ≡ full rebuild, across RANDOM (non-
+  * chronological) append splits — the exactness claim on
+  * [[graft.silver.IncrementalSessions]]: folding per-batch session
+  * intervals with the gap-tolerant interval merge reproduces the
+  * one-shot sessionization of the full event set bit-for-bit,
+  * including late batches that land between, before, or bridging
+  * existing sessions.
+  */
+class IncrementalSessionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Seeded synthetic click stream: inter-event gaps straddle the
+    * 1800 s session gap (including the exact-1800 boundary, which must
+    * NOT split). */
+  private def clicks(seed: Long, users: Int = 12,
+      perUser: Int = 40): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val rows = for {
+      u <- 1 to users
+      base = 1700000000L + rnd.nextInt(100000)
+      (t, i) <- (1 to perUser).scanLeft(base) { (t, _) =>
+        t + (rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(1700) + 1 // same session
+          case 1 => 1800                  // boundary: exactly the gap
+          case 2 => 1801                  // boundary: just over
+          case _ => 1800 + rnd.nextInt(20000)
+        })
+      }.zipWithIndex
+    } yield (u.toLong, new java.sql.Timestamp(t * 1000L),
+      (u * 100000 + i).toLong, "click")
+    rows.toDF("user_id", "ts", "event_id", "event_type")
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select(col("user_id"), col("session_idx"), col("s_start"),
+        col("s_end"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("mergeSessions fold over random splits equals one-shot sessionize") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val all = clicks(seed)
+      val oneShot = rows(IncrementalSessions.sessions(all))
+      // random (NOT chronological) assignment to 4 batches: every fold
+      // sees late data relative to what it already folded
+      val rnd = new scala.util.Random(seed * 31 + 5)
+      val tagged = all.withColumn("b",
+        pmod(crc32(concat_ws("-", col("event_id"), lit(rnd.nextInt()))),
+          lit(4)))
+      val batches = (0 until 4).map(i =>
+        tagged.filter(col("b") === i).drop("b"))
+      assert(batches.forall(_.count() > 0), s"degenerate split seed=$seed")
+      val folded = batches.tail.foldLeft(
+        IncrementalSessions.sessions(batches.head)) { (state, b) =>
+        IncrementalSessions.mergeSessions(
+          state, IncrementalSessions.sessions(b))
+      }
+      assert(rows(folded) == oneShot, s"fold != one-shot for seed=$seed")
+    }
+  }
+
+  test("mergeSessions leaves untouched users' rows unchanged") {
+    val all = clicks(3L, users = 6)
+    val first = all.filter(col("user_id") <= 4)
+    val delta = all.filter(col("user_id") > 4)
+    val state = IncrementalSessions.sessions(first)
+    val out = IncrementalSessions.mergeSessions(
+      state, IncrementalSessions.sessions(delta))
+    // users 1-4 are absent from the delta: their state rows pass through
+    val before = rows(state.filter(col("user_id") <= 4))
+    val after = rows(out.filter(col("user_id") <= 4))
+    assert(after == before)
+    assert(rows(out) == rows(IncrementalSessions.sessions(all)))
+  }
+
+  test("update() persists the fold across batches (atomic state swap)") {
+    val dir = java.nio.file.Files.createTempDirectory("inc-sess-").toString
+    val statePath = s"$dir/click_sessions_state"
+    val all = clicks(11L)
+    val split = all.withColumn("b", pmod(col("event_id"), lit(3)))
+    (0 until 3).foreach { i =>
+      IncrementalSessions.update(spark, statePath,
+        split.filter(col("b") === i).drop("b"))
+    }
+    val state = spark.read.parquet(statePath)
+    assert(rows(state) == rows(IncrementalSessions.sessions(all)))
+    graft.silver.Upsert.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("maintainClickSessionsLayout refreshes the layout q141 resolves") {
+    val dir = java.nio.file.Files.createTempDirectory("inc-sess-lay-")
+    val srcDir = dir.toString
+    val statePath = s"$srcDir/state"
+    val all = clicks(19L, users = 8)
+    val first = all.filter(col("event_id") % 2 === 0)
+    val late = all.filter(col("event_id") % 2 === 1)
+    // two appended batches, second one entirely "late" data
+    IncrementalSessions.maintainClickSessionsLayout(
+      spark, srcDir, statePath, first)
+    val name = IncrementalSessions.maintainClickSessionsLayout(
+      spark, srcDir, statePath, late)
+    // the read path a query takes (BucketedTables.tableOr) resolves the
+    // refreshed layout, and it equals the from-scratch rebuild
+    val resolved = graft.silver.BucketedTables.tableOr(
+      spark, srcDir, "click_sessions", Seq("user_id"))(
+      sys.error("layout must resolve"))
+    assert(rows(resolved) == rows(IncrementalSessions.sessions(all)))
+    // bucketed layout property preserved by the refresh path
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        name.split('.')(1), Some(name.split('.')(0))))
+    assert(cat.bucketSpec.exists(_.bucketColumnNames == Seq("user_id")))
+    spark.sql(s"DROP TABLE $name")
+    graft.silver.Upsert.deleteRecursively(dir)
+  }
+}
