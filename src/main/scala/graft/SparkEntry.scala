@@ -56,7 +56,15 @@ object SparkEntry {
     * [[QueryDef.confs]]), restoring the session's previous values after.
     * Bench and Verify both route query execution through this, so the
     * correctness gate always runs the exact configuration the bench
-    * measures. */
+    * measures.
+    *
+    * SEQUENTIAL HARNESSES ONLY: this mutates session-GLOBAL confs
+    * around the body, so two interleaved queries on the same session
+    * would cross-talk (one query's plan hints applied to another's
+    * planning). Concurrent surfaces — query.QueryService serves the
+    * reference API's ~50 req/s — must not route per-query confs through
+    * here; use [[withQueryConfsCloned]], which scopes them to a cloned
+    * session. */
   def withQueryConfs[T](spark: SparkSession, name: String)(body: => T): T = {
     val confs = allDefs.get(name).map(_.confs).getOrElse(Map.empty)
     if (confs.isEmpty) body
@@ -69,6 +77,25 @@ object SparkEntry {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
       }
+    }
+  }
+
+  /** Concurrency-safe variant of [[withQueryConfs]]: builds the query
+    * against a CLONED session (`newSession()` — own SQLConf and temp
+    * views, shared SparkContext and catalog) with the query's confs set
+    * there, so parallel queries can never observe each other's plan
+    * hints and the parent session's confs are never touched. Note:
+    * per-session silver layouts (silver.BucketedTables) are keyed by
+    * session instance, so a clone resolves the raw-scan fallback —
+    * correct by construction, just not layout-accelerated. */
+  def withQueryConfsCloned(spark: SparkSession, name: String,
+      sfDir: String): DataFrame = {
+    val confs = allDefs.get(name).map(_.confs).getOrElse(Map.empty)
+    if (confs.isEmpty) queries(name)(spark, sfDir)
+    else {
+      val cloned = spark.newSession()
+      confs.foreach { case (k, v) => cloned.conf.set(k, v) }
+      queries(name)(cloned, sfDir)
     }
   }
 }

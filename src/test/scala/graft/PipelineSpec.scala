@@ -256,6 +256,88 @@ class PipelineSpec extends AnyFunSuite {
     assert(freqs("no_such_value") == 0L)
   }
 
+  test("concurrent query surface: parallel mixed-layer queries are " +
+      "isolated (the reference API's 50 req/s shape)") {
+    val lake = newLake()
+    lake.registry.create(ordersSchema)
+    val recs = (1 to 50).map(i =>
+      s"""{"order_id": $i, "customer_id": ${i % 5}, "total_amount": $i.0}""")
+    lake.ingest.ingest("sales", "orders", recs)
+    lake.ingest.flushAll()
+    lake.silver.processEndpoint("sales", "orders")
+    // second silver table big enough to trip the truncation flag
+    import spark.implicits._
+    val path = lake.silverPath("big", "nums")
+    (1 to 10500).toDF("n").write.parquet(path)
+    lake.registry.registerSilver("big", "nums", path)
+    lake.registerTable("big", "silver", "nums", path)
+
+    // mixed workload: silver scan, bronze temp-view scan, truncation,
+    // dialect rewrite (QUALIFY), guard rejection, friendly error — each
+    // asserts ITS OWN invariant, so any cross-talk (truncation flag on
+    // the wrong result, a guard verdict leaking, a bronze temp view
+    // clobbered mid-flight) fails the owning task
+    val checks: Seq[() => Unit] = Seq(
+      () => {
+        val r = lake.query.run(
+          "SELECT order_id FROM sales.silver.orders ORDER BY order_id")
+          .toOption.get
+        assert(r.rowCount == 50 && !r.truncated)
+        assert(r.rows.head.head == 1)
+      },
+      () => {
+        val r = lake.query.run(
+          "SELECT COUNT(*) AS n FROM sales.bronze.orders").toOption.get
+        assert(r.rows.head.head == 50L)
+      },
+      () => {
+        val r = lake.query.run("SELECT n FROM big.silver.nums").toOption.get
+        assert(r.truncated && r.rowCount == 10000)
+      },
+      () => {
+        val r = lake.query.run("SELECT order_id, ROW_NUMBER() OVER " +
+          "(ORDER BY order_id) AS rn FROM sales.silver.orders QUALIFY rn <= 3")
+          .toOption.get
+        assert(r.rowCount == 3 && !r.truncated)
+      },
+      () => assert(lake.query.run("DROP TABLE sales_silver.orders").isLeft),
+      () => {
+        val e = lake.query.run("SELECT * FROM sales.silver.nope")
+        assert(e.swap.toOption.get.contains("does not exist"))
+      })
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val all = scala.concurrent.Future.sequence(
+        (0 until 48).map(i => scala.concurrent.Future {
+          checks(i % checks.length)() }))
+      scala.concurrent.Await.result(all,
+        scala.concurrent.duration.Duration(180, "s"))
+    } finally pool.shutdown()
+  }
+
+  test("withQueryConfsCloned scopes per-query confs to the clone") {
+    // q141 declares adaptive.enabled=false; the cloned-session variant
+    // must leave the PARENT session's conf untouched (the cross-talk
+    // hazard the sequential-only guard on withQueryConfs documents)
+    val parentAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val df = SparkEntry.withQueryConfsCloned(spark, "q141_overlap_join",
+      "/root/testdata/sf0.001")
+    assert(df.sparkSession ne spark, "conf-bearing query must get a clone")
+    assert(df.sparkSession.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == parentAqe)
+    assert(df.count() > 0)
+    // conf-free queries run on the parent session directly (no clone
+    // churn on the common path)
+    val confFree = SparkEntry.allDefs.collectFirst {
+      case (k, d) if d.confs.isEmpty => k }.get
+    val plain = SparkEntry.withQueryConfsCloned(spark, confFree,
+      "/root/testdata/sf0.001")
+    assert(plain.sparkSession eq spark)
+  }
+
   test("truncation at 10k rows sets the flag (L1)") {
     val lake = newLake()
     // register a big silver table directly (avoid 10k-record ingest loop)
