@@ -221,7 +221,13 @@ object Bench {
     // DuckDB lives driver-side only: this shells out to the dev script
     // and degrades to "duckdb":null if python3/duckdb aren't present,
     // so the library itself takes no dependency.
+    // SPARK_GRAFT_DUCKDB=off: skip the baseline subprocess entirely —
+    // for sf1 scaling rows whose oracle is a KNOWN DNF (q186's wedge
+    // join exhausts the machine's disk in spill; see SCALING.md), where
+    // re-running the baseline would take the box down, not measure it
     val duckdb: Option[Map[String, Double]] = scala.util.Try {
+      require(sys.env.getOrElse("SPARK_GRAFT_DUCKDB", "on") != "off",
+        "baseline disabled by SPARK_GRAFT_DUCKDB=off")
       def esc(s: String): String = "\"" + s.flatMap {
         case '"'  => "\\\""
         case '\\' => "\\\\"

@@ -515,15 +515,24 @@ object Statistics {
             min(col("x")).as("min_q"),
             max(col("x")).as("max_q"))
           .select(col("dim").cast(LongType).as("dim"), col("n"),
-            round(col("sx").cast(DoubleType) / col("n").cast(DoubleType)
-              / 100000.0, 6).as("mean"),
+            // round(sx/n/1e5, 6) computed in EXACT integer arithmetic:
+            // round-half-away-from-zero of the rational (10*sx)/n is
+            // sign * floor((2*|10*sx| + n) / (2*n)). Rounding the DOUBLE
+            // quotient instead is engine-dependent exactly at ties
+            // (Spark rounds the shortest decimal repr HALF_UP, DuckDB
+            // rounds the binary double) — a tie the skew fixture's
+            // duplicated vectors actually produce.
+            (expr("CAST((CASE WHEN sx >= 0 THEN 1 ELSE -1 END) * " +
+              "((2*abs(sx*10) + n) DIV (2*n)) AS DOUBLE)") / 1e6)
+              .as("mean"),
             col("min_q"), col("max_q"))
           .orderBy(col("dim")),
       oracle = Some(s"""
         WITH ${LlmOps.quantCte}
         SELECT g AS dim, COUNT(*) AS n,
-               round(SUM(x)::DOUBLE / COUNT(*)::DOUBLE / 100000.0, 6)
-                 AS mean,
+               CAST((CASE WHEN SUM(x) >= 0 THEN 1 ELSE -1 END) *
+                 ((2*abs(SUM(x)*10) + COUNT(*)) // (2*COUNT(*)))
+                 AS DOUBLE) / 1e6 AS mean,
                MIN(x) AS min_q, MAX(x) AS max_q
         FROM xv GROUP BY g ORDER BY dim""")),
 
