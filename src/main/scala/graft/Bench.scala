@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * initializes codegen and the parquet reader before measurement.
   */
 object Bench {
+  /** JSON string literal of `s` (quotes, backslashes, control chars). */
+  private def escJson(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -141,26 +149,33 @@ object Bench {
     // spread (min/median/max) is emitted too so floor-row grades are
     // argued from the distribution, not a single sample (r8 verdict
     // task 2).
-    def timeOne(name: String): Double = {
+    // None on failure — a failed run must NOT contribute its
+    // time-to-failure as a timing (it would surface as an impossibly
+    // good min); queries with zero successful samples are emitted as
+    // null plus a "failed" list so the artifact can't silently pass
+    def timeOne(name: String): Option[Double] = {
       // drop cached intermediates (persisted sketch frames) so each
       // timed run measures the full computation, not cache reuse
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      try SparkEntry.withQueryConfs(spark, name) {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+      try {
+        SparkEntry.withQueryConfs(spark, name) {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Some((System.nanoTime() - t0) / 1e9)
       }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val samples = scala.collection.mutable.Map[String,
       scala.collection.mutable.ArrayBuffer[Double]]()
     (1 to rounds).foreach { _ =>
       names.foreach { name =>
-        samples.getOrElseUpdate(
-          name, scala.collection.mutable.ArrayBuffer[Double]()) += timeOne(name)
+        timeOne(name).foreach(samples.getOrElseUpdate(
+          name, scala.collection.mutable.ArrayBuffer[Double]()) += _)
       }
     }
     def median(xs: Seq[Double]): Double = {
@@ -169,17 +184,25 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
-    val best = samples.map { case (k, v) => k -> v.min }
-    val results = names.map(n => n -> best(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val spreadJson = names.map { n =>
-      val s = samples(n)
-      "\"" + n + "\":{\"min\":" + r4(s.min) + ",\"med\":" + r4(median(s.toSeq)) +
+    def spreadOf(s: Seq[Double]): String =
+      "{\"min\":" + r4(s.min) + ",\"med\":" + r4(median(s)) +
         ",\"max\":" + r4(s.max) + "}"
+    val best = samples.map { case (k, v) => k -> v.min }
+    val qs = names.map(n =>
+        "\"" + n + "\":" + best.get(n).map(_.toString).getOrElse("null"))
+      .mkString("{", ",", "}")
+    val total = names.flatMap(best.get).sum
+    val spreadJson = names.map { n =>
+      "\"" + n + "\":" + samples.get(n).map(s => spreadOf(s.toSeq))
+        .getOrElse("null")
     }.mkString("{", ",", "}")
-    val totalMedian = r4(names.map(n => median(samples(n).toSeq)).sum)
+    val totalMedian =
+      r4(names.flatMap(n => samples.get(n).map(s => median(s.toSeq))).sum)
+    val failedNames = names.filterNot(samples.contains)
+    val failedJson =
+      if (failedNames.isEmpty) ""
+      else ",\"failed\":" + failedNames.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
 
     // No-layout counterpart timings (QueryDef.benchNoLayout): the same
     // query with silver-layout resolution suppressed, i.e. the inline
@@ -188,30 +211,40 @@ object Bench {
     // contribution in the same artifact.
     val noLayoutNames = names.filter(n =>
       SparkEntry.allDefs.get(n).exists(_.benchNoLayout))
-    val noLayout: Map[String, Double] = noLayoutNames.map { name =>
-      graft.silver.BucketedTables.withoutLayouts {
-        (1 to warmups).foreach(_ => timeOne(name))
-        name -> r4((1 to rounds).map(_ => timeOne(name)).min)
+    // same methodology as the headline samples: round-robin interleaved
+    // (back-to-back repeats of one query can all land in the same
+    // multi-second noise window), failures dropped (null if ALL runs
+    // fail), full spread emitted alongside the back-compat min
+    val noLayoutSamples = scala.collection.mutable.Map[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    if (noLayoutNames.nonEmpty) graft.silver.BucketedTables.withoutLayouts {
+      (1 to warmups).foreach(_ => noLayoutNames.foreach(timeOne))
+      (1 to rounds).foreach { _ =>
+        noLayoutNames.foreach { name =>
+          timeOne(name).foreach(noLayoutSamples.getOrElseUpdate(
+            name, scala.collection.mutable.ArrayBuffer[Double]()) += _)
+        }
       }
-    }.toMap
+    }
     val noLayoutJson =
-      if (noLayout.isEmpty) ""
-      else ",\"nolayout\":" + noLayout.map { case (k, v) =>
-        "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      if (noLayoutNames.isEmpty) ""
+      else {
+        val mins = noLayoutNames.map(n => "\"" + n + "\":" +
+          noLayoutSamples.get(n).map(s => r4(s.min).toString)
+            .getOrElse("null")).mkString("{", ",", "}")
+        val spreads = noLayoutNames.map(n => "\"" + n + "\":" +
+          noLayoutSamples.get(n).map(s => spreadOf(s.toSeq))
+            .getOrElse("null")).mkString("{", ",", "}")
+        s""","nolayout":$mins,"nolayout_spread":$spreads"""
+      }
 
     // Per-query disclosures (QueryDef.benchNote), verbatim
-    def escJ(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val notes = names.flatMap(n =>
       SparkEntry.allDefs.get(n).flatMap(_.benchNote).map(n -> _))
     val notesJson =
       if (notes.isEmpty) ""
       else ",\"notes\":" + notes.map { case (k, v) =>
-        "\"" + k + "\":" + escJ(v) }.mkString("{", ",", "}")
+        "\"" + k + "\":" + escJson(v) }.mkString("{", ",", "}")
 
     // Same-session DuckDB baseline (best-effort): measure the reference
     // engine's side of the ratio under the SAME machine conditions as the
@@ -228,42 +261,44 @@ object Bench {
     val duckdb: Option[Map[String, Double]] = scala.util.Try {
       require(sys.env.getOrElse("SPARK_GRAFT_DUCKDB", "on") != "off",
         "baseline disabled by SPARK_GRAFT_DUCKDB=off")
-      def esc(s: String): String = "\"" + s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
       val sql = SparkEntry.benchOracleSql.filter(kv => names.contains(kv._1))
       val oraclePath = java.nio.file.Files.createTempFile("bench-oracle-", ".json")
-      java.nio.file.Files.writeString(oraclePath,
-        sql.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
-      val script = new java.io.File("scripts/duckdb_bench.py")
-      val pb = new ProcessBuilder("python3", script.getAbsolutePath,
-        sfDir, oraclePath.toString, "--json")
       // stderr goes to a FILE, not a pipe: an unread stderr pipe blocks
       // the child once it exceeds the ~64 KB buffer (DuckDB warnings,
       // tracebacks), and the 600 s cap would then force-kill a healthy
       // run and silently drop the baseline via the Try wrapper
       val errPath = java.nio.file.Files.createTempFile("bench-duckdb-", ".err")
-      pb.redirectError(errPath.toFile)
-      val p = pb.start()
-      // enforce the cap BEFORE reading: readAllBytes blocks until the
-      // child closes stdout, so reading first would let one hung oracle
-      // query hang the whole bench past the 600 s budget (found when a
-      // recursive-CTE oracle ran >12 min at sf1). The output is one
-      // short JSON line, far under the pipe buffer, so the child never
-      // blocks on a full pipe while we wait.
-      val finished = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
-      if (!finished) { p.destroyForcibly(); p.waitFor() }
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      val ok = finished && p.exitValue() == 0
-      if (!ok) System.err.println("[bench] duckdb stderr tail: " +
-        scala.util.Try(java.nio.file.Files.readString(errPath).takeRight(2000))
-          .getOrElse("<unreadable>"))
-      java.nio.file.Files.deleteIfExists(oraclePath)
-      java.nio.file.Files.deleteIfExists(errPath)
-      require(ok, "duckdb_bench.py failed")
+      // finally-cleanup: pb.start() throwing (no python3 — a documented
+      // normal degrade path) must not leak the two temp files
+      val out = try {
+        java.nio.file.Files.writeString(oraclePath,
+          sql.map { case (k, v) => s"${escJson(k)}: ${escJson(v)}" }
+            .mkString("{", ",", "}"))
+        val script = new java.io.File("scripts/duckdb_bench.py")
+        val pb = new ProcessBuilder("python3", script.getAbsolutePath,
+          sfDir, oraclePath.toString, "--json")
+        pb.redirectError(errPath.toFile)
+        val p = pb.start()
+        // enforce the cap BEFORE reading: readAllBytes blocks until the
+        // child closes stdout, so reading first would let one hung oracle
+        // query hang the whole bench past the 600 s budget (found when a
+        // recursive-CTE oracle ran >12 min at sf1). The output is one
+        // short JSON line, far under the pipe buffer, so the child never
+        // blocks on a full pipe while we wait.
+        val finished = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) { p.destroyForcibly(); p.waitFor() }
+        val o = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val ok = finished && p.exitValue() == 0
+        if (!ok) System.err.println("[bench] duckdb stderr tail: " +
+          scala.util.Try(
+              java.nio.file.Files.readString(errPath).takeRight(2000))
+            .getOrElse("<unreadable>"))
+        require(ok, "duckdb_bench.py failed")
+        o
+      } finally {
+        java.nio.file.Files.deleteIfExists(oraclePath)
+        java.nio.file.Files.deleteIfExists(errPath)
+      }
       // flat {"name": sec, ...} line — regex-parse, no JSON dep needed
       val re = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
       re.findAllMatchIn(out.linesIterator.toSeq.last)
@@ -286,7 +321,7 @@ object Bench {
     // contract run)
     val subset = sys.env.get("SPARK_GRAFT_ONLY")
       .map(s => "\"" + s + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"total_median":$totalMedian,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset$noLayoutJson$notesJson$duckJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"total_median":$totalMedian,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset$failedJson$noLayoutJson$notesJson$duckJson}""")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.stop()
     // drop this run's warehouse copy of the layouts

@@ -500,9 +500,12 @@ object Statistics {
     // ---- Per-dimension embedding statistics ------------------------------
     // Column-wise corpus stats over the vector column: one posexplode +
     // a (dim)-keyed aggregation — 64·n rows shuffled as partial sums
-    // only. Means divide exact int64 sums of the quantized components
-    // (overflow at ~9e13 vectors per dim; widen to DECIMAL(38,0) past
-    // that), so the doubles are bit-identical cross-engine.
+    // only. Means divide exact int64 sums of the quantized components,
+    // so the doubles are bit-identical cross-engine. Overflow headroom:
+    // the rounding numerator 2*abs(sx*10)+n wraps int64 at ~4.6e12
+    // vectors per dim (|x| <= 1e5), and only on the Spark side — the
+    // DuckDB oracle's SUM(int) is HUGEINT and stays exact — so past
+    // that, widen sx and the numerator to DECIMAL(38,0).
     "q84_dim_stats" -> QueryDef(
       build = (spark, dir) =>
         t(spark, dir, "embeddings")

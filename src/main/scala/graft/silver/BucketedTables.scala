@@ -116,16 +116,8 @@ object BucketedTables {
     val current = layouts.get((spark, qualified))
     if (!current.contains(dir) || !spark.catalog.tableExists(qualified)) {
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
-      if (!spark.catalog.tableExists(qualified)) {
-        // a previous JVM may have left files at the managed location the
-        // in-memory catalog no longer knows about; clear them so CREATE
-        // doesn't trip over a non-empty directory
-        val wh = spark.conf.get("spark.sql.warehouse.dir")
-        val loc = new org.apache.hadoop.fs.Path(
-          s"$wh/graft_bench.db/${qualified.split('.')(1)}")
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      if (!spark.catalog.tableExists(qualified))
+        clearStaleLocation(spark, qualified)
       layoutWrite(build, qualified, keys, sortCols, numBuckets)
       layouts((spark, qualified)) = dir
     }
@@ -142,14 +134,34 @@ object BucketedTables {
       numBuckets: Int = 32)(refreshed: DataFrame): String = {
     val qualified = layoutName(name, keys)
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
-    // saveAsTable(Overwrite) on an EXISTING bucketed table validates the
-    // spec matches; dropping first keeps the rewrite unconditional
-    // (single-writer maintenance, same contract as writeMerged's swap)
+    // Stage to a tmp table, then swap via metadata-only DROP+RENAME
+    // (writeMerged's pattern): readers resolve the OLD table for the
+    // whole table-sized rewrite and only race the two metadata ops, not
+    // the write. Clear files a previous JVM left at either managed
+    // location the in-memory catalog no longer knows about.
+    val tmp = s"${qualified}__refresh_tmp"
+    if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
+    clearStaleLocation(spark, tmp)
+    if (!spark.catalog.tableExists(qualified))
+      clearStaleLocation(spark, qualified)
+    layoutWrite(refreshed, tmp, keys, sortCols, numBuckets)
     if (spark.catalog.tableExists(qualified))
       spark.sql(s"DROP TABLE $qualified")
-    layoutWrite(refreshed, qualified, keys, sortCols, numBuckets)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
     layouts((spark, qualified)) = dir
     qualified
+  }
+
+  /** Delete files a previous JVM left at a graft_bench managed-table
+    * location the current in-memory catalog no longer knows about, so a
+    * fresh CTAS doesn't trip over a non-empty directory. */
+  private def clearStaleLocation(spark: SparkSession,
+      qualified: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"$wh/graft_bench.db/${qualified.split('.')(1)}")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   private def layoutWrite(df: DataFrame, qualified: String,

@@ -105,11 +105,15 @@ object MakeSkew {
     val base = "pack my box with five dozen liquor jugs while " +
       "vexed zebras jump quickly over the frozen dust and " +
       "the silent harbor waits for a bright winter morning"
+    // the universal sentence is prepended to EVERY doc — including the
+    // near-dup cluster, so the two pathologies compound rather than
+    // partition the corpus
     write("documents", t("documents")
       .withColumn("text",
-        when(coin(col("doc_id"), 5, 30),
-          concat(lit(base + " variant "), col("doc_id")))
-          .otherwise(concat(lit(universal + " "), col("text"))))
+        concat(lit(universal + " "),
+          when(coin(col("doc_id"), 5, 30),
+            concat(lit(base + " variant "), col("doc_id")))
+            .otherwise(col("text"))))
       .withColumn("n_chars", length(col("text"))))
 
     // ~20% of vectors become EXACT copies of the hot vector

@@ -129,4 +129,30 @@ class IncrementalSessionsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $name")
     graft.silver.Upsert.deleteRecursively(dir)
   }
+
+  test("refreshDerivedLayout recovers from files a dead JVM left at " +
+      "the managed locations") {
+    val dir = java.nio.file.Files.createTempDirectory("inc-sess-stale-")
+    val srcDir = dir.toString
+    val all = clicks(23L, users = 4)
+    // simulate an unclean prior exit: the in-memory catalog knows
+    // neither table, but files sit at BOTH managed locations (the
+    // target's from a completed run, the tmp's from a crash mid-swap)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    for (t <- Seq("click_sessions_by_user_id",
+        "click_sessions_by_user_id__refresh_tmp")) {
+      val p = java.nio.file.Paths.get(Option(
+          new java.net.URI(s"$wh/graft_bench.db/$t").getPath)
+        .getOrElse(s"$wh/graft_bench.db/$t"))
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve("stale.parquet"), "junk")
+    }
+    val name = graft.silver.BucketedTables.refreshDerivedLayout(
+      spark, srcDir, "click_sessions", Seq("user_id"),
+      sortCols = Seq("user_id", "session_idx"))(
+      IncrementalSessions.sessions(all))
+    assert(rows(spark.table(name)) == rows(IncrementalSessions.sessions(all)))
+    spark.sql(s"DROP TABLE $name")
+    graft.silver.Upsert.deleteRecursively(dir)
+  }
 }
