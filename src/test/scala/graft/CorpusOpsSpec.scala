@@ -169,6 +169,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
+  test("pageRank: bounded driver fast path ≡ distributed rounds, " +
+      "bit-for-bit, long and string ids") {
+    import spark.implicits._
+    // seeded pseudo-random weighted graph, dense enough that per-edge
+    // contributions sweep many fractional values (near-tie rounding
+    // coverage); weights span 1..1e6 like the scaled-jaccard callers
+    val rnd = new scala.util.Random(20260815L)
+    val und = (0 until 300).map { _ =>
+      val a = rnd.nextInt(40).toLong
+      val b = (a + 1 + rnd.nextInt(39)) % 40
+      (a, b, 1L + rnd.nextInt(1000000).toLong)
+    }.distinct
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val fast = graft.ops.Graph.pageRank(edges, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driverEdgeLimit = 0 forces the distributed rounds on the same input
+    val dist = graft.ops.Graph.pageRank(edges, iters = 10,
+        driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast == dist,
+      s"driver and distributed trajectories diverged: " +
+        s"${(fast.toSet -- dist.toSet).take(3)} vs ${(dist.toSet -- fast.toSet).take(3)}")
+    // opaque (string) node ids take the fast path too, same schema out
+    val sEdges = edges.select(
+      concat(lit("d"), col("src")).as("src"),
+      concat(lit("d"), col("dst")).as("dst"), col("w"))
+    val sFast = graft.ops.Graph.pageRank(sEdges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sDist = graft.ops.Graph.pageRank(sEdges, iters = 5,
+        driverEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sFast == sDist)
+    assert(sFast.keySet == fast.keySet.map("d" + _))
+  }
+
   test("triangleCounts: exact counts on known shapes, duplicate/reversed " +
       "edges tolerated") {
     import spark.implicits._
