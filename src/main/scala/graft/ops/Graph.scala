@@ -29,8 +29,8 @@ object Graph {
     * `edges` must contain each undirected edge in BOTH directions.
     *
     * Adaptive, the [[DedupOps.connectedComponents]] pattern: when the
-    * edge set fits `driverEdgeLimit` rows (default 2²⁰ directed rows
-    * ≈ 24 MB of longs — a broadcast-side budget), the whole trajectory
+    * edge set fits `driverEdgeLimit` rows (default 2²² directed rows
+    * ≈ 100 MB of longs — a broadcast-side budget), the whole trajectory
     * runs as ONE collect plus driver integer math instead of
     * `iters` × (join + aggregation) scheduled rounds. Near-dup and
     * co-occurrence graphs are the duplicated/correlated SLIVER of a
@@ -40,22 +40,32 @@ object Graph {
     * milliseconds at sf0.1), while boilerplate-heavy corpora with
     * corpus-sized graphs take the distributed rounds. Both paths
     * compute the identical ×10⁹-scaled integer trajectory
-    * (spec-asserted against each other, ties included). The probe is
-    * `limit(n+1).collect()` — one job that either early-exits (large
-    * graph) or IS the only pass the fast path needs. */
+    * (spec-asserted against each other, ties included).
+    *
+    * The size probe persists the RAW edge frame and counts it — ONE run
+    * of the caller's edge pipeline (an LSH near-dup verify, a
+    * co-purchase explode — the expensive part), after which every
+    * consumer in either path (the fast-path collect; the distributed
+    * path's out-weight aggregation, edge join and node distinct) is a
+    * cache-local read. The alternatives both double-execute that
+    * pipeline somewhere: a `limit(n+1).collect()` probe pays a full
+    * extra run plus a wasted limit-sized transfer whenever the graph
+    * turns out big (measured on q185 at sf1), and building the
+    * ow-joined frame first consumes the raw input twice (measured on
+    * q187 at sf0.1). */
   def pageRank(edges: DataFrame, iters: Int = 10,
       damping: Double = 0.85,
-      driverEdgeLimit: Int = 1 << 20): DataFrame = {
+      driverEdgeLimit: Int = 1 << 22): DataFrame = {
     require(iters >= 1, "pageRank needs iters >= 1")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
-    val probe = e.limit(driverEdgeLimit + 1).collect()
-    require(probe.nonEmpty, "pageRank needs a non-empty graph")
-    if (probe.length <= driverEdgeLimit)
-      return pageRankDriver(e, probe, iters, damping)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count() // the one pipeline execution
+    require(nEdges > 0, "pageRank needs a non-empty graph")
+    if (nEdges <= driverEdgeLimit) {
+      val rows = try e.collect() finally e.unpersist(false)
+      return pageRankDriver(e, rows, iters, damping)
+    }
     val ew = prEdges(e)
-    // node set off the CACHED frame (forcing it materializes the cache),
-    // not off `e` — deriving it from the raw input would execute the
-    // caller's full edge pipeline a second time
     val nodes = graft.core.Stage(
       ew.select(col("src").as("id")).distinct())
     val n = nodes.count()
@@ -75,11 +85,12 @@ object Graph {
             else contrib
       }
     } finally {
-      // the final iterate is materialized (Stage is eager), so the
-      // cached edge frame can be released before returning — and a
-      // FAILED iteration must release it too, or each crashed call pins
-      // a graph-sized copy in this long-lived session's cache
+      // the final iterate is materialized (Stage is eager), so both
+      // cached frames can be released before returning — and a FAILED
+      // iteration must release them too, or each crashed call pins a
+      // graph-sized copy in this long-lived session's cache
       ew.unpersist(false)
+      e.unpersist(false)
     }
     r.select(col("id"), (col("r").cast("double") / 1e9).as("rank"))
   }

@@ -837,13 +837,14 @@ object Relational {
     // contract on a graph): the unrolled SQL reproduces all 10 rounds
     // bit-for-bit. Every DECIMAL-defaulting literal in the oracle is
     // CAST to DOUBLE so both engines run the identical IEEE chain.
-    // NOT a headline row (r7 verdict #6, rationale recorded): the
-    // oracle IS a fair baseline (same algorithm, unrolled), but at
-    // sf0.1 ten iterative rounds are pure scheduler floor for Spark
-    // (3.3 s over ~0.5 s of work, 6x DuckDB) while at sf1 the curve
-    // crosses hard — 12.6 s vs 31.2 s (2.5x AHEAD, SCALING.md). A
-    // per-query ratio gate at the floor SF would misread the scale
-    // design; the sf1 row is the honest judgment.
+    // NOT a headline row (r7 verdict #6, rationale recorded). Round 9's
+    // adaptive fast path (Graph.pageRank collapses sliver-sized graphs
+    // to one collect + driver integer math) retired the old scheduler-
+    // floor story: sf0.1 measures 2.0 s (was 3.3) and sf1 5.9 s vs
+    // DuckDB 13.1 s same-session = 0.45x AHEAD (was 12.6 s) — the sf1
+    // co-purchase graph (2.4M directed edges) fits the driver budget,
+    // so the 10 rounds cost milliseconds and the explode pipeline is
+    // the whole query.
     "q185_copurchase_pagerank" -> QueryDef(
       build = (spark, dir) => {
         val lp = t(spark, dir, "lineitem")
