@@ -31,6 +31,11 @@ final class Lake(val spark: SparkSession, val root: String) {
   // with graft.plans.LakeExtensions (string-level rewrite stays the
   // default path for foreign sessions)
   graft.plans.LakeResolutionRule.setRoot(spark, root)
+  // DuckDB-dialect grouping-sets semantics on every query this lake
+  // serves (empty-input ROLLUP/CUBE grand-total row — see the rule).
+  // Null-guarded like setRoot above: registry-only tests construct a
+  // Lake without a session.
+  if (spark != null) graft.plans.EmptyGroupingSetsRule.install(spark)
 
   def bronzePath(domain: String, name: String): String = s"$root/bronze/$domain/$name"
   def silverPath(domain: String, name: String): String = s"$root/silver/$domain/$name"

@@ -35,6 +35,11 @@ object Dialect {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // dialect semantics, not just dialect names: DuckDB (and ISO SQL)
+    // return the grand-total row for ROLLUP/CUBE over empty input;
+    // Spark's Expand-based grouping sets lose it (found by the
+    // differential fuzz, see the rule's scaladoc)
+    graft.plans.EmptyGroupingSetsRule.install(spark)
   }
 
   /** Epoch micros of a timestamp column, tolerant of BOTH timestamp

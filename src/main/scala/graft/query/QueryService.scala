@@ -42,10 +42,15 @@ final class QueryService(lake: Lake) {
     }
   }
 
-  /** The unguarded, untruncated DataFrame (for internal composition). */
+  /** The unguarded, untruncated DataFrame (for internal composition).
+    * The analyzed-stage grouping-sets rewrite runs here so even
+    * statically-empty inputs keep the DuckDB/ISO grand-total row —
+    * the optimizer-batch copy of the rule only sees runtime-empty
+    * plans (EmptyGroupingSetsRule scaladoc). */
   def dataFrame(sql: String): DataFrame =
-    lake.spark.sql(NameRewriter.rewrite(lake,
-      StarRewriter.rewrite(QualifyRewriter.rewrite(sql))))
+    graft.plans.EmptyGroupingSetsRule.applyAnalyzed(
+      lake.spark.sql(NameRewriter.rewrite(lake,
+        StarRewriter.rewrite(QualifyRewriter.rewrite(sql)))))
 
   /** Error sanitization (query_api/main.py:186-207): missing relations →
     * "does not exist or has no data"; object-store URIs and internal

@@ -1,0 +1,369 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only differential SQL fuzz over the interactive-query surface
+  * (SURVEY §2 P1/P5 + §2.8 star/QUALIFY rewriters): generates a seeded,
+  * reproducible batch of random queries in the DuckDB-flavored dialect
+  * the reference's gold jobs write, runs each through the PRODUCT
+  * pipeline (QualifyRewriter → StarRewriter → QueryGuard → Catalyst)
+  * against the driver's parquet tables, and dumps results in the exact
+  * layout `scripts/local_check.py` consumes — so the SAME query text is
+  * then executed natively by DuckDB (which speaks QUALIFY/EXCLUDE/
+  * REPLACE itself) and value-compared. The MakeSkew idea applied to the
+  * SQL dialect: the oracle corpus checks 190 hand-built queries; this
+  * checks the COMBINATORIAL space around them.
+  *
+  * The grammar is restricted to expressions whose results are
+  * bit-identical across engines BY CONSTRUCTION — exact integer
+  * arithmetic (both engines: int64, C-style % sign), byte-ordered ASCII
+  * string functions, raw double comparisons (no float arithmetic, no
+  * double sums), UTC timestamp extracts, count/sum-of-int/min/max
+  * aggregates, and windows ordered by a unique key — so ANY mismatch is
+  * a real engine/rewriter defect, never rounding weather.
+  *
+  * Usage: FuzzSql <sfDir> <outDir> [n=300] [seed=20260815]
+  * then:  python3 scripts/local_check.py <sfDir> <outDir>
+  */
+object FuzzSql {
+
+  // ---- schema model (TESTDATA.md tables; dtypes verified via DESCRIBE) --
+  final case class Col(name: String, kind: Char) // i=int s=str d=dbl t=ts
+  final case class Tab(name: String, key: String, cols: Seq[Col]) {
+    def of(k: Char): Seq[Col] = cols.filter(_.kind == k)
+  }
+  private def c(n: String, k: Char) = Col(n, k)
+
+  val tabs: Seq[Tab] = Seq(
+    Tab("region", "r_regionkey",
+      Seq(c("r_regionkey", 'i'), c("r_name", 's'))),
+    Tab("nation", "n_nationkey",
+      Seq(c("n_nationkey", 'i'), c("n_name", 's'), c("n_regionkey", 'i'))),
+    Tab("customer", "c_custkey",
+      Seq(c("c_custkey", 'i'), c("c_name", 's'), c("c_nationkey", 'i'),
+        c("c_acctbal", 'd'), c("c_mktsegment", 's'))),
+    Tab("supplier", "s_suppkey",
+      Seq(c("s_suppkey", 'i'), c("s_name", 's'), c("s_nationkey", 'i'),
+        c("s_acctbal", 'd'))),
+    Tab("part", "p_partkey",
+      Seq(c("p_partkey", 'i'), c("p_name", 's'), c("p_brand", 's'),
+        c("p_type", 's'), c("p_size", 'i'), c("p_retailprice", 'd'))),
+    Tab("orders", "o_orderkey",
+      Seq(c("o_orderkey", 'i'), c("o_custkey", 'i'), c("o_orderstatus", 's'),
+        c("o_totalprice", 'd'), c("o_orderdate", 't'),
+        c("o_orderpriority", 's'))),
+    Tab("lineitem", "l_orderkey",
+      Seq(c("l_orderkey", 'i'), c("l_partkey", 'i'), c("l_suppkey", 'i'),
+        c("l_linenumber", 'i'), c("l_returnflag", 's'),
+        c("l_linestatus", 's'), c("l_shipdate", 't'))),
+    Tab("documents", "doc_id",
+      Seq(c("doc_id", 'i'), c("lang", 's'), c("source", 's'),
+        c("n_chars", 'i'))))
+
+  /** (left table, left fk, right table, right key) — the star schema's
+    * referential edges; join predicates come only from here. */
+  val fks: Seq[(String, String, String, String)] = Seq(
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"))
+
+  private val likePool =
+    Seq("%a%", "%e%", "%an%", "%r", "A%", "_u%", "%ing%", "%o_")
+  private val strLitPool = Seq("a", "e", "x", "N", "AUTO", "BUILD", "re")
+
+  // ---- expression generators (all deterministic off the passed rng) ----
+  private def pick[T](r: scala.util.Random, xs: Seq[T]): T =
+    xs(r.nextInt(xs.length))
+
+  /** Exact-integer scalar expression over `t` (qualified col names). */
+  private def intExpr(r: scala.util.Random, t: Tab, depth: Int): String = {
+    val leafs = t.of('i').map(col => s"${t.name}.${col.name}")
+    if (depth <= 0 || r.nextInt(3) == 0) {
+      if (r.nextInt(4) == 0) (r.nextInt(50) + 1).toString
+      else pick(r, leafs)
+    } else r.nextInt(7) match {
+      case 0 => s"(${intExpr(r, t, depth - 1)} + ${intExpr(r, t, depth - 1)})"
+      case 1 => s"(${intExpr(r, t, depth - 1)} - ${intExpr(r, t, depth - 1)})"
+      case 2 => s"(${intExpr(r, t, depth - 1)} * ${r.nextInt(7) + 1})"
+      case 3 => s"(${intExpr(r, t, depth - 1)} % ${r.nextInt(97) + 3})"
+      case 4 => s"CASE WHEN ${pred(r, t, 0)} THEN ${intExpr(r, t, 0)} " +
+        s"ELSE ${intExpr(r, t, 0)} END"
+      case 5 => s"length(${strExpr(r, t, 0)})"
+      case 6 if t.of('t').nonEmpty =>
+        val f = pick(r, Seq("year", "month", "day"))
+        s"$f(${t.name}.${pick(r, t.of('t')).name})"
+      case _ => pick(r, leafs)
+    }
+  }
+
+  /** ASCII string expression (byte-ordered in both engines). */
+  private def strExpr(r: scala.util.Random, t: Tab, depth: Int): String = {
+    val leafs = t.of('s').map(col => s"${t.name}.${col.name}")
+    if (leafs.isEmpty) s"'${pick(r, strLitPool)}'"
+    else if (depth <= 0 || r.nextInt(3) == 0) pick(r, leafs)
+    else r.nextInt(5) match {
+      case 0 => s"upper(${strExpr(r, t, depth - 1)})"
+      case 1 => s"lower(${strExpr(r, t, depth - 1)})"
+      case 2 => s"substr(${strExpr(r, t, depth - 1)}, " +
+        s"${r.nextInt(4) + 1}, ${r.nextInt(8) + 1})"
+      case 3 => s"(${strExpr(r, t, depth - 1)} || " +
+        s"'${pick(r, strLitPool)}')"
+      // NOT replace(): the guard's keyword blocklist — the reference's
+      // _BLOCKED_STATEMENTS verbatim — rejects any query containing the
+      // word REPLACE outside a star modifier, string function included.
+      // The fuzz stays inside the product's legal surface.
+      case _ => s"reverse(${strExpr(r, t, depth - 1)})"
+    }
+  }
+
+  /** Predicate over `t`: int/str/double/timestamp comparisons, LIKE,
+    * IN-lists, boolean combos. Doubles appear ONLY in raw comparisons. */
+  private def pred(r: scala.util.Random, t: Tab, depth: Int): String = {
+    val ops = Seq("=", "<>", "<", "<=", ">", ">=")
+    def leaf: String = r.nextInt(6) match {
+      case 0 => s"${intExpr(r, t, 1)} ${pick(r, ops)} ${r.nextInt(2000)}"
+      case 1 => s"${intExpr(r, t, 0)} ${pick(r, ops)} ${intExpr(r, t, 0)}"
+      case 2 => s"${strExpr(r, t, 0)} LIKE '${pick(r, likePool)}'"
+      case 3 if t.of('d').nonEmpty =>
+        s"${t.name}.${pick(r, t.of('d')).name} ${pick(r, ops)} " +
+          s"${r.nextInt(9000) + 500}.${r.nextInt(10)}"
+      case 4 if t.of('t').nonEmpty =>
+        val y = 1992 + r.nextInt(7); val m = r.nextInt(12) + 1
+        s"${t.name}.${pick(r, t.of('t')).name} ${pick(r, Seq("<", ">="))} " +
+          f"TIMESTAMP '$y-$m%02d-15 00:00:00'"
+      case 5 => s"${intExpr(r, t, 0)} IN (${Seq.fill(r.nextInt(4) + 1)(
+        r.nextInt(3000)).mkString(", ")})"
+      case _ => s"${intExpr(r, t, 0)} >= 0"
+    }
+    if (depth >= 2 || r.nextInt(3) > 0) leaf
+    else r.nextInt(4) match {
+      case 0 => s"(${pred(r, t, depth + 1)} AND ${pred(r, t, depth + 1)})"
+      case 1 => s"(${pred(r, t, depth + 1)} OR ${pred(r, t, depth + 1)})"
+      case 2 => s"(NOT ${pred(r, t, depth + 1)})"
+      case _ => s"${intExpr(r, t, 0)} BETWEEN ${r.nextInt(500)} " +
+        s"AND ${r.nextInt(4000) + 500}"
+    }
+  }
+
+  /** Aggregate expression (engine-exact classes only). */
+  private def aggExpr(r: scala.util.Random, t: Tab): String =
+    r.nextInt(7) match {
+      case 0 => "CAST(count(*) AS BIGINT)"
+      case 1 => s"count(DISTINCT ${intExpr(r, t, 0)})"
+      case 2 => s"CAST(sum(${intExpr(r, t, 1)}) AS BIGINT)"
+      case 3 => s"min(${intExpr(r, t, 1)})"
+      case 4 => s"max(${strExpr(r, t, 1)})"
+      case 5 =>
+        if (t.of('d').nonEmpty && r.nextBoolean())
+          s"${pick(r, Seq("min", "max"))}(${t.name}.${pick(r, t.of('d')).name})"
+        else s"max(${intExpr(r, t, 1)})"
+      // aggregate FILTER clause — both engines speak it natively
+      case _ => s"CAST(count(*) FILTER (WHERE ${pred(r, t, 1)}) AS BIGINT)"
+    }
+
+  private def scalarExpr(r: scala.util.Random, t: Tab): String =
+    if (r.nextInt(3) == 0) strExpr(r, t, 2)
+    else s"CAST(${intExpr(r, t, 2)} AS BIGINT)"
+
+  // ---- query templates ---------------------------------------------------
+  private def qFilterProject(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val items = (0 until r.nextInt(3) + 2)
+      .map(i => s"${scalarExpr(r, t)} AS c$i")
+    s"SELECT ${(s"${t.name}.${t.key} AS k" +: items).mkString(", ")} " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)}"
+  }
+
+  private def qGroupAgg(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val nG = r.nextInt(2) + 1
+    val gs = (0 until nG).map(i => s"${scalarExpr(r, t)} AS g$i")
+    val as = (0 until r.nextInt(2) + 1).map(i => s"${aggExpr(r, t)} AS a$i")
+    val having =
+      if (r.nextInt(3) == 0) s" HAVING count(*) > ${r.nextInt(3)}" else ""
+    s"SELECT ${(gs ++ as).mkString(", ")} FROM ${t.name} " +
+      s"WHERE ${pred(r, t, 0)} " +
+      s"GROUP BY ${(1 to nG).mkString(", ")}$having"
+  }
+
+  private def qJoin(r: scala.util.Random): String = {
+    val (lt, fk, rt, pk) = pick(r, fks)
+    val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
+    val join = s"${l.name} JOIN ${rr.name} ON ${l.name}.$fk = ${rr.name}.$pk"
+    val where = s"(${pred(r, l, 1)} AND ${pred(r, rr, 1)})"
+    if (r.nextBoolean()) {
+      val gs = Seq(s"${scalarExpr(r, rr)} AS g0")
+      val as = Seq(s"${aggExpr(r, l)} AS a0", "CAST(count(*) AS BIGINT) AS a1")
+      s"SELECT ${(gs ++ as).mkString(", ")} FROM $join WHERE $where GROUP BY 1"
+    } else {
+      val items = Seq(s"${l.name}.${l.key} AS k0", s"${rr.name}.${rr.key} AS k1",
+        s"${scalarExpr(r, l)} AS c0", s"${scalarExpr(r, rr)} AS c1")
+      s"SELECT ${items.mkString(", ")} FROM $join WHERE $where"
+    }
+  }
+
+  private def qWindowQualify(r: scala.util.Random): String = {
+    val t = pick(r, tabs.filter(x => x.of('i').size >= 2))
+    val g = s"(${t.name}.${pick(r, t.of('i')).name} % ${r.nextInt(7) + 2})"
+    val fn = r.nextInt(4) match {
+      case 0 => s"row_number() OVER (PARTITION BY $g ORDER BY ${t.name}.${t.key})"
+      case 1 => s"rank() OVER (PARTITION BY $g " +
+        s"ORDER BY ${intExpr(r, t, 0)}, ${t.name}.${t.key})"
+      case 2 => s"dense_rank() OVER (PARTITION BY $g " +
+        s"ORDER BY ${intExpr(r, t, 0)}, ${t.name}.${t.key})"
+      case _ => s"sum(${intExpr(r, t, 0)}) OVER (PARTITION BY $g " +
+        s"ORDER BY ${t.name}.${t.key})"
+    }
+    val sel = s"SELECT ${t.name}.${t.key} AS k, CAST($g AS BIGINT) AS g, " +
+      s"CAST($fn AS BIGINT) AS rn FROM ${t.name} WHERE ${pred(r, t, 0)}"
+    if (r.nextBoolean()) s"$sel QUALIFY rn <= ${r.nextInt(3) + 1}" else sel
+  }
+
+  private def qStarModifier(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val nEx = r.nextInt(2) + 1
+    // timestamps are ALWAYS excluded from star pass-through: Spark dumps
+    // parquet instants (tz-aware) where DuckDB returns naive values — a
+    // representation difference in the compare harness, not a defect;
+    // timestamp semantics are fuzzed through predicates/extracts instead
+    val ts = t.of('t').map(_.name)
+    val ex = (r.shuffle(t.cols.filter(c => c.name != t.key && c.kind != 't'))
+      .take(nEx).map(_.name) ++ ts).distinct
+    val rep = if (r.nextBoolean() && t.of('s').exists(s => !ex.contains(s.name))) {
+      val sc = pick(r, t.of('s').filter(s => !ex.contains(s.name))).name
+      s" REPLACE (upper(${t.name}.$sc) AS $sc)"
+    } else ""
+    s"SELECT * EXCLUDE (${ex.mkString(", ")})$rep FROM ${t.name} " +
+      s"WHERE ${pred(r, t, 0)}"
+  }
+
+  private def qDistinct(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val items = (0 until r.nextInt(2) + 1).map(i => s"${scalarExpr(r, t)} AS c$i")
+    s"SELECT DISTINCT ${items.mkString(", ")} FROM ${t.name} " +
+      s"WHERE ${pred(r, t, 0)}"
+  }
+
+  private def qLeftJoin(r: scala.util.Random): String = {
+    val (lt, fk, rt, pk) = pick(r, fks)
+    val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
+    // extra ON-side predicate on the RIGHT side manufactures unmatched
+    // rows (the data is referentially intact, so a bare fk join never
+    // would) — null-extension semantics cross-checked for real
+    val join = s"${l.name} LEFT JOIN ${rr.name} ON " +
+      s"${l.name}.$fk = ${rr.name}.$pk AND ${pred(r, rr, 1)}"
+    s"SELECT ${l.name}.${l.key} AS k, ${rr.name}.${rr.key} AS rk, " +
+      s"CASE WHEN ${rr.name}.${rr.key} IS NULL THEN 0 ELSE 1 END AS hit " +
+      s"FROM $join WHERE ${pred(r, l, 1)}"
+  }
+
+  private def qUnionAll(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val items = s"${t.name}.${t.key} AS k, ${scalarExpr(r, t)} AS c0"
+    s"SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"UNION ALL SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)}"
+  }
+
+  private def qRollup(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val g0 = s"${scalarExpr(r, t)}"; val g1 = s"${strExpr(r, t, 1)}"
+    s"SELECT $g0 AS g0, $g1 AS g1, CAST(count(*) AS BIGINT) AS cnt, " +
+      s"${aggExpr(r, t)} AS a0 FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"GROUP BY ROLLUP(g0, g1)"
+  }
+
+  private def qOrderLimit(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    // unique-key tiebreak makes the LIMIT cut deterministic on both sides
+    s"SELECT ${t.name}.${t.key} AS k, ${scalarExpr(r, t)} AS c0 " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"ORDER BY c0${if (r.nextBoolean()) " DESC" else ""}, k " +
+      s"LIMIT ${r.nextInt(500) + 10}"
+  }
+
+  private def qInSubquery(r: scala.util.Random): String = {
+    val (lt, fk, rt, pk) = pick(r, fks)
+    val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
+    s"SELECT ${l.name}.${l.key} AS k, ${scalarExpr(r, l)} AS c0 " +
+      s"FROM ${l.name} WHERE ${l.name}.$fk IN " +
+      s"(SELECT ${rr.name}.$pk FROM ${rr.name} WHERE ${pred(r, rr, 0)}) " +
+      s"AND ${pred(r, l, 1)}"
+  }
+
+  /** The full seeded batch — pure function of (n, seed), so a recorded
+    * run is reproducible bit-for-bit and the spec can pin determinism. */
+  def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val sql = r.nextInt(14) match {
+        case 0 | 1 => qFilterProject(r)
+        case 2 | 3 => qGroupAgg(r)
+        case 4 | 5 => qJoin(r)
+        case 6     => qWindowQualify(r)
+        case 7     => qStarModifier(r)
+        case 8     => qDistinct(r)
+        case 9     => qInSubquery(r)
+        case 10    => qLeftJoin(r)
+        case 11    => qUnionAll(r)
+        case 12    => qRollup(r)
+        case _     => qOrderLimit(r)
+      }
+      (f"fz$i%03d", sql)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val outDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 300
+    val seed = if (args.length > 3) args(3).toLong else 20260815L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.Dialect.register(spark)
+    tabs.foreach(t => graft.sources.Tables.load(spark, sfDir, t.name)
+      .createOrReplaceTempView(t.name))
+    new java.io.File(outDir).mkdirs()
+    var bad = 0
+    val qs = genQueries(n, seed)
+    qs.foreach { case (name, sql) =>
+      // the product pipeline: QUALIFY → star modifiers → guard → Catalyst
+      val sql2 = graft.query.StarRewriter.rewrite(
+        graft.query.QualifyRewriter.rewrite(sql))
+      val verdict = graft.query.QueryGuard.validate(spark, sql2)
+      if (!verdict.ok) {
+        System.err.println(s"[fuzz] $name REJECTED: ${verdict.reason}\n  $sql")
+        bad += 1
+      } else try {
+        // same analyzed-stage rewrite QueryService.dataFrame applies
+        graft.plans.EmptyGroupingSetsRule.applyAnalyzed(spark.sql(sql2))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
+        System.err.println(s"[fuzz] $name FAILED: ${e.getMessage}\n  $sql")
+        bad += 1
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\""
+    val json = qs.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[fuzz] ${qs.length - bad}/${qs.length} executed, $bad failed; " +
+      s"compare with: python3 scripts/local_check.py $sfDir $outDir")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

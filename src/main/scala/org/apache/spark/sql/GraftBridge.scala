@@ -9,4 +9,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over a logical plan (`Dataset.ofRows` is private[sql]).
+    * Lets the engine apply plan rewrites at the ANALYZED stage — before
+    * constant folding — where an optimizer-batch rule would run too
+    * late (see graft.plans.EmptyGroupingSetsRule). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

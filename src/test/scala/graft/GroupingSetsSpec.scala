@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EmptyGroupingSetsRule: ISO/DuckDB grand-total semantics for grouping
+  * sets over empty input, with non-empty results provably untouched. */
+class GroupingSetsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.Dialect.register(s) // installs the rule
+    import s.implicits._
+    // parquet-backed, not a literal relation: a statically-empty plan is
+    // collapsed by PropagateEmptyRelation before ANY optimizer extension
+    // runs — the rule targets the lake's actual shape, file-backed
+    // tables whose emptiness is a RUNTIME fact (and under AQE the
+    // LeftOuter null-extension survives AQEPropagateEmptyRelation)
+    val dir = java.nio.file.Files
+      .createTempDirectory("gs_spec").toString
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "g", "v").write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir).createOrReplaceTempView("gs_t")
+    s
+  }
+
+  test("ROLLUP over empty input returns the grand-total row " +
+      "(count 0, other aggregates NULL, grouping columns NULL)") {
+    val rows = spark.sql(
+      """SELECT g, k % 2 AS g2, count(*) AS c, sum(v) AS s, max(g) AS m
+         FROM gs_t WHERE v > 999 GROUP BY ROLLUP(g, g2)""").collect()
+    assert(rows.length == 1, s"expected exactly the () row: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.isNullAt(0) && r.isNullAt(1), "grouping columns must be NULL")
+    assert(r.getLong(2) == 0L, "count(*) over empty input is 0")
+    assert(r.isNullAt(3) && r.isNullAt(4), "sum/max over empty are NULL")
+  }
+
+  test("CUBE over empty input returns one grand-total row; " +
+      "grouping_id() carries the all-excluded value") {
+    val rows = spark.sql(
+      """SELECT g, grouping_id() AS gid, count(*) AS c
+         FROM gs_t WHERE k < 0 GROUP BY CUBE(g)""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.isNullAt(0) && rows.head.getLong(2) == 0L)
+    assert(rows.head.getLong(1) == 1L, "gid must be the ()-set value")
+  }
+
+  test("GROUPING SETS without () stays empty on empty input") {
+    val rows = spark.sql(
+      """SELECT g, count(*) AS c FROM gs_t WHERE k < 0
+         GROUP BY GROUPING SETS ((g))""").collect()
+    assert(rows.isEmpty, "no global set -> no synthesized row")
+  }
+
+  test("non-empty ROLLUP results are identical with and without the rule") {
+    val sql =
+      """SELECT g, k % 2 AS g2, count(*) AS c, sum(v) AS s,
+           count(DISTINCT v) AS cd, grouping_id() AS gid
+         FROM gs_t GROUP BY ROLLUP(g, g2)"""
+    val withRule = spark.sql(sql).collect().map(_.toSeq).toSet
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = saved.filterNot(
+        _ eq graft.plans.EmptyGroupingSetsRule)
+      val without = spark.sql(sql).collect().map(_.toSeq).toSet
+      assert(withRule == without,
+        s"rule changed non-empty results:\n$withRule\nvs\n$without")
+      // 3 leaf groups + 2 per-g subtotals + 1 grand total
+      assert(withRule.size == 6)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("statically-empty input (constant-false predicate) is covered by " +
+      "the analyzed-stage rewrite that QueryService applies") {
+    val sql = "SELECT g, count(*) AS c FROM gs_t WHERE 1 = 0 GROUP BY ROLLUP(g)"
+    // the optimizer-batch copy runs too late here: PruneFilters +
+    // PropagateEmptyRelation collapse the aggregate first
+    assert(spark.sql(sql).collect().isEmpty)
+    val rows = graft.plans.EmptyGroupingSetsRule
+      .applyAnalyzed(spark.sql(sql)).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(0)
+      && rows.head.getLong(1) == 0L)
+  }
+
+  test("HAVING filters the synthesized row like any other") {
+    val rows = spark.sql(
+      """SELECT g, count(*) AS c FROM gs_t WHERE k < 0
+         GROUP BY ROLLUP(g) HAVING count(*) > 0""").collect()
+    assert(rows.isEmpty, "HAVING c > 0 must drop the count-0 global row")
+    val kept = spark.sql(
+      """SELECT g, count(*) AS c FROM gs_t WHERE k < 0
+         GROUP BY ROLLUP(g) HAVING count(*) = 0""").collect()
+    assert(kept.length == 1 && kept.head.getLong(1) == 0L)
+  }
+}
