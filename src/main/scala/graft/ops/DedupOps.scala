@@ -723,20 +723,23 @@ object DedupOps extends Serializable {
     * Both paths produce the identical min-label fixpoint (spec-asserted
     * against each other on real data).
     */
-  /** The persisted symmetric edge frame for label propagation —
-    * re-clustered by src AFTER the distinct: the dedup exchange hashes
-    * on (src, dst), which does NOT satisfy the per-iteration join's
-    * src clustering, so without the explicit repartition every round
-    * would re-shuffle the EDGE-SIZED frame out of the cache (the
-    * round-8 PageRank finding, same class). One extra build-time
-    * exchange buys an iteration loop whose only per-round movement is
-    * node-sized; the cached clustering is visible to the planner via
-    * InMemoryTableScan. Package-visible so PlanAuditSpec pins the
-    * shape. */
-  private[graft] def ccEdges(edges: DataFrame): DataFrame =
-    edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
+  /** The persisted symmetric edge frame for label propagation, built
+    * from the deduped HALF frame (src < dst): the two directions are
+    * disjoint, so the symmetrizing union needs no second distinct, and
+    * when `half` is already cached (the probe materialized it) both
+    * branches are cache-local — the caller's dup-edge pipeline never
+    * re-executes. Re-clustered by src AFTER the union: the dedup
+    * exchange hashes on (src, dst), which does NOT satisfy the
+    * per-iteration join's src clustering, so without the explicit
+    * repartition every round would re-shuffle the EDGE-SIZED frame out
+    * of the cache (the round-8 PageRank finding, same class). One extra
+    * build-time exchange buys an iteration loop whose only per-round
+    * movement is node-sized; the cached clustering is visible to the
+    * planner via InMemoryTableScan. Package-visible so PlanAuditSpec
+    * pins the shape. */
+  private[graft] def ccEdges(half: DataFrame): DataFrame =
+    half.select(col("src"), col("dst"))
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -751,15 +754,25 @@ object DedupOps extends Serializable {
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 50, driverEdgeLimit: Int = 1 << 20): DataFrame = {
-    // one undirected edge per pair for the size probe / driver path
+    // one undirected edge per pair, persisted: the size probe
+    // materializes it with ONE run of the caller's dup-edge pipeline
+    // (an LSH verify — the expensive part), and every later consumer in
+    // EITHER path (the fast-path collect; the distributed symmetrize /
+    // touched-node distinct) reads the cache. The previous
+    // limit(n+1).collect() probe paid a full extra pipeline run plus a
+    // wasted limit-sized transfer whenever the graph turned out big —
+    // the Graph.pageRank round-9 finding, same class. Self-loops are
+    // dropped up front: a node adopting its own label is a no-op in
+    // both paths (and the driver union-find treated them so already).
     val half = edges
       .select(least(col("a"), col("b")).as("src"),
         greatest(col("a"), col("b")).as("dst"))
+      .where(col("src") =!= col("dst"))
       .distinct()
-    // limit(n+1).collect() probes size and fetches the edges in ONE job:
-    // ≤ n rows back means we hold the complete edge set
-    val probe = half.limit(driverEdgeLimit + 1).collect()
-    if (probe.length <= driverEdgeLimit) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = half.count()
+    if (nEdges <= driverEdgeLimit) {
+      val probe = try half.collect() finally half.unpersist(false)
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -787,7 +800,7 @@ object DedupOps extends Serializable {
         .select(col("id"), col("id").as("comp"))
       return labels.union(singles)
     }
-    val e = ccEdges(edges)
+    val e = ccEdges(half)
     // propagate over edge-INCIDENT nodes only: a node with no edges can
     // never receive a smaller label, so the iteration never needs to
     // carry it. In a near-dup graph the incident set is the duplicated
@@ -821,7 +834,7 @@ object DedupOps extends Serializable {
         labels = next.select(col("id"), col("comp"))
         iter += 1
       }
-    } finally e.unpersist()
+    } finally { e.unpersist(); half.unpersist(false) }
     val singles = nodes.join(touched, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
     labels.union(singles)

@@ -269,7 +269,15 @@ object FuzzSql {
 
   private def qRollup(r: scala.util.Random): String = {
     val t = pick(r, tabs)
-    val g0 = s"${scalarExpr(r, t)}"; val g1 = s"${strExpr(r, t, 1)}"
+    val g0 = s"${scalarExpr(r, t)}"
+    // distinct expressions only: ROLLUP(x, x) is a KNOWN cross-engine
+    // semantic difference on a degenerate query — DuckDB dedups
+    // equivalent grouping expressions (the (x) subtotal keeps both
+    // output columns valued) while Spark keys grouping sets by
+    // POSITION (the second column nulls). Found by seeds 7/1234;
+    // documented in COVERAGE.md, out of the generator's legal surface.
+    val g1raw = s"${strExpr(r, t, 1)}"
+    val g1 = if (g1raw == g0) s"upper($g1raw)" else g1raw
     s"SELECT $g0 AS g0, $g1 AS g1, CAST(count(*) AS BIGINT) AS cnt, " +
       s"${aggExpr(r, t)} AS a0 FROM ${t.name} WHERE ${pred(r, t, 0)} " +
       s"GROUP BY ROLLUP(g0, g1)"

@@ -605,7 +605,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val ids = spark.range(0, 300)
-    val edges = ids.selectExpr("id AS a", "(id * 11 + 3) % 300 AS b")
+    // ccEdges now takes the deduped half frame (src < dst), as
+    // connectedComponents' persist-then-count probe hands it over
+    val edges = ids.selectExpr("least(id, (id * 11 + 3) % 300) AS src",
+      "greatest(id, (id * 11 + 3) % 300) AS dst")
+      .where("src <> dst").distinct()
     val e = DedupOps.ccEdges(edges)
     try {
       val labels = graft.core.Stage(
