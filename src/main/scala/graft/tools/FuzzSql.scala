@@ -278,9 +278,20 @@ object FuzzSql {
     // documented in COVERAGE.md, out of the generator's legal surface.
     val g1raw = s"${strExpr(r, t, 1)}"
     val g1 = if (g1raw == g0) s"upper($g1raw)" else g1raw
+    val sets = pick(r, Seq("ROLLUP", "CUBE"))
     s"SELECT $g0 AS g0, $g1 AS g1, CAST(count(*) AS BIGINT) AS cnt, " +
       s"${aggExpr(r, t)} AS a0 FROM ${t.name} WHERE ${pred(r, t, 0)} " +
-      s"GROUP BY ROLLUP(g0, g1)"
+      s"GROUP BY $sets(g0, g1)"
+  }
+
+  private def qExists(r: scala.util.Random): String = {
+    val (lt, fk, rt, pk) = pick(r, fks)
+    val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
+    val not = if (r.nextBoolean()) "NOT " else ""
+    s"SELECT ${l.name}.${l.key} AS k, ${scalarExpr(r, l)} AS c0 " +
+      s"FROM ${l.name} WHERE ${not}EXISTS (SELECT 1 FROM ${rr.name} " +
+      s"WHERE ${rr.name}.$pk = ${l.name}.$fk AND ${pred(r, rr, 1)}) " +
+      s"AND ${pred(r, l, 1)}"
   }
 
   private def qOrderLimit(r: scala.util.Random): String = {
@@ -306,7 +317,7 @@ object FuzzSql {
   def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(14) match {
+      val sql = r.nextInt(15) match {
         case 0 | 1 => qFilterProject(r)
         case 2 | 3 => qGroupAgg(r)
         case 4 | 5 => qJoin(r)
@@ -317,6 +328,7 @@ object FuzzSql {
         case 10    => qLeftJoin(r)
         case 11    => qUnionAll(r)
         case 12    => qRollup(r)
+        case 13    => qExists(r)
         case _     => qOrderLimit(r)
       }
       (f"fz$i%03d", sql)
