@@ -113,31 +113,59 @@ object VectorOps {
     * assignment is one map-side pass over the vectors, and the argmin is
     * a `min_by` HASH aggregation (sort-free, deterministic ties via the
     * lexicographic (dist2, cell_id) order key). */
-  def ivfAssign(vectors: DataFrame, nCells: Int = 16): DataFrame = {
-    val seeds = vectors.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell_id"), quantized(col("embedding")).as("cv"))
-    val v = spread(vectors)
+  /** The nCells seed centroids (lowest vec_ids — deterministic), as
+    * BOUNDED DRIVER STATE: nCells·dim quantized longs, the k-means
+    * centroid pattern [[kCenterSelect]] already uses. The pick plans as
+    * TakeOrderedAndProject (bounded per-partition top-k), never a
+    * global sort. */
+  private def ivfSeeds(vectors: DataFrame,
+      nCells: Int): Array[(Long, Seq[Long])] =
+    vectors.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id"), quantized(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+
+  /** Fused single-pass cell assignment against driver-held seeds:
+    * the per-row argmin is a `least` fold over nCells codegen'd
+    * exact-int dist2 kernels against LITERAL seed arrays — struct
+    * comparison gives the (dist2, cell_id) lexicographic tiebreak the
+    * min_by form used. ZERO joins, ZERO shuffles: the previous shape
+    * paid an nCells× row explosion through a broadcast join plus a
+    * corpus-wide min_by hash aggregation for what is per-row
+    * arithmetic (the LshBucket/randomProjection lesson applied to the
+    * quantizer). Carries qv so consumers need no join-back. */
+  private def assignedWithSeeds(frame: DataFrame,
+      seeds: Array[(Long, Seq[Long])]): DataFrame = {
+    require(seeds.nonEmpty, "IVF assignment needs at least one seed")
+    val withQv = frame
       .select(col("vec_id"), quantized(col("embedding")).as("qv"))
-    val d = v.join(broadcast(seeds))
-      .select(col("vec_id"), col("cell_id"),
-        graft.functions.LongVec.dist2(col("qv"), col("cv")).as("dist2"))
-    d.groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cell_id"), col("dist2")),
-        struct(col("dist2"), col("cell_id"))).as("m"))
-      .select(col("vec_id"), col("m.cell_id").as("cell_id"),
-        col("m.dist2").as("dist2"))
+    val cands = seeds.map { case (id, cv) =>
+      struct(
+        graft.functions.LongVec.dist2(col("qv"), typedLit(cv)).as("dist2"),
+        lit(id).as("cell_id"))
+    }
+    val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
+    withQv.select(col("vec_id"), col("qv"), best.as("b"))
+      .select(col("vec_id"), col("qv"),
+        col("b.cell_id").as("cell_id"), col("b.dist2").as("dist2"))
   }
 
-  /** IVF ANN (nprobe = 1): top-k within the query's cell only. */
+  def ivfAssign(vectors: DataFrame, nCells: Int = 16): DataFrame =
+    assignedWithSeeds(spread(vectors), ivfSeeds(vectors, nCells))
+      .select(col("vec_id"), col("cell_id"), col("dist2"))
+
+  /** IVF ANN (nprobe = 1): top-k within the query's cell only. Corpus
+    * cost is ONE fused map pass (assignment + quantization together,
+    * qv carried — no corpus join-back); queries assign through the
+    * identical literal-seed expression, so their cells match the
+    * corpus assignment bit-for-bit. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16): DataFrame = {
-    val cells = ivfAssign(vectors, nCells).select(col("vec_id"), col("cell_id"))
-    val qb = queries.select(col("vec_id").as("qid"),
-        quantized(col("embedding")).as("qv"))
-      .join(cells.withColumnRenamed("vec_id", "qid"), "qid")
-    val cb = vectors.select(col("vec_id").as("cid"),
-        quantized(col("embedding")).as("cv"))
-      .join(cells.withColumnRenamed("vec_id", "cid"), "cid")
+    val seeds = ivfSeeds(vectors, nCells)
+    val cb = assignedWithSeeds(spread(vectors), seeds)
+      .select(col("vec_id").as("cid"), col("cell_id"), col("qv").as("cv"))
+    val qb = assignedWithSeeds(queries, seeds)
+      .select(col("vec_id").as("qid"), col("cell_id"), col("qv"))
     val scored = cb.join(broadcast(qb), Seq("cell_id"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -205,10 +233,10 @@ object VectorOps {
     require(db.matches("[A-Za-z0-9_]+") && table.matches("[A-Za-z0-9_]+"),
       s"IVF index names must match [A-Za-z0-9_]+: '$db'.'$table'")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    ivfAssign(vectors, nCells).select(col("vec_id"), col("cell_id"))
-      .join(spread(vectors).filter(col("embedding").isNotNull)
-        .select(col("vec_id"), quantized(col("embedding")).as("qv")),
-        "vec_id")
+    assignedWithSeeds(
+        spread(vectors).filter(col("embedding").isNotNull),
+        ivfSeeds(vectors, nCells))
+      .select(col("vec_id"), col("cell_id"), col("qv"))
       .write
       .bucketBy(numBuckets, "cell_id")
       .sortBy("cell_id")
@@ -430,11 +458,11 @@ object VectorOps {
     * stats show one. */
   def semanticDedup(vectors: DataFrame, threshold: Double = 0.9,
       nCells: Int = 16): DataFrame = {
-    val cells = ivfAssign(vectors, nCells)
-      .select(col("vec_id"), col("cell_id"))
-    val v = vectors
-      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
-      .join(cells, "vec_id")
+    // one fused map pass assigns cells AND carries qv — the previous
+    // shape joined the quantized corpus back onto the assignment
+    val v = assignedWithSeeds(vectors, ivfSeeds(vectors, nCells))
+      .select(col("vec_id"), col("qv"), col("cell_id"))
+    val cells = v.select(col("vec_id"), col("cell_id"))
     val losers = v.as("x").join(v.as("y"),
         col("x.cell_id") === col("y.cell_id") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -133,23 +133,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"latest-order aggregation lost its partial (map-side) phase:\n$p")
   }
 
-  test("ivfAssign: bounded top-k seed pick (no global sort), sort-free argmin") {
+  test("ivfAssign: fused literal-seed argmin — a pure map pass, " +
+      "no shuffle, no join, no aggregate") {
     val emb = Tables.load(spark, dir, "embeddings")
     val physical = graft.ops.VectorOps.ivfAssign(emb, 16)
       .queryExecution.executedPlan
     val p = physical.toString
-    // the nCells-lowest-ids seed pick must be the bounded per-partition
-    // top-k operator, never Sort + GlobalLimit over the full table
-    assert(p.contains("TakeOrderedAndProject"),
-      s"seed selection lost its bounded top-k plan:\n$p")
-    val globalSorts = physical.collect {
-      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    // the seed pick is a separate bounded driver collect
+    // (TakeOrderedAndProject job); the RETURNED plan must be assignment
+    // arithmetic at scan width and nothing else — the previous shape
+    // paid a 16x broadcast-join row explosion plus a corpus-wide min_by
+    // shuffle for per-row math
+    assert(!p.contains("Join"), s"ivfAssign grew a join back:\n$p")
+    assert(!p.contains("Aggregate"),
+      s"ivfAssign grew an aggregation (argmin must be a least fold):\n$p")
+    assert(!p.contains("Window"), s"argmin must not be a window sort:\n$p")
+    val exchanges = physical.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(globalSorts.isEmpty,
-      s"ivfAssign plans a GLOBAL sort (full-table order) — scale killer:\n$p")
-    // argmin is a min_by hash aggregation, not a window
-    assert(!p.contains("Window"),
-      s"per-vector argmin should be min_by aggregation, not a window sort:\n$p")
+    // the only allowed exchange is spread()'s round-robin re-fan
+    assert(exchanges.forall(
+        _.outputPartitioning.toString.contains("RoundRobin")),
+      s"ivfAssign shuffles on a key — the map pass regressed:\n$p")
   }
 
   test("nearestCentroid: argmin aggregation, no window, no global sort") {
@@ -344,16 +349,19 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q132_semantic_dedup")
     assert(!p.contains("CartesianProduct"),
       s"SemDeDup has an unbounded cartesian:\n$p")
-    assert(p.contains("Exchange hashpartitioning(cell_id"),
-      s"within-cell pairing must shuffle on cell_id:\n$p")
-    // ivfAssign attaches the nCells seed centroids via a broadcast
-    // nested-loop whose build side is a TakeOrderedAndProject-bounded
-    // 16-row frame — every NL join in the plan must be one of those
-    val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
-    val bounded = "TakeOrderedAndProject\\(limit=16".r.findAllIn(p).length
-    assert(nl <= bounded,
-      s"found a nested-loop join that is not the bounded centroid attach " +
-        s"($nl NL joins, $bounded bounded seed picks):\n$p")
+    // within-cell pairing must be an EQUI join keyed by cell_id — a
+    // key-partitioned shuffle join, or (at toy sizes / under AQE) a
+    // broadcast HASH join on the same key. With the fused literal-seed
+    // assignment both sides are plain map passes over the scan, so the
+    // planner is free to pick either; what may never appear is a
+    // non-equi pairing.
+    assert(p.contains("Exchange hashpartitioning(cell_id")
+        || "BroadcastHashJoin \\[cell_id".r.findFirstIn(p).isDefined,
+      s"within-cell pairing lost its cell_id equi-join key:\n$p")
+    // the seed centroids are driver-collected literals now — NO
+    // nested-loop join of any kind belongs in this plan
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"found a nested-loop join (seeds are literal arrays now):\n$p")
   }
 
   test("q135 cluster topics: top-5 per cell is a WindowGroupLimit; " +
