@@ -77,16 +77,21 @@ object VectorOps {
         graft.functions.LshBucket(quantized(col("embedding")), nPlanes, dim)
           .as("bucket"))
 
-  /** Bucketed ANN: top-k within the query's LSH bucket only. */
+  /** Bucketed ANN: top-k within the query's LSH bucket only. Bucket and
+    * quantized vector come from ONE map-pass projection per side — the
+    * bucket kernel is per-row arithmetic, so joining a separate bucket
+    * frame back on vec_id paid a corpus shuffle for nothing (the fused
+    * ivfAssign lesson). Null embeddings drop, matching lshBuckets. */
   def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 8): DataFrame = {
-    val buckets = lshBuckets(vectors, nPlanes)
-    val qb = queries.select(col("vec_id").as("qid"),
-        quantized(col("embedding")).as("qv"))
-      .join(buckets.withColumnRenamed("vec_id", "qid"), "qid")
-    val cb = vectors.select(col("vec_id").as("cid"),
-        quantized(col("embedding")).as("cv"))
-      .join(buckets.withColumnRenamed("vec_id", "cid"), "cid")
+    def withBucket(df: DataFrame, idName: String, vecName: String) =
+      df.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as(idName),
+          quantized(col("embedding")).as(vecName),
+          graft.functions.LshBucket(quantized(col("embedding")), nPlanes, 64)
+            .as("bucket"))
+    val qb = withBucket(queries, "qid", "qv")
+    val cb = withBucket(spread(vectors), "cid", "cv")
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -99,20 +104,12 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style cell assignment: the coarse quantizer is a deterministic
-    * seed set (the nCells lowest-id vectors — no RNG, no iterative
-    * k-means whose floating-point mean updates would be shuffle-order
-    * dependent); each vector goes to its nearest seed by EXACT integer
-    * squared distance on the quantized components, ties broken by cell
-    * id. Returns (vec_id, cell_id, dist2).
-    *
-    * Scale shape: the seed pick `orderBy(vec_id).limit(n)` is planned by
-    * Spark as `TakeOrderedAndProject` — a bounded per-partition top-k
-    * heap plus a k·partitions merge, NOT a global sort (PlanAuditSpec
-    * asserts no global Sort appears); seeds are tiny and broadcast;
-    * assignment is one map-side pass over the vectors, and the argmin is
-    * a `min_by` HASH aggregation (sort-free, deterministic ties via the
-    * lexicographic (dist2, cell_id) order key). */
+  // IVF-style cell assignment: the coarse quantizer is a deterministic
+  // seed set (the nCells lowest-id vectors — no RNG, no iterative
+  // k-means whose floating-point mean updates would be shuffle-order
+  // dependent); each vector goes to its nearest seed by EXACT integer
+  // squared distance on the quantized components, ties broken by cell
+  // id. Returns (vec_id, cell_id, dist2). Shape: see assignedWithSeeds.
   /** The nCells seed centroids (lowest vec_ids — deterministic), as
     * BOUNDED DRIVER STATE: nCells·dim quantized longs, the k-means
     * centroid pattern [[kCenterSelect]] already uses. The pick plans as
@@ -427,9 +424,11 @@ object VectorOps {
     * detection over embeddings). */
   def cosineNearDups(vectors: DataFrame, threshold: Double,
       nPlanes: Int = 6): DataFrame = {
-    val buckets = lshBuckets(vectors, nPlanes)
-    val v = vectors.select(col("vec_id"), quantized(col("embedding")).as("qv"))
-      .join(buckets, "vec_id")
+    // bucket + quantized vector in one map pass (no vec_id join-back)
+    val v = spread(vectors).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"),
+        graft.functions.LshBucket(quantized(col("embedding")), nPlanes, 64)
+          .as("bucket"))
     v.as("x").join(v.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
@@ -939,13 +938,17 @@ object VectorOps {
     * rationals, so the screen is deterministic cross-engine. */
   def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.35, nPlanes: Int = 8): DataFrame = {
-    val cb = corpus.select(col("vec_id"),
-        quantized(col("embedding")).as("cv"))
-      .join(lshBuckets(corpus, nPlanes), "vec_id")
-    val bb = benchmark.select(col("vec_id").as("bid"),
-        quantized(col("embedding")).as("bv"))
-      .join(lshBuckets(benchmark, nPlanes)
-        .withColumnRenamed("vec_id", "bid"), "bid")
+    // bucket + quantized vector per side in one map pass each (no
+    // vec_id join-backs — the fused ivfAssign lesson)
+    val cb = spread(corpus).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantized(col("embedding")).as("cv"),
+        graft.functions.LshBucket(quantized(col("embedding")), nPlanes, 64)
+          .as("bucket"))
+    val bb = benchmark.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("bid"),
+        quantized(col("embedding")).as("bv"),
+        graft.functions.LshBucket(quantized(col("embedding")), nPlanes, 64)
+          .as("bucket"))
     val scored = cb.join(broadcast(bb), Seq("bucket"))
       .select(col("vec_id"), col("bid"),
         (dot(col("cv"), col("bv")).cast("double") /
