@@ -504,25 +504,37 @@ object VectorOps {
           .orderBy(col("vec_id"))).cast("long").as("cell_id"),
         transform(col("qv"), x => x.cast("double")).as("cm"))
 
-  /** Nearest-centroid assignment of quantized vectors `v` (vec_id, qv)
-    * to broadcast `cents` (cell_id, cm): per-vector squared distance
-    * folded in fixed array order, argmin as a sort-free min_by hash
-    * aggregation with deterministic (dist2, cell_id) ties. */
-  private def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame = {
-    // fused codegen kernel (functions.LongVec.dist2d): the composed
-    // aggregate(zip_with(...)) form interprets its lambda per element —
-    // vectors × centroids × dims interpreted evals per Lloyd round; the
-    // kernel folds in the same strict index order (bit-identical IEEE
-    // sums) inside whole-stage codegen
-    val d = v.join(broadcast(cents))
-      .select(col("vec_id"), col("cell_id"),
-        graft.functions.LongVec.dist2d(col("qv"), col("cm")).as("dist2"))
-    d.groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cell_id"), col("dist2")),
-        struct(col("dist2"), col("cell_id"))).as("m"))
-      .select(col("vec_id"), col("m.cell_id").as("cell_id"),
-        col("m.dist2").as("dist2"))
+  /** Centroids as BOUNDED DRIVER STATE: nCells·dim doubles — the same
+    * budget class as [[ivfSeeds]]. */
+  private def collectCentroids(cents: DataFrame): Array[(Long, Seq[Double])] =
+    cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Nearest-centroid assignment against driver-held centroids, fused
+    * like [[assignedWithSeeds]]: per-row argmin is a `least` fold over
+    * nCells codegen'd dist2d kernel evals against LITERAL centroid
+    * arrays, (dist2, cell_id) lexicographic ties — a pure map pass that
+    * carries qv. The previous shape paid an nCells× broadcast-join row
+    * explosion plus a corpus-wide min_by shuffle, and its callers paid
+    * a second corpus join to re-attach qv. The dist2d kernel folds in
+    * strict index order, so sums are bit-identical to the joined
+    * form's. */
+  private def assignWithCentroids(v: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "centroid assignment needs at least one centroid")
+    val cands = cents.map { case (id, cm) =>
+      struct(
+        graft.functions.LongVec.dist2d(col("qv"), typedLit(cm)).as("dist2"),
+        lit(id).as("cell_id"))
+    }
+    val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
+    v.select(col("vec_id"), col("qv"), best.as("b"))
+      .select(col("vec_id"), col("qv"),
+        col("b.cell_id").as("cell_id"), col("b.dist2").as("dist2"))
   }
+
+  private def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame =
+    assignWithCentroids(v, collectCentroids(cents))
+      .select(col("vec_id"), col("cell_id"), col("dist2"))
 
   /** Per-(cell, dim) statistics of an assignment: exact int64 component
     * sums, member counts, and the double means the next Lloyd round uses.
@@ -562,32 +574,36 @@ object VectorOps {
     // finally-unpersist: a failed refinement round (Stage materializes
     // eagerly) must not pin the quantized corpus in the session cache
     try {
-      // seed centroids: the first nCells vectors, as exact-int means
-      var centroids = seedCentroids(v, nCells)
+      // seed centroids: the first nCells vectors, as exact-int means.
+      // Centroids live on the DRIVER between rounds (nCells·dim
+      // doubles): each Lloyd round is then ONE fused map pass
+      // (assignment, qv carried — no corpus join-back, no min_by
+      // shuffle) plus a map-side-combined cells-sized aggregation whose
+      // k rows come back to the driver. No Stage needed — every round's
+      // plan derives from the cached v and literals only, so lineage
+      // never grows.
+      var cents = collectCentroids(seedCentroids(v, nCells))
       (1 to iters).foreach { _ =>
-        val asg = assignToCentroids(v, centroids)
         // exact per-cell int64 component sums -> double means, directly
         // as dimension-ordered arrays: vec_moments keeps rows whole
         // through the member pass (same values as centroidStats —
         // kmeansStep's oracle pins that code path — without the
         // posexplode + collect_list/array_sort regroup)
-        val fresh = asg.join(v, "vec_id")
+        val fresh = assignWithCentroids(v, cents)
           .groupBy(col("cell_id"))
           .agg(graft.functions.VecMoments(col("qv")).as("m"))
           .select(col("cell_id"),
             transform(col("m.s"), s => s.cast("double") / col("m.n"))
               .as("cm"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
         // empty cells keep the previous centroid
-        centroids = graft.core.Stage(
-          centroids.select(col("cell_id"), col("cm").as("old_cm"))
-            .join(fresh, Seq("cell_id"), "left")
-            .select(col("cell_id"),
-              coalesce(col("cm"), col("old_cm")).as("cm")))
+        cents = cents.map { case (id, old) => (id, fresh.getOrElse(id, old)) }
       }
-      // the final assignment CONSUMES v lazily — materialize the
-      // centroid side only; the assignment itself is a map pass over
+      // the final assignment CONSUMES v lazily — it is a map pass over
       // the (re-readable) quantized projection, safe after unpersist
-      assignToCentroids(v, centroids)
+      assignWithCentroids(v, cents)
+        .select(col("vec_id"), col("cell_id"), col("dist2"))
     } finally v.unpersist()
   }
 
