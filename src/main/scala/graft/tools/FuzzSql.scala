@@ -284,6 +284,26 @@ object FuzzSql {
       s"GROUP BY $sets(g0, g1)"
   }
 
+  private def qCte(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    // the CTE body re-aliases columns, and the outer query can only see
+    // those aliases — exercises WITH handling through the rewriters and
+    // the guard's "starts with WITH" branch
+    val inner = s"SELECT ${t.name}.${t.key} AS k, " +
+      s"${scalarExpr(r, t)} AS c0, ${strExpr(r, t, 1)} AS c1 " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)}"
+    r.nextInt(3) match {
+      case 0 => s"WITH w AS ($inner) SELECT k, c0 FROM w WHERE c1 LIKE " +
+        s"'${pick(r, likePool)}'"
+      case 1 => s"WITH w AS ($inner) SELECT c1, CAST(count(*) AS BIGINT) " +
+        s"AS cnt, min(c0) AS m FROM w GROUP BY 1"
+      case _ => s"WITH w AS ($inner), x AS (SELECT c1, " +
+        s"CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1) " +
+        s"SELECT w.k AS k, w.c1 AS c1, x.cnt AS cnt FROM w " +
+        s"JOIN x ON x.c1 = w.c1"
+    }
+  }
+
   private def qExists(r: scala.util.Random): String = {
     val (lt, fk, rt, pk) = pick(r, fks)
     val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
@@ -317,7 +337,7 @@ object FuzzSql {
   def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(15) match {
+      val sql = r.nextInt(16) match {
         case 0 | 1 => qFilterProject(r)
         case 2 | 3 => qGroupAgg(r)
         case 4 | 5 => qJoin(r)
@@ -329,6 +349,7 @@ object FuzzSql {
         case 11    => qUnionAll(r)
         case 12    => qRollup(r)
         case 13    => qExists(r)
+        case 14    => qCte(r)
         case _     => qOrderLimit(r)
       }
       (f"fz$i%03d", sql)
