@@ -770,9 +770,13 @@ object DedupOps extends Serializable {
       .where(col("src") =!= col("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EVERYTHING from the first action on runs inside the try: a failure
+    // during the probe count or the distributed pre-loop (symmetrize,
+    // touched-node Stage) must not pin the persist in the session cache
+    try {
     val nEdges = half.count()
     if (nEdges <= driverEdgeLimit) {
-      val probe = try half.collect() finally half.unpersist(false)
+      val probe = half.collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -808,17 +812,14 @@ object DedupOps extends Serializable {
     // set — and every per-iteration join, aggregate and convergence
     // check shrinks with it. Singletons rejoin as comp = id at the end
     // (one anti-join, no iteration).
-    // materialized (tiny): referenced after e is unpersisted
-    val touched = graft.core.Stage(
-      e.select(col("src").as("id")).distinct())
-    var labels = graft.core.Stage(
-      touched.select(col("id"), col("id").as("comp")))
-    var iter = 0
-    var converged = false
-    // finally-unpersist (matching Graph.pageRank): a failed propagation
-    // iteration must not pin the edge-sized cached frame in the
-    // long-lived session's cache
     try {
+      // materialized (tiny): referenced after e is unpersisted
+      val touched = graft.core.Stage(
+        e.select(col("src").as("id")).distinct())
+      var labels = graft.core.Stage(
+        touched.select(col("id"), col("id").as("comp")))
+      var iter = 0
+      var converged = false
       while (!converged && iter < maxIters) {
         // min-label propagation with the convergence indicator computed IN
         // the same pass: least(old, min(neighbor label)) per node, plus a
@@ -834,10 +835,11 @@ object DedupOps extends Serializable {
         labels = next.select(col("id"), col("comp"))
         iter += 1
       }
-    } finally { e.unpersist(); half.unpersist(false) }
-    val singles = nodes.join(touched, Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("comp"))
-    labels.union(singles)
+      val singles = nodes.join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp"))
+      labels.union(singles)
+    } finally e.unpersist()
+    } finally half.unpersist(false)
   }
 
   /** Near-duplicate clusters: LSH-verified Jaccard pairs as edges,

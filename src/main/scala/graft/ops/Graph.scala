@@ -57,42 +57,44 @@ object Graph {
       damping: Double = 0.85,
       driverEdgeLimit: Int = 1 << 22): DataFrame = {
     require(iters >= 1, "pageRank needs iters >= 1")
+    // driverEdgeLimit budget honesty: 2²² rows ≈ 100 MB of long payload,
+    // but collect() materializes BOXED rows (~3-5× transiently) — sized
+    // for this engine's 24 GB driver JVM; deployments with small
+    // drivers pass a lower limit
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = e.count() // the one pipeline execution
-    require(nEdges > 0, "pageRank needs a non-empty graph")
-    if (nEdges <= driverEdgeLimit) {
-      val rows = try e.collect() finally e.unpersist(false)
-      return pageRankDriver(e, rows, iters, damping)
-    }
-    val ew = prEdges(e)
-    val nodes = graft.core.Stage(
-      ew.select(col("src").as("id")).distinct())
-    val n = nodes.count()
-    val r0 = rhu(1000000000.0 / n)
-    val base = rhu((1 - damping) * 1000000000.0 / n)
-    var r = nodes.select(col("id"), lit(r0).as("r"))
+    // EVERYTHING from the first action on is inside the try: a failure
+    // during the probe count or the distributed pre-loop would otherwise
+    // pin the graph-sized persist in this long-lived session's cache
     try {
-      (1 to iters).foreach { i =>
-        val contrib = prRound(ew, r, damping, base)
-        // lineage truncation every 5 rounds — without ANY truncation the
-        // plan nests one join deeper per iteration and a recompute
-        // cascades; truncating EVERY round pays a full materialization
-        // job per iteration. Five nested rounds stay a flat chain of
-        // shuffle stages inside one job (measured fastest; trajectory
-        // identical by construction)
-        r = if (i % 5 == 0 || i == iters) graft.core.Stage(contrib)
-            else contrib
-      }
-    } finally {
-      // the final iterate is materialized (Stage is eager), so both
-      // cached frames can be released before returning — and a FAILED
-      // iteration must release them too, or each crashed call pins a
-      // graph-sized copy in this long-lived session's cache
-      ew.unpersist(false)
-      e.unpersist(false)
-    }
-    r.select(col("id"), (col("r").cast("double") / 1e9).as("rank"))
+      val nEdges = e.count() // the one pipeline execution
+      require(nEdges > 0, "pageRank needs a non-empty graph")
+      if (nEdges <= driverEdgeLimit)
+        return pageRankDriver(e, e.collect(), iters, damping)
+      val ew = prEdges(e)
+      try {
+        val nodes = graft.core.Stage(
+          ew.select(col("src").as("id")).distinct())
+        val n = nodes.count()
+        val r0 = rhu(1000000000.0 / n)
+        val base = rhu((1 - damping) * 1000000000.0 / n)
+        var r = nodes.select(col("id"), lit(r0).as("r"))
+        (1 to iters).foreach { i =>
+          val contrib = prRound(ew, r, damping, base)
+          // lineage truncation every 5 rounds — without ANY truncation
+          // the plan nests one join deeper per iteration and a recompute
+          // cascades; truncating EVERY round pays a full materialization
+          // job per iteration. Five nested rounds stay a flat chain of
+          // shuffle stages inside one job (measured fastest; trajectory
+          // identical by construction)
+          r = if (i % 5 == 0 || i == iters) graft.core.Stage(contrib)
+              else contrib
+        }
+        // the final iterate is materialized (Stage is eager), so both
+        // cached frames can be released before returning
+        r.select(col("id"), (col("r").cast("double") / 1e9).as("rank"))
+      } finally ew.unpersist(false)
+    } finally e.unpersist(false)
   }
 
   /** HALF_UP on the EXACT binary value of x — the shape of the driver-
@@ -101,18 +103,26 @@ object Graph {
   private def rhu(x: Double): Long = new java.math.BigDecimal(x)
     .setScale(0, java.math.RoundingMode.HALF_UP).longValue
 
-  /** Spark SQL `round(double)` semantics for non-negative x at scale 0.
-    * Spark's Round rounds the shortest-decimal representation HALF_UP;
-    * at scale 0 that provably equals plain half-up on the binary value:
-    * every decimal tie k.5 with k < 2⁵² is exactly representable, so a
-    * double is on/off a tie identically under both readings. `x - f` is
-    * exact (Sterbenz: f ≤ x < f+1 ≤ 2f for f ≥ 1; trivially exact for
-    * f = 0), so the comparison never double-rounds the way
-    * floor(x + 0.5) would. */
-  private def sqlRoundPos(x: Double): Long = {
-    val f = math.floor(x)
-    (if (x - f >= 0.5) f + 1.0 else f).toLong
-  }
+  /** Spark SQL `round(double)` semantics at scale 0 — HALF_UP away from
+    * zero. Spark's Round rounds the shortest-decimal representation; at
+    * scale 0 that provably equals plain half-away-from-zero on the
+    * binary value: every decimal tie k.5 with |k| < 2⁵² is exactly
+    * representable, so a double is on/off a tie identically under both
+    * readings. The frac subtraction is exact (Sterbenz: f ≤ x < f+1
+    * ≤ 2f for f ≥ 1, mirrored for negatives; trivially exact around 0),
+    * so the comparison never double-rounds the way floor(x + 0.5)
+    * would. Sign-aware because HALF_UP is away-from-zero: round(-2.5)
+    * is -3, which a floor-based half-up would miss — weights are
+    * non-negative in every current caller, but the public contract
+    * doesn't require it and the trajectories must match regardless. */
+  private def sqlRound(x: Double): Long =
+    if (x >= 0) {
+      val f = math.floor(x)
+      (if (x - f >= 0.5) f + 1.0 else f).toLong
+    } else {
+      val f = math.ceil(x)
+      (if (f - x >= 0.5) f - 1.0 else f).toLong
+    }
 
   /** The bounded-driver trajectory: exactly the distributed rounds —
     * v0 = r0 on distinct src; each round, every edge whose src holds a
@@ -158,7 +168,7 @@ object Graph {
         if (rs != none) {
           // the distributed round's expression tree, same IEEE order:
           // ((damping * r) * w) / ow, rounded once
-          val c = sqlRoundPos(damping * rs.toDouble * w(i).toDouble
+          val c = sqlRound(damping * rs.toDouble * w(i).toDouble
             / ow(srcI(i)).toDouble)
           val d = dstI(i)
           acc(d) = (if (acc(d) == none) 0L else acc(d)) + c

@@ -77,21 +77,28 @@ object VectorOps {
         graft.functions.LshBucket(quantized(col("embedding")), nPlanes, dim)
           .as("bucket"))
 
+  /** One map-pass projection of (id, quantized vector, LSH bucket) —
+    * the single source of truth for every fused bucket consumer
+    * (annTopK, cosineNearDups, semanticContamination): the bucket
+    * kernel is per-row arithmetic, so joining a separate [[lshBuckets]]
+    * frame back on vec_id paid a corpus shuffle for nothing. Null
+    * embeddings drop, matching lshBuckets' filter (and the old inner
+    * join against it). Same dim default as lshBuckets. */
+  private def withBucket(df: DataFrame, idName: String, vecName: String,
+      nPlanes: Int, dim: Int = 64): DataFrame =
+    df.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as(idName),
+        quantized(col("embedding")).as(vecName),
+        graft.functions.LshBucket(quantized(col("embedding")), nPlanes, dim)
+          .as("bucket"))
+
   /** Bucketed ANN: top-k within the query's LSH bucket only. Bucket and
-    * quantized vector come from ONE map-pass projection per side — the
-    * bucket kernel is per-row arithmetic, so joining a separate bucket
-    * frame back on vec_id paid a corpus shuffle for nothing (the fused
-    * ivfAssign lesson). Null embeddings drop, matching lshBuckets. */
+    * quantized vector come from ONE map-pass projection per side (the
+    * fused ivfAssign lesson). */
   def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 8): DataFrame = {
-    def withBucket(df: DataFrame, idName: String, vecName: String) =
-      df.filter(col("embedding").isNotNull)
-        .select(col("vec_id").as(idName),
-          quantized(col("embedding")).as(vecName),
-          graft.functions.LshBucket(quantized(col("embedding")), nPlanes, 64)
-            .as("bucket"))
-    val qb = withBucket(queries, "qid", "qv")
-    val cb = withBucket(spread(vectors), "cid", "cv")
+    val qb = withBucket(queries, "qid", "qv", nPlanes)
+    val cb = withBucket(spread(vectors), "cid", "cv", nPlanes)
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -122,30 +129,37 @@ object VectorOps {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
 
-  /** Fused single-pass cell assignment against driver-held seeds:
-    * the per-row argmin is a `least` fold over nCells codegen'd
-    * exact-int dist2 kernels against LITERAL seed arrays — struct
+  /** Fused single-pass nearest-center assignment against driver-held
+    * centers: the per-row argmin is a `least` fold over codegen'd
+    * distance-kernel evals against LITERAL center arrays — struct
     * comparison gives the (dist2, cell_id) lexicographic tiebreak the
-    * min_by form used. ZERO joins, ZERO shuffles: the previous shape
-    * paid an nCells× row explosion through a broadcast join plus a
-    * corpus-wide min_by hash aggregation for what is per-row
+    * old min_by form used. ZERO joins, ZERO shuffles: the previous
+    * shape paid a centers× row explosion through a broadcast join plus
+    * a corpus-wide min_by hash aggregation for what is per-row
     * arithmetic (the LshBucket/randomProjection lesson applied to the
-    * quantizer). Carries qv so consumers need no join-back. */
-  private def assignedWithSeeds(frame: DataFrame,
-      seeds: Array[(Long, Seq[Long])]): DataFrame = {
-    require(seeds.nonEmpty, "IVF assignment needs at least one seed")
-    val withQv = frame
-      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
-    val cands = seeds.map { case (id, cv) =>
-      struct(
-        graft.functions.LongVec.dist2(col("qv"), typedLit(cv)).as("dist2"),
-        lit(id).as("cell_id"))
+    * quantizers). Carries qv so consumers need no join-back. The ONE
+    * shared implementation for both the exact-int IVF seeds and the
+    * double-valued Lloyd centroids — `dists` maps each center id to
+    * its kernel expression over the qv column. */
+  private def assignFused(withQv: DataFrame,
+      dists: Array[(Long, Column)]): DataFrame = {
+    require(dists.nonEmpty, "assignment needs at least one center")
+    val cands = dists.map { case (id, d) =>
+      struct(d.as("dist2"), lit(id).as("cell_id"))
     }
     val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
     withQv.select(col("vec_id"), col("qv"), best.as("b"))
       .select(col("vec_id"), col("qv"),
         col("b.cell_id").as("cell_id"), col("b.dist2").as("dist2"))
   }
+
+  private def assignedWithSeeds(frame: DataFrame,
+      seeds: Array[(Long, Seq[Long])]): DataFrame =
+    assignFused(
+      frame.select(col("vec_id"), quantized(col("embedding")).as("qv")),
+      seeds.map { case (id, cv) =>
+        (id, graft.functions.LongVec.dist2(col("qv"), typedLit(cv)))
+      })
 
   def ivfAssign(vectors: DataFrame, nCells: Int = 16): DataFrame =
     assignedWithSeeds(spread(vectors), ivfSeeds(vectors, nCells))
@@ -425,10 +439,7 @@ object VectorOps {
   def cosineNearDups(vectors: DataFrame, threshold: Double,
       nPlanes: Int = 6): DataFrame = {
     // bucket + quantized vector in one map pass (no vec_id join-back)
-    val v = spread(vectors).filter(col("embedding").isNotNull)
-      .select(col("vec_id"), quantized(col("embedding")).as("qv"),
-        graft.functions.LshBucket(quantized(col("embedding")), nPlanes, 64)
-          .as("bucket"))
+    val v = withBucket(spread(vectors), "vec_id", "qv", nPlanes)
     v.as("x").join(v.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
@@ -458,8 +469,10 @@ object VectorOps {
   def semanticDedup(vectors: DataFrame, threshold: Double = 0.9,
       nCells: Int = 16): DataFrame = {
     // one fused map pass assigns cells AND carries qv — the previous
-    // shape joined the quantized corpus back onto the assignment
-    val v = assignedWithSeeds(vectors, ivfSeeds(vectors, nCells))
+    // shape joined the quantized corpus back onto the assignment.
+    // spread() like every other corpus-scale assignment caller: the
+    // per-row nCells×dist2 work must not run at input-file parallelism
+    val v = assignedWithSeeds(spread(vectors), ivfSeeds(vectors, nCells))
       .select(col("vec_id"), col("qv"), col("cell_id"))
     val cells = v.select(col("vec_id"), col("cell_id"))
     val losers = v.as("x").join(v.as("y"),
@@ -509,28 +522,14 @@ object VectorOps {
   private def collectCentroids(cents: DataFrame): Array[(Long, Seq[Double])] =
     cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
 
-  /** Nearest-centroid assignment against driver-held centroids, fused
-    * like [[assignedWithSeeds]]: per-row argmin is a `least` fold over
-    * nCells codegen'd dist2d kernel evals against LITERAL centroid
-    * arrays, (dist2, cell_id) lexicographic ties — a pure map pass that
-    * carries qv. The previous shape paid an nCells× broadcast-join row
-    * explosion plus a corpus-wide min_by shuffle, and its callers paid
-    * a second corpus join to re-attach qv. The dist2d kernel folds in
-    * strict index order, so sums are bit-identical to the joined
-    * form's. */
+  /** Lloyd-centroid variant of [[assignFused]]: `v` already carries qv;
+    * the kernel is dist2d (double centroids). Bit-identical to the old
+    * broadcast+min_by form (strict-order kernel folds, same ties). */
   private def assignWithCentroids(v: DataFrame,
-      cents: Array[(Long, Seq[Double])]): DataFrame = {
-    require(cents.nonEmpty, "centroid assignment needs at least one centroid")
-    val cands = cents.map { case (id, cm) =>
-      struct(
-        graft.functions.LongVec.dist2d(col("qv"), typedLit(cm)).as("dist2"),
-        lit(id).as("cell_id"))
-    }
-    val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
-    v.select(col("vec_id"), col("qv"), best.as("b"))
-      .select(col("vec_id"), col("qv"),
-        col("b.cell_id").as("cell_id"), col("b.dist2").as("dist2"))
-  }
+      cents: Array[(Long, Seq[Double])]): DataFrame =
+    assignFused(v, cents.map { case (id, cm) =>
+      (id, graft.functions.LongVec.dist2d(col("qv"), typedLit(cm)))
+    })
 
   private def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame =
     assignWithCentroids(v, collectCentroids(cents))
@@ -956,15 +955,8 @@ object VectorOps {
       threshold: Double = 0.35, nPlanes: Int = 8): DataFrame = {
     // bucket + quantized vector per side in one map pass each (no
     // vec_id join-backs — the fused ivfAssign lesson)
-    val cb = spread(corpus).filter(col("embedding").isNotNull)
-      .select(col("vec_id"), quantized(col("embedding")).as("cv"),
-        graft.functions.LshBucket(quantized(col("embedding")), nPlanes, 64)
-          .as("bucket"))
-    val bb = benchmark.filter(col("embedding").isNotNull)
-      .select(col("vec_id").as("bid"),
-        quantized(col("embedding")).as("bv"),
-        graft.functions.LshBucket(quantized(col("embedding")), nPlanes, 64)
-          .as("bucket"))
+    val cb = withBucket(spread(corpus), "vec_id", "cv", nPlanes)
+    val bb = withBucket(benchmark, "bid", "bv", nPlanes)
     val scored = cb.join(broadcast(bb), Seq("bucket"))
       .select(col("vec_id"), col("bid"),
         (dot(col("cv"), col("bv")).cast("double") /

@@ -58,7 +58,16 @@ object EmptyGroupingSetsRule extends Rule[LogicalPlan] {
     case expand: Expand =>
       !agg.isStreaming &&
         !agg.aggregateExpressions.exists(_.name == MarkerName) &&
-        expand.output.exists(_.name == GroupingIdName) &&
+        // the GENUINE grouping-sets shape, not an Expand some later
+        // rewrite (RewriteDistinctAggregates) builds: the analyzer puts
+        // spark_grouping_id LAST in the Expand output and gives it a
+        // LITERAL per projection row — a distinct-rewrite Expand passes
+        // the gid through as an attribute reference instead, and firing
+        // on it would inject a bogus defaults row into a two-phase
+        // distinct aggregation
+        expand.output.lastOption.exists(_.name == GroupingIdName) &&
+        expand.projections.forall(p =>
+          p.lastOption.exists(_.isInstanceOf[Literal])) &&
         globalProjections(agg, expand).length == 1
     case _ => false
   }
@@ -109,10 +118,15 @@ object EmptyGroupingSetsRule extends Rule[LogicalPlan] {
 
   /** Append to the session's user-provided optimizer batch, once.
     * That batch runs LAST, which covers runtime-empty inputs (file-backed
-    * tables — the lake's shape) but misses STATICALLY-empty plans:
-    * a constant-false predicate is folded by PruneFilters and the
-    * aggregate collapsed by PropagateEmptyRelation before the batch
-    * runs. SQL entry points close that gap with [[applyAnalyzed]]. */
+    * tables — the lake's shape) but misses two earlier-batch rewrites:
+    * STATICALLY-empty plans (a constant-false predicate is folded by
+    * PruneFilters and the aggregate collapsed by PropagateEmptyRelation
+    * first), and MULTI-DISTINCT aggregates over grouping sets
+    * (RewriteDistinctAggregates restructures them into
+    * Aggregate-over-Aggregate before this batch, and the guard above
+    * deliberately refuses the rewritten shape). SQL entry points close
+    * both gaps with [[applyAnalyzed]], which runs before any optimizer
+    * rewrite. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_ eq this))

@@ -203,6 +203,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(sFast == sDist)
     assert(sFast.keySet == fast.keySet.map("d" + _))
+    // sign-aware rounding: HALF_UP is away-from-zero, so negative
+    // contributions (legal — the public contract does not require
+    // non-negative weights) must round identically in both paths. A
+    // heavy positive ring guarantees every src's out-weight total stays
+    // strictly positive (1e9 ring vs ≤ ~1.5e7 of negated mass per src),
+    // so no division degenerates.
+    val ring = (0L until 40L).map(i => (i, (i + 1) % 40, 1000000000L))
+    val mixedUnd = und.zipWithIndex.map { case ((a, b, w), i) =>
+      (a, b, if (i % 5 == 0) -w else w) } ++ ring
+    val mixed = (mixedUnd ++ mixedUnd.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val mFast = graft.ops.Graph.pageRank(mixed, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mDist = graft.ops.Graph.pageRank(mixed, iters = 6,
+        driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mFast == mDist,
+      "negative-weight trajectories diverged between paths")
   }
 
   test("triangleCounts: exact counts on known shapes, duplicate/reversed " +

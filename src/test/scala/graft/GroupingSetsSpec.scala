@@ -76,6 +76,37 @@ class GroupingSetsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("multi-distinct aggregates over ROLLUP: the optimizer-batch copy " +
+      "refuses RewriteDistinctAggregates' shape (no bogus row on " +
+      "non-empty input); applyAnalyzed still fixes the empty case") {
+    val sql =
+      """SELECT g, count(DISTINCT v) AS cd, count(DISTINCT k) AS ck
+         FROM gs_t GROUP BY ROLLUP(g)"""
+    // non-empty: results must be the plain Spark results — the rule's
+    // optimizer copy must NOT fire on the distinct-rewrite's internal
+    // Expand and inject a defaults row
+    val rows = spark.sql(sql).collect().map(_.toSeq).toSet
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = saved.filterNot(
+        _ eq graft.plans.EmptyGroupingSetsRule)
+      assert(spark.sql(sql).collect().map(_.toSeq).toSet == rows,
+        "rule changed a non-empty multi-distinct rollup")
+    } finally spark.experimental.extraOptimizations = saved
+    // empty input: the optimizer copy runs after the distinct rewrite
+    // and misses by design; the analyzed-stage rewrite (QueryService's
+    // path) restores the grand-total row
+    val empty =
+      """SELECT g, count(DISTINCT v) AS cd, count(DISTINCT k) AS ck
+         FROM gs_t WHERE v > 999 GROUP BY ROLLUP(g)"""
+    val fixed = graft.plans.EmptyGroupingSetsRule
+      .applyAnalyzed(spark.sql(empty)).collect()
+    assert(fixed.length == 1 && fixed.head.isNullAt(0)
+      && fixed.head.getLong(1) == 0L && fixed.head.getLong(2) == 0L,
+      s"grand-total row wrong for empty multi-distinct rollup: " +
+        s"${fixed.toSeq}")
+  }
+
   test("statically-empty input (constant-false predicate) is covered by " +
       "the analyzed-stage rewrite that QueryService applies") {
     val sql = "SELECT g, count(*) AS c FROM gs_t WHERE 1 = 0 GROUP BY ROLLUP(g)"
