@@ -279,9 +279,17 @@ object FuzzSql {
     val g1raw = s"${strExpr(r, t, 1)}"
     val g1 = if (g1raw == g0) s"upper($g1raw)" else g1raw
     val sets = pick(r, Seq("ROLLUP", "CUBE"))
+    // sometimes TWO distinct aggregates: RewriteDistinctAggregates then
+    // restructures the grouping-sets plan (the EmptyGroupingSetsRule
+    // guard's exact hazard shape) — fuzzed through the applyAnalyzed
+    // path the product uses
+    val extra = if (r.nextInt(3) == 0)
+      s", count(DISTINCT ${intExpr(r, t, 0)}) AS a1" +
+        s", count(DISTINCT ${strExpr(r, t, 0)}) AS a2"
+    else ""
     s"SELECT $g0 AS g0, $g1 AS g1, CAST(count(*) AS BIGINT) AS cnt, " +
-      s"${aggExpr(r, t)} AS a0 FROM ${t.name} WHERE ${pred(r, t, 0)} " +
-      s"GROUP BY $sets(g0, g1)"
+      s"${aggExpr(r, t)} AS a0$extra FROM ${t.name} " +
+      s"WHERE ${pred(r, t, 0)} GROUP BY $sets(g0, g1)"
   }
 
   private def qCte(r: scala.util.Random): String = {
