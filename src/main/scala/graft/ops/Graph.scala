@@ -60,8 +60,15 @@ object Graph {
     // driverEdgeLimit budget honesty: 2²² rows ≈ 100 MB of long payload,
     // but collect() materializes BOXED rows (~3-5× transiently) — sized
     // for this engine's 24 GB driver JVM; deployments with small
-    // drivers pass a lower limit
+    // drivers pass a lower limit (connectedComponents' 2²⁰ is the
+    // conservative reference point)
+    // NULL-weight edges are DROPPED here, before the paths split: they
+    // carry no rank mass in the distributed rounds (sum() skips the null
+    // contribution and the null ow term), and the driver fast path's
+    // getLong would NPE on them — one filter makes both paths total and
+    // identical (r9 advisor).
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .filter(col("w").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // EVERYTHING from the first action on is inside the try: a failure
     // during the probe count or the distributed pre-loop would otherwise

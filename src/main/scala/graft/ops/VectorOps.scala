@@ -121,7 +121,14 @@ object VectorOps {
     * BOUNDED DRIVER STATE: nCells·dim quantized longs, the k-means
     * centroid pattern [[kCenterSelect]] already uses. The pick plans as
     * TakeOrderedAndProject (bounded per-partition top-k), never a
-    * global sort. */
+    * global sort.
+    *
+    * NOTE this collect makes every fused-assignment entry point
+    * (ivfAssign/ivfTopK/ivfWrite/semanticDedup/kmeansRefine) run one
+    * BOUNDED Spark job eagerly at call time — the deliberate price of
+    * literal-center codegen (zero joins on the corpus-sized pass). An
+    * empty corpus yields zero seeds, which assignFused maps to an empty
+    * assignment frame, not an error. */
   private def ivfSeeds(vectors: DataFrame,
       nCells: Int): Array[(Long, Seq[Long])] =
     vectors.orderBy(col("vec_id")).limit(nCells)
@@ -142,15 +149,23 @@ object VectorOps {
     * double-valued Lloyd centroids — `dists` maps each center id to
     * its kernel expression over the qv column. */
   private def assignFused(withQv: DataFrame,
-      dists: Array[(Long, Column)]): DataFrame = {
-    require(dists.nonEmpty, "assignment needs at least one center")
-    val cands = dists.map { case (id, d) =>
-      struct(d.as("dist2"), lit(id).as("cell_id"))
+      dists: Array[(Long, Column)], emptyDistType: String): DataFrame = {
+    if (dists.isEmpty)
+      // Zero centers means an EMPTY corpus (seeds/centroids come from the
+      // corpus itself): return an empty assignment with the real schema,
+      // matching the pre-fusion broadcast-join shape — a require here made
+      // first-run-on-empty-input pipelines crash (r9 advisor, medium).
+      withQv.filter(lit(false)).select(col("vec_id"), col("qv"),
+        lit(0L).as("cell_id"), lit(0L).cast(emptyDistType).as("dist2"))
+    else {
+      val cands = dists.map { case (id, d) =>
+        struct(d.as("dist2"), lit(id).as("cell_id"))
+      }
+      val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
+      withQv.select(col("vec_id"), col("qv"), best.as("b"))
+        .select(col("vec_id"), col("qv"),
+          col("b.cell_id").as("cell_id"), col("b.dist2").as("dist2"))
     }
-    val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
-    withQv.select(col("vec_id"), col("qv"), best.as("b"))
-      .select(col("vec_id"), col("qv"),
-        col("b.cell_id").as("cell_id"), col("b.dist2").as("dist2"))
   }
 
   private def assignedWithSeeds(frame: DataFrame,
@@ -159,7 +174,7 @@ object VectorOps {
       frame.select(col("vec_id"), quantized(col("embedding")).as("qv")),
       seeds.map { case (id, cv) =>
         (id, graft.functions.LongVec.dist2(col("qv"), typedLit(cv)))
-      })
+      }, emptyDistType = "long")
 
   def ivfAssign(vectors: DataFrame, nCells: Int = 16): DataFrame =
     assignedWithSeeds(spread(vectors), ivfSeeds(vectors, nCells))
@@ -529,7 +544,7 @@ object VectorOps {
       cents: Array[(Long, Seq[Double])]): DataFrame =
     assignFused(v, cents.map { case (id, cm) =>
       (id, graft.functions.LongVec.dist2d(col("qv"), typedLit(cm)))
-    })
+    }, emptyDistType = "double")
 
   private def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame =
     assignWithCentroids(v, collectCentroids(cents))

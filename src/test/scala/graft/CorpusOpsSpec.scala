@@ -223,6 +223,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       "negative-weight trajectories diverged between paths")
   }
 
+  test("pageRank: NULL-weight edges drop identically on both paths") {
+    import spark.implicits._
+    // a null-w edge carries no rank mass: it must neither NPE the driver
+    // fast path (r9 advisor) nor perturb either trajectory — the result
+    // equals the same graph with the null edges absent. Node 9 appears
+    // ONLY via null edges, so it must vanish from the output entirely.
+    val live = Seq((0L, 1L, Some(3L)), (1L, 0L, Some(3L)),
+      (1L, 2L, Some(2L)), (2L, 1L, Some(2L)))
+    val nulls = Seq((0L, 9L, None: Option[Long]), (9L, 0L, None),
+      (2L, 0L, None))
+    val edges = (live ++ nulls).toDF("src", "dst", "w")
+    val fast = graft.ops.Graph.pageRank(edges, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = graft.ops.Graph.pageRank(edges, iters = 8,
+        driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val clean = graft.ops.Graph.pageRank(live.toDF("src", "dst", "w"),
+        iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast == dist, "null-weight trajectories diverged between paths")
+    assert(fast == clean, "null edges changed the trajectory")
+    assert(!fast.contains(9L), "a null-only node survived")
+  }
+
   test("triangleCounts: exact counts on known shapes, duplicate/reversed " +
       "edges tolerated") {
     import spark.implicits._

@@ -74,6 +74,52 @@ class OpsSpec extends AnyFunSuite {
     assert(assign.select(countDistinct(col("cell_id"))).head().getLong(0) > 1)
   }
 
+  test("ANN/IVF queries NOT present in the corpus still get results " +
+      "(bucket/cell from their own embedding)") {
+    // the fused-assignment rewrite intentionally generalized the query
+    // side: a query is bucketed/cell-assigned from its own embedding,
+    // not inner-joined by vec_id into the corpus assignment — so
+    // out-of-corpus queries (the real ANN use case) return results
+    // instead of silently vanishing. Pinned per the r9 advisor.
+    val emb = Tables.load(spark, dir, "embeddings")
+    // same embeddings, ids shifted far outside the corpus id space
+    val outsiders = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val ann = VectorOps.annTopK(emb, outsiders, k = 3)
+    assert(ann.filter(col("qid") >= 1000000L).count() > 0,
+      "out-of-corpus ANN queries were dropped")
+    val ivf = VectorOps.ivfTopK(emb, outsiders, k = 3)
+    assert(ivf.filter(col("qid") >= 1000000L).count() > 0,
+      "out-of-corpus IVF queries were dropped")
+    // an outsider carrying a corpus twin's embedding must surface that
+    // twin (cosine 1 with itself-shifted id; it sits in the same bucket
+    // by construction since bucketing is a pure function of the vector)
+    val twins = ann.filter(col("cid") === col("qid") - 1000000L).collect()
+    assert(twins.nonEmpty, "no outsider surfaced its corpus twin")
+    assert(twins.forall(r =>
+      math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12))
+  }
+
+  test("empty corpus: fused-assignment entry points return empty frames, " +
+      "not errors") {
+    // first-run-on-empty-input pipelines must flow through (r9 advisor,
+    // medium): zero seeds → empty assignment with the REAL schema
+    val emb = Tables.load(spark, dir, "embeddings")
+    val none = emb.filter(lit(false))
+    val assign = VectorOps.ivfAssign(none)
+    assert(assign.columns.toSeq == Seq("vec_id", "cell_id", "dist2"))
+    assert(assign.count() == 0)
+    val sd = VectorOps.semanticDedup(none)
+    assert(sd.columns.toSeq == Seq("vec_id", "cell_id", "is_kept"))
+    assert(sd.count() == 0)
+    val km = VectorOps.kmeansRefine(none, nCells = 4, iters = 2)
+    assert(km.columns.toSeq == Seq("vec_id", "cell_id", "dist2"))
+    assert(km.count() == 0)
+    // empty corpus, non-empty queries: no candidates, empty result
+    assert(VectorOps.annTopK(none, emb.limit(2), k = 3).count() == 0)
+    assert(VectorOps.ivfTopK(none, emb.limit(2), k = 3).count() == 0)
+  }
+
   test("simhash near-dup pairs have small hamming distance and high jaccard overlap") {
     val docs = Tables.load(spark, dir, "documents")
     val pairs = DedupOps.simhashPairs(docs, maxHamming = 6)
