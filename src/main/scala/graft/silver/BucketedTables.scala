@@ -1,7 +1,7 @@
 package graft.silver
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 import graft.sources.Tables
 
@@ -152,14 +152,125 @@ object BucketedTables {
     qualified
   }
 
+  /** BUCKET-SCOPED [[refreshDerivedLayout]]: rewrite only the hash
+    * buckets that contain `changedKeys`, carrying every other bucket's
+    * file across untouched — refresh cost scales with TOUCHED BUCKETS,
+    * not table size (the last O(history)-per-refresh cost on the
+    * incremental-maintenance path, r9 verdict task 2).
+    *
+    * Safety argument: bucket files are hash-disjoint by key — bucket b
+    * holds exactly the rows with pmod(murmur3(keys), n) = b, and
+    * `repartition(n, keys)` + `bucketBy(n, keys)` use that SAME mapping
+    * (asserted below per staged file), so a key absent from
+    * `changedKeys` cannot have moved a row into or out of an untouched
+    * bucket. The staged write therefore only needs the changed buckets'
+    * FULL content (all rows hashing there, changed or not — the filter
+    * is bucket-valued, never key-valued), and untouched buckets' files
+    * are byte-identical to a full rebuild's content by construction.
+    * IncrementalSessionsSpec proves per-bucket content equality against
+    * the full rebuild across random append splits, and that untouched
+    * buckets keep their exact files (names unchanged).
+    *
+    * The carry-across is a hard link per file (metadata-only, falling
+    * back to a copy across devices); the swap stays the metadata-only
+    * DROP+RENAME, so readers race two catalog ops exactly as in the
+    * full rewrite. An object-store deployment would commit the same
+    * mixed file list through its table format's manifest instead.
+    *
+    * CONTRACT: the live layout must hold the PREVIOUS state of the same
+    * derivation (i.e. this refresher is the layout's only writer, as in
+    * [[IncrementalSessions.maintainClickSessionsLayout]]) — carrying a
+    * bucket across asserts its old content already equals the refreshed
+    * frame's content for that bucket. Callers refreshing from an
+    * unrelated frame must use the full [[refreshDerivedLayout]].
+    *
+    * Falls back to the full [[refreshDerivedLayout]] when no live
+    * layout exists for this (session, dir) or when every bucket is
+    * touched. */
+  def refreshDerivedLayoutBuckets(spark: SparkSession, dir: String,
+      name: String, keys: Seq[String], sortCols: Seq[String] = Nil,
+      numBuckets: Int = 32)(refreshed: DataFrame,
+      changedKeys: DataFrame): String = {
+    val qualified = layoutName(name, keys)
+    val live = layouts.get((spark, qualified)).contains(dir) &&
+      spark.catalog.tableExists(qualified)
+    if (!live)
+      return refreshDerivedLayout(spark, dir, name, keys, sortCols,
+        numBuckets)(refreshed)
+    // the bucket ids the batch touches: bounded collect (≤ numBuckets)
+    val bucketOf = pmod(hash(keys.map(col): _*), lit(numBuckets))
+    val changed = changedKeys.select(bucketOf.cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (changed.isEmpty) return qualified // nothing to refresh
+    if (changed.size >= numBuckets)
+      return refreshDerivedLayout(spark, dir, name, keys, sortCols,
+        numBuckets)(refreshed)
+    val tmp = s"${qualified}__refresh_tmp"
+    if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
+    clearStaleLocation(spark, tmp)
+    // stage ONLY the changed buckets' rows (empty write tasks emit no
+    // file, so the staging dir holds exactly the changed buckets)
+    layoutWrite(refreshed.filter(bucketOf.isin(changed.toSeq: _*)),
+      tmp, keys, sortCols, numBuckets)
+    // staged-file sanity: every staged file must be a changed bucket
+    // (a repartition/bucketBy hash mismatch would corrupt silently)
+    val stagedIds = bucketFiles(spark, tmp).keySet
+    require(stagedIds.subsetOf(changed),
+      s"staged bucket ids $stagedIds escaped the changed set $changed")
+    // carry every untouched bucket's file(s) across, metadata-only
+    val toDir = tableLocation(spark, tmp)
+    bucketFiles(spark, qualified).foreach { case (b, sts) =>
+      if (!changed.contains(b)) sts.foreach { st =>
+        val src = java.nio.file.Paths.get(st.getPath.toUri.getPath)
+        val dst = java.nio.file.Paths.get(toDir.toUri.getPath)
+          .resolve(st.getPath.getName)
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: UnsupportedOperationException
+            | _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.copy(src, dst)
+        }
+      }
+    }
+    spark.sql(s"DROP TABLE $qualified")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
+    layouts((spark, qualified)) = dir
+    qualified
+  }
+
+  /** The data files of a managed graft_bench table, grouped by the
+    * bucket id encoded in their names (Spark's `..._NNNNN.ext`
+    * bucketed-file convention; a Seq per bucket so a multi-file bucket
+    * can never silently lose files). Package-visible so the spec can
+    * assert which files a bucket-scoped refresh carried across. */
+  private[graft] def bucketFiles(spark: SparkSession, qualified: String)
+      : Map[Int, Seq[org.apache.hadoop.fs.FileStatus]] = {
+    val loc = tableLocation(spark, qualified)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) Map.empty
+    else {
+      val bucketRe = """.*_(\d+)(?:\..*)?$""".r // BucketingUtils' pattern
+      fs.listStatus(loc).toSeq.filter(_.isFile).flatMap { st =>
+        st.getPath.getName match {
+          case bucketRe(b) => Some(b.toInt -> st)
+          case _ => None // _SUCCESS etc.
+        }
+      }.groupBy(_._1).map { case (b, kvs) => b -> kvs.map(_._2) }
+    }
+  }
+
+  private def tableLocation(spark: SparkSession,
+      qualified: String): org.apache.hadoop.fs.Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    new org.apache.hadoop.fs.Path(
+      s"$wh/graft_bench.db/${qualified.split('.')(1)}")
+  }
+
   /** Delete files a previous JVM left at a graft_bench managed-table
     * location the current in-memory catalog no longer knows about, so a
     * fresh CTAS doesn't trip over a non-empty directory. */
   private def clearStaleLocation(spark: SparkSession,
       qualified: String): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(
-      s"$wh/graft_bench.db/${qualified.split('.')(1)}")
+    val loc = tableLocation(spark, qualified)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

@@ -130,6 +130,63 @@ class IncrementalSessionsSpec extends AnyFunSuite {
     graft.silver.Upsert.deleteRecursively(dir)
   }
 
+  test("bucket-scoped refresh: per-bucket content equals the full " +
+      "rebuild; untouched buckets keep their exact files") {
+    val dir = java.nio.file.Files.createTempDirectory("inc-sess-bkt-")
+    val srcDir = dir.toString
+    val statePath = s"$srcDir/state"
+    val all = clicks(29L, users = 24)
+    // append split: the bootstrap batch covers every user (so every
+    // user bucket holds a file), the second batch touches ONLY users
+    // 17-24 with out-of-order (odd-event) data
+    val batch0 = all.filter(col("user_id") <= 16 ||
+      col("event_id") % 2 === 0)
+    val batch1 = all.filter(col("user_id") > 16 &&
+      col("event_id") % 2 === 1)
+    val name = IncrementalSessions.maintainClickSessionsLayout(
+      spark, srcDir, statePath, batch0)
+    val before = graft.silver.BucketedTables.bucketFiles(spark, name)
+      .map { case (b, sts) => b -> sts.map(_.getPath.getName).toSet }
+    // the buckets batch1 touches, via the SAME hash the bucket spec uses
+    val touched = batch1
+      .select(pmod(hash(col("user_id")), lit(32)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.nonEmpty && before.keySet.exists(!touched(_)),
+      "degenerate fixture: no untouched bucket to prove carry-across on")
+    IncrementalSessions.maintainClickSessionsLayout(
+      spark, srcDir, statePath, batch1)
+    val after = graft.silver.BucketedTables.bucketFiles(spark, name)
+    val afterNames = after.map { case (b, sts) =>
+      b -> sts.map(_.getPath.getName).toSet }
+    // untouched buckets carried their EXACT files across (same names —
+    // a rewrite would mint fresh task uuids), touched ones were rewritten
+    for ((b, names) <- before if !touched(b))
+      assert(afterNames.get(b).contains(names),
+        s"untouched bucket $b was rewritten: $names -> ${afterNames.get(b)}")
+    for ((b, names) <- before if touched(b))
+      assert(!afterNames.get(b).contains(names),
+        s"touched bucket $b kept its old file")
+    // PER-BUCKET-FILE content equality vs the from-scratch rebuild:
+    // each bucket file holds exactly the rebuild's rows for that bucket
+    val rebuild = IncrementalSessions.sessions(batch0.unionByName(batch1))
+      .withColumn("b", pmod(hash(col("user_id")), lit(32)).cast("int"))
+    for ((b, sts) <- after) {
+      val fileRows = rows(spark.read.parquet(
+        sts.map(_.getPath.toString): _*))
+      assert(fileRows == rows(rebuild.filter(col("b") === b)),
+        s"bucket $b file content diverged from the full rebuild")
+    }
+    // and nothing exists outside the listed buckets
+    assert(rows(spark.table(name)) == rows(rebuild))
+    // read path still resolves the layout (q141's contract)
+    val resolved = graft.silver.BucketedTables.tableOr(
+      spark, srcDir, "click_sessions", Seq("user_id"))(
+      sys.error("layout must resolve"))
+    assert(rows(resolved) == rows(rebuild))
+    spark.sql(s"DROP TABLE $name")
+    graft.silver.Upsert.deleteRecursively(dir)
+  }
+
   test("refreshDerivedLayout recovers from files a dead JVM left at " +
       "the managed locations") {
     val dir = java.nio.file.Files.createTempDirectory("inc-sess-stale-")
