@@ -14,6 +14,15 @@ import graft.Lake
   * Unlike the reference there is no per-request engine cold start — the
   * long-lived SparkSession's catalog, code cache and AQE statistics are
   * reused across queries (SURVEY §4.1).
+  *
+  * KNOWN DIALECT DIVERGENCES from the reference's DuckDB engine (full
+  * detail in README "Dialect notes"): duplicate grouping expressions in
+  * ROLLUP/CUBE subtotal differently (Spark keys sets by position);
+  * `round(x, s)` with s > 0 rounds the shortest-decimal representation
+  * where DuckDB rounds the binary value (scale 0 is identical); and the
+  * ISO empty-input grand-total patch does not reach `GROUPING SETS`
+  * listing `()` more than once, or statically-empty inputs hidden in
+  * VIEW bodies / subquery expressions.
   */
 final class QueryService(lake: Lake) {
   val MaxResultRows = 10000 // query_api/main.py:20

@@ -58,6 +58,28 @@ class GroupingSetsSpec extends AnyFunSuite {
     assert(rows.isEmpty, "no global set -> no synthesized row")
   }
 
+  test("KNOWN DIVERGENCE (tracked): GROUPING SETS ((), ()) over empty " +
+      "input stays on Spark semantics — 0 rows, no synthesized row") {
+    // DuckDB/ISO would emit one grand-total row PER listed () set; the
+    // rule's single-global-set guard deliberately refuses the
+    // duplicated-() shape (synthesizing the right MULTIPLICITY would
+    // need per-set bookkeeping for a corner no real query hits). This
+    // test pins the refusal so the gap stays visible — if the guard
+    // ever loosens, this fails and the README "Dialect notes" entry
+    // must be updated with it. Non-empty input is NOT divergent: both
+    // engines emit one grand-total row per listed ().
+    val empty = spark.sql(
+      """SELECT count(*) AS c FROM gs_t WHERE k < 0
+         GROUP BY GROUPING SETS ((), ())""").collect()
+    assert(empty.isEmpty,
+      "guard loosened: update README Dialect notes + this pin")
+    val nonEmpty = spark.sql(
+      """SELECT count(*) AS c FROM gs_t
+         GROUP BY GROUPING SETS ((), ())""").collect()
+    assert(nonEmpty.map(_.getLong(0)).toSeq == Seq(3L, 3L),
+      "non-empty duplicated-() multiplicity changed")
+  }
+
   test("non-empty ROLLUP results are identical with and without the rule") {
     val sql =
       """SELECT g, k % 2 AS g2, count(*) AS c, sum(v) AS s,
