@@ -340,12 +340,159 @@ object FuzzSql {
       s"AND ${pred(r, l, 1)}"
   }
 
+  // ---- round-10 grammar growth: the dialect's untested edges ------------
+
+  /** Multi-byte literals (2-, 3-, 4-byte UTF-8 incl. surrogate-pair
+    * emoji). 'ß' is deliberately absent: DuckDB upper-cases it to 'ẞ'
+    * (capital sharp s) where the JVM produces 'SS' — a real unicode
+    * case-mapping divergence outside the dialect's contract (the
+    * reference's data is ASCII); likewise no Turkish 'İ/ı' or final
+    * sigma, the other locale-sensitive mappings. */
+  private val uniPool = Seq("café", "Über", "naïve", "héllo wörld",
+    "日本語テキスト", "Ünïcode", "😀🚀", "Ĳsselmeer", "łódź", "ÉCOLE")
+  private val uniLikePool =
+    Seq("%é%", "%日本%", "%ö%", "%😀%", "%a%é%", "%Ü%", "%ó_ź%")
+
+  /** Non-ASCII string semantics: code-point-based length/substr/
+    * reverse, unicode case mapping, binary-collation comparisons and
+    * LIKE — over strings mixing (ASCII) table columns with multi-byte
+    * literals. Both engines count/slice CODE POINTS and compare raw
+    * UTF-8 bytes, so results are exact by construction; StatefulDedup
+    * already had one bug in this class, hence the coverage. */
+  private def qUnicode(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val lit = pick(r, uniPool)
+    val s0 = s"(${strExpr(r, t, 1)} || '$lit')"
+    val items = Seq(
+      s"${t.name}.${t.key} AS k",
+      s"$s0 AS c0",
+      s"CAST(length($s0) AS BIGINT) AS c1",
+      s"substr($s0, ${r.nextInt(6) + 1}, ${r.nextInt(8) + 1}) AS c2",
+      s"reverse(${pick(r, Seq(s0, s"'$lit'"))}) AS c3",
+      s"${pick(r, Seq("upper", "lower"))}($s0) AS c4")
+    val wh = r.nextInt(3) match {
+      case 0 => s"$s0 LIKE '${pick(r, uniLikePool)}'"
+      case 1 => s"$s0 ${pick(r, Seq("<", ">="))} '${pick(r, uniPool)}'"
+      case _ => pred(r, t, 0)
+    }
+    s"SELECT ${items.mkString(", ")} FROM ${t.name} WHERE $wh"
+  }
+
+  /** DECIMAL arithmetic: exact fixed-point +/-/× chains seeded from INT
+    * columns (never doubles — a double→decimal cast rounds binary noise)
+    * with exact decimal literals, plus sum/min/max. Every result column
+    * is cast to ONE explicit DECIMAL type in the QUERY TEXT: the two
+    * engines' precision/scale PROPAGATION rules differ, and the compare
+    * harness string-compares decimals, so scale is part of the value.
+    * Max reachable scale is 3 + 2×2 = 7 < 8, so the final (38,8) cast
+    * never rounds — any mismatch is real engine arithmetic. */
+  private def qDecimal(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    def dec(depth: Int): String =
+      if (depth <= 0) s"CAST(${intExpr(r, t, 0)} AS DECIMAL(18,3))"
+      else r.nextInt(4) match {
+        case 0 => s"(${dec(depth - 1)} + ${dec(depth - 1)})"
+        case 1 => f"(${dec(depth - 1)} - ${r.nextInt(1000)}%d.${r.nextInt(1000)}%03d)"
+        case 2 => f"(${dec(depth - 1)} * ${r.nextInt(9)}%d.${r.nextInt(100)}%02d)"
+        case _ => dec(depth - 1)
+      }
+    if (r.nextBoolean())
+      s"SELECT ${t.name}.${t.key} AS k, " +
+        s"CAST(${dec(2)} AS DECIMAL(38,8)) AS d0, " +
+        s"CAST(${dec(1)} AS DECIMAL(38,8)) AS d1 " +
+        s"FROM ${t.name} WHERE ${pred(r, t, 0)}"
+    else
+      s"SELECT ${scalarExpr(r, t)} AS g0, " +
+        s"CAST(sum(${dec(2)}) AS DECIMAL(38,8)) AS d0, " +
+        s"CAST(${pick(r, Seq("min", "max"))}(${dec(1)}) AS DECIMAL(38,8)) " +
+        s"AS d1, CAST(count(*) AS BIGINT) AS cnt " +
+        s"FROM ${t.name} WHERE ${pred(r, t, 0)} GROUP BY 1"
+  }
+
+  /** INTERSECT / EXCEPT, set and ALL (bag) semantics. The non-key
+    * variant makes multiplicities > 1 so ALL's bag arithmetic is
+    * actually exercised (with the unique key both flavors coincide). */
+  private def qSetOp(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val op = pick(r, Seq("INTERSECT", "EXCEPT", "INTERSECT ALL",
+      "EXCEPT ALL"))
+    val items =
+      if (r.nextBoolean()) s"${t.name}.${t.key} AS k, ${scalarExpr(r, t)} AS c0"
+      else s"${strExpr(r, t, 1)} AS c0, CAST(${intExpr(r, t, 1)} % 17 " +
+        s"AS BIGINT) AS c1"
+    s"SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"$op SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)}"
+  }
+
+  /** Scalar subqueries in SELECT (correlated count — the classic
+    * count-bug shape: an empty correlation group must read 0, not NULL)
+    * and in WHERE (uncorrelated aggregate; empty → NULL → row drops,
+    * same in both engines). */
+  private def qScalarSub(r: scala.util.Random): String = {
+    val (lt, fk, rt, pk) = pick(r, fks)
+    val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
+    s"SELECT ${l.name}.${l.key} AS k, " +
+      s"CAST((SELECT count(*) FROM ${rr.name} " +
+      s"WHERE ${rr.name}.$pk = ${l.name}.$fk AND ${pred(r, rr, 1)}) " +
+      s"AS BIGINT) AS c0, ${scalarExpr(r, l)} AS c1 " +
+      s"FROM ${l.name} " +
+      s"WHERE ${l.name}.$fk <= (SELECT max(${rr.name}.$pk) FROM ${rr.name} " +
+      s"WHERE ${pred(r, rr, 0)}) AND ${pred(r, l, 1)}"
+  }
+
+  /** Explicit NULLS FIRST/LAST under LIMIT: the engines' DEFAULTS
+    * differ (Spark ASC places nulls first, DuckDB last), so the dialect
+    * contract is the explicit form only — which must then cut the SAME
+    * rows. CASE with no ELSE manufactures the NULLs. */
+  private def qNullsOrder(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val c0 = s"CASE WHEN ${pred(r, t, 1)} THEN ${intExpr(r, t, 1)} END"
+    val dir = pick(r, Seq("ASC", "DESC"))
+    val nf = pick(r, Seq("NULLS FIRST", "NULLS LAST"))
+    s"SELECT ${t.name}.${t.key} AS k, CAST($c0 AS BIGINT) AS c0 " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"ORDER BY c0 $dir $nf, k LIMIT ${r.nextInt(300) + 20}"
+  }
+
+  /** grouping()/grouping_id() in SELECT and HAVING over CUBE/ROLLUP.
+    * Single-arg grouping() and EXPLICIT-args grouping_id() only:
+    * DuckDB 1.0 has no zero-arg grouping_id(). Both engines put the
+    * leftmost argument in the MOST significant bit (probed). PLAIN
+    * COLUMN grouping arguments only — Spark resolves HAVING against
+    * the aggregate's output, where a COMPLEX grouping expression's
+    * input columns no longer exist (UNRESOLVED_COLUMN; SELECT aliases
+    * are refused too, GROUPING_COLUMN_MISMATCH), so bare columns are
+    * the one form both engines accept; complex grouping-sets
+    * expressions are covered by qRollup. A second Spark constraint
+    * (probed): the grouping columns must appear UNALIASED in the SELECT
+    * list, or HAVING's grouping(col) loses its anchor — so the template
+    * selects the bare columns (both engines then name the output by the
+    * bare column name, keeping the compare aligned). Distinct columns
+    * guaranteed (the documented ROLLUP(x,x) divergence). */
+  private def qGroupingHaving(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val g0 = s"${t.name}.${pick(r, t.of('i')).name}"
+    val g1 = s"${t.name}.${pick(r, t.of('s')).name}"
+    val sets = pick(r, Seq("CUBE", "ROLLUP"))
+    val having = r.nextInt(3) match {
+      case 0 => s"grouping($g0) = ${r.nextInt(2)}"
+      case 1 => s"grouping_id($g0, $g1) ${pick(r, Seq("=", "<>", "<="))} " +
+        s"${r.nextInt(4)}"
+      case _ => s"(grouping($g1) = ${r.nextInt(2)} AND count(*) > " +
+        s"${r.nextInt(3)})"
+    }
+    s"SELECT $g0, $g1, CAST(grouping($g0) AS BIGINT) AS gg, " +
+      s"CAST(grouping_id($g0, $g1) AS BIGINT) AS gid, " +
+      s"CAST(count(*) AS BIGINT) AS cnt FROM ${t.name} " +
+      s"WHERE ${pred(r, t, 0)} GROUP BY $sets($g0, $g1) HAVING $having"
+  }
+
   /** The full seeded batch — pure function of (n, seed), so a recorded
     * run is reproducible bit-for-bit and the spec can pin determinism. */
   def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(16) match {
+      val sql = r.nextInt(22) match {
         case 0 | 1 => qFilterProject(r)
         case 2 | 3 => qGroupAgg(r)
         case 4 | 5 => qJoin(r)
@@ -358,7 +505,13 @@ object FuzzSql {
         case 12    => qRollup(r)
         case 13    => qExists(r)
         case 14    => qCte(r)
-        case _     => qOrderLimit(r)
+        case 15    => qOrderLimit(r)
+        case 16    => qUnicode(r)
+        case 17    => qDecimal(r)
+        case 18    => qSetOp(r)
+        case 19    => qScalarSub(r)
+        case 20    => qNullsOrder(r)
+        case _     => qGroupingHaving(r)
       }
       (f"fz$i%03d", sql)
     }
