@@ -12,16 +12,23 @@ import org.apache.spark.sql.functions._
   *     join cardinalities scale exactly linearly (every order still has
   *     one customer, every lineitem one order) and no cross-replica joins
   *     appear;
-  *   - document text is letter-rotated per replica (a Caesar shift over
-  *     [a-zA-Z], whitespace/digits/punctuation fixed). Replicas share no
-  *     shingles or tokens with each other, so dedup/LSH candidate counts
-  *     scale linearly like a real 10× corpus would — 10 verbatim copies
-  *     would instead make every document a 10-clique of near-duplicates
-  *     and blow candidate pairs up superlinearly, testing a pathology
-  *     rather than scale. Lengths are preserved, so n_chars stays valid;
-  *   - embeddings rotate element-wise by replica index (norm-preserving,
-  *     direction-changing), so LSH bucket occupancy grows like a real
-  *     corpus instead of stacking identical vectors;
+  *   - document text is letter-substituted per replica with a SEEDED
+  *     PERMUTATION of [a-z] and [A-Z] (whitespace/digits/punctuation
+  *     fixed, replica 0 verbatim). Replicas share no shingles or tokens
+  *     with each other, so dedup/LSH candidate counts scale linearly
+  *     like a real N× corpus would — verbatim copies would instead make
+  *     every document an N-clique of near-duplicates and blow candidate
+  *     pairs up superlinearly, testing a pathology rather than scale.
+  *     (A Caesar SHIFT — the pre-round-10 scheme — has only 26 distinct
+  *     rotations, so factors > 26 silently reintroduced exactly that
+  *     clique pathology; seeded permutations are distinct for any
+  *     factor.) Lengths are preserved, so n_chars stays valid;
+  *   - embeddings apply a seeded per-replica element PERMUTATION + SIGN
+  *     FLIPS (an orthogonal transform: intra-replica cosines are
+  *     preserved exactly, cross-replica directions decorrelate), so LSH
+  *     bucket occupancy grows like a real corpus instead of stacking
+  *     identical vectors — the pre-round-10 element ROTATION collided
+  *     at factor > dim (replicas 64 apart were verbatim vector copies);
   *   - pure dimensions (region, nation, supplier, part) copy as-is, as in
   *     TPC-H, where nation/region are fixed at any scale factor.
   *
@@ -34,13 +41,34 @@ object MakeScaled {
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
 
-  /** Caesar-shift letters by i (identity for i == 0). */
-  private def caesar(c: org.apache.spark.sql.Column, i: Int) = {
-    val from = lower + upper
-    val to = lower.drop(i % 26) + lower.take(i % 26) +
-      upper.drop(i % 26) + upper.take(i % 26)
-    if (i % 26 == 0) c else translate(c, from, to)
-  }
+  /** Seeded per-replica letter substitution (identity for i == 0):
+    * a Fisher-Yates permutation of [a-z] mirrored onto [A-Z], distinct
+    * for every replica index — unlike a Caesar shift, which repeats
+    * every 26 replicas and would stack verbatim text copies. */
+  private def permuteText(c: org.apache.spark.sql.Column, i: Int) =
+    if (i == 0) c else {
+      val rnd = new scala.util.Random(0x5CA1ED000L + i)
+      val p = rnd.shuffle(lower.toList).mkString
+      translate(c, lower + upper, p + p.toUpperCase)
+    }
+
+  /** Seeded per-replica orthogonal transform of a `dim`-sized float
+    * vector (identity for i == 0): element permutation + sign flips.
+    * Norm- and intra-replica-cosine-preserving; distinct for every
+    * replica (the old rotation collided at i ≥ dim). Vectors of any
+    * other size pass through unchanged (the old `dim > i` guard's
+    * spirit). */
+  private def permuteVec(c: org.apache.spark.sql.Column, i: Int,
+      dim: Int = 64) =
+    if (i == 0) c else {
+      val rnd = new scala.util.Random(0xE3B0C442L + i)
+      val perm = rnd.shuffle((1 to dim).toList)
+      val elems = perm.map { p =>
+        val s = if (rnd.nextBoolean()) 1.0f else -1.0f
+        (element_at(c, p) * lit(s)).cast("float")
+      }
+      when(size(c) === dim, array(elems: _*)).otherwise(c)
+    }
 
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
@@ -107,17 +135,11 @@ object MakeScaled {
     })
     write("documents", replicate(t("documents")) { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * docShift))
-        .withColumn("text", caesar(col("text"), i))
+        .withColumn("text", permuteText(col("text"), i))
     })
     write("embeddings", replicate(t("embeddings")) { (df, i) =>
-      val dim = size(col("embedding"))
-      val rot = if (i == 0) col("embedding")
-        else concat(
-          slice(col("embedding"), i + 1, 4096),
-          slice(col("embedding"), 1, i))
       df.withColumn("vec_id", col("vec_id") + lit(i * vecShift))
-        .withColumn("embedding",
-          when(dim > i, rot).otherwise(col("embedding")))
+        .withColumn("embedding", permuteVec(col("embedding"), i))
     })
 
     spark.stop()
