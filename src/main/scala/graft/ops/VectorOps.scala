@@ -168,6 +168,13 @@ object VectorOps {
     }
   }
 
+  /** The √N cell-count law (see [[semanticDedup]]'s scaladoc), clamped
+    * to [16, 1024]. One bounded count job; `ceil(sqrt(n))` is IEEE-exact
+    * and matches the oracle SQL's `CEIL(SQRT(COUNT(*)))` bit-for-bit. */
+  private def autoCells(vectors: DataFrame): Int =
+    math.min(1024L, math.max(16L,
+      math.ceil(math.sqrt(vectors.count().toDouble)).toLong)).toInt
+
   private def assignedWithSeeds(frame: DataFrame,
       seeds: Array[(Long, Seq[Long])]): DataFrame =
     assignFused(
@@ -476,18 +483,28 @@ object VectorOps {
     * quadratic comparison is bounded per cell, never corpus-wide. The
     * cell assignment is one broadcast-seed map pass ([[ivfAssign]]); the
     * self-join shuffles each side once keyed by cell_id; survivors come
-    * from one more vec_id-keyed left join. nCells should grow with the
-    * corpus (√N keeps expected cell quadratic cost linear overall); a
-    * skewed giant cell is the known failure mode — refine the quantizer
-    * with [[kmeansRefine]] for balance before deduping if assignment
-    * stats show one. */
+    * from one more vec_id-keyed left join.
+    *
+    * nCells MUST grow with the corpus, or the within-cell quadratic
+    * silently reclaims the cost the clustering was bounding: with c
+    * cells the compare does ~N²/c pair work and the fused assignment
+    * does N·c kernel evals, so c = √N balances them at ~2·N^1.5 total
+    * (measured: the sf10 growth anchor went ×253 for 10× data on a
+    * FIXED c=16, vs the ~×31 the √N law gives). `nCells = 0` (the
+    * default) self-scales to ceil(√N) clamped to [16, 1024] — the upper
+    * clamp bounds the literal-centroid codegen; corpora past ~1M
+    * vectors should pre-partition (or [[kmeansRefine]] for balance) and
+    * dedup shards. A skewed giant cell is the other known failure mode
+    * — refine the quantizer with [[kmeansRefine]] before deduping if
+    * assignment stats show one. */
   def semanticDedup(vectors: DataFrame, threshold: Double = 0.9,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 0): DataFrame = {
+    val c = if (nCells > 0) nCells else autoCells(vectors)
     // one fused map pass assigns cells AND carries qv — the previous
     // shape joined the quantized corpus back onto the assignment.
     // spread() like every other corpus-scale assignment caller: the
     // per-row nCells×dist2 work must not run at input-file parallelism
-    val v = assignedWithSeeds(spread(vectors), ivfSeeds(vectors, nCells))
+    val v = assignedWithSeeds(spread(vectors), ivfSeeds(vectors, c))
       .select(col("vec_id"), col("qv"), col("cell_id"))
     val cells = v.select(col("vec_id"), col("cell_id"))
     val losers = v.as("x").join(v.as("y"),

@@ -2197,7 +2197,11 @@ object LlmOps {
     // q48 finds embedding near-dup PAIRS (LSH-restricted); this is the
     // survivorship form of Abbas et al. 2023: IVF-cell clustering bounds
     // the quadratic, lowest-id-wins within a cell at cosine ≥ 0.35, every
-    // vector labeled kept/dropped.
+    // vector labeled kept/dropped. Cell count self-scales to ceil(√N)
+    // clamped to [16, 1024] — the √N law that keeps total cost ~2·N^1.5
+    // (the sf10 anchor measured ×253 growth for 10× data on a fixed 16;
+    // see VectorOps.semanticDedup) — and the oracle computes the SAME
+    // count-derived limit, so the two engines pick identical seed sets.
     "q132_semantic_dedup" -> QueryDef(
       build = (spark, dir) =>
         VectorOps.semanticDedup(Tables.load(spark, dir, "embeddings"),
@@ -2207,7 +2211,9 @@ object LlmOps {
         WITH $quantCte,
         seeds AS (SELECT vec_id AS cell_id, g, x AS sx FROM xv
           WHERE vec_id IN
-            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+            (SELECT vec_id FROM embeddings ORDER BY vec_id
+             LIMIT (SELECT LEAST(1024, GREATEST(16,
+               CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) FROM embeddings))),
         d AS (SELECT xv.vec_id, cell_id, SUM((x - sx) * (x - sx)) AS dist2
           FROM xv JOIN seeds USING (g) GROUP BY 1, 2),
         asg AS (SELECT vec_id, cell_id FROM (

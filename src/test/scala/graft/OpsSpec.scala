@@ -133,7 +133,9 @@ class OpsSpec extends AnyFunSuite {
 
   test("semanticDedup: labels every vector; dropped ⇔ a lower-id cell-mate at ≥ threshold") {
     val emb = Tables.load(spark, dir, "embeddings")
-    val out = VectorOps.semanticDedup(emb, threshold = 0.35)
+    // explicit 16 cells: the exhaustive within-cell check below recomputes
+    // cells via ivfAssign(16); the auto-scaled default is pinned after
+    val out = VectorOps.semanticDedup(emb, threshold = 0.35, nCells = 16)
     assert(out.count() == emb.count(), "every vector must be labeled")
     // recompute losers exhaustively WITHIN cells and compare exactly
     val cells = VectorOps.ivfAssign(emb).select(col("vec_id"), col("cell_id"))
@@ -150,6 +152,17 @@ class OpsSpec extends AnyFunSuite {
       expected.exceptAll(gotDropped).count() == 0,
       "dropped set must equal the exhaustive within-cell loser set")
     assert(gotDropped.count() > 0, "threshold chosen to exercise the drop path")
+    // the auto-scaled default (nCells = 0) equals the explicit √N law:
+    // ceil(sqrt(N)) clamped to [16, 1024] — the knob that keeps the
+    // within-cell quadratic ~N^1.5 as the corpus grows (sf10 anchor)
+    val auto = math.min(1024L, math.max(16L,
+      math.ceil(math.sqrt(emb.count().toDouble)).toLong)).toInt
+    val viaAuto = VectorOps.semanticDedup(emb, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val viaExplicit = VectorOps.semanticDedup(emb, threshold = 0.35,
+        nCells = auto)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaAuto == viaExplicit, s"auto cell count != explicit $auto")
   }
 
   test("cosine near-dups: all returned pairs exceed threshold, bucket-restricted") {
