@@ -457,7 +457,14 @@ object VectorOps {
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH-bucket collisions (the scale path for near-dup
-    * detection over embeddings). */
+    * detection over embeddings).
+    *
+    * nPlanes is a SCALE knob, same law as [[semanticDedup]]'s nCells:
+    * 2^nPlanes buckets bound the within-bucket quadratic at ~N²/2^p
+    * expected pair work, so p should grow ~log₂N to keep buckets
+    * O(constant)-sized (each added plane also halves recall at a given
+    * angular distance — the standard LSH tradeoff; band multiple runs
+    * for recall at large p). The default 6 suits ~10⁴–10⁵ corpora. */
   def cosineNearDups(vectors: DataFrame, threshold: Double,
       nPlanes: Int = 6): DataFrame = {
     // bucket + quantized vector in one map pass (no vec_id join-back)
