@@ -136,12 +136,32 @@ object EmptyGroupingSetsRule extends Rule[LogicalPlan] {
   /** Rewrite at the ANALYZED stage — before constant folding — so even
     * statically-empty inputs (`WHERE 1 = 0` under a ROLLUP) keep the
     * grand-total row. The marker guard keeps the optimizer-batch copy of
-    * the rule from firing a second time on the same aggregate. */
+    * the rule from firing a second time on the same aggregate.
+    *
+    * Unlike the optimizer copy this DESCENDS INTO SUBQUERY-EXPRESSION
+    * plans (an `IN (SELECT … GROUP BY ROLLUP …)` over empty input must
+    * see the inner grand-total row too — the r9 advisor's residual gap),
+    * but only into UNCORRELATED aggregates: injecting the LeftOuter-
+    * under-OneRowRelation shape beneath an aggregate that carries
+    * OuterReferences would hand the decorrelation rules a join they
+    * never expect there. Correlated grouping-sets subqueries stay on
+    * stock Spark semantics (documented in README "Dialect notes"
+    * territory; the shape is exotic and DuckDB's own decorrelation also
+    * bends ISO here). */
   def applyAnalyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val analyzed = df.queryExecution.analyzed
-    val rewritten = apply(analyzed)
+    val rewritten = analyzed.transformUpWithSubqueries {
+      case agg: Aggregate if eligible(agg) && !hasOuterRefs(agg) =>
+        rewrite(agg)
+    }
     if (rewritten eq analyzed) df
     else org.apache.spark.sql.GraftBridge.ofRows(df.sparkSession, rewritten)
   }
+
+  /** Any OuterReference anywhere in the aggregate's subtree marks a
+    * correlated subquery body. */
+  private def hasOuterRefs(agg: Aggregate): Boolean =
+    agg.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.OuterReference])))
 }

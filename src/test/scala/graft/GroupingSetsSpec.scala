@@ -141,6 +141,39 @@ class GroupingSetsSpec extends AnyFunSuite {
       && rows.head.getLong(1) == 0L)
   }
 
+  test("statically-empty grouping sets inside an UNCORRELATED subquery " +
+      "expression get the grand-total row; correlated bodies are left " +
+      "on stock semantics") {
+    // inner rollup over STATICALLY-empty input (constant-false, folded
+    // by PruneFilters before the optimizer-batch copy can see the agg)
+    // yields {0} under ISO — the IN predicate is then true for 0. NOTE
+    // a RUNTIME-empty inner predicate (k < 0) needs no analyzed-stage
+    // help: the optimizer rewrites the subquery into a join first and
+    // the installed optimizer copy then fires on the agg (verified
+    // while building this test) — the constant-false fold is the one
+    // shape only the subquery-descending analyzed rewrite reaches.
+    val sql = """SELECT k FROM gs_t WHERE CAST(0 AS BIGINT) IN
+      (SELECT count(*) FROM gs_t WHERE 1 = 0 GROUP BY ROLLUP(g))"""
+    assert(spark.sql(sql).collect().isEmpty, "stock Spark baseline moved")
+    val rows = graft.plans.EmptyGroupingSetsRule
+      .applyAnalyzed(spark.sql(sql)).collect()
+    assert(rows.length == 3,
+      s"subquery grand-total row missing: ${rows.toSeq}")
+    // CORRELATED grouping-sets subqueries: Spark refuses the shape at
+    // ANALYSIS (ACCESSING_OUTER_QUERY_COLUMN_IS_NOT_ALLOWED under an
+    // Aggregate with grouping sets), so the rewrite's OuterReference
+    // guard is pure defense for non-SQL plan builders — pin the refusal
+    // so a future Spark that starts accepting it resurfaces the guard
+    // question instead of silently rewriting a correlated body
+    val corr = """SELECT k FROM gs_t t1 WHERE EXISTS
+      (SELECT 1 FROM gs_t t2 WHERE t2.k = t1.k GROUP BY ROLLUP(t2.g))"""
+    val refusal = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(corr).collect()
+    }
+    assert(refusal.getMessage.contains("ACCESSING_OUTER_QUERY_COLUMN") ||
+      refusal.getMessage.contains("Accessing outer query column"))
+  }
+
   test("HAVING filters the synthesized row like any other") {
     val rows = spark.sql(
       """SELECT g, count(*) AS c FROM gs_t WHERE k < 0
