@@ -187,6 +187,44 @@ class IncrementalSessionsSpec extends AnyFunSuite {
     graft.silver.Upsert.deleteRecursively(dir)
   }
 
+  test("bucket-scoped refresh fallbacks: empty change set is a no-op " +
+      "(exact files kept); all-buckets-touched takes the full rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("inc-sess-fb-")
+    val srcDir = dir.toString
+    val all = clicks(37L, users = 10)
+    val state = IncrementalSessions.sessions(all)
+    import org.apache.spark.sql.functions.{col => c}
+    // seed a live layout (2 buckets so "every bucket touched" is easy)
+    val name = graft.silver.BucketedTables.refreshDerivedLayout(
+      spark, srcDir, "click_sessions", Seq("user_id"),
+      sortCols = Seq("user_id", "session_idx"), numBuckets = 2)(state)
+    val before = graft.silver.BucketedTables.bucketFiles(spark, name)
+      .map { case (b, sts) => b -> sts.map(_.getPath.getName).toSet }
+    // 1. EMPTY change set → no-op: same table, same exact files
+    val n1 = graft.silver.BucketedTables.refreshDerivedLayoutBuckets(
+      spark, srcDir, "click_sessions", Seq("user_id"),
+      sortCols = Seq("user_id", "session_idx"), numBuckets = 2)(
+      state, state.select(c("user_id")).limit(0))
+    assert(n1 == name)
+    val afterNoop = graft.silver.BucketedTables.bucketFiles(spark, name)
+      .map { case (b, sts) => b -> sts.map(_.getPath.getName).toSet }
+    assert(afterNoop == before, "empty change set rewrote files")
+    // 2. every bucket touched → the full-rewrite fallback: content
+    // equal, and every file is fresh (new task uuids prove the path)
+    graft.silver.BucketedTables.refreshDerivedLayoutBuckets(
+      spark, srcDir, "click_sessions", Seq("user_id"),
+      sortCols = Seq("user_id", "session_idx"), numBuckets = 2)(
+      state, state.select(c("user_id")).distinct())
+    val afterFull = graft.silver.BucketedTables.bucketFiles(spark, name)
+      .map { case (b, sts) => b -> sts.map(_.getPath.getName).toSet }
+    assert(afterFull.keySet == before.keySet &&
+      afterFull.forall { case (b, names) => before(b) != names },
+      "all-buckets-touched refresh must rewrite every file")
+    assert(rows(spark.table(name)) == rows(state))
+    spark.sql(s"DROP TABLE $name")
+    graft.silver.Upsert.deleteRecursively(dir)
+  }
+
   test("refreshDerivedLayout recovers from files a dead JVM left at " +
       "the managed locations") {
     val dir = java.nio.file.Files.createTempDirectory("inc-sess-stale-")
