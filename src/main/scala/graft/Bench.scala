@@ -258,6 +258,11 @@ object Bench {
     // for sf1 scaling rows whose oracle is a KNOWN DNF (q186's wedge
     // join exhausts the machine's disk in spill; see SCALING.md), where
     // re-running the baseline would take the box down, not measure it
+    // when the baseline degrades to null, SAY WHY in the artifact — a
+    // bare "duckdb":null hides whether the cap killed it, python was
+    // absent, or it was disabled (the sf1 anchor study lost a baseline
+    // to the 600 s cap and the artifact couldn't say so)
+    @volatile var duckNote: String = null
     val duckdb: Option[Map[String, Double]] = scala.util.Try {
       require(sys.env.getOrElse("SPARK_GRAFT_DUCKDB", "on") != "off",
         "baseline disabled by SPARK_GRAFT_DUCKDB=off")
@@ -286,13 +291,19 @@ object Bench {
         // short JSON line, far under the pipe buffer, so the child never
         // blocks on a full pipe while we wait.
         val finished = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
-        if (!finished) { p.destroyForcibly(); p.waitFor() }
+        if (!finished) {
+          p.destroyForcibly(); p.waitFor()
+          duckNote = "baseline subprocess exceeded the 600s cap and was " +
+            "killed (heavy subset: run scripts/duckdb_bench.py per query)"
+        }
         val o = new String(p.getInputStream.readAllBytes(), "UTF-8")
         val ok = finished && p.exitValue() == 0
         if (!ok) System.err.println("[bench] duckdb stderr tail: " +
           scala.util.Try(
               java.nio.file.Files.readString(errPath).takeRight(2000))
             .getOrElse("<unreadable>"))
+        if (finished && p.exitValue() != 0)
+          duckNote = s"duckdb_bench.py exited ${p.exitValue()}"
         require(ok, "duckdb_bench.py failed")
         o
       } finally {
@@ -328,7 +339,13 @@ object Bench {
         val dTotal = names.flatMap(m.get).sum
         val ratio = if (dTotal > 0) total / dTotal else -1.0
         s""","duckdb":$per,"duckdb_total":$dTotal,"ratio":$ratio"""
-      case None => ""","duckdb":null"""
+      case None =>
+        val why =
+          if (duckNote != null) duckNote
+          else if (sys.env.getOrElse("SPARK_GRAFT_DUCKDB", "on") == "off")
+            "disabled by SPARK_GRAFT_DUCKDB=off"
+          else "python3/duckdb unavailable or subprocess failed"
+        s""","duckdb":null,"duckdb_note":${escJson(why)}"""
     }
 
     // echo the active measurement knobs so a run with non-default
