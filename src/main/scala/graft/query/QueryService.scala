@@ -21,8 +21,9 @@ import graft.Lake
   * `round(x, s)` with s > 0 rounds the shortest-decimal representation
   * where DuckDB rounds the binary value (scale 0 is identical); and the
   * ISO empty-input grand-total patch does not reach `GROUPING SETS`
-  * listing `()` more than once, or statically-empty inputs hidden in
-  * VIEW bodies / subquery expressions.
+  * listing `()` more than once (it DOES cover statically-empty inputs
+  * hidden in VIEW bodies and uncorrelated subquery expressions — the
+  * analyzed-stage rewrite in [[dataFrame]] below).
   */
 final class QueryService(lake: Lake) {
   val MaxResultRows = 10000 // query_api/main.py:20

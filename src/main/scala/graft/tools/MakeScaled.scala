@@ -55,11 +55,14 @@ object MakeScaled {
   /** Seeded per-replica orthogonal transform of a `dim`-sized float
     * vector (identity for i == 0): element permutation + sign flips.
     * Norm- and intra-replica-cosine-preserving; distinct for every
-    * replica (the old rotation collided at i ≥ dim). Vectors of any
-    * other size pass through unchanged (the old `dim > i` guard's
-    * spirit). */
+    * replica (the old rotation collided at i ≥ dim). `dim` is DERIVED
+    * FROM THE DATA by the caller — a vector of any other size raises
+    * (raise_error), because passing it through verbatim would stack
+    * identical copies across replicas and silently reintroduce the
+    * exact N-clique duplicate pathology this transform exists to
+    * prevent (r10 advisor). NULL embeddings pass through as NULL. */
   private def permuteVec(c: org.apache.spark.sql.Column, i: Int,
-      dim: Int = 64) =
+      dim: Int) =
     if (i == 0) c else {
       val rnd = new scala.util.Random(0xE3B0C442L + i)
       val perm = rnd.shuffle((1 to dim).toList)
@@ -67,8 +70,25 @@ object MakeScaled {
         val s = if (rnd.nextBoolean()) 1.0f else -1.0f
         (element_at(c, p) * lit(s)).cast("float")
       }
-      when(size(c) === dim, array(elems: _*)).otherwise(c)
+      when(c.isNull, c)
+        .when(size(c) === dim, array(elems: _*))
+        .otherwise(raise_error(concat(
+          lit(s"MakeScaled: embedding of size "), size(c).cast("string"),
+          lit(s" != corpus dim $dim — replica $i would carry a verbatim " +
+            "duplicate; fix the fixture or the dim derivation"))))
     }
+
+  /** The corpus's (single) embedding length, derived from the data:
+    * one bounded aggregation; mixed sizes fail loudly rather than let
+    * any size slip past the permutation unpermuted. */
+  private def embeddingDim(df: DataFrame): Int = {
+    val dims = df.filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).distinct()
+      .limit(3).collect().map(_.getInt(0))
+    require(dims.length == 1,
+      s"MakeScaled: embeddings must share one length, saw ${dims.toSeq}")
+    dims.head
+  }
 
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
@@ -137,9 +157,10 @@ object MakeScaled {
       df.withColumn("doc_id", col("doc_id") + lit(i * docShift))
         .withColumn("text", permuteText(col("text"), i))
     })
+    val embDim = embeddingDim(t("embeddings"))
     write("embeddings", replicate(t("embeddings")) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * vecShift))
-        .withColumn("embedding", permuteVec(col("embedding"), i))
+        .withColumn("embedding", permuteVec(col("embedding"), i, embDim))
     })
 
     spark.stop()

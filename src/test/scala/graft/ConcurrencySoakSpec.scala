@@ -138,7 +138,13 @@ class ConcurrencySoakSpec extends AnyFunSuite {
               silverReads.incrementAndGet()
             case Left(_) => transients.incrementAndGet() // table not yet there
           }
-        } catch { case _: Exception => transients.incrementAndGet() }
+        } catch {
+          // a torn-read assertion MUST fail the spec — TestFailedException
+          // extends Exception, so a bare Exception case would silently
+          // count a genuine violation as a transient (r10 advisor, medium)
+          case tfe: org.scalatest.exceptions.TestFailedException => throw tfe
+          case _: Exception => transients.incrementAndGet()
+        }
       }
     }
     // reader B: layout rows — every SUCCESS must equal one serialized
@@ -156,7 +162,13 @@ class ConcurrencySoakSpec extends AnyFunSuite {
               layoutReads.incrementAndGet()
             case None => transients.incrementAndGet()
           }
-        } catch { case _: Exception => transients.incrementAndGet() }
+        } catch {
+          // a torn-read assertion MUST fail the spec — TestFailedException
+          // extends Exception, so a bare Exception case would silently
+          // count a genuine violation as a transient (r10 advisor, medium)
+          case tfe: org.scalatest.exceptions.TestFailedException => throw tfe
+          case _: Exception => transients.incrementAndGet()
+        }
       }
     }
     // reader C: cloned-conf queries — the parent conf must never move
