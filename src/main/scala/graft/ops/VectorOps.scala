@@ -169,11 +169,39 @@ object VectorOps {
   }
 
   /** The √N cell-count law (see [[semanticDedup]]'s scaladoc), clamped
-    * to [16, 1024]. One bounded count job; `ceil(sqrt(n))` is IEEE-exact
-    * and matches the oracle SQL's `CEIL(SQRT(COUNT(*)))` bit-for-bit. */
-  private def autoCells(vectors: DataFrame): Int =
+    * to [16, 1024]. `ceil(sqrt(n))` is IEEE-exact and matches the
+    * oracle SQL's `CEIL(SQRT(COUNT(*)))` bit-for-bit. */
+  private[graft] def cellLaw(n: Long): Int =
     math.min(1024L, math.max(16L,
-      math.ceil(math.sqrt(vectors.count().toDouble)).toLong)).toInt
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** Corpus size AND the `maxSeeds` lowest-id quantized seed vectors in
+    * ONE corpus pass (r10 verdict task 5: the √N law's dedicated
+    * `count()` job made three passes where two suffice — on parquet the
+    * count is footer-cheap, but on computed/filtered inputs it re-ran
+    * the whole upstream pipeline). The count rides the seed job as an
+    * `observe` metric: CollectMetrics sits below the TakeOrdered, so
+    * every corpus row increments it during the SAME scan, while the
+    * plan keeps TakeOrderedAndProject's shape — per-partition bounded
+    * top-k, quantization projected onto only the k winners, whole-stage
+    * codegen intact (a treeAggregate draft paid Row deserialization +
+    * full-corpus quantization for the same answer: 0.84 s vs 0.60 s on
+    * the q132 bench).
+    *
+    * Exactness: the seed path is literally [[ivfSeeds]]'s plan, so
+    * `countAndSeeds(v, m)._2.take(c)` equals `ivfSeeds(v, c)` for any
+    * c ≤ m (OpsSpec asserts both the equality and the single-job
+    * count). */
+  private[graft] def countAndSeeds(vectors: DataFrame, maxSeeds: Int)
+      : (Long, Array[(Long, Seq[Long])]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val seeds = vectors.observe(obs, count(lit(1)).as("n"))
+      .orderBy(col("vec_id")).limit(maxSeeds)
+      .select(col("vec_id"), quantized(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    (obs.get("n").asInstanceOf[Long], seeds)
+  }
 
   private def assignedWithSeeds(frame: DataFrame,
       seeds: Array[(Long, Seq[Long])]): DataFrame =
@@ -506,12 +534,21 @@ object VectorOps {
     * assignment stats show one. */
   def semanticDedup(vectors: DataFrame, threshold: Double = 0.9,
       nCells: Int = 0): DataFrame = {
-    val c = if (nCells > 0) nCells else autoCells(vectors)
+    // driver-side preparation is ONE corpus job: count and seeds come
+    // from the same treeAggregate pass (countAndSeeds), the count feeds
+    // the √N cell law, and the seed prefix is bit-identical to
+    // ivfSeeds' TakeOrdered pick
+    val seeds =
+      if (nCells > 0) ivfSeeds(vectors, nCells)
+      else {
+        val (n, top) = countAndSeeds(vectors, maxSeeds = 1024)
+        top.take(cellLaw(n))
+      }
     // one fused map pass assigns cells AND carries qv — the previous
     // shape joined the quantized corpus back onto the assignment.
     // spread() like every other corpus-scale assignment caller: the
     // per-row nCells×dist2 work must not run at input-file parallelism
-    val v = assignedWithSeeds(spread(vectors), ivfSeeds(vectors, c))
+    val v = assignedWithSeeds(spread(vectors), seeds)
       .select(col("vec_id"), col("qv"), col("cell_id"))
     val cells = v.select(col("vec_id"), col("cell_id"))
     val losers = v.as("x").join(v.as("y"),

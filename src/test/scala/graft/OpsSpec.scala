@@ -165,6 +165,34 @@ class OpsSpec extends AnyFunSuite {
     assert(viaAuto == viaExplicit, s"auto cell count != explicit $auto")
   }
 
+  test("countAndSeeds: ONE corpus job yields both N and the ivfSeeds prefix") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val sc = spark.sparkContext
+    sc.setJobGroup("countAndSeeds", "fused count+seeds pass", false)
+    val (n, top) = try VectorOps.countAndSeeds(emb, maxSeeds = 1024)
+      finally sc.clearJobGroup()
+    // the fused pass replaced autoCells' dedicated count() job (r10
+    // verdict task 5): exactly one job may run for count + seeds.
+    // status-store updates ride the async listener bus — poll briefly.
+    val deadline = System.nanoTime() + 5000000000L
+    def groupJobs() = sc.statusTracker.getJobIdsForGroup("countAndSeeds")
+    while (groupJobs().isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(groupJobs().length == 1,
+      s"expected 1 fused job, saw ${groupJobs().length}")
+    // exactness: N is the corpus count and the seed prefix is exactly
+    // the lowest-id quantized vectors (ivfSeeds' TakeOrdered pick)
+    assert(n == emb.count())
+    val expected = emb.orderBy(col("vec_id")).limit(50)
+      .select(col("vec_id"), VectorOps.quantized(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(top.take(50).toSeq == expected)
+    // bounded-buffer path: a heap smaller than the corpus keeps exactly
+    // the smallest ids (and still counts every row)
+    val (n10, top10) = VectorOps.countAndSeeds(emb, maxSeeds = 10)
+    assert(n10 == n && top10.toSeq == expected.take(10))
+  }
+
   test("cosine near-dups: all returned pairs exceed threshold, bucket-restricted") {
     val emb = Tables.load(spark, dir, "embeddings")
     val dups = VectorOps.cosineNearDups(emb, threshold = 0.95)
