@@ -25,4 +25,17 @@ object Fs {
     try s.findFirst().isPresent
     finally s.close()
   }
+
+  /** Metadata-only carry-across of an immutable data file: hard link
+    * where the filesystem allows it, byte copy where it doesn't (cross-
+    * device link, or a filesystem without link support). The bucketed
+    * carry-across paths (layout refresh, state fold) use this so an
+    * untouched bucket costs an inode, not its bytes. */
+  def linkOrCopy(src: Path, dst: Path): Unit =
+    try Files.createLink(dst, src)
+    catch {
+      case _: UnsupportedOperationException
+          | _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst)
+    }
 }

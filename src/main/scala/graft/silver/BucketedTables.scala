@@ -86,8 +86,21 @@ object BucketedTables {
   // windows/sort-merge-joins on the sort prefix skip their Sort as well.
   // --------------------------------------------------------------------
 
+  /** What the registry remembers about a live layout: the source dir it
+    * was derived from, and — for layouts maintained by a bucket-scoped
+    * incremental refresher — the WRITER identity (the refresher's state
+    * path). The bucket-scoped carry-across is only sound when the live
+    * layout holds the previous output of the SAME derivation; a layout
+    * registered by a different writer (e.g. ensureDerivedLayout's
+    * full-history build) must take the full rewrite instead of silently
+    * carrying its unrelated buckets alongside state-fold content (r10
+    * advisor). */
+  private[graft] final case class LayoutInfo(dir: String,
+      writer: Option[String])
+
   private val layouts =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      LayoutInfo]
 
   private def layoutName(table: String, keys: Seq[String]): String =
     s"graft_bench.${table}_by_${keys.mkString("_")}"
@@ -114,12 +127,13 @@ object BucketedTables {
     layouts.keys.filter(_._1.sparkContext.isStopped).foreach(layouts.remove)
     val qualified = layoutName(name, keys)
     val current = layouts.get((spark, qualified))
-    if (!current.contains(dir) || !spark.catalog.tableExists(qualified)) {
+    if (!current.map(_.dir).contains(dir)
+        || !spark.catalog.tableExists(qualified)) {
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
       if (!spark.catalog.tableExists(qualified))
         clearStaleLocation(spark, qualified)
       layoutWrite(build, qualified, keys, sortCols, numBuckets)
-      layouts((spark, qualified)) = dir
+      layouts((spark, qualified)) = LayoutInfo(dir, writer = None)
     }
     qualified
   }
@@ -131,7 +145,8 @@ object BucketedTables {
     * writes. */
   def refreshDerivedLayout(spark: SparkSession, dir: String, name: String,
       keys: Seq[String], sortCols: Seq[String] = Nil,
-      numBuckets: Int = 32)(refreshed: DataFrame): String = {
+      numBuckets: Int = 32, writerTag: Option[String] = None)(
+      refreshed: DataFrame): String = {
     val qualified = layoutName(name, keys)
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
     // Stage to a tmp table, then swap via metadata-only DROP+RENAME
@@ -148,7 +163,7 @@ object BucketedTables {
     if (spark.catalog.tableExists(qualified))
       spark.sql(s"DROP TABLE $qualified")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
-    layouts((spark, qualified)) = dir
+    layouts((spark, qualified)) = LayoutInfo(dir, writerTag)
     qualified
   }
 
@@ -181,22 +196,24 @@ object BucketedTables {
     * derivation (i.e. this refresher is the layout's only writer, as in
     * [[IncrementalSessions.maintainClickSessionsLayout]]) — carrying a
     * bucket across asserts its old content already equals the refreshed
-    * frame's content for that bucket. Callers refreshing from an
-    * unrelated frame must use the full [[refreshDerivedLayout]].
+    * frame's content for that bucket. The contract is ENFORCED via
+    * `writerTag` (r10 advisor): the registry records who wrote the live
+    * layout, and a tag mismatch — ensureDerivedLayout's full-history
+    * build, or a refresher folding a different state path — takes the
+    * full [[refreshDerivedLayout]] instead of carrying unrelated
+    * buckets across.
     *
     * Falls back to the full [[refreshDerivedLayout]] when no live
-    * layout exists for this (session, dir) or when every bucket is
-    * touched. */
+    * layout exists for this (session, dir, writer) or when every bucket
+    * is touched. */
   def refreshDerivedLayoutBuckets(spark: SparkSession, dir: String,
       name: String, keys: Seq[String], sortCols: Seq[String] = Nil,
-      numBuckets: Int = 32)(refreshed: DataFrame,
-      changedKeys: DataFrame): String = {
+      numBuckets: Int = 32, writerTag: Option[String] = None)(
+      refreshed: DataFrame, changedKeys: DataFrame): String = {
     val qualified = layoutName(name, keys)
-    val live = layouts.get((spark, qualified)).contains(dir) &&
-      spark.catalog.tableExists(qualified)
-    if (!live)
+    if (!liveFor(spark, qualified, dir, writerTag))
       return refreshDerivedLayout(spark, dir, name, keys, sortCols,
-        numBuckets)(refreshed)
+        numBuckets, writerTag)(refreshed)
     // the bucket ids the batch touches: bounded collect (≤ numBuckets)
     val bucketOf = pmod(hash(keys.map(col): _*), lit(numBuckets))
     val changed = changedKeys.select(bucketOf.cast("int").as("b"))
@@ -204,14 +221,58 @@ object BucketedTables {
     if (changed.isEmpty) return qualified // nothing to refresh
     if (changed.size >= numBuckets)
       return refreshDerivedLayout(spark, dir, name, keys, sortCols,
-        numBuckets)(refreshed)
+        numBuckets, writerTag)(refreshed)
+    // stage ONLY the changed buckets' rows (empty write tasks emit no
+    // file, so the staging dir holds exactly the changed buckets)
+    stagedBucketSwap(spark, qualified, dir, keys, sortCols, numBuckets,
+      changed, refreshed.filter(bucketOf.isin(changed.toSeq: _*)),
+      writerTag)
+  }
+
+  /** [[refreshDerivedLayoutBuckets]] for a caller that already holds
+    * the changed buckets' FULL content (the bucketed state fold,
+    * [[IncrementalSessions.updateTouched]]): skips the table-sized
+    * `refreshed.filter(...)` scan — the last O(history) read on the
+    * incremental maintenance path (r10 verdict task 2). `touched`
+    * must be computed with the SAME pmod(hash(keys), numBuckets) law
+    * (the staged-file sanity `require` still catches a mismatch), and
+    * `touchedContent` must hold every row of exactly those buckets.
+    * `fullState` is evaluated only on the fallback paths (layout not
+    * live for this writer, or every bucket touched). */
+  def refreshDerivedLayoutTouched(spark: SparkSession, dir: String,
+      name: String, keys: Seq[String], sortCols: Seq[String] = Nil,
+      numBuckets: Int = 32, writerTag: Option[String] = None)(
+      touchedContent: DataFrame, touched: Set[Int])(
+      fullState: => DataFrame): String = {
+    val qualified = layoutName(name, keys)
+    if (!liveFor(spark, qualified, dir, writerTag)
+        || touched.size >= numBuckets)
+      return refreshDerivedLayout(spark, dir, name, keys, sortCols,
+        numBuckets, writerTag)(fullState)
+    if (touched.isEmpty) return qualified // nothing to refresh
+    stagedBucketSwap(spark, qualified, dir, keys, sortCols, numBuckets,
+      touched, touchedContent, writerTag)
+  }
+
+  /** True when the live layout was derived from `dir` AND written by
+    * `writerTag`'s owner — the bucket-scoped carry-across precondition. */
+  private def liveFor(spark: SparkSession, qualified: String,
+      dir: String, writerTag: Option[String]): Boolean =
+    layouts.get((spark, qualified)).contains(LayoutInfo(dir, writerTag)) &&
+      spark.catalog.tableExists(qualified)
+
+  /** The bucket-scoped swap core: stage `stagedContent` (the changed
+    * buckets' full content) as a bucketed table, assert the staged
+    * files stayed inside `changed`, hard-link every untouched bucket's
+    * file(s) across, then swap via the metadata-only DROP+RENAME. */
+  private def stagedBucketSwap(spark: SparkSession, qualified: String,
+      dir: String, keys: Seq[String], sortCols: Seq[String],
+      numBuckets: Int, changed: Set[Int], stagedContent: DataFrame,
+      writerTag: Option[String]): String = {
     val tmp = s"${qualified}__refresh_tmp"
     if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
     clearStaleLocation(spark, tmp)
-    // stage ONLY the changed buckets' rows (empty write tasks emit no
-    // file, so the staging dir holds exactly the changed buckets)
-    layoutWrite(refreshed.filter(bucketOf.isin(changed.toSeq: _*)),
-      tmp, keys, sortCols, numBuckets)
+    layoutWrite(stagedContent, tmp, keys, sortCols, numBuckets)
     // staged-file sanity: every staged file must be a changed bucket
     // (a repartition/bucketBy hash mismatch would corrupt silently)
     val stagedIds = bucketFiles(spark, tmp).keySet
@@ -221,19 +282,15 @@ object BucketedTables {
     val toDir = tableLocation(spark, tmp)
     bucketFiles(spark, qualified).foreach { case (b, sts) =>
       if (!changed.contains(b)) sts.foreach { st =>
-        val src = java.nio.file.Paths.get(st.getPath.toUri.getPath)
-        val dst = java.nio.file.Paths.get(toDir.toUri.getPath)
-          .resolve(st.getPath.getName)
-        try java.nio.file.Files.createLink(dst, src)
-        catch { case _: UnsupportedOperationException
-            | _: java.nio.file.FileSystemException =>
-          java.nio.file.Files.copy(src, dst)
-        }
+        graft.core.Fs.linkOrCopy(
+          java.nio.file.Paths.get(st.getPath.toUri.getPath),
+          java.nio.file.Paths.get(toDir.toUri.getPath)
+            .resolve(st.getPath.getName))
       }
     }
     spark.sql(s"DROP TABLE $qualified")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
-    layouts((spark, qualified)) = dir
+    layouts((spark, qualified)) = LayoutInfo(dir, writerTag)
     qualified
   }
 
@@ -303,7 +360,8 @@ object BucketedTables {
   def layout(spark: SparkSession, dir: String, table: String,
       keys: Seq[String]): Option[DataFrame] = {
     val qualified = layoutName(table, keys)
-    if (!suppressed && layouts.get((spark, qualified)).contains(dir)
+    if (!suppressed
+        && layouts.get((spark, qualified)).exists(_.dir == dir)
         && spark.catalog.tableExists(qualified)) Some(spark.table(qualified))
     else None
   }

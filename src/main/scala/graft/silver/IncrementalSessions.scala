@@ -1,6 +1,6 @@
 package graft.silver
 
-import java.nio.file.Paths
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -91,38 +91,156 @@ object IncrementalSessions {
     untouched.unionByName(merged)
   }
 
+  // --------------------------------------------------------------------
+  // Bucketed state store: the persisted session state lives as ONE
+  // parquet file per user_id-hash bucket (pmod(murmur3(user_id),
+  // StateBuckets) — the SAME law as the derived layout's bucket spec),
+  // so a batch fold READS only the touched buckets' files and WRITES
+  // only their replacements; every untouched bucket's file carries into
+  // the next state generation as a hard link (metadata-only). Before
+  // r11 the fold rewrote the WHOLE state parquet per batch and the
+  // layout refresh scanned the full state — the two remaining
+  // O(history) terms on this path (r10 verdict task 2).
+  //
+  // The bucket-id ↔ file mapping is the part index minted by
+  // `repartition(StateBuckets, user_id)` (HashPartitioning's partition
+  // id is exactly pmod(murmur3(user_id), n), the same expression the
+  // touched-set collect evaluates), carried in the `part-NNNNN-` file
+  // name. A staged-file `require` re-checks the containment per batch.
+  //
+  // Durability is unchanged: the next generation is staged as a sibling
+  // `.tmp-` directory (fresh files + links) and committed with the ONE
+  // atomic swap every other swapped table uses; healSwap recovers an
+  // interrupted swap, so state is never torn across buckets mid-batch.
+  // --------------------------------------------------------------------
+
+  val StateBuckets = 32
+
+  /** Marker naming the bucket law a state dir was written under; a
+    * non-empty state dir without it predates the bucketed store and is
+    * upgraded (one full merge + rewrite) on its next fold. */
+  private def markerName = s"_graft_state_buckets_$StateBuckets"
+
+  private val partIdxRe = """part-(\d+)-.*""".r
+
+  /** Footer-only parquet row count (no Spark job). */
+  private def parquetRowCount(p: java.nio.file.Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** The state dir's data files grouped by bucket id (part index). */
+  private[graft] def stateBucketFiles(statePath: String)
+      : Map[Int, Seq[java.nio.file.Path]] =
+    graft.core.Fs.children(Paths.get(statePath))
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case partIdxRe(idx) => Some(idx.toInt -> p)
+          case _ => None // _SUCCESS, marker
+        }
+      }
+      .groupBy(_._1).map { case (b, kvs) => b -> kvs.map(_._2).toSeq }
+
+  /** Fold one click batch into the bucketed session state at
+    * `statePath`, touching only the batch's user_id-hash buckets.
+    * Returns (touched bucket ids, the NEW state restricted to exactly
+    * those buckets) — what the bucket-scoped layout refresh needs,
+    * with no full-state scan anywhere on the path. */
+  def updateTouched(spark: SparkSession, statePath: String,
+      batchClicks: DataFrame, gapSeconds: Long = 1800L)
+      : (Set[Int], DataFrame) = {
+    val path = Paths.get(statePath)
+    Upsert.healSwap(path)
+    val delta = sessions(batchClicks, gapSeconds)
+    val bucketOf = pmod(hash(col("user_id")), lit(StateBuckets)).cast("int")
+    // bounded collect: ≤ StateBuckets distinct ids
+    val touched = delta.select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return (Set.empty, delta) // empty batch: no-op
+    val hasState = graft.core.Fs.nonEmpty(path)
+    val legacy = hasState && !Files.exists(path.resolve(markerName))
+    val existing = if (hasState && !legacy) stateBucketFiles(statePath)
+      else Map.empty[Int, Seq[java.nio.file.Path]]
+    val touchedFiles =
+      touched.toSeq.sorted.flatMap(existing.getOrElse(_, Nil))
+    val merged =
+      if (legacy) // one-time upgrade: the last full-state read+rewrite
+        mergeSessions(spark.read.parquet(statePath), delta, gapSeconds)
+      else if (touchedFiles.nonEmpty)
+        mergeSessions(
+          spark.read.parquet(touchedFiles.map(_.toString): _*),
+          delta, gapSeconds)
+      else delta
+    // stage the next generation: fresh files for written buckets, a
+    // hard link per untouched bucket file, then ONE atomic swap
+    val tmp = Paths.get(statePath + ".tmp-" + System.nanoTime())
+    merged.repartition(StateBuckets, col("user_id"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!legacy) {
+      // partition 0 always writes a schema-preserving file even when it
+      // holds no rows (SPARK-21435; other empty partitions write none):
+      // a zero-row escapee is that artifact — drop it. A NON-empty file
+      // outside the touched set is a hash-law violation and must fail.
+      stateBucketFiles(tmp.toString).foreach { case (b, ps) =>
+        if (!touched(b)) ps.foreach { p =>
+          require(parquetRowCount(p) == 0L,
+            s"staged state bucket $b escaped the touched set $touched " +
+              s"with data rows — repartition/hash law mismatch")
+          Files.delete(p)
+        }
+      }
+      existing.foreach { case (b, ps) =>
+        if (!touched(b)) ps.foreach(p =>
+          graft.core.Fs.linkOrCopy(p, tmp.resolve(p.getFileName)))
+      }
+    }
+    Files.writeString(tmp.resolve(markerName), StateBuckets.toString)
+    Upsert.atomicSwap(tmp, path)
+    spark.catalog.refreshByPath(statePath)
+    val newTouched =
+      touched.toSeq.sorted.flatMap(stateBucketFiles(statePath)(_))
+    (touched, spark.read.parquet(newTouched.map(_.toString): _*))
+  }
+
   /** Fold one click batch into the persisted session state at
     * `statePath` (atomic swap, [[graft.gold.IncrementalAgg.update]]'s
-    * durability contract), returning the refreshed state. */
+    * durability contract), returning the refreshed FULL state. The fold
+    * itself is bucket-scoped ([[updateTouched]]); only this
+    * convenience read spans the whole store. */
   def update(spark: SparkSession, statePath: String, batchClicks: DataFrame,
       gapSeconds: Long = 1800L): DataFrame = {
-    Upsert.healSwap(Paths.get(statePath))
-    val delta = sessions(batchClicks, gapSeconds)
-    val merged =
-      if (graft.core.Fs.nonEmpty(Paths.get(statePath))) {
-        val state = spark.read.parquet(statePath)
-        mergeSessions(state, delta, gapSeconds)
-      } else delta
-    Upsert.writeMerged(merged, statePath, keys = Nil)
+    updateTouched(spark, statePath, batchClicks, gapSeconds)
     spark.read.parquet(statePath)
   }
 
   /** Append-time maintenance for the `click_sessions` DERIVED layout:
-    * fold the batch into the persisted state, then refresh the bucketed
-    * layout the q141 read path resolves — the state fold is O(batch +
-    * affected users), and the layout refresh is BUCKET-SCOPED
-    * ([[BucketedTables.refreshDerivedLayoutBuckets]]): only the
-    * user_id-hash buckets the batch touches are rewritten; every other
-    * bucket's file carries across as a metadata-only link. Refresh cost
-    * therefore scales with the batch's key spread, never with history
-    * size (the r9 verdict's last O(history)-per-refresh gap). */
+    * fold the batch into the bucketed state store, then refresh the
+    * bucketed layout the q141 read path resolves. O(touched buckets)
+    * END-TO-END: the state fold reads and writes only the batch's
+    * user_id-hash buckets ([[updateTouched]]), and the layout refresh
+    * stages exactly the same touched content
+    * ([[BucketedTables.refreshDerivedLayoutTouched]]) — no step on
+    * this path scans or rewrites the full history (r10 verdict task
+    * 2; before r11 the state parquet was rewritten whole per batch and
+    * the refresh filtered a table-sized frame). The state path is the
+    * layout's WRITER TAG, so a layout built by someone else (e.g. a
+    * full-history ensureDerivedLayout) is never corrupted by a
+    * carry-across — it takes the full rewrite instead. */
   def maintainClickSessionsLayout(spark: SparkSession, dir: String,
       statePath: String, batchClicks: DataFrame,
       gapSeconds: Long = 1800L): String = {
-    val refreshed = update(spark, statePath, batchClicks, gapSeconds)
-    BucketedTables.refreshDerivedLayoutBuckets(spark, dir,
+    val (touched, touchedContent) =
+      updateTouched(spark, statePath, batchClicks, gapSeconds)
+    BucketedTables.refreshDerivedLayoutTouched(spark, dir,
       "click_sessions", Seq("user_id"),
-      sortCols = Seq("user_id", "session_idx"))(
-      refreshed, batchClicks.select(col("user_id")).distinct())
+      sortCols = Seq("user_id", "session_idx"),
+      numBuckets = StateBuckets, writerTag = Some(statePath))(
+      touchedContent, touched)(
+      if (graft.core.Fs.nonEmpty(Paths.get(statePath)))
+        spark.read.parquet(statePath)
+      else touchedContent)
   }
 }

@@ -225,6 +225,149 @@ class IncrementalSessionsSpec extends AnyFunSuite {
     graft.silver.Upsert.deleteRecursively(dir)
   }
 
+  test("bucketed state store: a fold reads and rewrites ONLY the " +
+      "touched buckets' files (bytes and names), across random splits") {
+    val dir = java.nio.file.Files.createTempDirectory("inc-sess-st-")
+    val statePath = s"$dir/state"
+    // enough rows per bucket that DATA bytes dominate parquet's per-file
+    // footer constant — the bytes-read assertion below is about data
+    // pruning, not file-count bookkeeping
+    val all = clicks(41L, users = 32, perUser = 300)
+    // bootstrap batch covers every user; the fold batch touches only
+    // users 29-32 (out-of-order odd-event data) — a narrow key spread
+    val batch0 = all.filter(col("user_id") <= 28 ||
+      col("event_id") % 2 === 0)
+    val batch1 = all.filter(col("user_id") > 28 &&
+      col("event_id") % 2 === 1)
+    IncrementalSessions.updateTouched(spark, statePath, batch0)
+    val before = IncrementalSessions.stateBucketFiles(statePath)
+      .map { case (b, ps) => b -> ps.map(_.getFileName.toString).toSet }
+    val stateBytes = IncrementalSessions.stateBucketFiles(statePath)
+      .values.flatten.map(java.nio.file.Files.size).sum
+    val expectTouched = batch1
+      .select(pmod(hash(col("user_id")), lit(32)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(expectTouched.nonEmpty && before.keySet.exists(!expectTouched(_)),
+      "degenerate fixture: no untouched state bucket")
+    // bytes read during the fold: only the touched buckets' files flow
+    // through parquet input (the batch itself is an in-memory frame)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (touched, _) = try {
+      val r = IncrementalSessions.updateTouched(spark, statePath, batch1)
+      // listener events ride the async bus — wait until the counter is
+      // stable (two consecutive identical reads 300 ms apart)
+      var prev = -1L
+      val deadline = System.nanoTime() + 10000000000L
+      while (prev != bytesRead.get() && System.nanoTime() < deadline) {
+        prev = bytesRead.get(); Thread.sleep(300)
+      }
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(touched == expectTouched)
+    val after = IncrementalSessions.stateBucketFiles(statePath)
+      .map { case (b, ps) => b -> ps.map(_.getFileName.toString).toSet }
+    // untouched buckets carried their EXACT files (hard links — a
+    // rewrite would mint fresh task uuids); touched ones are fresh
+    for ((b, names) <- before if !touched(b))
+      assert(after.get(b).contains(names),
+        s"untouched state bucket $b was rewritten")
+    for ((b, names) <- before if touched(b))
+      assert(!after.get(b).contains(names),
+        s"touched state bucket $b kept its old file")
+    // the fold's parquet input is bounded by the touched buckets — far
+    // under the full store (the pre-r11 fold read ALL of it every batch;
+    // updateTouched also re-reads the touched buckets once post-swap)
+    assert(bytesRead.get() < stateBytes / 2,
+      s"fold read ${bytesRead.get()} bytes; full state is $stateBytes — " +
+        "the touched-bucket pruning is not happening")
+    // and the folded store still equals the one-shot rebuild
+    assert(rows(spark.read.parquet(statePath)) ==
+      rows(IncrementalSessions.sessions(batch0.unionByName(batch1))))
+    graft.silver.Upsert.deleteRecursively(dir)
+  }
+
+  test("legacy unbucketed state upgrades to the bucketed store on its " +
+      "next fold") {
+    val dir = java.nio.file.Files.createTempDirectory("inc-sess-lg-")
+    val statePath = s"$dir/state"
+    val all = clicks(43L, users = 8)
+    val first = all.filter(col("event_id") % 2 === 0)
+    val late = all.filter(col("event_id") % 2 === 1)
+    // a state dir the PRE-bucketed writer would have left: plain
+    // parquet, no bucket marker, arbitrary partitioning
+    IncrementalSessions.sessions(first).coalesce(3)
+      .write.parquet(statePath)
+    IncrementalSessions.update(spark, statePath, late)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(statePath, "_graft_state_buckets_32")),
+      "upgrade did not stamp the bucket marker")
+    assert(rows(spark.read.parquet(statePath)) ==
+      rows(IncrementalSessions.sessions(all)))
+    // the NEXT fold is bucket-scoped: untouched buckets keep their files
+    val before = IncrementalSessions.stateBucketFiles(statePath)
+      .map { case (b, ps) => b -> ps.map(_.getFileName.toString).toSet }
+    val one = all.filter(col("user_id") === 3)
+    val (touched, _) =
+      IncrementalSessions.updateTouched(spark, statePath, one)
+    val after = IncrementalSessions.stateBucketFiles(statePath)
+      .map { case (b, ps) => b -> ps.map(_.getFileName.toString).toSet }
+    for ((b, names) <- before if !touched(b))
+      assert(after.get(b).contains(names))
+    graft.silver.Upsert.deleteRecursively(dir)
+  }
+
+  test("writer-tag contract: a layout built by ensureDerivedLayout is " +
+      "never bucket-carried by the incremental refresher (r10 advisor)") {
+    val dir = java.nio.file.Files.createTempDirectory("inc-sess-wt-")
+    val srcDir = dir.toString
+    val statePath = s"$srcDir/state"
+    val all = clicks(47L, users = 12)
+    val partial = all.filter(col("user_id") <= 3)
+    // someone else (Bench's pattern) builds the layout from FULL history
+    val name = graft.silver.BucketedTables.ensureDerivedLayout(
+      spark, srcDir, "click_sessions", Seq("user_id"),
+      sortCols = Seq("user_id", "session_idx"))(
+      IncrementalSessions.sessions(all))
+    val before = graft.silver.BucketedTables.bucketFiles(spark, name)
+      .map { case (b, sts) => b -> sts.map(_.getPath.getName).toSet }
+    // the incremental refresher folds a FRESH state from a partial
+    // batch: carrying the full-history layout's untouched buckets
+    // alongside this state's content would corrupt the table silently
+    IncrementalSessions.maintainClickSessionsLayout(
+      spark, srcDir, statePath, partial)
+    val after = graft.silver.BucketedTables.bucketFiles(spark, name)
+      .map { case (b, sts) => b -> sts.map(_.getPath.getName).toSet }
+    // writer mismatch ⇒ FULL rewrite: every file fresh, and the table
+    // holds exactly the refreshed state's content (no stale mix)
+    for ((b, names) <- before if after.contains(b))
+      assert(after(b) != names,
+        s"bucket $b carried a file across a writer change")
+    assert(rows(spark.table(name)) ==
+      rows(IncrementalSessions.sessions(partial)),
+      "layout content is not the refresher's state after writer change")
+    // and now that the refresher owns it, the NEXT fold IS bucket-scoped
+    val more = all.filter(col("user_id") === 12)
+    IncrementalSessions.maintainClickSessionsLayout(
+      spark, srcDir, statePath, more)
+    val third = graft.silver.BucketedTables.bucketFiles(spark, name)
+      .map { case (b, sts) => b -> sts.map(_.getPath.getName).toSet }
+    val touchedB = more
+      .select(pmod(hash(col("user_id")), lit(32)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val carried = after.keySet.filter(b => !touchedB(b))
+    assert(carried.nonEmpty && carried.forall(b => third(b) == after(b)),
+      "same-writer fold lost the bucket-scoped carry-across")
+    spark.sql(s"DROP TABLE $name")
+    graft.silver.Upsert.deleteRecursively(dir)
+  }
+
   test("refreshDerivedLayout recovers from files a dead JVM left at " +
       "the managed locations") {
     val dir = java.nio.file.Files.createTempDirectory("inc-sess-stale-")
