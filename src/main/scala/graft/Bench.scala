@@ -327,10 +327,23 @@ object Bench {
           yield n -> r3(s / d)).sortBy(-_._2)
       case None => Seq.empty
     }
-    val ratiosJson =
+    // Floor rows (BASELINE.md "Floor-row provision"): under 0.5 s on
+    // BOTH engines the row measures scheduling constants, not data-path
+    // throughput — its 2× gate is anchored at sf1. The artifact names
+    // them itself so a >2× floor ratio is read against the right gate.
+    val floorRows: Seq[String] = duckdb match {
+      case Some(m) => names.filter(n =>
+        best.get(n).exists(_ < 0.5) && m.get(n).exists(d => d > 0 && d < 0.5))
+      case None => Seq.empty
+    }
+    val floorJson =
+      if (floorRows.isEmpty) ""
+      else ",\"floor_rows_sf1_gated\":" +
+        floorRows.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ratiosJson = floorJson + (
       if (ratioPairs.isEmpty) ""
       else ",\"ratios_worst_first\":" + ratioPairs.map { case (k, v) =>
-        "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        "\"" + k + "\":" + v }.mkString("{", ",", "}"))
 
     val duckJson = duckdb match {
       case Some(m) =>

@@ -314,9 +314,11 @@ object Advanced {
         "reference's gold tables are likewise precomputed) while the " +
         "DuckDB column sessionizes inline from raw events. The " +
         "symmetric no-layout Spark path is emitted alongside as " +
-        "'nolayout'. Same-session sf1: Spark 0.32s vs DuckDB 0.33s = " +
-        "0.96x (ahead); the sf0.1 ratio is a multi-stage 0.1s floor " +
-        "under machine load (see COVERAGE.md q141 sign-off)."),
+        "'nolayout'. FLOOR ROW (BASELINE.md floor-row provision): the " +
+        "sf0.1 ratio measures a multi-stage ~0.13s scheduling floor, " +
+        "so the 2x gate is anchored at sf1 — same-session r11: Spark " +
+        "0.213s vs DuckDB 0.335s = 0.64x (ahead; see COVERAGE.md q141 " +
+        "sign-off)."),
       benchNoLayout = true),
 
     // ---- Corpus-wide top-50 bigrams -------------------------------------
