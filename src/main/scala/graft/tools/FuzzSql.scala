@@ -487,12 +487,130 @@ object FuzzSql {
       s"WHERE ${pred(r, t, 0)} GROUP BY $sets($g0, $g1) HAVING $having"
   }
 
+  /** Window functions with explicit FRAMES (r10 verdict task 4: the
+    * grammar had no ROWS/RANGE BETWEEN, no lag/lead, no NULLS FIRST/
+    * LAST inside window ORDER BY — W2 was gate-covered by a handful of
+    * handwritten queries while windows are the reference dialect's
+    * advertised surface, analyzer.py:38-39).
+    *
+    * Determinism discipline: row_number/lag/lead/first_value/last_value/
+    * ntile and every frame aggregate get the table KEY as the final
+    * ORDER BY tiebreak (total order); rank/dense_rank sometimes drop it
+    * — their output is a function of the row's VALUE tuple, so peers
+    * tie identically in both engines. RANGE frames order by a single
+    * int expression (value-defined frames are tie-safe by construction).
+    * Nullable ORDER BY values are manufactured with NULLIF and ALWAYS
+    * carry an explicit NULLS FIRST/LAST — Spark defaults NULLS FIRST
+    * for ASC where DuckDB defaults LAST, so a bare nullable ORDER BY
+    * would fuzz the default instead of the semantics. */
+  private def qWindowFrames(r: scala.util.Random): String = {
+    val t = pick(r, tabs.filter(_.of('i').size >= 2))
+    val key = s"${t.name}.${t.key}"
+    val g = s"(${t.name}.${pick(r, t.of('i')).name} % ${r.nextInt(5) + 2})"
+    val ie = intExpr(r, t, 0)
+    // nullable order value: NULL for one residue class
+    val nu = s"NULLIF(${intExpr(r, t, 0)} % ${r.nextInt(5) + 3}, " +
+      s"${r.nextInt(3)})"
+    val nulls = pick(r, Seq("NULLS FIRST", "NULLS LAST"))
+    val dir = pick(r, Seq("ASC", "DESC"))
+    val fn = r.nextInt(8) match {
+      case 0 =>
+        val k = r.nextInt(3) + 1
+        s"lag($ie, $k, ${r.nextInt(100) - 50}) OVER " +
+          s"(PARTITION BY $g ORDER BY $nu $dir $nulls, $key)"
+      case 1 =>
+        val k = r.nextInt(3) + 1
+        s"lead($ie, $k) OVER (PARTITION BY $g ORDER BY $key)"
+      case 2 =>
+        val k = r.nextInt(4)
+        s"sum($ie) OVER (PARTITION BY $g ORDER BY $nu $dir $nulls, $key " +
+          s"ROWS BETWEEN $k PRECEDING AND CURRENT ROW)"
+      case 3 =>
+        val a = pick(r, Seq("min", "max"))
+        s"$a($ie) OVER (PARTITION BY $g ORDER BY $key " +
+          s"ROWS BETWEEN ${r.nextInt(3)} PRECEDING AND " +
+          s"${r.nextInt(3) + 1} FOLLOWING)"
+      case 4 =>
+        s"count(*) OVER (PARTITION BY $g ORDER BY $key " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          s"${r.nextInt(3)} FOLLOWING)"
+      case 5 =>
+        // RANGE: value-defined frame over a single int order expression
+        val ord = s"(${intExpr(r, t, 0)} % 1000)"
+        s"sum($ie) OVER (PARTITION BY $g ORDER BY $ord " +
+          s"RANGE BETWEEN ${r.nextInt(50) + 1} PRECEDING AND CURRENT ROW)"
+      case 6 =>
+        val fv = pick(r, Seq("first_value", "last_value"))
+        s"$fv($ie) OVER (PARTITION BY $g ORDER BY $nu $dir $nulls, $key " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      case _ =>
+        s"ntile(${r.nextInt(4) + 2}) OVER (PARTITION BY $g ORDER BY $key)"
+    }
+    // rank/dense_rank additionally as a PEERS probe: non-unique order,
+    // deterministic because ties rank identically
+    val peers = s"${pick(r, Seq("rank", "dense_rank"))}() OVER " +
+      s"(PARTITION BY $g ORDER BY $nu $dir $nulls)"
+    s"SELECT $key AS k, CAST($g AS BIGINT) AS g, " +
+      s"CAST($fn AS BIGINT) AS w0, CAST($peers AS BIGINT) AS w1 " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)}"
+  }
+
+  /** Windows OVER GROUPED input: the aggregate's output feeds the
+    * window (group keys unique ⇒ total order for free); running sums
+    * and ranks over the aggregation — the reference's gold-job idiom. */
+  private def qWindowOverGrouped(r: scala.util.Random): String = {
+    val t = pick(r, tabs.filter(_.of('i').size >= 2))
+    val g = s"(${t.name}.${pick(r, t.of('i')).name} % ${r.nextInt(7) + 2})"
+    val inner = s"SELECT CAST($g AS BIGINT) AS g, " +
+      s"CAST(count(*) AS BIGINT) AS c, " +
+      s"CAST(sum(${intExpr(r, t, 1)}) AS BIGINT) AS s " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)} GROUP BY 1"
+    val w = r.nextInt(3) match {
+      case 0 => "CAST(rank() OVER (ORDER BY c DESC, g) AS BIGINT) AS w0, " +
+        "CAST(sum(c) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS w1"
+      case 1 => "CAST(row_number() OVER (ORDER BY s DESC, g) AS BIGINT) " +
+        "AS w0, CAST(lag(s, 1, 0) OVER (ORDER BY g) AS BIGINT) AS w1"
+      case _ => "CAST(sum(s) OVER (ORDER BY g ROWS BETWEEN 1 PRECEDING " +
+        "AND 1 FOLLOWING) AS BIGINT) AS w0, " +
+        "CAST(max(c) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS BIGINT) AS w1"
+    }
+    val qual = if (r.nextInt(3) == 0) s" QUALIFY w0 <= ${r.nextInt(5) + 2}"
+      else ""
+    s"WITH a AS ($inner) SELECT g, c, s, $w FROM a$qual"
+  }
+
+  /** Explicit GROUPING SETS including the empty set () — listed ONCE
+    * (listing it twice is the documented cross-engine divergence, README
+    * Dialect notes; EngineChecksSpec pins that shape instead). Sometimes
+    * a constant-false predicate: the ISO empty-input grand-total row
+    * must survive through the analyzed-stage EmptyGroupingSetsRule on
+    * the product path. */
+  private def qGroupingSetsExplicit(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val g0 = scalarExpr(r, t)
+    val g1raw = strExpr(r, t, 1)
+    val g1 = if (g1raw == g0) s"upper($g1raw)" else g1raw
+    val sets = r.nextInt(3) match {
+      case 0 => s"GROUPING SETS (($g0, $g1), ($g0), ())"
+      case 1 => s"GROUPING SETS (($g0), ($g1), ())"
+      case _ => s"GROUPING SETS (($g0, $g1), ())"
+    }
+    val where = if (r.nextInt(4) == 0) "length('x') < 0" // statically empty
+      else pred(r, t, 0)
+    s"SELECT $g0 AS g0, $g1 AS g1, CAST(count(*) AS BIGINT) AS cnt, " +
+      s"CAST(grouping_id($g0, $g1) AS BIGINT) AS gid, " +
+      s"min(${intExpr(r, t, 1)}) AS m FROM ${t.name} " +
+      s"WHERE $where GROUP BY $sets"
+  }
+
   /** The full seeded batch — pure function of (n, seed), so a recorded
     * run is reproducible bit-for-bit and the spec can pin determinism. */
   def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(22) match {
+      val sql = r.nextInt(25) match {
         case 0 | 1 => qFilterProject(r)
         case 2 | 3 => qGroupAgg(r)
         case 4 | 5 => qJoin(r)
@@ -511,7 +629,10 @@ object FuzzSql {
         case 18    => qSetOp(r)
         case 19    => qScalarSub(r)
         case 20    => qNullsOrder(r)
-        case _     => qGroupingHaving(r)
+        case 21    => qGroupingHaving(r)
+        case 22    => qWindowFrames(r)
+        case 23    => qWindowOverGrouped(r)
+        case _     => qGroupingSetsExplicit(r)
       }
       (f"fz$i%03d", sql)
     }
