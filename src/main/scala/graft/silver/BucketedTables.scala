@@ -86,6 +86,28 @@ object BucketedTables {
   // windows/sort-merge-joins on the sort prefix skip their Sort as well.
   // --------------------------------------------------------------------
 
+  // --------------------------------------------------------------------
+  // Layout tables are EXTERNAL, each write landing in a fresh
+  // GENERATION directory (`<table>__g<nanos>`), and the swap is pure
+  // metadata (DROP external + RENAME external — neither touches
+  // files). The PREVIOUS generation's files are retained until the
+  // NEXT swap retires them.
+  //
+  // Why: with managed tables the old DROP+RENAME swap had a torn-read
+  // window the BucketRefreshSoakSpec race actually caught — DROP
+  // deletes the managed directory, so a reader that resolved the
+  // table's metadata just before the drop would LIST a vanished
+  // directory and successfully return 0 rows: an empty table that
+  // never logically existed (a query's tableOr could serve it
+  // mid-maintenance). With generation retention a ≤1-swap-stale reader
+  // scans the retired generation's intact files (a consistent previous
+  // state); only the missing-table instant between the two catalog ops
+  // remains, and that fails cleanly. This is the table-format pattern
+  // (snapshot dirs + a metadata pointer) expressed in the in-memory
+  // catalog; an object-store deployment gets it from Iceberg/Delta
+  // commits for free.
+  // --------------------------------------------------------------------
+
   /** What the registry remembers about a live layout: the source dir it
     * was derived from, and — for layouts maintained by a bucket-scoped
     * incremental refresher — the WRITER identity (the refresher's state
@@ -101,6 +123,14 @@ object BucketedTables {
   private val layouts =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       LayoutInfo]
+
+  /** The generation directory RETIRED by the last swap of each layout —
+    * kept on disk so in-flight readers of the pre-swap state keep
+    * reading consistent files; deleted when the next swap retires its
+    * successor (2-generation retention). */
+  private val retired =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.hadoop.fs.Path]
 
   private def layoutName(table: String, keys: Seq[String]): String =
     s"graft_bench.${table}_by_${keys.mkString("_")}"
@@ -125,14 +155,19 @@ object BucketedTables {
       keys: Seq[String], sortCols: Seq[String] = Nil,
       numBuckets: Int = 32)(build: => DataFrame): String = {
     layouts.keys.filter(_._1.sparkContext.isStopped).foreach(layouts.remove)
+    retired.keys.filter(_._1.sparkContext.isStopped).foreach(retired.remove)
     val qualified = layoutName(name, keys)
     val current = layouts.get((spark, qualified))
     if (!current.map(_.dir).contains(dir)
         || !spark.catalog.tableExists(qualified)) {
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
-      if (!spark.catalog.tableExists(qualified))
-        clearStaleLocation(spark, qualified)
-      layoutWrite(build, qualified, keys, sortCols, numBuckets)
+      val oldLoc =
+        if (spark.catalog.tableExists(qualified))
+          Some(tableLocation(spark, qualified))
+        else { sweepStaleGenerations(spark, qualified); None }
+      layoutWrite(build, qualified, keys, sortCols, numBuckets,
+        newGenLocation(spark, qualified))
+      oldLoc.foreach(retire(spark, qualified, _))
       layouts((spark, qualified)) = LayoutInfo(dir, writer = None)
     }
     qualified
@@ -149,20 +184,18 @@ object BucketedTables {
       refreshed: DataFrame): String = {
     val qualified = layoutName(name, keys)
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
-    // Stage to a tmp table, then swap via metadata-only DROP+RENAME
-    // (writeMerged's pattern): readers resolve the OLD table for the
-    // whole table-sized rewrite and only race the two metadata ops, not
-    // the write. Clear files a previous JVM left at either managed
-    // location the in-memory catalog no longer knows about.
+    // Stage to a tmp table at a FRESH generation location, then swap
+    // via metadata-only DROP+RENAME (both external: no file is deleted
+    // or moved by either op): readers resolve the OLD table — and its
+    // still-intact old generation — for the whole rewrite, racing only
+    // the missing-table instant between the two catalog ops.
     val tmp = s"${qualified}__refresh_tmp"
     if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
-    clearStaleLocation(spark, tmp)
     if (!spark.catalog.tableExists(qualified))
-      clearStaleLocation(spark, qualified)
-    layoutWrite(refreshed, tmp, keys, sortCols, numBuckets)
-    if (spark.catalog.tableExists(qualified))
-      spark.sql(s"DROP TABLE $qualified")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
+      sweepStaleGenerations(spark, qualified)
+    layoutWrite(refreshed, tmp, keys, sortCols, numBuckets,
+      newGenLocation(spark, qualified))
+    swapAndRetire(spark, qualified, tmp)
     layouts((spark, qualified)) = LayoutInfo(dir, writerTag)
     qualified
   }
@@ -262,23 +295,27 @@ object BucketedTables {
       spark.catalog.tableExists(qualified)
 
   /** The bucket-scoped swap core: stage `stagedContent` (the changed
-    * buckets' full content) as a bucketed table, assert the staged
-    * files stayed inside `changed`, hard-link every untouched bucket's
-    * file(s) across, then swap via the metadata-only DROP+RENAME. */
+    * buckets' full content) as a bucketed table at a fresh generation
+    * location, assert the staged files stayed inside `changed`,
+    * hard-link every untouched bucket's file(s) across from the live
+    * generation, then swap via the metadata-only DROP+RENAME (the old
+    * generation stays on disk for in-flight readers; see the
+    * generation-retention note at the top of this section). */
   private def stagedBucketSwap(spark: SparkSession, qualified: String,
       dir: String, keys: Seq[String], sortCols: Seq[String],
       numBuckets: Int, changed: Set[Int], stagedContent: DataFrame,
       writerTag: Option[String]): String = {
     val tmp = s"${qualified}__refresh_tmp"
     if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
-    clearStaleLocation(spark, tmp)
-    layoutWrite(stagedContent, tmp, keys, sortCols, numBuckets)
+    layoutWrite(stagedContent, tmp, keys, sortCols, numBuckets,
+      newGenLocation(spark, qualified))
     // staged-file sanity: every staged file must be a changed bucket
     // (a repartition/bucketBy hash mismatch would corrupt silently)
     val stagedIds = bucketFiles(spark, tmp).keySet
     require(stagedIds.subsetOf(changed),
       s"staged bucket ids $stagedIds escaped the changed set $changed")
     // carry every untouched bucket's file(s) across, metadata-only
+    // (hard links: the retired generation and the new one share inodes)
     val toDir = tableLocation(spark, tmp)
     bucketFiles(spark, qualified).foreach { case (b, sts) =>
       if (!changed.contains(b)) sts.foreach { st =>
@@ -288,10 +325,33 @@ object BucketedTables {
             .resolve(st.getPath.getName))
       }
     }
-    spark.sql(s"DROP TABLE $qualified")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
+    swapAndRetire(spark, qualified, tmp)
     layouts((spark, qualified)) = LayoutInfo(dir, writerTag)
     qualified
+  }
+
+  /** DROP the live (external) table, RENAME the staged one in — both
+    * metadata-only — then retire the replaced generation: the one
+    * retired by the PREVIOUS swap is deleted now, the just-replaced
+    * directory is kept for in-flight readers until the next swap. */
+  private def swapAndRetire(spark: SparkSession, qualified: String,
+      tmp: String): Unit = {
+    val oldLoc =
+      if (spark.catalog.tableExists(qualified)) {
+        val loc = tableLocation(spark, qualified)
+        spark.sql(s"DROP TABLE $qualified")
+        Some(loc)
+      } else None
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
+    oldLoc.foreach(retire(spark, qualified, _))
+  }
+
+  private def retire(spark: SparkSession, qualified: String,
+      loc: org.apache.hadoop.fs.Path): Unit = {
+    retired.put((spark, qualified), loc).foreach { older =>
+      val fs = older.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(older)) fs.delete(older, true)
+    }
   }
 
   /** The data files of a managed graft_bench table, grouped by the
@@ -315,30 +375,51 @@ object BucketedTables {
     }
   }
 
+  /** The table's CURRENT location, from the catalog (layouts are
+    * external with per-write generation dirs, so the location is data,
+    * not convention). */
   private def tableLocation(spark: SparkSession,
       qualified: String): org.apache.hadoop.fs.Path = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    new org.apache.hadoop.fs.Path(
-      s"$wh/graft_bench.db/${qualified.split('.')(1)}")
+    val parts = qualified.split('.')
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        parts(1), Some(parts(0)))).location)
   }
 
-  /** Delete files a previous JVM left at a graft_bench managed-table
-    * location the current in-memory catalog no longer knows about, so a
-    * fresh CTAS doesn't trip over a non-empty directory. */
-  private def clearStaleLocation(spark: SparkSession,
+  private def dbDir(spark: SparkSession): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_bench.db")
+
+  /** A fresh generation directory for the next write of `qualified`. */
+  private def newGenLocation(spark: SparkSession,
+      qualified: String): String =
+    s"${dbDir(spark)}/${qualified.split('.')(1)}__g${System.nanoTime()}"
+
+  /** Delete every directory a previous JVM left for this table (old
+    * generations, conventional-location leftovers, staged tmp dirs) —
+    * called only when the in-memory catalog has no live entry, so
+    * nothing listed can be referenced. */
+  private def sweepStaleGenerations(spark: SparkSession,
       qualified: String): Unit = {
-    val loc = tableLocation(spark, qualified)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val table = qualified.split('.')(1)
+    val dir = dbDir(spark)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n == table || n.startsWith(s"${table}__"))
+        fs.delete(st.getPath, true)
+    }
   }
 
   private def layoutWrite(df: DataFrame, qualified: String,
-      keys: Seq[String], sortCols: Seq[String], numBuckets: Int): Unit = {
+      keys: Seq[String], sortCols: Seq[String], numBuckets: Int,
+      location: String): Unit = {
     val sorts = if (sortCols.nonEmpty) sortCols else keys
     df.repartition(numBuckets, keys.map(col): _*)
       .write
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(sorts.head, sorts.tail: _*)
+      .option("path", location) // external: swaps never touch files
       .mode(SaveMode.Overwrite)
       .saveAsTable(qualified)
   }
