@@ -23,9 +23,14 @@ import graft.sources.Tables
   */
 object BucketedTables {
 
-  /** Create-or-merge `source` into the bucketed managed table
-    * `db.table`, keyed by `keys`. Same semantics as `Upsert.merge`
-    * (source wins on key collision). */
+  /** Create-or-merge `source` into the bucketed table `db.table`,
+    * keyed by `keys`. Same semantics as `Upsert.merge` (source wins on
+    * key collision). Tables are EXTERNAL with per-write generation
+    * directories and a metadata-only swap, same protocol and same
+    * torn-read rationale as the layout path below (a managed
+    * DROP+RENAME lets a stale-metadata reader successfully read an
+    * EMPTY table — BucketRefreshSoakSpec caught it on layouts); the
+    * replaced generation is retained until the next merge retires it. */
   def writeMerged(spark: SparkSession, db: String, table: String,
       source: DataFrame, keys: Seq[String], numBuckets: Int = 8): Unit = {
     // names go into DDL text (CREATE/DROP/RENAME) and `__merge_tmp` is
@@ -36,24 +41,25 @@ object BucketedTables {
         s"the reserved __merge_tmp suffix: '$db'.'$table'")
     val qualified = s"$db.$table"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def gen() = s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/" +
+      s"${table}__g${System.nanoTime()}"
     if (!spark.catalog.tableExists(qualified)) {
-      bucketWrite(source, qualified, keys, numBuckets)
+      bucketWrite(source, qualified, keys, numBuckets, gen())
     } else {
       val merged = Upsert.merge(spark.table(qualified), source, keys)
       val tmp = s"$db.${table}__merge_tmp"
-      bucketWrite(merged, tmp, keys, numBuckets)
-      // swap via rename (metadata-only); an object-store deployment would
-      // use a transactional catalog commit here
-      spark.sql(s"DROP TABLE $qualified")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
+      if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
+      bucketWrite(merged, tmp, keys, numBuckets, gen())
+      swapAndRetire(spark, qualified, tmp)
     }
   }
 
   private def bucketWrite(df: DataFrame, qualified: String,
-      keys: Seq[String], numBuckets: Int): Unit =
+      keys: Seq[String], numBuckets: Int, location: String): Unit =
     df.write
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
+      .option("path", location) // external: swaps never touch files
       .mode(SaveMode.Overwrite)
       .saveAsTable(qualified)
 
