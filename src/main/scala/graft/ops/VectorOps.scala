@@ -534,10 +534,10 @@ object VectorOps {
     * assignment stats show one. */
   def semanticDedup(vectors: DataFrame, threshold: Double = 0.9,
       nCells: Int = 0): DataFrame = {
-    // driver-side preparation is ONE corpus job: count and seeds come
-    // from the same treeAggregate pass (countAndSeeds), the count feeds
-    // the √N cell law, and the seed prefix is bit-identical to
-    // ivfSeeds' TakeOrdered pick
+    // driver-side preparation is ONE corpus job: the count rides the
+    // seed TakeOrdered as an observe metric (countAndSeeds), feeds the
+    // √N cell law, and the seed prefix is bit-identical to ivfSeeds'
+    // TakeOrdered pick
     val seeds =
       if (nCells > 0) ivfSeeds(vectors, nCells)
       else {

@@ -41,15 +41,18 @@ object BucketedTables {
         s"the reserved __merge_tmp suffix: '$db'.'$table'")
     val qualified = s"$db.$table"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    def gen() = s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db/" +
-      s"${table}__g${System.nanoTime()}"
     if (!spark.catalog.tableExists(qualified)) {
-      bucketWrite(source, qualified, keys, numBuckets, gen())
+      // no live entry → nothing on disk for this table is referenced;
+      // clear a previous JVM's generations (layout-path symmetry)
+      sweepStaleGenerations(spark, qualified)
+      bucketWrite(source, qualified, keys, numBuckets,
+        newGenLocation(spark, qualified))
     } else {
       val merged = Upsert.merge(spark.table(qualified), source, keys)
       val tmp = s"$db.${table}__merge_tmp"
       if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
-      bucketWrite(merged, tmp, keys, numBuckets, gen())
+      bucketWrite(merged, tmp, keys, numBuckets,
+        newGenLocation(spark, qualified))
       swapAndRetire(spark, qualified, tmp)
     }
   }
@@ -392,14 +395,17 @@ object BucketedTables {
         parts(1), Some(parts(0)))).location)
   }
 
-  private def dbDir(spark: SparkSession): org.apache.hadoop.fs.Path =
+  private def dbDir(spark: SparkSession,
+      db: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
-      s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_bench.db")
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.db")
 
   /** A fresh generation directory for the next write of `qualified`. */
   private def newGenLocation(spark: SparkSession,
-      qualified: String): String =
-    s"${dbDir(spark)}/${qualified.split('.')(1)}__g${System.nanoTime()}"
+      qualified: String): String = {
+    val parts = qualified.split('.')
+    s"${dbDir(spark, parts(0))}/${parts(1)}__g${System.nanoTime()}"
+  }
 
   /** Delete every directory a previous JVM left for this table (old
     * generations, conventional-location leftovers, staged tmp dirs) —
@@ -407,8 +413,8 @@ object BucketedTables {
     * nothing listed can be referenced. */
   private def sweepStaleGenerations(spark: SparkSession,
       qualified: String): Unit = {
-    val table = qualified.split('.')(1)
-    val dir = dbDir(spark)
+    val Array(db, table) = qualified.split('.')
+    val dir = dbDir(spark, db)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName

@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   * Output: `<outDir>/<table>.parquet` single files, loadable by
   * [[graft.sources.Tables.load]] exactly like the driver's dirs.
   *
-  * Usage: MakeScaled <srcSfDir> <outDir> [factor=10]
+  * Usage: MakeScaled <srcSfDir> <outDir> [factor=10] [tables,csv]
+  * (the optional 4th arg restricts output to the named tables — an
+  * sf100 documents-only fixture doesn't need the 600M-row lineitem)
   */
 object MakeScaled {
   private val lower = "abcdefghijklmnopqrstuvwxyz"
@@ -94,6 +96,10 @@ object MakeScaled {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional table filter (csv): only these tables are generated
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(',').map(_.trim).toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -110,18 +116,19 @@ object MakeScaled {
     def shiftOf(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
-    val ordShift = shiftOf(t("orders"), "o_orderkey")
-    val custShift = shiftOf(t("customer"), "c_custkey")
-    val docShift = shiftOf(t("documents"), "doc_id")
-    val vecShift = shiftOf(t("embeddings"), "vec_id")
-    val evShift = shiftOf(t("events"), "event_id")
-    val userShift = shiftOf(t("events"), "user_id")
+    lazy val ordShift = shiftOf(t("orders"), "o_orderkey")
+    lazy val custShift = shiftOf(t("customer"), "c_custkey")
+    lazy val docShift = shiftOf(t("documents"), "doc_id")
+    lazy val vecShift = shiftOf(t("embeddings"), "vec_id")
+    lazy val evShift = shiftOf(t("events"), "event_id")
+    lazy val userShift = shiftOf(t("events"), "user_id")
 
     /** Union `factor` replicas of `df`, transformed per replica index. */
     def replicate(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
 
-    def write(name: String, df: DataFrame): Unit = {
+    def write(name: String, df: => DataFrame): Unit = {
+      if (only.exists(!_.contains(name))) return
       val tmp = s"$outDir/.tmp_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -157,10 +164,12 @@ object MakeScaled {
       df.withColumn("doc_id", col("doc_id") + lit(i * docShift))
         .withColumn("text", permuteText(col("text"), i))
     })
-    val embDim = embeddingDim(t("embeddings"))
-    write("embeddings", replicate(t("embeddings")) { (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * vecShift))
-        .withColumn("embedding", permuteVec(col("embedding"), i, embDim))
+    write("embeddings", {
+      val embDim = embeddingDim(t("embeddings"))
+      replicate(t("embeddings")) { (df, i) =>
+        df.withColumn("vec_id", col("vec_id") + lit(i * vecShift))
+          .withColumn("embedding", permuteVec(col("embedding"), i, embDim))
+      }
     })
 
     spark.stop()
