@@ -30,7 +30,23 @@ object BucketedTables {
     * torn-read rationale as the layout path below (a managed
     * DROP+RENAME lets a stale-metadata reader successfully read an
     * EMPTY table — BucketRefreshSoakSpec caught it on layouts); the
-    * replaced generation is retained until the next merge retires it. */
+    * replaced generation is retained until the next merge retires it.
+    *
+    * BUCKET-SCOPED: a merge only changes the key-hash buckets that
+    * contain source keys (the target's bucket law is the SAME
+    * pmod(murmur3(keys), n) the changed-set probe evaluates), so the
+    * merge reads ONLY the changed buckets' files, merges them with the
+    * batch, stages their replacements, and carries every other bucket's
+    * file across as a hard link — merge cost is O(batch + touched
+    * buckets), not O(table), the per-batch cost law the incremental
+    * session store established (r10 verdict task 2) applied to the
+    * general silver merge. A staged-file `require` re-checks per merge
+    * that no staged file escaped the changed set. Falls back to the
+    * full rewrite when the batch would change the table's SCHEMA (a
+    * carried file must stay byte-identical to its full-rebuild
+    * content), when the live bucket spec doesn't match `(numBuckets,
+    * keys)` (the rewrite repairs the spec), or when every bucket is
+    * touched. */
   def writeMerged(spark: SparkSession, db: String, table: String,
       source: DataFrame, keys: Seq[String], numBuckets: Int = 8): Unit = {
     // names go into DDL text (CREATE/DROP/RENAME) and `__merge_tmp` is
@@ -47,14 +63,57 @@ object BucketedTables {
       sweepStaleGenerations(spark, qualified)
       bucketWrite(source, qualified, keys, numBuckets,
         newGenLocation(spark, qualified))
-    } else {
-      val merged = Upsert.merge(spark.table(qualified), source, keys)
-      val tmp = s"$db.${table}__merge_tmp"
+      return
+    }
+    val target = spark.table(qualified)
+    val tmp = s"$db.${table}__merge_tmp"
+    def fullRewrite(df: DataFrame): Unit = {
       if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
-      bucketWrite(merged, tmp, keys, numBuckets,
+      bucketWrite(df, tmp, keys, numBuckets,
         newGenLocation(spark, qualified))
       swapAndRetire(spark, qualified, tmp)
     }
+    // schema gate: plan-time only (no job) — unionByName evolution makes
+    // the merged schema a superset of either input's; a carried file is
+    // only byte-identical to the full rebuild when the field set (and
+    // types) stay EXACTLY the target's
+    def sig(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSet
+    val full = Upsert.merge(target, source, keys)
+    if (!bucketSpecOf(spark, qualified).contains(
+          (numBuckets, keys.map(_.toLowerCase)))
+        || sig(full.schema) != sig(target.schema))
+      return fullRewrite(full)
+    // the bucket ids the batch touches: bounded collect (≤ numBuckets)
+    val bucketOf = pmod(hash(keys.map(col): _*), lit(numBuckets)).cast("int")
+    val changed = source.select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (changed.isEmpty) return // empty batch: no-op
+    if (changed.size >= numBuckets) return fullRewrite(full)
+    // merge ONLY the changed buckets' files with the batch (file-level
+    // pruning by the bucket law; the explicit schema skips inference)
+    val touchedFiles = changed.toSeq.sorted
+      .flatMap(bucketFiles(spark, qualified).getOrElse(_, Nil))
+      .map(_.getPath.toString)
+    val merged =
+      if (touchedFiles.isEmpty) source // batch keys hash to empty buckets
+      else Upsert.merge(
+        spark.read.schema(target.schema).parquet(touchedFiles: _*),
+        source, keys)
+    stagedSwapCore(spark, qualified, tmp, keys, sortCols = keys,
+      numBuckets, changed, merged)
+  }
+
+  /** The live bucket spec of `qualified`, as (numBuckets,
+    * lower-cased bucket columns) — the bucket-scoped merge's
+    * law-match precondition. */
+  private def bucketSpecOf(spark: SparkSession,
+      qualified: String): Option[(Int, Seq[String])] = {
+    val parts = qualified.split('.')
+    spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          parts(1), Some(parts(0)))).bucketSpec
+      .map(bs => (bs.numBuckets, bs.bucketColumnNames.map(_.toLowerCase)))
   }
 
   private def bucketWrite(df: DataFrame, qualified: String,
@@ -314,7 +373,18 @@ object BucketedTables {
       dir: String, keys: Seq[String], sortCols: Seq[String],
       numBuckets: Int, changed: Set[Int], stagedContent: DataFrame,
       writerTag: Option[String]): String = {
-    val tmp = s"${qualified}__refresh_tmp"
+    stagedSwapCore(spark, qualified, s"${qualified}__refresh_tmp", keys,
+      sortCols, numBuckets, changed, stagedContent)
+    layouts((spark, qualified)) = LayoutInfo(dir, writerTag)
+    qualified
+  }
+
+  /** The registry-free swap core shared by the layout refresher and the
+    * bucket-scoped merge: stage, sanity-check, carry, swap. */
+  private def stagedSwapCore(spark: SparkSession, qualified: String,
+      tmp: String, keys: Seq[String], sortCols: Seq[String],
+      numBuckets: Int, changed: Set[Int],
+      stagedContent: DataFrame): Unit = {
     if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
     layoutWrite(stagedContent, tmp, keys, sortCols, numBuckets,
       newGenLocation(spark, qualified))
@@ -335,8 +405,6 @@ object BucketedTables {
       }
     }
     swapAndRetire(spark, qualified, tmp)
-    layouts((spark, qualified)) = LayoutInfo(dir, writerTag)
-    qualified
   }
 
   /** DROP the live (external) table, RENAME the staged one in — both

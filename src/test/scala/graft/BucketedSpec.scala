@@ -61,6 +61,93 @@ class BucketedSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-scoped merge: reads and rewrites ONLY the buckets the " +
+      "batch touches, equals the full merge, and falls back on schema " +
+      "or spec change") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import spark.implicits._
+    val tbl = "scoped"
+    def files(): Map[Int, Set[String]] =
+      BucketedTables.bucketFiles(spark, s"$db.$tbl")
+        .map { case (b, sts) => b -> sts.map(_.getPath.getName).toSet }
+    def rows(): Set[String] = spark.table(s"$db.$tbl").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+    val base = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    BucketedTables.writeMerged(spark, db, tbl, base, Seq("id"))
+    val before = files()
+
+    // a narrow batch: updates two keys, inserts two — only their hash
+    // buckets may change
+    val batch = Seq((7L, "u7"), (1234L, "u1234"), (9001L, "n1"),
+      (9002L, "n2")).toDF("id", "payload")
+    val expectChanged = batch
+      .select(pmod(hash(col("id")), lit(8)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(before.keySet.exists(!expectChanged(_)),
+      "degenerate fixture: every bucket touched")
+
+    // bytes read by the merge: bounded by the touched buckets' files
+    val storeBytes = BucketedTables.bucketFiles(spark, s"$db.$tbl")
+      .values.flatten.map(_.getLen).sum
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      BucketedTables.writeMerged(spark, db, tbl, batch, Seq("id"))
+      var prev = -1L
+      val deadline = System.nanoTime() + 10000000000L
+      while (prev != bytesRead.get() && System.nanoTime() < deadline) {
+        prev = bytesRead.get(); Thread.sleep(300)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    val after = files()
+    for ((b, names) <- before if !expectChanged(b))
+      assert(after.get(b).contains(names),
+        s"untouched bucket $b was rewritten")
+    for ((b, names) <- before if expectChanged(b))
+      assert(!after.get(b).contains(names),
+        s"touched bucket $b kept its old file")
+    assert(bytesRead.get() < storeBytes / 2,
+      s"merge read ${bytesRead.get()} bytes; store is $storeBytes — " +
+        "touched-bucket pruning is not happening")
+    // content equals the full merge
+    val expect = graft.silver.Upsert.merge(base, batch, Seq("id"))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(rows() == expect)
+
+    // empty batch: a no-op (same files)
+    BucketedTables.writeMerged(spark, db, tbl,
+      batch.filter(lit(false)), Seq("id"))
+    assert(files() == after, "empty batch must not rewrite anything")
+
+    // schema evolution (batch adds a column): full path, still correct
+    val widened = Seq((5L, "w5", 1.5)).toDF("id", "payload", "score")
+    BucketedTables.writeMerged(spark, db, tbl, widened, Seq("id"))
+    val t = spark.table(s"$db.$tbl")
+    assert(t.columns.toSet == Set("id", "payload", "score"))
+    assert(t.filter($"id" === 5).head().getDouble(2) == 1.5)
+    assert(t.filter($"id" === 6).head().isNullAt(2))
+    assert(t.count() == 2002)
+    val widenedFiles = files()
+    for ((b, names) <- after)
+      assert(!widenedFiles.get(b).contains(names),
+        s"schema-evolving merge must rewrite every bucket (bucket $b)")
+
+    // bucket-count mismatch: full rewrite repairs the spec
+    BucketedTables.writeMerged(spark, db, tbl,
+      Seq((9003L, "n3", 2.0)).toDF("id", "payload", "score"),
+      Seq("id"), numBuckets = 4)
+    assert(files().keySet.forall(_ < 4), "rewrite must install the new spec")
+    assert(spark.table(s"$db.$tbl").count() == 2003)
+  }
+
   test("silver layouts: q03/q06/q20 drop their fact-side exchanges and " +
       "match the raw-parquet results") {
     val dir = "/root/testdata/sf0.001"
