@@ -68,38 +68,50 @@ object Bench {
     // exchange-free; orders bucketed+sorted on o_custkey → q06's
     // aggregate and q20's window read pre-partitioned, pre-sorted input
     // (no exchange, no sort). See silver.BucketedTables.
-    graft.silver.BucketedTables.ensureLayout(
+    // Each build is guarded on the table's presence so a PARTIAL
+    // MakeScaled fixture (e.g. documents-only for a span-family sf10
+    // anchor) runs without dragging the full TPC-H set along; the
+    // driver's full sf dir always has every table, so the guard never
+    // fires there.
+    def hasTable(name: String): Boolean =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
+    if (hasTable("lineitem")) graft.silver.BucketedTables.ensureLayout(
       spark, sfDir, "lineitem", Seq("l_orderkey"))
-    graft.silver.BucketedTables.ensureLayout(
-      spark, sfDir, "orders", Seq("o_custkey"),
-      sortCols = Seq("o_custkey", "o_orderdate", "o_orderkey"))
-    // second orders projection, co-bucketed with lineitem's layout:
-    // q03's fact-fact join reads both sides pre-partitioned on the SAME
-    // 32-bucket orderkey hash → zipped sort-merge, zero exchange and no
-    // broadcast build on the measured path (measured faster than the
-    // broadcast plan; multiple sorted projections of a hot table are
-    // standard lakehouse layout maintenance)
-    graft.silver.BucketedTables.ensureLayout(
-      spark, sfDir, "orders", Seq("o_orderkey"),
-      sortCols = Seq("o_orderkey"))
-    // events bucketed on user_id, bucket-sorted by (user_id, ts,
-    // event_id): q141's sessionize window reads pre-partitioned,
-    // pre-sorted input — no exchange, no sort (the q06/q20 pattern on
-    // the events fact table)
-    graft.silver.BucketedTables.ensureLayout(
-      spark, sfDir, "events", Seq("user_id"),
-      sortCols = Seq("user_id", "ts", "event_id"))
-    // click sessions as a DERIVED silver table (incremental-gold
-    // pattern: sessionize once at ingest, not once per query): q141's
-    // measured path becomes the keyed overlap join alone, riding the
-    // user_id bucketing shared with the events layout — ProfileQ141
-    // showed the sessionize exchange was the dominant floor term.
-    // Built by the SAME code as q141's inline fallback
-    // (Advanced.clickSessions), so the paths are equal by construction.
-    graft.silver.BucketedTables.ensureDerivedLayout(
-      spark, sfDir, "click_sessions", Seq("user_id"),
-      sortCols = Seq("user_id", "session_idx")) {
-      graft.queries.Advanced.clickSessions(spark, sfDir)
+    if (hasTable("orders")) {
+      graft.silver.BucketedTables.ensureLayout(
+        spark, sfDir, "orders", Seq("o_custkey"),
+        sortCols = Seq("o_custkey", "o_orderdate", "o_orderkey"))
+      // second orders projection, co-bucketed with lineitem's layout:
+      // q03's fact-fact join reads both sides pre-partitioned on the SAME
+      // 32-bucket orderkey hash → zipped sort-merge, zero exchange and no
+      // broadcast build on the measured path (measured faster than the
+      // broadcast plan; multiple sorted projections of a hot table are
+      // standard lakehouse layout maintenance)
+      graft.silver.BucketedTables.ensureLayout(
+        spark, sfDir, "orders", Seq("o_orderkey"),
+        sortCols = Seq("o_orderkey"))
+    }
+    if (hasTable("events")) {
+      // events bucketed on user_id, bucket-sorted by (user_id, ts,
+      // event_id): q141's sessionize window reads pre-partitioned,
+      // pre-sorted input — no exchange, no sort (the q06/q20 pattern on
+      // the events fact table)
+      graft.silver.BucketedTables.ensureLayout(
+        spark, sfDir, "events", Seq("user_id"),
+        sortCols = Seq("user_id", "ts", "event_id"))
+      // click sessions as a DERIVED silver table (incremental-gold
+      // pattern: sessionize once at ingest, not once per query): q141's
+      // measured path becomes the keyed overlap join alone, riding the
+      // user_id bucketing shared with the events layout — ProfileQ141
+      // showed the sessionize exchange was the dominant floor term.
+      // Built by the SAME code as q141's inline fallback
+      // (Advanced.clickSessions), so the paths are equal by construction.
+      graft.silver.BucketedTables.ensureDerivedLayout(
+        spark, sfDir, "click_sessions", Seq("user_id"),
+        sortCols = Seq("user_id", "session_idx")) {
+        graft.queries.Advanced.clickSessions(spark, sfDir)
+      }
     }
 
     // Warmup: run every headline query once at the bench SF (untimed).

@@ -46,7 +46,13 @@ object BucketedTables {
     * carried file must stay byte-identical to its full-rebuild
     * content), when the live bucket spec doesn't match `(numBuckets,
     * keys)` (the rewrite repairs the spec), or when every bucket is
-    * touched. */
+    * touched.
+    *
+    * Cost note: `source` is evaluated twice — once by the changed-set
+    * probe, once by the staged write (the same double-evaluation the
+    * bucketed state fold accepts for its delta). Persist an expensive
+    * computed source before calling; parquet-backed batches re-scan
+    * cheaply. */
   def writeMerged(spark: SparkSession, db: String, table: String,
       source: DataFrame, keys: Seq[String], numBuckets: Int = 8): Unit = {
     // names go into DDL text (CREATE/DROP/RENAME) and `__merge_tmp` is

@@ -230,6 +230,66 @@ class BucketRefreshSoakSpec extends AnyFunSuite {
     graft.silver.Upsert.deleteRecursively(dir)
   }
 
+  test("readers race bucket-scoped MERGES (writeMerged): clean-failure-" +
+      "only, every success equals a serialized prefix state") {
+    import spark.implicits._
+    val db = s"mrace${System.nanoTime()}"
+    def merged(rows: Set[(Long, String)]): Set[(Long, String)] = rows
+    def tableRows(): Set[(Long, String)] =
+      spark.table(s"$db.race").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val base = (1L to 2000L).map(i => (i, s"v$i"))
+    BucketedTables.writeMerged(spark, db, "race",
+      base.toDF("id", "payload"), Seq("id"))
+    // ten narrow batches: each updates 3 existing keys and inserts 2 —
+    // every merge stages a few buckets and hard-links the rest
+    val batches = (1 to 10).map { i =>
+      ((1 to 3).map(j => (i * 37L + j * 11L, s"u$i-$j")) ++
+        Seq((2000L + i * 2L, s"n$i-a"), (2001L + i * 2L, s"n$i-b")))
+    }
+    // serialized prefix states, computed in plain Scala (source wins)
+    val prefixes: Seq[Set[(Long, String)]] =
+      batches.scanLeft(base.toMap) { (cur, b) => cur ++ b.toMap }
+        .map(m => merged(m.toSet))
+    val done = new AtomicBoolean(false)
+    val reads = new AtomicInteger(0)
+    val transients = new AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.Future
+    val writer = Future {
+      batches.foreach(b => BucketedTables.writeMerged(spark, db, "race",
+        b.toDF("id", "payload"), Seq("id")))
+    }
+    val reader = Future {
+      while (!done.get() || reads.get() < 5) {
+        try {
+          val got = tableRows()
+          assert(prefixes.contains(got),
+            s"TORN MERGE READ: ${got.size} rows matches no prefix")
+          reads.incrementAndGet()
+        } catch {
+          case tfe: org.scalatest.exceptions.TestFailedException => throw tfe
+          case _: Exception => transients.incrementAndGet()
+        }
+      }
+    }
+    try {
+      scala.concurrent.Await.result(writer,
+        scala.concurrent.duration.Duration(240, "s"))
+      done.set(true)
+      scala.concurrent.Await.result(reader,
+        scala.concurrent.duration.Duration(120, "s"))
+    } finally {
+      done.set(true)
+      pool.shutdown()
+    }
+    assert(reads.get() >= 5, s"too few successful reads (${reads.get()})")
+    assert(tableRows() == prefixes.last)
+    spark.sql(s"DROP TABLE $db.race")
+  }
+
   test("linkOrCopy: hard link on one filesystem, byte copy across " +
       "filesystems (/dev/shm is a different device here)") {
     val onDisk = Files.createTempDirectory("lnk-disk-")
