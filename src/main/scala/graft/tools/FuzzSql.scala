@@ -29,7 +29,18 @@ object FuzzSql {
 
   // ---- schema model (TESTDATA.md tables; dtypes verified via DESCRIBE) --
   final case class Col(name: String, kind: Char) // i=int s=str d=dbl t=ts
-  final case class Tab(name: String, key: String, cols: Seq[Col]) {
+  /** `uniqueKey`: whether `key` TOTALLY orders the table. lineitem's
+    * l_orderkey repeats per line — and NO column set is unique across
+    * every fixture (the sf0.001 and MakeSkew lineitems both carry full
+    * duplicate rows) — so order-SENSITIVE window outputs (frames, lag/
+    * lead, running sums over other columns) must not be generated for
+    * it: a tied ORDER BY lets each engine pick different peers. Seeds
+    * 1234/99 each produced one such divergence the moment the template
+    * mix shifted; the older templates were only accidentally safe
+    * because their outputs are functions of the row's value tuple
+    * (row_number among FULLY tied rows permutes an identical multiset). */
+  final case class Tab(name: String, key: String, cols: Seq[Col],
+      uniqueKey: Boolean = true) {
     def of(k: Char): Seq[Col] = cols.filter(_.kind == k)
   }
   private def c(n: String, k: Char) = Col(n, k)
@@ -55,7 +66,8 @@ object FuzzSql {
     Tab("lineitem", "l_orderkey",
       Seq(c("l_orderkey", 'i'), c("l_partkey", 'i'), c("l_suppkey", 'i'),
         c("l_linenumber", 'i'), c("l_returnflag", 's'),
-        c("l_linestatus", 's'), c("l_shipdate", 't'))),
+        c("l_linestatus", 's'), c("l_shipdate", 't')),
+      uniqueKey = false),
     Tab("documents", "doc_id",
       Seq(c("doc_id", 'i'), c("lang", 's'), c("source", 's'),
         c("n_chars", 'i'))))
@@ -440,6 +452,38 @@ object FuzzSql {
       s"WHERE ${pred(r, rr, 0)}) AND ${pred(r, l, 1)}"
   }
 
+  /** IN / NOT IN with NULLABLE values on either side — three-valued
+    * logic's trap cases, uncovered by [[qInSubquery]] (positive IN on
+    * non-null keys only). A NULL anywhere in the subquery's list makes
+    * `NOT IN` UNKNOWN for every non-matching probe (zero rows kept); a
+    * NULL probe is UNKNOWN for both polarities. Spark plans the
+    * subquery form as a null-aware anti join — a dedicated physical
+    * path the rest of the grammar never exercises. The in-list variant
+    * fuzzes the same logic through constant folding, including an
+    * explicit NULL literal in the list. */
+  private def qNullAwareIn(r: scala.util.Random): String = {
+    val (lt, fk, rt, pk) = pick(r, fks)
+    val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
+    val not = if (r.nextBoolean()) "NOT " else ""
+    // probe side: 1-in-3 nullable (NULLIF carves NULLs out of the fk)
+    val probe =
+      if (r.nextInt(3) == 0) s"NULLIF(${l.name}.$fk, ${r.nextInt(50)})"
+      else s"${l.name}.$fk"
+    val rhs = r.nextInt(3) match {
+      case 0 => // nullable subquery values: the NOT IN kill switch
+        s"(SELECT NULLIF(${rr.name}.$pk, ${r.nextInt(200)}) " +
+          s"FROM ${rr.name} WHERE ${pred(r, rr, 0)})"
+      case 1 => // non-null subquery values, nullable probe still fuzzed
+        s"(SELECT ${rr.name}.$pk FROM ${rr.name} WHERE ${pred(r, rr, 0)})"
+      case _ => // literal in-list, sometimes with an explicit NULL
+        val vals = Seq.fill(r.nextInt(3) + 2)(r.nextInt(500).toString)
+        val withNull = if (r.nextBoolean()) vals :+ "NULL" else vals
+        s"(${withNull.mkString(", ")})"
+    }
+    s"SELECT ${l.name}.${l.key} AS k, ${scalarExpr(r, l)} AS c0 " +
+      s"FROM ${l.name} WHERE $probe ${not}IN $rhs AND ${pred(r, l, 1)}"
+  }
+
   /** Explicit NULLS FIRST/LAST under LIMIT: the engines' DEFAULTS
     * differ (Spark ASC places nulls first, DuckDB last), so the dialect
     * contract is the explicit form only — which must then cut the SAME
@@ -504,8 +548,12 @@ object FuzzSql {
     * for ASC where DuckDB defaults LAST, so a bare nullable ORDER BY
     * would fuzz the default instead of the semantics. */
   private def qWindowFrames(r: scala.util.Random): String = {
-    val t = pick(r, tabs.filter(_.of('i').size >= 2))
+    // uniqueKey tables ONLY: these templates frame/lag columns the
+    // ORDER BY doesn't cover, so the final tiebreak must be a TOTAL
+    // order — lineitem has none (see Tab.uniqueKey)
+    val t = pick(r, tabs.filter(x => x.of('i').size >= 2 && x.uniqueKey))
     val key = s"${t.name}.${t.key}"
+    val tie = key
     val g = s"(${t.name}.${pick(r, t.of('i')).name} % ${r.nextInt(5) + 2})"
     val ie = intExpr(r, t, 0)
     // nullable order value: NULL for one residue class
@@ -517,21 +565,21 @@ object FuzzSql {
       case 0 =>
         val k = r.nextInt(3) + 1
         s"lag($ie, $k, ${r.nextInt(100) - 50}) OVER " +
-          s"(PARTITION BY $g ORDER BY $nu $dir $nulls, $key)"
+          s"(PARTITION BY $g ORDER BY $nu $dir $nulls, $tie)"
       case 1 =>
         val k = r.nextInt(3) + 1
-        s"lead($ie, $k) OVER (PARTITION BY $g ORDER BY $key)"
+        s"lead($ie, $k) OVER (PARTITION BY $g ORDER BY $tie)"
       case 2 =>
         val k = r.nextInt(4)
-        s"sum($ie) OVER (PARTITION BY $g ORDER BY $nu $dir $nulls, $key " +
+        s"sum($ie) OVER (PARTITION BY $g ORDER BY $nu $dir $nulls, $tie " +
           s"ROWS BETWEEN $k PRECEDING AND CURRENT ROW)"
       case 3 =>
         val a = pick(r, Seq("min", "max"))
-        s"$a($ie) OVER (PARTITION BY $g ORDER BY $key " +
+        s"$a($ie) OVER (PARTITION BY $g ORDER BY $tie " +
           s"ROWS BETWEEN ${r.nextInt(3)} PRECEDING AND " +
           s"${r.nextInt(3) + 1} FOLLOWING)"
       case 4 =>
-        s"count(*) OVER (PARTITION BY $g ORDER BY $key " +
+        s"count(*) OVER (PARTITION BY $g ORDER BY $tie " +
           s"ROWS BETWEEN UNBOUNDED PRECEDING AND " +
           s"${r.nextInt(3)} FOLLOWING)"
       case 5 =>
@@ -541,10 +589,10 @@ object FuzzSql {
           s"RANGE BETWEEN ${r.nextInt(50) + 1} PRECEDING AND CURRENT ROW)"
       case 6 =>
         val fv = pick(r, Seq("first_value", "last_value"))
-        s"$fv($ie) OVER (PARTITION BY $g ORDER BY $nu $dir $nulls, $key " +
+        s"$fv($ie) OVER (PARTITION BY $g ORDER BY $nu $dir $nulls, $tie " +
           s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
       case _ =>
-        s"ntile(${r.nextInt(4) + 2}) OVER (PARTITION BY $g ORDER BY $key)"
+        s"ntile(${r.nextInt(4) + 2}) OVER (PARTITION BY $g ORDER BY $tie)"
     }
     // rank/dense_rank additionally as a PEERS probe: non-unique order,
     // deterministic because ties rank identically
@@ -610,7 +658,7 @@ object FuzzSql {
   def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(25) match {
+      val sql = r.nextInt(26) match {
         case 0 | 1 => qFilterProject(r)
         case 2 | 3 => qGroupAgg(r)
         case 4 | 5 => qJoin(r)
@@ -632,7 +680,8 @@ object FuzzSql {
         case 21    => qGroupingHaving(r)
         case 22    => qWindowFrames(r)
         case 23    => qWindowOverGrouped(r)
-        case _     => qGroupingSetsExplicit(r)
+        case 24    => qGroupingSetsExplicit(r)
+        case _     => qNullAwareIn(r)
       }
       (f"fz$i%03d", sql)
     }
