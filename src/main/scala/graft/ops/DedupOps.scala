@@ -994,7 +994,15 @@ object DedupOps extends Serializable {
     val dup = grams.groupBy(col("kg"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select(col("kg"))
-    val dupPos = grams.join(dup, "kg")
+    // The join-back is PINNED to a shuffled hash join — the second of
+    // the two fingerprint shuffles this operator's contract budgets.
+    // Unhinted, AQE broadcasts the dup set whenever it sizes under the
+    // threshold, and at the sf10 anchor that was measured both SLOWER
+    // and unstable (6.4–19.8 s vs 4.4–4.9 s hinted; the driver collect
+    // + ~50 MB torrent build per run is the variance, ProfileQ125Sf10)
+    // — and at 100 TB the dup sliver outgrows any broadcast anyway, so
+    // the hinted plan is also the only shape that survives scale-up.
+    val dupPos = grams.join(dup.hint("shuffle_hash"), "kg")
       .select(col("doc_id"), col("p"))
     val byDoc = w.partitionBy(col("doc_id")).orderBy(col("p"))
     val islands = dupPos
