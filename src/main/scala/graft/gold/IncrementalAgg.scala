@@ -1,11 +1,8 @@
 package graft.gold
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.silver.Upsert
 
 /** Incremental aggregate maintenance: keep a gold aggregate fresh by
   * merging each new fact batch's PARTIAL aggregates into persisted
@@ -55,6 +52,13 @@ object IncrementalAgg {
   /** Fold one batch into the persisted state at `statePath` (atomic
     * swap), returning the refreshed state.
     *
+    * The state is a BUCKETED store ([[graft.silver.BucketedState]]):
+    * the fold reads and rewrites only the key-hash buckets the batch's
+    * partials touch — a gold aggregate keyed by a high-cardinality key
+    * (per-user rollups) is itself key-count-sized at 100 TB, and
+    * rewriting it whole per batch would be the O(history) anti-pattern
+    * one level up (the same cost law as the bucketed session state).
+    *
     * Durability is the STAGED PARQUET, not executor memory: the merge
     * plan reads the old state files while the staging write runs (they
     * still exist — the swap happens after the write completes), and the
@@ -62,18 +66,14 @@ object IncrementalAgg {
     * ever rests on executor-local blocks, so an executor loss mid-fold
     * just fails the staging write and leaves the old state intact for a
     * clean re-fold. An interrupted swap itself is repaired by
-    * [[graft.silver.Upsert.healSwap]] (run inside `writeMerged`). */
+    * [[graft.silver.Upsert.healSwap]] (run inside the fold). */
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
       keys: Seq[String], measures: Map[String, Column]): DataFrame = {
-    Upsert.healSwap(Paths.get(statePath))
     val delta = partials(batch, keys, measures)
-    val path = Paths.get(statePath)
-    val merged =
-      if (graft.core.Fs.nonEmpty(path)) {
-        val state = spark.read.parquet(statePath)
-        merge(state, delta, keys, measures.keys.toSeq)
-      } else delta
-    Upsert.writeMerged(merged, statePath, keys = Nil)
+    graft.silver.BucketedState.fold(spark, statePath, delta, keys) {
+      case (Some(slice), d) => merge(slice, d, keys, measures.keys.toSeq)
+      case (None, d) => d
+    }
     spark.read.parquet(statePath)
   }
 }

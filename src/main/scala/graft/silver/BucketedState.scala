@@ -1,0 +1,125 @@
+package graft.silver
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+
+/** Generic bucketed persisted state: ONE parquet file per key-hash
+  * bucket (pmod(murmur3(keys), numBuckets) — the exact law
+  * `repartition(n, keys)` mints as its partition id, carried in the
+  * `part-NNNNN-` file name), so a FOLD reads only the buckets its
+  * delta touches and writes only their replacements; every untouched
+  * bucket's file hard-links into the next state generation. Extracted
+  * from the click-session store (r10 verdict task 2) so the incremental
+  * GOLD aggregate ([[graft.gold.IncrementalAgg]]) gets the same
+  * O(touched) cost law: a gold aggregate keyed by a high-cardinality
+  * key (per-user rollups at 100 TB) is itself key-count-sized, and
+  * rewriting it whole per batch is the anti-pattern one level up.
+  *
+  * Durability is unchanged from the session store: the next generation
+  * stages as a sibling `.tmp-` directory (fresh files + links) and
+  * commits with the ONE atomic swap every swapped table uses;
+  * [[Upsert.healSwap]] repairs an interrupted swap. A staged-file
+  * `require` re-checks per fold that no data row escaped the touched
+  * set (a repartition/hash-law mismatch would corrupt silently — the
+  * zero-row partition-0 artifact of SPARK-21435 is dropped, any other
+  * escapee must fail). A non-empty state dir without the bucket marker
+  * predates the bucketed layout and upgrades (one full merge + rewrite)
+  * on its next fold.
+  */
+object BucketedState {
+
+  /** Marker naming the bucket law a state dir was written under. */
+  private def markerName(numBuckets: Int) = s"_graft_state_buckets_$numBuckets"
+
+  private val partIdxRe = """part-(\d+)-.*""".r
+
+  /** Footer-only parquet row count (no Spark job). */
+  private def parquetRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** The state dir's data files grouped by bucket id (part index). */
+  private[graft] def bucketFiles(statePath: String): Map[Int, Seq[Path]] =
+    graft.core.Fs.children(Paths.get(statePath))
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case partIdxRe(idx) => Some(idx.toInt -> p)
+          case _ => None // _SUCCESS, marker
+        }
+      }
+      .groupBy(_._1).map { case (b, kvs) => b -> kvs.map(_._2).toSeq }
+
+  /** Fold `delta` into the bucketed state at `statePath`, touching only
+    * the delta's key-hash buckets. `mergeTouched(stateSlice, delta)`
+    * produces the touched buckets' NEW content — `stateSlice` is None
+    * when those buckets hold no rows yet (then the delta alone is the
+    * content, which `mergeTouched(None, delta)` must return). Returns
+    * (touched bucket ids, the new state restricted to exactly those
+    * buckets) with no full-state scan anywhere on the path.
+    *
+    * The delta is evaluated twice (touched-set probe + staged write);
+    * persist an expensive computed delta before calling. */
+  def fold(spark: SparkSession, statePath: String, delta: DataFrame,
+      keyCols: Seq[String], numBuckets: Int = 32)(
+      mergeTouched: (Option[DataFrame], DataFrame) => DataFrame)
+      : (Set[Int], DataFrame) = {
+    val path = Paths.get(statePath)
+    Upsert.healSwap(path)
+    val bucketOf =
+      pmod(hash(keyCols.map(col): _*), lit(numBuckets)).cast("int")
+    // bounded collect: ≤ numBuckets distinct ids
+    val touched = delta.select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return (Set.empty, delta) // empty delta: no-op
+    val hasState = graft.core.Fs.nonEmpty(path)
+    val legacy =
+      hasState && !Files.exists(path.resolve(markerName(numBuckets)))
+    val existing = if (hasState && !legacy) bucketFiles(statePath)
+      else Map.empty[Int, Seq[Path]]
+    val touchedFiles =
+      touched.toSeq.sorted.flatMap(existing.getOrElse(_, Nil))
+    val merged =
+      if (legacy) // one-time upgrade: the last full-state read+rewrite
+        mergeTouched(Some(spark.read.parquet(statePath)), delta)
+      else if (touchedFiles.nonEmpty)
+        mergeTouched(
+          Some(spark.read.parquet(touchedFiles.map(_.toString): _*)), delta)
+      else mergeTouched(None, delta)
+    // stage the next generation: fresh files for written buckets, a
+    // hard link per untouched bucket file, then ONE atomic swap
+    val tmp = Paths.get(statePath + ".tmp-" + System.nanoTime())
+    merged.repartition(numBuckets, keyCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!legacy) {
+      // partition 0 always writes a schema-preserving file even when it
+      // holds no rows (SPARK-21435; other empty partitions write none):
+      // a zero-row escapee is that artifact — drop it. A NON-empty file
+      // outside the touched set is a hash-law violation and must fail.
+      bucketFiles(tmp.toString).foreach { case (b, ps) =>
+        if (!touched(b)) ps.foreach { p =>
+          require(parquetRowCount(p) == 0L,
+            s"staged state bucket $b escaped the touched set $touched " +
+              s"with data rows — repartition/hash law mismatch")
+          Files.delete(p)
+        }
+      }
+      existing.foreach { case (b, ps) =>
+        if (!touched(b)) ps.foreach(p =>
+          graft.core.Fs.linkOrCopy(p, tmp.resolve(p.getFileName)))
+      }
+    }
+    Files.writeString(tmp.resolve(markerName(numBuckets)),
+      numBuckets.toString)
+    Upsert.atomicSwap(tmp, path)
+    spark.catalog.refreshByPath(statePath)
+    val newTouched =
+      touched.toSeq.sorted.flatMap(bucketFiles(statePath)(_))
+    (touched, spark.read.parquet(newTouched.map(_.toString): _*))
+  }
+}

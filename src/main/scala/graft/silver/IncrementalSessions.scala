@@ -1,6 +1,6 @@
 package graft.silver
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -100,49 +100,18 @@ object IncrementalSessions {
   // the next state generation as a hard link (metadata-only). Before
   // r11 the fold rewrote the WHOLE state parquet per batch and the
   // layout refresh scanned the full state — the two remaining
-  // O(history) terms on this path (r10 verdict task 2).
-  //
-  // The bucket-id ↔ file mapping is the part index minted by
-  // `repartition(StateBuckets, user_id)` (HashPartitioning's partition
-  // id is exactly pmod(murmur3(user_id), n), the same expression the
-  // touched-set collect evaluates), carried in the `part-NNNNN-` file
-  // name. A staged-file `require` re-checks the containment per batch.
-  //
-  // Durability is unchanged: the next generation is staged as a sibling
-  // `.tmp-` directory (fresh files + links) and committed with the ONE
-  // atomic swap every other swapped table uses; healSwap recovers an
-  // interrupted swap, so state is never torn across buckets mid-batch.
+  // O(history) terms on this path (r10 verdict task 2). The store
+  // mechanics (marker, staged-file containment, link carry, atomic
+  // swap, legacy upgrade) are the generic [[BucketedState]], shared
+  // with the incremental gold aggregate.
   // --------------------------------------------------------------------
 
   val StateBuckets = 32
 
-  /** Marker naming the bucket law a state dir was written under; a
-    * non-empty state dir without it predates the bucketed store and is
-    * upgraded (one full merge + rewrite) on its next fold. */
-  private def markerName = s"_graft_state_buckets_$StateBuckets"
-
-  private val partIdxRe = """part-(\d+)-.*""".r
-
-  /** Footer-only parquet row count (no Spark job). */
-  private def parquetRowCount(p: java.nio.file.Path): Long = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }
-
   /** The state dir's data files grouped by bucket id (part index). */
   private[graft] def stateBucketFiles(statePath: String)
       : Map[Int, Seq[java.nio.file.Path]] =
-    graft.core.Fs.children(Paths.get(statePath))
-      .flatMap { p =>
-        p.getFileName.toString match {
-          case partIdxRe(idx) => Some(idx.toInt -> p)
-          case _ => None // _SUCCESS, marker
-        }
-      }
-      .groupBy(_._1).map { case (b, kvs) => b -> kvs.map(_._2).toSeq }
+    BucketedState.bucketFiles(statePath)
 
   /** Fold one click batch into the bucketed session state at
     * `statePath`, touching only the batch's user_id-hash buckets.
@@ -152,57 +121,12 @@ object IncrementalSessions {
   def updateTouched(spark: SparkSession, statePath: String,
       batchClicks: DataFrame, gapSeconds: Long = 1800L)
       : (Set[Int], DataFrame) = {
-    val path = Paths.get(statePath)
-    Upsert.healSwap(path)
     val delta = sessions(batchClicks, gapSeconds)
-    val bucketOf = pmod(hash(col("user_id")), lit(StateBuckets)).cast("int")
-    // bounded collect: ≤ StateBuckets distinct ids
-    val touched = delta.select(bucketOf.as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return (Set.empty, delta) // empty batch: no-op
-    val hasState = graft.core.Fs.nonEmpty(path)
-    val legacy = hasState && !Files.exists(path.resolve(markerName))
-    val existing = if (hasState && !legacy) stateBucketFiles(statePath)
-      else Map.empty[Int, Seq[java.nio.file.Path]]
-    val touchedFiles =
-      touched.toSeq.sorted.flatMap(existing.getOrElse(_, Nil))
-    val merged =
-      if (legacy) // one-time upgrade: the last full-state read+rewrite
-        mergeSessions(spark.read.parquet(statePath), delta, gapSeconds)
-      else if (touchedFiles.nonEmpty)
-        mergeSessions(
-          spark.read.parquet(touchedFiles.map(_.toString): _*),
-          delta, gapSeconds)
-      else delta
-    // stage the next generation: fresh files for written buckets, a
-    // hard link per untouched bucket file, then ONE atomic swap
-    val tmp = Paths.get(statePath + ".tmp-" + System.nanoTime())
-    merged.repartition(StateBuckets, col("user_id"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (!legacy) {
-      // partition 0 always writes a schema-preserving file even when it
-      // holds no rows (SPARK-21435; other empty partitions write none):
-      // a zero-row escapee is that artifact — drop it. A NON-empty file
-      // outside the touched set is a hash-law violation and must fail.
-      stateBucketFiles(tmp.toString).foreach { case (b, ps) =>
-        if (!touched(b)) ps.foreach { p =>
-          require(parquetRowCount(p) == 0L,
-            s"staged state bucket $b escaped the touched set $touched " +
-              s"with data rows — repartition/hash law mismatch")
-          Files.delete(p)
-        }
-      }
-      existing.foreach { case (b, ps) =>
-        if (!touched(b)) ps.foreach(p =>
-          graft.core.Fs.linkOrCopy(p, tmp.resolve(p.getFileName)))
-      }
+    BucketedState.fold(spark, statePath, delta, Seq("user_id"),
+      StateBuckets) {
+      case (Some(slice), d) => mergeSessions(slice, d, gapSeconds)
+      case (None, d) => d
     }
-    Files.writeString(tmp.resolve(markerName), StateBuckets.toString)
-    Upsert.atomicSwap(tmp, path)
-    spark.catalog.refreshByPath(statePath)
-    val newTouched =
-      touched.toSeq.sorted.flatMap(stateBucketFiles(statePath)(_))
-    (touched, spark.read.parquet(newTouched.map(_.toString): _*))
   }
 
   /** Fold one click batch into the persisted session state at

@@ -71,6 +71,40 @@ class IncrementalAggSpec extends AnyFunSuite {
       "disk-resumed + healed fold diverged from one-shot aggregation")
   }
 
+  test("the agg state is bucket-scoped: a narrow batch rewrites only " +
+      "its key-hash buckets, the rest carry by file name") {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+    val measures = Map("price_c" -> cents(col("o_totalprice")))
+    val statePath = Files.createTempDirectory("inc-bkt-").toString + "/s"
+    def files(): Map[Int, Set[String]] =
+      graft.silver.BucketedState.bucketFiles(statePath)
+        .map { case (b, ps) => b -> ps.map(_.getFileName.toString).toSet }
+    // bootstrap with most of the data, then fold a 3-day sliver
+    val days = orders.select(col("day")).distinct()
+      .orderBy(col("day")).limit(3).collect().map(_.getDate(0))
+    val narrow = orders.filter(col("day").isin(days.map(d => lit(d)): _*))
+    val bulk = orders.except(narrow)
+    IncrementalAgg.update(spark, statePath, bulk, Seq("day"), measures)
+    val before = files()
+    val expectTouched = narrow.select(
+        pmod(hash(col("day")), lit(32)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(expectTouched.nonEmpty && before.keySet.exists(!expectTouched(_)),
+      "degenerate fixture: every bucket touched")
+    IncrementalAgg.update(spark, statePath, narrow, Seq("day"), measures)
+    val after = files()
+    for ((b, names) <- before if !expectTouched(b))
+      assert(after.get(b).contains(names), s"untouched agg bucket $b rewritten")
+    for ((b, names) <- before if expectTouched(b))
+      assert(!after.get(b).contains(names), s"touched agg bucket $b kept its file")
+    // and the folded state still equals the one-shot aggregation
+    val oneShot = IncrementalAgg.partials(orders, Seq("day"), measures)
+    val incremental = spark.read.parquet(statePath)
+    assert(incremental.except(oneShot).count() == 0
+      && oneShot.except(incremental).count() == 0)
+  }
+
   test("empty-batch update is a no-op on the state") {
     val orders = Tables.load(spark, dir, "orders")
       .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
