@@ -489,14 +489,28 @@ object VectorOps {
     *
     * nPlanes is a SCALE knob, same law as [[semanticDedup]]'s nCells:
     * 2^nPlanes buckets bound the within-bucket quadratic at ~N²/2^p
-    * expected pair work, so p should grow ~log₂N to keep buckets
-    * O(constant)-sized (each added plane also halves recall at a given
-    * angular distance — the standard LSH tradeoff; band multiple runs
-    * for recall at large p). The default 6 suits ~10⁴–10⁵ corpora. */
+    * expected pair work, so p must grow with the corpus — and the
+    * default (`nPlanes = 0`) now SELF-SCALES to
+    * max(6, ceil(log₂N / 2)) clamped to 16, i.e. 2^p ≈ √N, the same
+    * balance point as semanticDedup's √N cells. Measured
+    * (ProfileQ48Scale, permutation-scaled fixtures): at 200k vectors a
+    * FIXED p=6 costs 140.9 s — ×204 for 10× data, the within-bucket
+    * quadratic reclaiming everything, exactly the q132 pathology in
+    * LSH form — while the law's p=9 runs 14.6 s (×32 vs the
+    * law-scaled 20k point, inside the N^1.5 budget). The law floors
+    * at p=6 for every driver fixture (N ≤ 2000), so gate results are
+    * unchanged; OpsSpec pins the law's values. Each added plane also
+    * halves recall at a given angular distance — the standard LSH
+    * tradeoff; band multiple runs for recall at large p, or pass an
+    * explicit nPlanes to pin recall. Auto mode derives N from one
+    * `vectors.count()` — footer-cheap on parquet-backed frames;
+    * persist an expensive computed input first (the [[semanticDedup]]
+    * autoCells contract). */
   def cosineNearDups(vectors: DataFrame, threshold: Double,
-      nPlanes: Int = 6): DataFrame = {
+      nPlanes: Int = 0): DataFrame = {
+    val p = if (nPlanes > 0) nPlanes else autoPlanes(vectors.count())
     // bucket + quantized vector in one map pass (no vec_id join-back)
-    val v = withBucket(spread(vectors), "vec_id", "qv", nPlanes)
+    val v = withBucket(spread(vectors), "vec_id", "qv", p)
     v.as("x").join(v.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
@@ -505,6 +519,13 @@ object VectorOps {
            sqrt(dot(col("y.qv"), col("y.qv")).cast("double")))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** [[cosineNearDups]]' auto plane count: 2^p ≈ √N (see its scaladoc),
+    * floored at 6 (every driver fixture), capped at 16. */
+  private[graft] def autoPlanes(n: Long): Int =
+    math.min(16, math.max(6,
+      math.ceil(math.log(math.max(n, 2L).toDouble) /
+        math.log(2.0) / 2.0).toInt))
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with the deterministic IVF

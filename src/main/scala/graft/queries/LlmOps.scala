@@ -985,6 +985,11 @@ object LlmOps {
         ORDER BY a, b""")),
 
     // ---- embedding-cosine near-duplicates (LSH-bucket-restricted) --------
+    // The oracle's 6-plane CTE matches the AUTO plane law at every
+    // driver SF: autoPlanes floors at 6 for N <= 4096 vectors
+    // (sf0.01: 500, sf0.1: 2000) — pinned by OpsSpec's law test. A
+    // dynamic plane count is not expressible in the SQL (the planes
+    // CTE unrolls one row per plane), so the floor is the contract.
     "q48_embedding_neardups" -> QueryDef(
       build = (spark, dir) =>
         VectorOps.cosineNearDups(Tables.load(spark, dir, "embeddings"),

@@ -199,6 +199,27 @@ class OpsSpec extends AnyFunSuite {
     assert(dups.filter(col("cosine") < 0.95).count() == 0)
   }
 
+  test("cosineNearDups auto plane law: 2^p ~ sqrt(N), floored at 6 so " +
+      "every driver fixture (and the q48 oracle's 6-plane CTE) is " +
+      "unchanged; auto result == explicit p at gate N") {
+    // the law's pinned values — the measured anchor points are 20k->8
+    // and 200k->9 (ProfileQ48Scale: fixed p=6 was x204 for 10x data,
+    // law-scaled x32, the N^1.5 budget)
+    assert(VectorOps.autoPlanes(0L) == 6)
+    assert(VectorOps.autoPlanes(500L) == 6)     // sf0.01
+    assert(VectorOps.autoPlanes(2000L) == 6)    // sf0.1 (bench SF)
+    assert(VectorOps.autoPlanes(20000L) == 8)   // sf1 fixture
+    assert(VectorOps.autoPlanes(200000L) == 9)  // sf10 fixture
+    assert(VectorOps.autoPlanes(Long.MaxValue) == 16)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val auto = VectorOps.cosineNearDups(emb, threshold = 0.95)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val six = VectorOps.cosineNearDups(emb, threshold = 0.95, nPlanes = 6)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    assert(auto.sameElements(six),
+      "auto planes must floor to 6 at fixture scale")
+  }
+
   test("nearDuplicates (LSH-verified) agrees with the exhaustive jaccard baseline") {
     val docs = Tables.load(spark, dir, "documents")
     val scale = DedupOps.nearDuplicates(docs, threshold = 0.2)
