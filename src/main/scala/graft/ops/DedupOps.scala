@@ -1079,7 +1079,14 @@ object DedupOps extends Serializable {
     * which this banding generalizes to. The join stays an equi-join on
     * (band, bucket) — band-limited, AQE-skew-safe, never all-pairs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // persisted: BOTH sides of the banded self-join read it, and
+    // without the barrier Spark recomputes the whole simhash subtree
+    // (token explode + distinct + 32-column vote aggregate) twice —
+    // ProfileQ47 measured 0 ReusedExchange and the full operator at
+    // ~3× the simhash pass alone. The frame is one 16-byte row per
+    // doc (the nearDuplicates signatures-persist pattern).
     val sh = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(expr("shiftright(simhash, 16)"),
         expr("simhash & 65535"))).as(Seq("band", "bucket")))
