@@ -197,7 +197,13 @@ object Multimodal {
     * and degrades gracefully above). Equi-join on (band, bucket), never
     * all-pairs. */
   def pHashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    // persisted: both sides of the banded self-join read it, and
+    // without the barrier the whole upstream — including the DECODE,
+    // the expensive stage once real codecs replace the stub — runs
+    // twice (the simhashPairs lesson, ProfileQ47: 0 ReusedExchange on
+    // this join shape). One 16-byte row per doc.
     val ph = pHash(withBinary(docs)).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = ph.select(col("doc_id"), col("phash"),
       posexplode(array(
         expr("shiftright(phash, 48) & 65535"),
