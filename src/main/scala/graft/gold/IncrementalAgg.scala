@@ -69,11 +69,17 @@ object IncrementalAgg {
     * [[graft.silver.Upsert.healSwap]] (run inside the fold). */
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
       keys: Seq[String], measures: Map[String, Column]): DataFrame = {
+    // persisted: the fold consumes the delta twice (touched-set probe +
+    // staged write), and the partials are a full batch aggregation —
+    // without the barrier that shuffle runs twice per fold
     val delta = partials(batch, keys, measures)
-    graft.silver.BucketedState.fold(spark, statePath, delta, keys) {
-      case (Some(slice), d) => merge(slice, d, keys, measures.keys.toSeq)
-      case (None, d) => d
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.silver.BucketedState.fold(spark, statePath, delta, keys) {
+        case (Some(slice), d) => merge(slice, d, keys, measures.keys.toSeq)
+        case (None, d) => d
+      }
+    } finally delta.unpersist() // the state read below is file-backed
     spark.read.parquet(statePath)
   }
 }

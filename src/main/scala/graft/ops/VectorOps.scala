@@ -508,6 +508,8 @@ object VectorOps {
     * autoCells contract). */
   def cosineNearDups(vectors: DataFrame, threshold: Double,
       nPlanes: Int = 0): DataFrame = {
+    require(nPlanes >= 0,
+      s"nPlanes must be >= 0 (0 = auto-scale); got $nPlanes")
     val p = if (nPlanes > 0) nPlanes else autoPlanes(vectors.count())
     // bucket + quantized vector in one map pass (no vec_id join-back)
     val v = withBucket(spread(vectors), "vec_id", "qv", p)

@@ -991,10 +991,16 @@ object LlmOps {
     // dynamic plane count is not expressible in the SQL (the planes
     // CTE unrolls one row per plane), so the floor is the contract.
     "q48_embedding_neardups" -> QueryDef(
-      build = (spark, dir) =>
-        VectorOps.cosineNearDups(Tables.load(spark, dir, "embeddings"),
-          threshold = 0.95)
-          .orderBy(col("a"), col("b")),
+      build = (spark, dir) => {
+        val emb = Tables.load(spark, dir, "embeddings")
+        // loud, not silent: if a future fixture outgrows the floor the
+        // build fails here instead of hash-diverging from the oracle
+        require(VectorOps.autoPlanes(emb.count()) == 6,
+          "q48's oracle pins 6 planes; the fixture outgrew the auto " +
+            "law's floor — regenerate the oracle or pin nPlanes")
+        VectorOps.cosineNearDups(emb, threshold = 0.95)
+          .orderBy(col("a"), col("b"))
+      },
       oracle = Some(s"""
         WITH $quantCte, ${planesCte(6)}, $cosineCtes,
         v AS (SELECT xv.vec_id, g, x, bucket FROM xv JOIN buckets USING (vec_id)),

@@ -63,8 +63,13 @@ object BucketedState {
     * (touched bucket ids, the new state restricted to exactly those
     * buckets) with no full-state scan anywhere on the path.
     *
-    * The delta is evaluated twice (touched-set probe + staged write);
-    * persist an expensive computed delta before calling. */
+    * The delta is consumed TWICE (touched-set probe + staged write) —
+    * persist an expensive computed delta around the call and unpersist
+    * after (IncrementalAgg does; the session fold's delta is one
+    * window over the in-memory batch and recomputes cheaper than it
+    * caches). fold does not persist internally: cache reads count as
+    * task input bytes, which would double-bill the bytes-read budget
+    * its callers' specs assert. */
   def fold(spark: SparkSession, statePath: String, delta: DataFrame,
       keyCols: Seq[String], numBuckets: Int = 32)(
       mergeTouched: (Option[DataFrame], DataFrame) => DataFrame)
@@ -76,7 +81,7 @@ object BucketedState {
     // bounded collect: ≤ numBuckets distinct ids
     val touched = delta.select(bucketOf.as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return (Set.empty, delta) // empty delta: no-op
+    if (touched.isEmpty) return (Set.empty, delta.limit(0)) // empty: no-op
     val hasState = graft.core.Fs.nonEmpty(path)
     val legacy =
       hasState && !Files.exists(path.resolve(markerName(numBuckets)))
@@ -118,8 +123,15 @@ object BucketedState {
       numBuckets.toString)
     Upsert.atomicSwap(tmp, path)
     spark.catalog.refreshByPath(statePath)
+    // one listing, getOrElse: a mergeTouched that deletes every row of
+    // a touched bucket (expiry folds) legitimately leaves it file-less
+    // — the fold committed, so the caller must not see a throw
+    val committed = bucketFiles(statePath)
     val newTouched =
-      touched.toSeq.sorted.flatMap(bucketFiles(statePath)(_))
-    (touched, spark.read.parquet(newTouched.map(_.toString): _*))
+      touched.toSeq.sorted.flatMap(committed.getOrElse(_, Nil))
+    val newContent =
+      if (newTouched.isEmpty) delta.limit(0)
+      else spark.read.parquet(newTouched.map(_.toString): _*)
+    (touched, newContent)
   }
 }

@@ -90,19 +90,31 @@ object BucketedTables {
           (numBuckets, keys.map(_.toLowerCase)))
         || sig(full.schema) != sig(target.schema))
       return fullRewrite(full)
+    // The batch ALIGNED to the merged (== target, per the gate above)
+    // schema: merging against an empty target slice restores any
+    // column the batch omitted (as NULLs) and applies unionByName's
+    // type widening to the KEYS. Both the bucket probe below and the
+    // staged content must hash the target-typed key — murmur3 of an
+    // INT batch key differs from murmur3 of the table's BIGINT, and a
+    // raw-`source` stage would also install the BATCH's narrower
+    // schema on the swapped-in table, silently dropping target-only
+    // columns from the carried files' reads.
+    val aligned = Upsert.merge(target.limit(0), source, keys)
     // the bucket ids the batch touches: bounded collect (≤ numBuckets)
     val bucketOf = pmod(hash(keys.map(col): _*), lit(numBuckets)).cast("int")
-    val changed = source.select(bucketOf.as("b")).distinct()
+    val changed = aligned.select(bucketOf.as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
     if (changed.isEmpty) return // empty batch: no-op
     if (changed.size >= numBuckets) return fullRewrite(full)
     // merge ONLY the changed buckets' files with the batch (file-level
-    // pruning by the bucket law; the explicit schema skips inference)
+    // pruning by the bucket law; the explicit schema skips inference;
+    // the listing is bound once, not re-listed per bucket)
+    val files = bucketFiles(spark, qualified)
     val touchedFiles = changed.toSeq.sorted
-      .flatMap(bucketFiles(spark, qualified).getOrElse(_, Nil))
+      .flatMap(files.getOrElse(_, Nil))
       .map(_.getPath.toString)
     val merged =
-      if (touchedFiles.isEmpty) source // batch keys hash to empty buckets
+      if (touchedFiles.isEmpty) aligned // batch keys hash to empty buckets
       else Upsert.merge(
         spark.read.schema(target.schema).parquet(touchedFiles: _*),
         source, keys)

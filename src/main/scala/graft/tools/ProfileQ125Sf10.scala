@@ -41,11 +41,16 @@ object ProfileQ125Sf10 {
       val t0 = System.nanoTime()
       noop(df)
       val s = (System.nanoTime() - t0) / 1e9
+      // NOTE: noop() runs its OWN QueryExecution (DataFrameWriter), so
+      // this stringifies the STATIC pre-AQE strategy — a runtime AQE
+      // flip would not appear here. The hint A/B below is therefore
+      // the decisive instrument; this label only rules out a flip in
+      // the STATIC choice across rounds.
       val plan = df.queryExecution.executedPlan.toString
       val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
         "ShuffledHashJoin").map(j =>
         s"$j=${j.r.findAllIn(plan).length}").mkString(" ")
-      println(f"[profile] $label: $s%.2f s  $joins")
+      println(f"[profile] $label: $s%.2f s  static-plan: $joins")
     }
 
     (1 to 5).foreach { i =>

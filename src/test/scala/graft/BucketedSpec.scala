@@ -148,6 +148,46 @@ class BucketedSpec extends AnyFunSuite {
     assert(spark.table(s"$db.$tbl").count() == 2003)
   }
 
+  test("bucket-scoped merge, adversarial batches: a column-subset batch " +
+      "hashing only to empty buckets must not narrow the table schema; " +
+      "an INT batch key into a BIGINT-keyed table must hash the " +
+      "TARGET-typed key") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val tbl = "adv"
+    // target: (id BIGINT, payload, score) — score is target-only later
+    val base = (1 to 500)
+      .map(i => (i.toLong, s"v$i", i * 1.0)).toDF("id", "payload", "score")
+    BucketedTables.writeMerged(spark, db, tbl, base, Seq("id"))
+
+    // 1) batch OMITS `score` and its keys are brand-new (they can hash
+    // to buckets with no existing file): the staged table must keep the
+    // 3-column schema — the r11-review bug staged the RAW batch and
+    // installed its 2-column schema over the carried files
+    val subset = Seq((9001L, "n1"), (9002L, "n2")).toDF("id", "payload")
+    BucketedTables.writeMerged(spark, db, tbl, subset, Seq("id"))
+    val t1 = spark.table(s"$db.$tbl")
+    assert(t1.columns.toSet == Set("id", "payload", "score"),
+      "a column-subset batch must not narrow the table schema")
+    assert(t1.count() == 502)
+    assert(t1.filter($"id" === 100).head().getDouble(2) == 100.0,
+      "carried rows lost their target-only column")
+    assert(t1.filter($"id" === 9001).head().isNullAt(2))
+
+    // 2) batch key arrives as INT (the table key is BIGINT): the probe
+    // must hash the WIDENED key — murmur3(int) != murmur3(bigint), and
+    // the unaligned probe made the staged-file containment require
+    // throw on a merge the full path used to absorb
+    val intKey = Seq((7, "i7"), (123, "i123")).toDF("id", "payload")
+      .select(col("id").cast("int").as("id"), col("payload"),
+        lit(2.5).as("score"))
+    BucketedTables.writeMerged(spark, db, tbl, intKey, Seq("id"))
+    val t2 = spark.table(s"$db.$tbl")
+    assert(t2.filter($"id" === 7).head().getString(1) == "i7")
+    assert(t2.filter($"id" === 123).head().getDouble(2) == 2.5)
+    assert(t2.count() == 502)
+  }
+
   test("silver layouts: q03/q06/q20 drop their fact-side exchanges and " +
       "match the raw-parquet results") {
     val dir = "/root/testdata/sf0.001"
