@@ -36,7 +36,7 @@ object BucketedState {
   private val partIdxRe = """part-(\d+)-.*""".r
 
   /** Footer-only parquet row count (no Spark job). */
-  private def parquetRowCount(p: Path): Long = {
+  private[graft] def parquetRowCount(p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri),
       new org.apache.hadoop.conf.Configuration())

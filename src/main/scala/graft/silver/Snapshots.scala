@@ -57,12 +57,18 @@ object Snapshots {
     // executor loss between materialize and write)
     graft.core.Stage(df).write.mode("errorifexists")
       .parquet(versionDir(table, next).toString)
+    movePointer(table, next)
+    next
+  }
+
+  /** Publish `next` as the latest version (write-temp + atomic move —
+    * the commit point every reader resolves). */
+  private def movePointer(table: String, next: Long): Unit = {
     val p = pointer(table)
     val tmp = Paths.get(table, s"_latest.tmp-${System.nanoTime()}")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    next
   }
 
   /** Read the latest snapshot. */
@@ -77,15 +83,114 @@ object Snapshots {
   }
 
   /** Merge a batch into the latest snapshot and commit the result as a
-    * new version (upsert-with-history). */
+    * new version (upsert-with-history).
+    *
+    * BUCKET-SCOPED: versions written by this method are key-hash
+    * bucketed (one file per pmod(murmur3(keys), numBuckets) bucket,
+    * marker-tagged), so the NEXT commitMerged reads and rewrites only
+    * the buckets its batch touches and HARD-LINKS every other bucket's
+    * file from the previous version directory — the header's "at
+    * 100 TB the data directories would hold manifests referencing
+    * unchanged files" made literal on local FS (an object-store
+    * deployment writes the same mixed file list through a real
+    * manifest). Commit cost is O(batch + touched buckets), not
+    * O(table); versions stay immutable and [[vacuum]] stays safe —
+    * deleting an old version unlinks names, and inodes survive while
+    * any newer version still links them. Falls back to a full (but
+    * bucketed) rewrite when the previous version predates the bucketed
+    * layout (e.g. written by [[commit]]/[[rollback]]), carries a
+    * different bucket count, or the batch changes the schema; the
+    * batch is ALIGNED to the merged schema before the bucket probe so
+    * an omitted column or a narrower key type can't corrupt the
+    * staged version (the writeMerged lessons). */
   def commitMerged(batch: DataFrame, table: String,
-      keys: Seq[String]): Long = {
+      keys: Seq[String], numBuckets: Int = 32): Long = {
+    val spark = batch.sparkSession
+    val latest = latestVersion(table)
+    if (latest < 0) return commitBucketed(batch, table, keys, numBuckets)
+    val prevDir = versionDir(table, latest)
+    val prev = read(spark, table)
+    lazy val full = Upsert.merge(prev, batch, keys)
+    val prevBucketed = Files.exists(bucketsMarker(prevDir)) &&
+      Files.readString(bucketsMarker(prevDir)).trim == numBuckets.toString
+    def sig(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSet
+    if (!prevBucketed || sig(full.schema) != sig(prev.schema))
+      return commitBucketed(full, table, keys, numBuckets)
+    // batch aligned to the merged (== previous, per the gate) schema:
+    // restores omitted columns, widens key types — the probe and the
+    // staged write must hash the PREVIOUS version's key type
+    val aligned = Upsert.merge(prev.limit(0), batch, keys)
+    val bucketOf = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(
+        keys.map(org.apache.spark.sql.functions.col): _*),
+      org.apache.spark.sql.functions.lit(numBuckets)).cast("int")
+    val touched = aligned.select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prevFiles = bucketFilesIn(prevDir)
+    val touchedFiles = touched.toSeq.sorted
+      .flatMap(prevFiles.getOrElse(_, Nil)).map(_.toString)
     val merged =
-      if (latestVersion(table) >= 0)
-        Upsert.merge(read(batch.sparkSession, table), batch, keys)
-      else batch
-    commit(merged, table)
+      if (touchedFiles.isEmpty) aligned
+      else Upsert.merge(
+        spark.read.schema(prev.schema).parquet(touchedFiles: _*),
+        batch, keys)
+    val next = latest + 1
+    val nextDir = versionDir(table, next)
+    merged.repartition(numBuckets,
+        keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("errorifexists").parquet(nextDir.toString)
+    // staged-file containment (partition 0's zero-row schema file is
+    // the SPARK-21435 artifact — drop it; data rows outside the
+    // touched set are a hash-law violation and must fail)
+    bucketFilesIn(nextDir).foreach { case (b, ps) =>
+      if (!touched(b)) ps.foreach { p =>
+        require(BucketedState.parquetRowCount(p) == 0L,
+          s"staged snapshot bucket $b escaped the touched set $touched")
+        Files.delete(p)
+      }
+    }
+    prevFiles.foreach { case (b, ps) =>
+      if (!touched(b)) ps.foreach(p =>
+        graft.core.Fs.linkOrCopy(p, nextDir.resolve(p.getFileName)))
+    }
+    Files.writeString(bucketsMarker(nextDir), numBuckets.toString)
+    movePointer(table, next)
+    next
   }
+
+  /** Full (but bucket-laid-out) commit: the fallback and bootstrap of
+    * [[commitMerged]] — the NEXT merged commit can then be scoped. */
+  private def commitBucketed(df: DataFrame, table: String,
+      keys: Seq[String], numBuckets: Int): Long = {
+    val next = latestVersion(table) + 1
+    val dir = versionDir(table, next)
+    graft.core.Stage(df)
+      .repartition(numBuckets,
+        keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("errorifexists").parquet(dir.toString)
+    Files.writeString(bucketsMarker(dir), numBuckets.toString)
+    movePointer(table, next)
+    next
+  }
+
+  /** Marker tagging a version dir's bucket law (underscore-prefixed:
+    * invisible to Spark's file index, like _SUCCESS). */
+  private def bucketsMarker(dir: Path): Path =
+    dir.resolve("_graft_snapshot_buckets")
+
+  private val partIdxRe = """part-(\d+)-.*""".r
+
+  /** A version dir's data files grouped by bucket id (part index). */
+  private[graft] def bucketFilesIn(dir: Path): Map[Int, Seq[Path]] =
+    graft.core.Fs.children(dir)
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case partIdxRe(idx) => Some(idx.toInt -> p)
+          case _ => None // _SUCCESS, marker
+        }
+      }
+      .groupBy(_._1).map { case (b, kvs) => b -> kvs.map(_._2).toSeq }
 
   /** Roll back: make `v` the latest by re-committing it on top (history
     * stays linear; nothing is deleted). */

@@ -211,11 +211,11 @@ class BucketRefreshSoakSpec extends AnyFunSuite {
     }
     try {
       scala.concurrent.Await.result(writer,
-        scala.concurrent.duration.Duration(240, "s"))
+        scala.concurrent.duration.Duration(480, "s"))
       done.set(true)
       scala.concurrent.Await.result(
         Future.sequence(Seq(readerLayout, readerState)),
-        scala.concurrent.duration.Duration(120, "s"))
+        scala.concurrent.duration.Duration(300, "s"))
     } finally {
       done.set(true)
       pool2.shutdown()
@@ -277,10 +277,10 @@ class BucketRefreshSoakSpec extends AnyFunSuite {
     }
     try {
       scala.concurrent.Await.result(writer,
-        scala.concurrent.duration.Duration(240, "s"))
+        scala.concurrent.duration.Duration(480, "s"))
       done.set(true)
       scala.concurrent.Await.result(reader,
-        scala.concurrent.duration.Duration(120, "s"))
+        scala.concurrent.duration.Duration(300, "s"))
     } finally {
       done.set(true)
       pool.shutdown()

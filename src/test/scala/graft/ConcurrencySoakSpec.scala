@@ -191,7 +191,7 @@ class ConcurrencySoakSpec extends AnyFunSuite {
       writersDone.set(true)
       scala.concurrent.Await.result(
         Future.sequence(Seq(rA, rB, rC)),
-        scala.concurrent.duration.Duration(120, "s"))
+        scala.concurrent.duration.Duration(300, "s"))
     } finally {
       writersDone.set(true)
       pool.shutdown()

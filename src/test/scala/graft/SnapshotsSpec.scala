@@ -63,4 +63,60 @@ class SnapshotsSpec extends AnyFunSuite {
       .select("id", "op").as[(Long, String)].collect().toSet
     assert(ch == Set((2L, "update"), (3L, "delete"), (4L, "insert")))
   }
+
+  test("bucket-scoped commitMerged: a narrow batch writes only its " +
+      "key-hash buckets, links the rest from the previous version, " +
+      "equals the full merge at every version, and vacuum keeps " +
+      "linked content alive") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    val table = tmp()
+    def rows(v: Long): Set[(Long, String)] =
+      Snapshots.readVersion(spark, table, v).as[(Long, String)]
+        .collect().toSet
+    def names(v: Long): Map[Int, Set[String]] =
+      Snapshots.bucketFilesIn(Paths.get(table, f"_v$v%06d"))
+        .map { case (b, ps) => b -> ps.map(_.getFileName.toString).toSet }
+    val base = (1L to 800L).map(i => (i, s"v$i"))
+    // v0 via plain commit (unbucketed) -> v1 upgrades to the bucketed
+    // layout via the full-rewrite fallback
+    Snapshots.commit(base.toDF("id", "s"), table)
+    val b1 = Seq((5L, "u5"), (9001L, "n1"))
+    Snapshots.commitMerged(b1.toDF("id", "s"), table, Seq("id"))
+    // v2: a narrow batch against the now-bucketed v1 — scoped
+    val b2 = Seq((7L, "u7"), (9002L, "n2"))
+    Snapshots.commitMerged(b2.toDF("id", "s"), table, Seq("id"))
+    // serialized expectation per version
+    val m1 = base.toMap ++ b1.toMap
+    val m2 = m1 ++ b2.toMap
+    assert(rows(0) == base.toSet)
+    assert(rows(1) == m1.toSet.map((kv: (Long, String)) => kv))
+    assert(rows(2) == m2.toSet.map((kv: (Long, String)) => kv))
+    // v2 carried v1's untouched bucket FILES by name (hard links)
+    val expectTouched = b2.map(_._1).toDF("id")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.col("id")),
+        org.apache.spark.sql.functions.lit(32)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val n1 = names(1); val n2 = names(2)
+    assert(n1.keySet.exists(!expectTouched(_)), "degenerate fixture")
+    for ((b, nm) <- n1 if !expectTouched(b))
+      assert(n2.get(b).contains(nm), s"untouched snapshot bucket $b rewritten")
+    for ((b, nm) <- n1 if expectTouched(b))
+      assert(!n2.get(b).contains(nm), s"touched snapshot bucket $b kept its file")
+    // vacuum away v0 and v1: v2 must stay fully readable (links hold
+    // the shared inodes) and exactly equal to the serialized state
+    Snapshots.vacuum(table, keep = 1)
+    assert(Snapshots.versions(table) == Seq(2L))
+    assert(rows(2) == m2.toSet.map((kv: (Long, String)) => kv))
+    // schema evolution falls back to a full (bucketed) rewrite
+    Snapshots.commitMerged(
+      Seq((3L, "w3", 1.5)).toDF("id", "s", "score"), table, Seq("id"))
+    val t3 = Snapshots.read(spark, table)
+    assert(t3.columns.toSet == Set("id", "s", "score"))
+    assert(t3.count() == m2.size)
+    assert(t3.filter(org.apache.spark.sql.functions.col("id") === 3L)
+      .head().getDouble(2) == 1.5)
+  }
 }
