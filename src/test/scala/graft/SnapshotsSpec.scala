@@ -119,4 +119,60 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(t3.filter(org.apache.spark.sql.functions.col("id") === 3L)
       .head().getDouble(2) == 1.5)
   }
+
+  test("readers race bucket-scoped snapshot commits: the pointer " +
+      "protocol serves only committed versions, every read equals a " +
+      "serialized prefix state") {
+    import spark.implicits._
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+    val table = tmp()
+    val base = (1L to 500L).map(i => (i, s"v$i"))
+    Snapshots.commit(base.toDF("id", "s"), table)
+    val batches = (1 to 8).map(i =>
+      Seq((i * 31L, s"u$i"), (1000L + i, s"n$i")))
+    val prefixes: Seq[Set[(Long, String)]] =
+      batches.scanLeft(base.toMap)((cur, b) => cur ++ b.toMap)
+        .map(_.toSet)
+    val done = new AtomicBoolean(false)
+    val reads = new AtomicInteger(0)
+    val transients = new AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.Future
+    val writer = Future {
+      batches.foreach(b =>
+        Snapshots.commitMerged(b.toDF("id", "s"), table, Seq("id")))
+    }
+    val reader = Future {
+      while (!done.get() || reads.get() < 5) {
+        try {
+          val got = Snapshots.read(spark, table).as[(Long, String)]
+            .collect().toSet
+          assert(prefixes.contains(got),
+            s"TORN SNAPSHOT READ: ${got.size} rows matches no prefix")
+          reads.incrementAndGet()
+        } catch {
+          case tfe: org.scalatest.exceptions.TestFailedException => throw tfe
+          case _: Exception => transients.incrementAndGet()
+        }
+      }
+    }
+    try {
+      scala.concurrent.Await.result(writer,
+        scala.concurrent.duration.Duration(480, "s"))
+      done.set(true)
+      scala.concurrent.Await.result(reader,
+        scala.concurrent.duration.Duration(300, "s"))
+    } finally { done.set(true); pool.shutdown() }
+    assert(reads.get() >= 5, s"too few successful reads (${reads.get()})")
+    assert(Snapshots.read(spark, table).as[(Long, String)]
+      .collect().toSet == prefixes.last)
+    // immutable-version invariant survived the race: every version is
+    // still the serialized state it committed as
+    Snapshots.versions(table).foreach { v =>
+      assert(Snapshots.readVersion(spark, table, v)
+        .as[(Long, String)].collect().toSet == prefixes(v.toInt))
+    }
+  }
 }
