@@ -260,14 +260,18 @@ object VectorOps {
       .select(col("vec_id"), quantized(col("embedding")).as("qv"))
     val n1 = v.agg(count(lit(1)).as("n"))
     val dims = v.select(posexplode(col("qv")).as(Seq("p", "x")))
-      .groupBy((col("p") + 1).as("g"))
+      .groupBy((col("p") + 1).cast("long").as("g"))
       .agg(sum(col("x")).as("sx"))
     val pairs = v
       .select(posexplode(col("qv")).as(Seq("p1", "x1")), col("qv"))
       .select(col("p1"), col("x1"),
         posexplode(col("qv")).as(Seq("p2", "x2")))
       .where(col("p1") <= col("p2"))
-      .groupBy((col("p1") + 1).as("g1"), (col("p2") + 1).as("g2"))
+      // g1/g2 as BIGINT: posexplode positions are int32, but the
+      // dialect's integer literals (and the q160 oracle) are int64 —
+      // strict dtype parity (scripts/strict_check.py flagged the gap)
+      .groupBy((col("p1") + 1).cast("long").as("g1"),
+        (col("p2") + 1).cast("long").as("g2"))
       .agg(sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("sxyd"))
       .select(col("g1"), col("g2"), col("sxyd").cast("long").as("sxy"))
     pairs
@@ -1179,10 +1183,10 @@ object VectorOps {
       .select(col("g1"), col("g2"), col("cov")).collect()
     require(covRows.nonEmpty,
       "pcaTopComponent needs a non-empty embedding column")
-    val d = covRows.map(_.getInt(1)).max
+    val d = covRows.map(_.getLong(1).toInt).max
     val C = Array.ofDim[Double](d + 1, d + 1)
     covRows.foreach { r =>
-      val (a, b, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      val (a, b, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
       C(a)(b) = c
       C(b)(a) = c
     }

@@ -584,8 +584,8 @@ class OpsSpec extends AnyFunSuite {
       .select(col("g1"), col("g2"), col("cov")).collect()
     val c = breeze.linalg.DenseMatrix.zeros[Double](d, d)
     covRows.foreach { r =>
-      c(r.getInt(0) - 1, r.getInt(1) - 1) = r.getDouble(2)
-      c(r.getInt(1) - 1, r.getInt(0) - 1) = r.getDouble(2)
+      c(r.getLong(0).toInt - 1, r.getLong(1).toInt - 1) = r.getDouble(2)
+      c(r.getLong(1).toInt - 1, r.getLong(0).toInt - 1) = r.getDouble(2)
     }
     val es = breeze.linalg.eigSym(c)
     val top = es.eigenvalues.toArray.zipWithIndex.maxBy(_._1)
