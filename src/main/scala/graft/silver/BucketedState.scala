@@ -71,57 +71,103 @@ object BucketedState {
     * task input bytes, which would double-bill the bytes-read budget
     * its callers' specs assert. */
   def fold(spark: SparkSession, statePath: String, delta: DataFrame,
-      keyCols: Seq[String], numBuckets: Int = 32)(
+      keyCols: Seq[String], numBuckets: Int = 32,
+      expectedGen: Option[Long] = None)(
       mergeTouched: (Option[DataFrame], DataFrame) => DataFrame)
       : (Set[Int], DataFrame) = {
     val path = Paths.get(statePath)
     Upsert.healSwap(path)
-    val bucketOf =
-      pmod(hash(keyCols.map(col): _*), lit(numBuckets)).cast("int")
-    // bounded collect: ≤ numBuckets distinct ids
-    val touched = delta.select(bucketOf.as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return (Set.empty, delta.limit(0)) // empty: no-op
+    // fence token: captured here (or earlier, by a caller that already
+    // read the state) — the swap below rejects if another writer
+    // committed in between (r11 verdict task 2)
+    val gen0 = expectedGen.getOrElse(graft.core.Fence.generation(path))
     val hasState = graft.core.Fs.nonEmpty(path)
     val legacy =
       hasState && !Files.exists(path.resolve(markerName(numBuckets)))
     val existing = if (hasState && !legacy) bucketFiles(statePath)
       else Map.empty[Int, Seq[Path]]
+    // Key-dtype alignment (r11 advisor): the probe below hashes the
+    // DELTA's key dtype, but the persisted buckets were laid out under
+    // the STATE's — murmur3(INT) != murmur3(BIGINT), so a drifted delta
+    // key would probe the wrong buckets and commit the same logical key
+    // into two of them. Widen the delta's keys to the state's dtypes
+    // up front (plan-time; one driver-side footer read for the schema);
+    // a narrowing mismatch is a caller bug and fails loud.
+    val aligned =
+      if (existing.isEmpty) delta
+      else {
+        val stateSchema = spark.read.parquet(statePath).schema
+        keyCols.foldLeft(delta) { (d, k) =>
+          (d.schema.fields.find(_.name.equalsIgnoreCase(k)),
+            stateSchema.fields.find(_.name.equalsIgnoreCase(k))) match {
+            case (Some(from), Some(to)) if from.dataType != to.dataType =>
+              require(org.apache.spark.sql.catalyst.expressions.Cast
+                  .canUpCast(from.dataType, to.dataType),
+                s"delta key '$k' has dtype ${from.dataType} but the " +
+                  s"state at $statePath holds ${to.dataType} — not a " +
+                  "lossless widening; align the delta before folding")
+              d.withColumn(from.name, col(from.name).cast(to.dataType))
+            case _ => d
+          }
+        }
+      }
+    val bucketOf =
+      pmod(hash(keyCols.map(col): _*), lit(numBuckets)).cast("int")
+    // bounded collect: ≤ numBuckets distinct ids
+    val touched = aligned.select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return (Set.empty, delta.limit(0)) // empty: no-op
     val touchedFiles =
       touched.toSeq.sorted.flatMap(existing.getOrElse(_, Nil))
     val merged =
       if (legacy) // one-time upgrade: the last full-state read+rewrite
-        mergeTouched(Some(spark.read.parquet(statePath)), delta)
+        mergeTouched(Some(spark.read.parquet(statePath)), aligned)
       else if (touchedFiles.nonEmpty)
         mergeTouched(
-          Some(spark.read.parquet(touchedFiles.map(_.toString): _*)), delta)
-      else mergeTouched(None, delta)
+          Some(spark.read.parquet(touchedFiles.map(_.toString): _*)), aligned)
+      else mergeTouched(None, aligned)
     // stage the next generation: fresh files for written buckets, a
     // hard link per untouched bucket file, then ONE atomic swap
     val tmp = Paths.get(statePath + ".tmp-" + System.nanoTime())
-    merged.repartition(numBuckets, keyCols.map(col): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (!legacy) {
-      // partition 0 always writes a schema-preserving file even when it
-      // holds no rows (SPARK-21435; other empty partitions write none):
-      // a zero-row escapee is that artifact — drop it. A NON-empty file
-      // outside the touched set is a hash-law violation and must fail.
-      bucketFiles(tmp.toString).foreach { case (b, ps) =>
-        if (!touched(b)) ps.foreach { p =>
-          require(parquetRowCount(p) == 0L,
-            s"staged state bucket $b escaped the touched set $touched " +
-              s"with data rows — repartition/hash law mismatch")
-          Files.delete(p)
+    graft.core.Fence.withStage(tmp) {
+      merged.repartition(numBuckets, keyCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!legacy) {
+        // partition 0 always writes a schema-preserving file even when
+        // it holds no rows (SPARK-21435; other empty partitions write
+        // none): a zero-row escapee is that artifact — drop it. A
+        // NON-empty file outside the touched set is a hash-law
+        // violation and must fail.
+        bucketFiles(tmp.toString).foreach { case (b, ps) =>
+          if (!touched(b)) ps.foreach { p =>
+            require(parquetRowCount(p) == 0L,
+              s"staged state bucket $b escaped the touched set $touched " +
+                s"with data rows — repartition/hash law mismatch")
+            Files.delete(p)
+          }
         }
       }
-      existing.foreach { case (b, ps) =>
-        if (!touched(b)) ps.foreach(p =>
-          graft.core.Fs.linkOrCopy(p, tmp.resolve(p.getFileName)))
+      // carry + swap under the monitor, AFTER the fence check: the
+      // link sources are `existing`'s files, which a CONCURRENT
+      // writer's swap would retire (delete) — checking first means a
+      // stale fold rejects before touching them, and holding the
+      // monitor means nobody retires them mid-carry (the FencingSpec
+      // race caught the unfenced carry dying on vanished sources)
+      graft.core.Fence.withMonitor(path) {
+        try graft.core.Fence.check(path, gen0)
+        catch {
+          case e: graft.core.ConcurrentWriteException =>
+            Upsert.deleteRecursively(tmp); throw e
+        }
+        if (!legacy) existing.foreach { case (b, ps) =>
+          if (!touched(b)) ps.foreach(p =>
+            graft.core.Fs.linkOrCopy(p, tmp.resolve(p.getFileName)))
+        }
+        Files.writeString(tmp.resolve(markerName(numBuckets)),
+          numBuckets.toString)
+        Upsert.atomicSwap(tmp, path, Some(gen0))
       }
     }
-    Files.writeString(tmp.resolve(markerName(numBuckets)),
-      numBuckets.toString)
-    Upsert.atomicSwap(tmp, path)
     spark.catalog.refreshByPath(statePath)
     // one listing, getOrElse: a mergeTouched that deletes every row of
     // a touched bucket (expiry folds) legitimately leaves it file-less
@@ -133,5 +179,26 @@ object BucketedState {
       if (newTouched.isEmpty) delta.limit(0)
       else spark.read.parquet(newTouched.map(_.toString): _*)
     (touched, newContent)
+  }
+
+  /** Replace the ENTIRE store with `full`, laid out under the bucket
+    * law (marker included) so the NEXT fold is bucket-scoped again —
+    * the schema-evolution / layout-repair fallback of the incremental
+    * paths. Fenced like [[fold]]: pass the token captured when `full`'s
+    * inputs were read. */
+  def rewriteAll(statePath: String, full: DataFrame, keyCols: Seq[String],
+      numBuckets: Int = 32, expectedGen: Option[Long] = None): Unit = {
+    val path = Paths.get(statePath)
+    Upsert.healSwap(path)
+    val gen0 = expectedGen.getOrElse(graft.core.Fence.generation(path))
+    val tmp = Paths.get(statePath + ".tmp-" + System.nanoTime())
+    graft.core.Fence.withStage(tmp) {
+      full.repartition(numBuckets, keyCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.writeString(tmp.resolve(markerName(numBuckets)),
+        numBuckets.toString)
+      Upsert.atomicSwap(tmp, path, Some(gen0))
+    }
+    full.sparkSession.catalog.refreshByPath(statePath)
   }
 }

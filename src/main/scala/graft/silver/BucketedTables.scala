@@ -63,31 +63,53 @@ object BucketedTables {
         s"the reserved __merge_tmp suffix: '$db'.'$table'")
     val qualified = s"$db.$table"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    healCatalogSwap(spark, qualified, s"$db.${table}__merge_tmp")
     if (!spark.catalog.tableExists(qualified)) {
-      // no live entry → nothing on disk for this table is referenced;
-      // clear a previous JVM's generations (layout-path symmetry)
-      sweepStaleGenerations(spark, qualified)
-      bucketWrite(source, qualified, keys, numBuckets,
-        newGenLocation(spark, qualified))
-      return
+      // create path, under the table monitor: two concurrent creators
+      // would otherwise race saveAsTable on the in-memory catalog —
+      // the loser of the monitor re-checks and falls through to the
+      // merge path against the winner's table
+      val created = graft.core.Fence.withMonitor("table:" + qualified) {
+        if (!spark.catalog.tableExists(qualified)) {
+          // no live entry → nothing on disk for this table is
+          // referenced; clear a previous JVM's generations
+          sweepStaleGenerations(spark, qualified)
+          bucketWrite(source, qualified, keys, numBuckets,
+            newGenLocation(spark, qualified))
+          true
+        } else false
+      }
+      if (created) return
     }
+    // fence token: the CURRENT generation location, captured before any
+    // read of the target — a concurrent swap moves the location, and
+    // the swap below rejects instead of committing a stale merge
+    val loc0 = tableLocation(spark, qualified)
     val target = spark.table(qualified)
     val tmp = s"$db.${table}__merge_tmp"
-    def fullRewrite(df: DataFrame): Unit = {
-      if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
-      bucketWrite(df, tmp, keys, numBuckets,
-        newGenLocation(spark, qualified))
-      swapAndRetire(spark, qualified, tmp)
-    }
+    // staging uses a SHARED tmp table name per target: concurrent
+    // merges must serialize the whole stage+swap under the table
+    // monitor or they collide on the tmp DDL (FencingSpec race)
+    def fullRewrite(df: DataFrame): Unit =
+      graft.core.Fence.withMonitor("table:" + qualified) {
+        if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
+        bucketWrite(df, tmp, keys, numBuckets,
+          newGenLocation(spark, qualified))
+        swapAndRetire(spark, qualified, tmp, Some(loc0))
+      }
     // schema gate: plan-time only (no job) — unionByName evolution makes
     // the merged schema a superset of either input's; a carried file is
     // only byte-identical to the full rebuild when the field set (and
-    // types) stay EXACTLY the target's
+    // types) stay EXACTLY the target's. The SORT spec is part of the
+    // law-match gate too (r11 advisor): the staged files are sorted by
+    // `keys` only, so a live table declaring a richer bucket-sort must
+    // take the full rewrite (which re-declares keys-only sort) rather
+    // than silently downgrading the declared order under carried files.
     def sig(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSet
     val full = Upsert.merge(target, source, keys)
     if (!bucketSpecOf(spark, qualified).contains(
-          (numBuckets, keys.map(_.toLowerCase)))
+          (numBuckets, keys.map(_.toLowerCase), keys.map(_.toLowerCase)))
         || sig(full.schema) != sig(target.schema))
       return fullRewrite(full)
     // The batch ALIGNED to the merged (== target, per the gate above)
@@ -119,20 +141,37 @@ object BucketedTables {
         spark.read.schema(target.schema).parquet(touchedFiles: _*),
         source, keys)
     stagedSwapCore(spark, qualified, tmp, keys, sortCols = keys,
-      numBuckets, changed, merged)
+      numBuckets, changed, merged, expectedLoc = Some(loc0))
   }
 
-  /** The live bucket spec of `qualified`, as (numBuckets,
-    * lower-cased bucket columns) — the bucket-scoped merge's
-    * law-match precondition. */
+  /** The live bucket spec of `qualified`, as (numBuckets, lower-cased
+    * bucket columns, lower-cased sort columns) — the bucket-scoped
+    * merge's law-match precondition. */
   private def bucketSpecOf(spark: SparkSession,
-      qualified: String): Option[(Int, Seq[String])] = {
+      qualified: String): Option[(Int, Seq[String], Seq[String])] = {
     val parts = qualified.split('.')
     spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(
           parts(1), Some(parts(0)))).bucketSpec
-      .map(bs => (bs.numBuckets, bs.bucketColumnNames.map(_.toLowerCase)))
+      .map(bs => (bs.numBuckets, bs.bucketColumnNames.map(_.toLowerCase),
+        bs.sortColumnNames.map(_.toLowerCase)))
   }
+
+  /** Roll an interrupted catalog swap forward: a crash between DROP and
+    * RENAME leaves the fully-staged tmp table live and the target
+    * absent — the staged content IS the committed next state, so the
+    * heal completes the RENAME (readers in the window failed cleanly on
+    * a missing table; nothing was lost). Without this, the next
+    * writeMerged would see "table absent", sweep every generation —
+    * including the staged one — and bootstrap from the new batch alone:
+    * total silent loss (found building the r11 crash matrix). */
+  private def healCatalogSwap(spark: SparkSession, qualified: String,
+      tmp: String): Unit =
+    graft.core.Fence.withMonitor("table:" + qualified) {
+      if (spark.catalog.tableExists(tmp)
+          && !spark.catalog.tableExists(qualified))
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
+    }
 
   private def bucketWrite(df: DataFrame, qualified: String,
       keys: Seq[String], numBuckets: Int, location: String): Unit =
@@ -247,6 +286,7 @@ object BucketedTables {
     if (!current.map(_.dir).contains(dir)
         || !spark.catalog.tableExists(qualified)) {
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
+      healCatalogSwap(spark, qualified, s"${qualified}__refresh_tmp")
       val oldLoc =
         if (spark.catalog.tableExists(qualified))
           Some(tableLocation(spark, qualified))
@@ -270,18 +310,21 @@ object BucketedTables {
       refreshed: DataFrame): String = {
     val qualified = layoutName(name, keys)
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
+    healCatalogSwap(spark, qualified, s"${qualified}__refresh_tmp")
     // Stage to a tmp table at a FRESH generation location, then swap
     // via metadata-only DROP+RENAME (both external: no file is deleted
     // or moved by either op): readers resolve the OLD table — and its
     // still-intact old generation — for the whole rewrite, racing only
     // the missing-table instant between the two catalog ops.
     val tmp = s"${qualified}__refresh_tmp"
-    if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
-    if (!spark.catalog.tableExists(qualified))
-      sweepStaleGenerations(spark, qualified)
-    layoutWrite(refreshed, tmp, keys, sortCols, numBuckets,
-      newGenLocation(spark, qualified))
-    swapAndRetire(spark, qualified, tmp)
+    graft.core.Fence.withMonitor("table:" + qualified) {
+      if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
+      if (!spark.catalog.tableExists(qualified))
+        sweepStaleGenerations(spark, qualified)
+      layoutWrite(refreshed, tmp, keys, sortCols, numBuckets,
+        newGenLocation(spark, qualified))
+      swapAndRetire(spark, qualified, tmp)
+    }
     layouts((spark, qualified)) = LayoutInfo(dir, writerTag)
     qualified
   }
@@ -333,6 +376,7 @@ object BucketedTables {
     if (!liveFor(spark, qualified, dir, writerTag))
       return refreshDerivedLayout(spark, dir, name, keys, sortCols,
         numBuckets, writerTag)(refreshed)
+    val loc0 = tableLocation(spark, qualified) // fence token (task 2)
     // the bucket ids the batch touches: bounded collect (≤ numBuckets)
     val bucketOf = pmod(hash(keys.map(col): _*), lit(numBuckets))
     val changed = changedKeys.select(bucketOf.cast("int").as("b"))
@@ -345,7 +389,7 @@ object BucketedTables {
     // file, so the staging dir holds exactly the changed buckets)
     stagedBucketSwap(spark, qualified, dir, keys, sortCols, numBuckets,
       changed, refreshed.filter(bucketOf.isin(changed.toSeq: _*)),
-      writerTag)
+      writerTag, Some(loc0))
   }
 
   /** [[refreshDerivedLayoutBuckets]] for a caller that already holds
@@ -370,7 +414,8 @@ object BucketedTables {
         numBuckets, writerTag)(fullState)
     if (touched.isEmpty) return qualified // nothing to refresh
     stagedBucketSwap(spark, qualified, dir, keys, sortCols, numBuckets,
-      touched, touchedContent, writerTag)
+      touched, touchedContent, writerTag,
+      Some(tableLocation(spark, qualified)))
   }
 
   /** True when the live layout was derived from `dir` AND written by
@@ -390,20 +435,30 @@ object BucketedTables {
   private def stagedBucketSwap(spark: SparkSession, qualified: String,
       dir: String, keys: Seq[String], sortCols: Seq[String],
       numBuckets: Int, changed: Set[Int], stagedContent: DataFrame,
-      writerTag: Option[String]): String = {
+      writerTag: Option[String],
+      expectedLoc: Option[org.apache.hadoop.fs.Path]): String = {
     stagedSwapCore(spark, qualified, s"${qualified}__refresh_tmp", keys,
-      sortCols, numBuckets, changed, stagedContent)
+      sortCols, numBuckets, changed, stagedContent, expectedLoc)
     layouts((spark, qualified)) = LayoutInfo(dir, writerTag)
     qualified
   }
 
   /** The registry-free swap core shared by the layout refresher and the
-    * bucket-scoped merge: stage, sanity-check, carry, swap. */
+    * bucket-scoped merge: stage, sanity-check, carry, swap. The carry
+    * and swap run under the table's monitor with an expected-location
+    * check first (r11 verdict task 2): if another writer swapped the
+    * table since `expectedLoc` was captured, this merge derives from a
+    * replaced state — reject loudly, discard the staged generation. */
   private def stagedSwapCore(spark: SparkSession, qualified: String,
       tmp: String, keys: Seq[String], sortCols: Seq[String],
-      numBuckets: Int, changed: Set[Int],
-      stagedContent: DataFrame): Unit = {
+      numBuckets: Int, changed: Set[Int], stagedContent: DataFrame,
+      expectedLoc: Option[org.apache.hadoop.fs.Path]): Unit =
+      graft.core.Fence.withMonitor("table:" + qualified) {
+    // the WHOLE stage+swap holds the table monitor: the tmp table name
+    // is shared per target, so concurrent merges would collide on its
+    // DDL; losers re-check the fence after the winner's swap and reject
     if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE $tmp")
+    expectedLoc.foreach(requireLocation(spark, qualified, tmp, _))
     layoutWrite(stagedContent, tmp, keys, sortCols, numBuckets,
       newGenLocation(spark, qualified))
     // staged-file sanity: every staged file must be a changed bucket
@@ -412,7 +467,9 @@ object BucketedTables {
     require(stagedIds.subsetOf(changed),
       s"staged bucket ids $stagedIds escaped the changed set $changed")
     // carry every untouched bucket's file(s) across, metadata-only
-    // (hard links: the retired generation and the new one share inodes)
+    // (hard links: the retired generation and the new one share
+    // inodes) — under the monitor, AFTER the fence check, so the
+    // carried files are provably the generation this merge read
     val toDir = tableLocation(spark, tmp)
     bucketFiles(spark, qualified).foreach { case (b, sts) =>
       if (!changed.contains(b)) sts.foreach { st =>
@@ -425,21 +482,50 @@ object BucketedTables {
     swapAndRetire(spark, qualified, tmp)
   }
 
+  /** Fence check (under the monitor): the live table must still sit at
+    * the generation the writer read; otherwise discard the staged tmp
+    * and reject. */
+  private def requireLocation(spark: SparkSession, qualified: String,
+      tmp: String, expected: org.apache.hadoop.fs.Path): Unit = {
+    val moved = !spark.catalog.tableExists(qualified) ||
+      tableLocation(spark, qualified) != expected
+    if (moved) {
+      if (spark.catalog.tableExists(tmp)) {
+        val stagedLoc = tableLocation(spark, tmp)
+        spark.sql(s"DROP TABLE $tmp")
+        val fs = stagedLoc.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(stagedLoc)) fs.delete(stagedLoc, true)
+      }
+      throw new graft.core.ConcurrentWriteException(
+        s"$qualified was swapped by another writer while this merge " +
+          "was being staged — merge rejected; re-read and retry")
+    }
+  }
+
   /** DROP the live (external) table, RENAME the staged one in — both
     * metadata-only — then retire the replaced generation: the one
     * retired by the PREVIOUS swap is deleted now, the just-replaced
-    * directory is kept for in-flight readers until the next swap. */
+    * directory is kept for in-flight readers until the next swap.
+    * Runs under the table's monitor (reentrant from stagedSwapCore);
+    * `expectedLoc` fences direct callers the same way. */
   private def swapAndRetire(spark: SparkSession, qualified: String,
-      tmp: String): Unit = {
-    val oldLoc =
-      if (spark.catalog.tableExists(qualified)) {
-        val loc = tableLocation(spark, qualified)
-        spark.sql(s"DROP TABLE $qualified")
-        Some(loc)
-      } else None
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
-    oldLoc.foreach(retire(spark, qualified, _))
-  }
+      tmp: String,
+      expectedLoc: Option[org.apache.hadoop.fs.Path] = None): Unit =
+    graft.core.Fence.withMonitor("table:" + qualified) {
+      expectedLoc.foreach(requireLocation(spark, qualified, tmp, _))
+      graft.core.CrashPoints.hit("buckets.staged")
+      val oldLoc =
+        if (spark.catalog.tableExists(qualified)) {
+          val loc = tableLocation(spark, qualified)
+          spark.sql(s"DROP TABLE $qualified")
+          Some(loc)
+        } else None
+      graft.core.CrashPoints.hit("buckets.dropped")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
+      graft.core.CrashPoints.hit("buckets.renamed")
+      oldLoc.foreach(retire(spark, qualified, _))
+    }
 
   private def retire(spark: SparkSession, qualified: String,
       loc: org.apache.hadoop.fs.Path): Unit = {

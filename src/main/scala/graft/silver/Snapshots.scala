@@ -27,6 +27,75 @@ object Snapshots {
 
   private def pointer(table: String): Path = Paths.get(table, "_latest")
 
+  // ------------------------------------------------------------------
+  // Writer-writer fencing (r11 verdict task 2). Every commit CLAIMS its
+  // version number under the table's monitor before staging: a second
+  // writer that raced to the same number is REJECTED loudly
+  // (ConcurrentWriteException) instead of last-writer-wins silently
+  // discarding the first's merge. The pointer move re-checks that the
+  // version it publishes succeeds the CURRENT latest — the
+  // expected-generation compare, which on an object store is the table
+  // format's conditional-put. Crash repair: a version dir beyond the
+  // pointer with no live claim is a dead stage and is swept before the
+  // next claim (it was never readable — `versions` filters past the
+  // pointer — so deleting it loses nothing; its batch replays).
+  // ------------------------------------------------------------------
+
+  private val claims =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Unit]
+
+  private def tableKey(table: String): String =
+    "snapshots:" + Paths.get(table).toAbsolutePath.normalize.toString
+
+  /** Sweep crash leftovers: stranded pointer tmps and unclaimed version
+    * dirs beyond the pointer. Call under the table monitor. */
+  private def healStage(table: String): Unit = {
+    val latest = latestVersion(table)
+    graft.core.Fs.children(Paths.get(table)).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("_latest.tmp-")) Files.delete(p)
+      else if (n.matches("_v\\d{6}") && n.drop(2).toLong > latest
+          && !claims.contains((tableKey(table), n.drop(2).toLong)))
+        Upsert.deleteRecursively(p)
+    }
+  }
+
+  /** Claim the next version number (atomically, under the monitor);
+    * rejects if another in-flight writer already claimed it. */
+  private def claimNext(table: String): Long =
+    graft.core.Fence.withMonitor(tableKey(table)) {
+      healStage(table)
+      val next = latestVersion(table) + 1
+      if (claims.putIfAbsent((tableKey(table), next), ()).isDefined)
+        throw new graft.core.ConcurrentWriteException(
+          s"version $next of $table is being staged by another writer — " +
+            "commit rejected; re-read the latest version and retry")
+      next
+    }
+
+  private def unclaim(table: String, v: Long): Unit =
+    claims.remove((tableKey(table), v))
+
+  /** Stage-and-publish with claim bookkeeping and crash cleanup. */
+  private def committed(table: String, next: Long)(stage: Path => Unit): Long = {
+    val dir = versionDir(table, next)
+    try {
+      stage(dir)
+      graft.core.CrashPoints.hit("snapshot.staged")
+      movePointer(table, next)
+      next
+    } catch {
+      case e: Throwable =>
+        // a failed stage (or injected crash) must not strand a dir the
+        // next claim would have to heal around — but an INJECTED crash
+        // must leave it for the heal path to prove itself, so only
+        // clean up on real failures
+        if (!e.isInstanceOf[graft.core.CrashPoints.InjectedCrash])
+          Upsert.deleteRecursively(dir)
+        throw e
+    } finally unclaim(table, next)
+  }
+
   /** Highest committed version, or -1 for an empty table. */
   def latestVersion(table: String): Long = {
     val p = pointer(table)
@@ -49,27 +118,37 @@ object Snapshots {
   /** Commit `df` as the next version and move the pointer. Returns the
     * committed version number. */
   def commit(df: DataFrame, table: String): Long = {
-    val next = latestVersion(table) + 1
-    // Stage: the new version may be derived from the current one (an
-    // upsert); cut lineage so the write never re-reads files this commit
-    // supersedes (durable checkpoint when a checkpoint dir is set —
-    // executor-local blocks would make the commit unrecoverable on
-    // executor loss between materialize and write)
-    graft.core.Stage(df).write.mode("errorifexists")
-      .parquet(versionDir(table, next).toString)
-    movePointer(table, next)
-    next
+    val next = claimNext(table)
+    committed(table, next) { dir =>
+      // Stage: the new version may be derived from the current one (an
+      // upsert); cut lineage so the write never re-reads files this commit
+      // supersedes (durable checkpoint when a checkpoint dir is set —
+      // executor-local blocks would make the commit unrecoverable on
+      // executor loss between materialize and write)
+      graft.core.Stage(df).write.mode("errorifexists").parquet(dir.toString)
+    }
   }
 
   /** Publish `next` as the latest version (write-temp + atomic move —
-    * the commit point every reader resolves). */
-  private def movePointer(table: String, next: Long): Unit = {
-    val p = pointer(table)
-    val tmp = Paths.get(table, s"_latest.tmp-${System.nanoTime()}")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+    * the commit point every reader resolves). Re-checks, under the
+    * monitor, that `next` succeeds the CURRENT latest — the
+    * expected-generation compare that turns a lost update into a loud
+    * rejection. */
+  private def movePointer(table: String, next: Long): Unit =
+    graft.core.Fence.withMonitor(tableKey(table)) {
+      val cur = latestVersion(table)
+      if (cur != next - 1)
+        throw new graft.core.ConcurrentWriteException(
+          s"$table moved to version $cur while version $next was being " +
+            "staged from " + (next - 1) +
+            " — commit rejected; re-read and retry")
+      val p = pointer(table)
+      val tmp = Paths.get(table, s"_latest.tmp-${System.nanoTime()}")
+      Files.writeString(tmp, next.toString)
+      graft.core.CrashPoints.hit("snapshot.pointer-tmp")
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
   /** Read the latest snapshot. */
   def read(spark: SparkSession, table: String): DataFrame =
@@ -107,7 +186,8 @@ object Snapshots {
       keys: Seq[String], numBuckets: Int = 32): Long = {
     val spark = batch.sparkSession
     val latest = latestVersion(table)
-    if (latest < 0) return commitBucketed(batch, table, keys, numBuckets)
+    if (latest < 0)
+      return commitBucketed(batch, table, keys, numBuckets, Some(latest))
     val prevDir = versionDir(table, latest)
     val prev = read(spark, table)
     lazy val full = Upsert.merge(prev, batch, keys)
@@ -116,7 +196,7 @@ object Snapshots {
     def sig(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSet
     if (!prevBucketed || sig(full.schema) != sig(prev.schema))
-      return commitBucketed(full, table, keys, numBuckets)
+      return commitBucketed(full, table, keys, numBuckets, Some(latest))
     // batch aligned to the merged (== previous, per the gate) schema:
     // restores omitted columns, widens key types — the probe and the
     // staged write must hash the PREVIOUS version's key type
@@ -135,43 +215,58 @@ object Snapshots {
       else Upsert.merge(
         spark.read.schema(prev.schema).parquet(touchedFiles: _*),
         batch, keys)
-    val next = latest + 1
-    val nextDir = versionDir(table, next)
-    merged.repartition(numBuckets,
-        keys.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("errorifexists").parquet(nextDir.toString)
-    // staged-file containment (partition 0's zero-row schema file is
-    // the SPARK-21435 artifact — drop it; data rows outside the
-    // touched set are a hash-law violation and must fail)
-    bucketFilesIn(nextDir).foreach { case (b, ps) =>
-      if (!touched(b)) ps.foreach { p =>
-        require(BucketedState.parquetRowCount(p) == 0L,
-          s"staged snapshot bucket $b escaped the touched set $touched")
-        Files.delete(p)
+    val next = claimNext(table)
+    if (next != latest + 1) {
+      unclaim(table, next)
+      throw new graft.core.ConcurrentWriteException(
+        s"$table moved past version $latest while this merge was " +
+          "being prepared — commit rejected; re-read and retry")
+    }
+    committed(table, next) { nextDir =>
+      merged.repartition(numBuckets,
+          keys.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("errorifexists").parquet(nextDir.toString)
+      // staged-file containment (partition 0's zero-row schema file is
+      // the SPARK-21435 artifact — drop it; data rows outside the
+      // touched set are a hash-law violation and must fail)
+      bucketFilesIn(nextDir).foreach { case (b, ps) =>
+        if (!touched(b)) ps.foreach { p =>
+          require(BucketedState.parquetRowCount(p) == 0L,
+            s"staged snapshot bucket $b escaped the touched set $touched")
+          Files.delete(p)
+        }
       }
+      prevFiles.foreach { case (b, ps) =>
+        if (!touched(b)) ps.foreach(p =>
+          graft.core.Fs.linkOrCopy(p, nextDir.resolve(p.getFileName)))
+      }
+      Files.writeString(bucketsMarker(nextDir), numBuckets.toString)
     }
-    prevFiles.foreach { case (b, ps) =>
-      if (!touched(b)) ps.foreach(p =>
-        graft.core.Fs.linkOrCopy(p, nextDir.resolve(p.getFileName)))
-    }
-    Files.writeString(bucketsMarker(nextDir), numBuckets.toString)
-    movePointer(table, next)
-    next
   }
 
   /** Full (but bucket-laid-out) commit: the fallback and bootstrap of
-    * [[commitMerged]] — the NEXT merged commit can then be scoped. */
+    * [[commitMerged]] — the NEXT merged commit can then be scoped.
+    * `expectedLatest` fences a caller that derived `df` from a read of
+    * the table: rejected if the table moved since. */
   private def commitBucketed(df: DataFrame, table: String,
-      keys: Seq[String], numBuckets: Int): Long = {
-    val next = latestVersion(table) + 1
-    val dir = versionDir(table, next)
-    graft.core.Stage(df)
-      .repartition(numBuckets,
-        keys.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("errorifexists").parquet(dir.toString)
-    Files.writeString(bucketsMarker(dir), numBuckets.toString)
-    movePointer(table, next)
-    next
+      keys: Seq[String], numBuckets: Int,
+      expectedLatest: Option[Long] = None): Long = {
+    val next = claimNext(table)
+    expectedLatest.foreach { el =>
+      if (next != el + 1) {
+        unclaim(table, next)
+        throw new graft.core.ConcurrentWriteException(
+          s"$table moved past version $el while this commit was being " +
+            "prepared — commit rejected; re-read and retry")
+      }
+    }
+    committed(table, next) { dir =>
+      graft.core.Stage(df)
+        .repartition(numBuckets,
+          keys.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("errorifexists").parquet(dir.toString)
+      Files.writeString(bucketsMarker(dir), numBuckets.toString)
+    }
   }
 
   /** Marker tagging a version dir's bucket law (underscore-prefixed:

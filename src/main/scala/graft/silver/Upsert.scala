@@ -38,19 +38,73 @@ object Upsert {
   }
 
   /** Merge `source` into the Parquet table at `tablePath` and atomically
-    * replace it (write to sibling tmp dir, then swap). */
-  def writeMerged(source: DataFrame, tablePath: String, keys: Seq[String]): Unit = {
+    * replace what changed.
+    *
+    * KEYED merges are BUCKET-SCOPED (the default medallion write path,
+    * r11 verdict task 1): the table is maintained as a [[BucketedState]]
+    * store — one parquet file per pmod(murmur3(keys), numBuckets)
+    * bucket — so a batch reads and rewrites ONLY the buckets its keys
+    * hash to, hard-links every other bucket's file into the next
+    * generation, and commits with one fenced atomic swap. Per-batch cost
+    * is O(batch + touched buckets), not O(table) — at 100 TB the
+    * full-table read-and-rewrite this replaces IS the ingest cost.
+    * A pre-bucketed (legacy) table upgrades with one full rewrite on its
+    * next merge; a batch that would CHANGE the table's schema (new
+    * column, widened type — unionByName evolution) also takes a full
+    * (but bucketed) rewrite, because a carried file must stay
+    * byte-identical to its full-rebuild content.
+    *
+    * No keys = full replace (overwrite semantics), staged + swapped.
+    *
+    * Cost note: `source` is evaluated twice on the keyed path (bucket
+    * probe + staged write) — parquet/JSON-backed batches re-scan
+    * cheaply; persist an expensive computed source before calling. */
+  def writeMerged(source: DataFrame, tablePath: String, keys: Seq[String],
+      numBuckets: Int = 32): Unit = {
     val spark = source.sparkSession
     val path = Paths.get(tablePath)
     healSwap(path)
-    val merged =
-      if (keys.nonEmpty && graft.core.Fs.nonEmpty(path)) {
-        val target = spark.read.parquet(tablePath)
-        merge(target, source, keys)
-      } else source // no keys = full replace (overwrite semantics)
-    val tmp = tablePath + ".tmp-" + System.nanoTime()
-    merged.write.mode("overwrite").parquet(tmp)
-    atomicSwap(Paths.get(tmp), path)
+    if (keys.isEmpty) {
+      // full replace: last-writer-wins by design (no merge from prior
+      // state, so no expected-generation check — the swap still bumps
+      // the token, which rejects any keyed fold racing this replace)
+      val tmp = tablePath + ".tmp-" + System.nanoTime()
+      graft.core.Fence.withStage(Paths.get(tmp)) {
+        source.write.mode("overwrite").parquet(tmp)
+        atomicSwap(Paths.get(tmp), path)
+      }
+    } else {
+      // capture the fence token BEFORE reading the state this merge
+      // derives from — a concurrent commit after this point rejects
+      // the swap instead of being silently overwritten
+      val gen0 = graft.core.Fence.generation(path)
+      def foldMerge(slice: Option[DataFrame], delta: DataFrame): DataFrame =
+        slice.map(s => merge(s, delta, keys)).getOrElse(delta)
+      if (!graft.core.Fs.nonEmpty(path)) {
+        BucketedState.fold(spark, tablePath, source, keys, numBuckets,
+          expectedGen = Some(gen0))(foldMerge)
+      } else {
+        val state = spark.read.parquet(tablePath)
+        def sig(s: org.apache.spark.sql.types.StructType) =
+          s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSet
+        lazy val full = merge(state, source, keys)
+        if (sig(full.schema) != sig(state.schema))
+          // schema evolution: every carried file would carry the OLD
+          // schema — rewrite the whole table once, bucketed, so the
+          // next batch folds incrementally again
+          BucketedState.rewriteAll(tablePath, full, keys, numBuckets,
+            expectedGen = Some(gen0))
+        else {
+          // batch ALIGNED to the (== target, per the gate) schema:
+          // restores omitted columns as NULLs and widens key dtypes so
+          // the bucket probe hashes the TABLE's key type (murmur3(INT)
+          // != murmur3(BIGINT) — the silent-duplicate trap)
+          val aligned = merge(state.limit(0), source, keys)
+          BucketedState.fold(spark, tablePath, aligned, keys, numBuckets,
+            expectedGen = Some(gen0))(foldMerge)
+        }
+      }
+    }
     // any catalog table registered over this path has a cached file
     // listing that now names the swapped-out files; drop cached data for
     // the path and the catalog's cached relations so the next query
@@ -72,12 +126,35 @@ object Upsert {
     * first: it restores the newest .old-* sibling when dest is missing.
     * The .old dir is therefore only deleted AFTER src has fully landed
     * at dest — at no instant is there neither a dest nor a restorable
-    * .old sibling. */
-  private[graft] def atomicSwap(src: Path, dest: Path): Unit = {
-    val old = Paths.get(dest.toString + ".old-" + System.nanoTime())
-    if (Files.exists(dest)) Files.move(dest, old)
-    Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) deleteRecursively(old)
+    * .old sibling.
+    *
+    * FENCED (r11 verdict task 2): the whole check-and-swap runs under a
+    * per-path monitor; when `expectedGen` is given, a concurrent commit
+    * that moved the dir's [[graft.core.Fence]] token since the caller
+    * read its state REJECTS this swap with [[ConcurrentWriteException]]
+    * (the staged dir is discarded; nothing at dest changed). Every swap
+    * — fenced or not — bumps the token, so an unfenced replace still
+    * invalidates any in-flight fenced fold that read the old state. */
+  private[graft] def atomicSwap(src: Path, dest: Path,
+      expectedGen: Option[Long] = None): Unit = {
+    graft.core.CrashPoints.hit("swap.staged")
+    graft.core.Fence.withMonitor(dest) {
+      expectedGen.foreach { g =>
+        try graft.core.Fence.check(dest, g)
+        catch {
+          case e: graft.core.ConcurrentWriteException =>
+            deleteRecursively(src); throw e
+        }
+      }
+      graft.core.Fence.stampNext(src,
+        expectedGen.getOrElse(graft.core.Fence.generation(dest)))
+      val old = Paths.get(dest.toString + ".old-" + System.nanoTime())
+      if (Files.exists(dest)) Files.move(dest, old)
+      graft.core.CrashPoints.hit("swap.between-renames")
+      Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+      graft.core.CrashPoints.hit("swap.before-retire")
+      if (Files.exists(old)) deleteRecursively(old)
+    }
   }
 
   private def siblings(dest: Path, infix: String): Seq[Path] = {
@@ -110,7 +187,10 @@ object Upsert {
     * Without this, a restart after the worst-case crash would see an
     * absent state dir, read an empty watermark, and silently rebuild
     * from only the replayed batch — total, undetected state loss. */
-  private[graft] def healSwap(dest: Path): Unit = {
+  private[graft] def healSwap(dest: Path): Unit =
+      graft.core.Fence.withMonitor(dest) {
+    // under the swap monitor: a heal racing a live writer's two-rename
+    // window would otherwise "restore" the .old dir mid-swap
     val olds = siblings(dest, ".old-")
     if (!graft.core.Fs.nonEmpty(dest)) {
       olds.lastOption.foreach { newest =>
@@ -119,13 +199,16 @@ object Upsert {
       }
       // stale staging dirs (their content was never committed) and any
       // older .old generations are dead weight either way
-      siblings(dest, ".tmp-").foreach(deleteRecursively)
+      siblings(dest, ".tmp-").filterNot(graft.core.Fence.isLiveStage)
+        .foreach(deleteRecursively)
       siblings(dest, ".old-").foreach(deleteRecursively)
     } else {
-      // swap completed but cleanup didn't: drop the orphans. (Like the
-      // swap itself, healing assumes a single writer per table.)
+      // swap completed but cleanup didn't: drop the orphans — except a
+      // LIVE concurrent writer's staging dir (Fence.isLiveStage), which
+      // only LOOKS like a crash leftover
       olds.foreach(deleteRecursively)
-      siblings(dest, ".tmp-").foreach(deleteRecursively)
+      siblings(dest, ".tmp-").filterNot(graft.core.Fence.isLiveStage)
+        .foreach(deleteRecursively)
     }
   }
 

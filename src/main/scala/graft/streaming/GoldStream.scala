@@ -89,11 +89,14 @@ object GoldStream {
       // mid-fold just fails the write and leaves the old state + marker
       // intact for a clean re-fold.
       val tmp = statePath + ".tmp-" + System.nanoTime()
-      merged.write.mode("overwrite").parquet(tmp)
-      // marker goes into the STAGED dir: state + watermark swap atomically
-      Files.write(Paths.get(tmp).resolve("_last_batch_id"),
-        s"$batchId\n$checkpointId".getBytes(StandardCharsets.UTF_8))
-      Upsert.atomicSwap(Paths.get(tmp), path)
+      graft.core.Fence.withStage(Paths.get(tmp)) {
+        merged.write.mode("overwrite").parquet(tmp)
+        // marker goes into the STAGED dir: state + watermark swap
+        // atomically
+        Files.write(Paths.get(tmp).resolve("_last_batch_id"),
+          s"$batchId\n$checkpointId".getBytes(StandardCharsets.UTF_8))
+        Upsert.atomicSwap(Paths.get(tmp), path)
+      }
       true
     }
   }
