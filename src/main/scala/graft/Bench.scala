@@ -73,46 +73,49 @@ object Bench {
     // anchor) runs without dragging the full TPC-H set along; the
     // driver's full sf dir always has every table, so the guard never
     // fires there.
-    def hasTable(name: String): Boolean =
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
-    if (hasTable("lineitem")) graft.silver.BucketedTables.ensureLayout(
-      spark, sfDir, "lineitem", Seq("l_orderkey"))
-    if (hasTable("orders")) {
-      graft.silver.BucketedTables.ensureLayout(
-        spark, sfDir, "orders", Seq("o_custkey"),
-        sortCols = Seq("o_custkey", "o_orderdate", "o_orderkey"))
-      // second orders projection, co-bucketed with lineitem's layout:
-      // q03's fact-fact join reads both sides pre-partitioned on the SAME
-      // 32-bucket orderkey hash → zipped sort-merge, zero exchange and no
-      // broadcast build on the measured path (measured faster than the
-      // broadcast plan; multiple sorted projections of a hot table are
-      // standard lakehouse layout maintenance)
-      graft.silver.BucketedTables.ensureLayout(
-        spark, sfDir, "orders", Seq("o_orderkey"),
-        sortCols = Seq("o_orderkey"))
-    }
-    if (hasTable("events")) {
-      // events bucketed on user_id, bucket-sorted by (user_id, ts,
-      // event_id): q141's sessionize window reads pre-partitioned,
-      // pre-sorted input — no exchange, no sort (the q06/q20 pattern on
-      // the events fact table)
-      graft.silver.BucketedTables.ensureLayout(
-        spark, sfDir, "events", Seq("user_id"),
-        sortCols = Seq("user_id", "ts", "event_id"))
-      // click sessions as a DERIVED silver table (incremental-gold
-      // pattern: sessionize once at ingest, not once per query): q141's
-      // measured path becomes the keyed overlap join alone, riding the
-      // user_id bucketing shared with the events layout — ProfileQ141
-      // showed the sessionize exchange was the dominant floor term.
-      // Built by the SAME code as q141's inline fallback
-      // (Advanced.clickSessions), so the paths are equal by construction.
-      graft.silver.BucketedTables.ensureDerivedLayout(
-        spark, sfDir, "click_sessions", Seq("user_id"),
-        sortCols = Seq("user_id", "session_idx")) {
-        graft.queries.Advanced.clickSessions(spark, sfDir)
+    def maintainLayouts(dir: String): Unit = {
+      def hasTable(name: String): Boolean =
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/$name.parquet"))
+      if (hasTable("lineitem")) graft.silver.BucketedTables.ensureLayout(
+        spark, dir, "lineitem", Seq("l_orderkey"))
+      if (hasTable("orders")) {
+        graft.silver.BucketedTables.ensureLayout(
+          spark, dir, "orders", Seq("o_custkey"),
+          sortCols = Seq("o_custkey", "o_orderdate", "o_orderkey"))
+        // second orders projection, co-bucketed with lineitem's layout:
+        // q03's fact-fact join reads both sides pre-partitioned on the
+        // SAME 32-bucket orderkey hash → zipped sort-merge, zero exchange
+        // and no broadcast build on the measured path (measured faster
+        // than the broadcast plan; multiple sorted projections of a hot
+        // table are standard lakehouse layout maintenance)
+        graft.silver.BucketedTables.ensureLayout(
+          spark, dir, "orders", Seq("o_orderkey"),
+          sortCols = Seq("o_orderkey"))
+      }
+      if (hasTable("events")) {
+        // events bucketed on user_id, bucket-sorted by (user_id, ts,
+        // event_id): q141's sessionize window reads pre-partitioned,
+        // pre-sorted input — no exchange, no sort (the q06/q20 pattern on
+        // the events fact table)
+        graft.silver.BucketedTables.ensureLayout(
+          spark, dir, "events", Seq("user_id"),
+          sortCols = Seq("user_id", "ts", "event_id"))
+        // click sessions as a DERIVED silver table (incremental-gold
+        // pattern: sessionize once at ingest, not once per query): q141's
+        // measured path becomes the keyed overlap join alone, riding the
+        // user_id bucketing shared with the events layout — ProfileQ141
+        // showed the sessionize exchange was the dominant floor term.
+        // Built by the SAME code as q141's inline fallback
+        // (Advanced.clickSessions), so the paths are equal by construction.
+        graft.silver.BucketedTables.ensureDerivedLayout(
+          spark, dir, "click_sessions", Seq("user_id"),
+          sortCols = Seq("user_id", "session_idx")) {
+          graft.queries.Advanced.clickSessions(spark, dir)
+        }
       }
     }
+    maintainLayouts(sfDir)
 
     // Warmup: run every headline query once at the bench SF (untimed).
     // This fills the schema-keyed codegen cache, JIT-compiles the
@@ -165,14 +168,14 @@ object Bench {
     // time-to-failure as a timing (it would surface as an impossibly
     // good min); queries with zero successful samples are emitted as
     // null plus a "failed" list so the artifact can't silently pass
-    def timeOne(name: String): Option[Double] = {
+    def timeOneAt(name: String, dir: String): Option[Double] = {
       // drop cached intermediates (persisted sketch frames) so each
       // timed run measures the full computation, not cache reuse
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try {
         SparkEntry.withQueryConfs(spark, name) {
-          SparkEntry.queries(name)(spark, sfDir)
+          SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
         }
         Some((System.nanoTime() - t0) / 1e9)
@@ -182,6 +185,7 @@ object Bench {
         None
       }
     }
+    def timeOne(name: String): Option[Double] = timeOneAt(name, sfDir)
     val samples = scala.collection.mutable.Map[String,
       scala.collection.mutable.ArrayBuffer[Double]]()
     (1 to rounds).foreach { _ =>
@@ -275,10 +279,11 @@ object Bench {
     // absent, or it was disabled (the sf1 anchor study lost a baseline
     // to the 600 s cap and the artifact couldn't say so)
     @volatile var duckNote: String = null
-    val duckdb: Option[Map[String, Double]] = scala.util.Try {
+    def duckdbColumn(dir: String,
+        qnames: Seq[String]): Option[Map[String, Double]] = scala.util.Try {
       require(sys.env.getOrElse("SPARK_GRAFT_DUCKDB", "on") != "off",
         "baseline disabled by SPARK_GRAFT_DUCKDB=off")
-      val sql = SparkEntry.benchOracleSql.filter(kv => names.contains(kv._1))
+      val sql = SparkEntry.benchOracleSql.filter(kv => qnames.contains(kv._1))
       val oraclePath = java.nio.file.Files.createTempFile("bench-oracle-", ".json")
       // stderr goes to a FILE, not a pipe: an unread stderr pipe blocks
       // the child once it exceeds the ~64 KB buffer (DuckDB warnings,
@@ -293,7 +298,7 @@ object Bench {
             .mkString("{", ",", "}"))
         val script = new java.io.File("scripts/duckdb_bench.py")
         val pb = new ProcessBuilder("python3", script.getAbsolutePath,
-          sfDir, oraclePath.toString, "--json")
+          dir, oraclePath.toString, "--json")
         pb.redirectError(errPath.toFile)
         val p = pb.start()
         // enforce the cap BEFORE reading: readAllBytes blocks until the
@@ -327,6 +332,7 @@ object Bench {
       re.findAllMatchIn(out.linesIterator.toSeq.last)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.toOption.filter(_.nonEmpty)
+    val duckdb: Option[Map[String, Double]] = duckdbColumn(sfDir, names)
 
     // Per-query same-session ratio (Spark min / DuckDB sec), worst rows
     // first: the 2×-per-query gate is graded from these, so the artifact
@@ -352,7 +358,79 @@ object Bench {
       if (floorRows.isEmpty) ""
       else ",\"floor_rows_sf1_gated\":" +
         floorRows.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ratiosJson = floorJson + (
+
+    // Self-verifying floor gate (r11 verdict task 4): the floor rows'
+    // 2× gate is anchored at sf1 (BASELINE.md "Floor-row provision"),
+    // and until now the sf1 evidence was a one-time measurement that
+    // nothing re-checked as code evolved. When the sf1 fixture is
+    // present (MakeScaled; the partial-fixture guard makes layout
+    // maintenance cheap), the SAME bench run re-times every floor row
+    // at sf1 with a same-session DuckDB column and records the per-row
+    // sf1 ratios INTO the artifact; any row above 2× fails the gate
+    // LOUDLY in the JSON and on stderr. Skip with
+    // SPARK_GRAFT_FLOOR_SF1=off (dev subsets); point elsewhere with
+    // SPARK_GRAFT_FLOOR_SF1_DIR.
+    val floorSf1Json: String =
+      if (floorRows.isEmpty) ""
+      else {
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SF1_DIR",
+          "target/sfscaled/sf1")
+        if (sys.env.getOrElse("SPARK_GRAFT_FLOOR_SF1", "on") == "off")
+          ",\"floor_sf1\":null,\"floor_sf1_note\":" +
+            escJson("disabled by SPARK_GRAFT_FLOOR_SF1=off")
+        else if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$sf1Dir/lineitem.parquet")))
+          ",\"floor_sf1\":null,\"floor_sf1_note\":" + escJson(
+            s"sf1 fixture absent at $sf1Dir — build with: sbt \"runMain " +
+              s"graft.tools.MakeScaled /root/testdata/sf0.1 $sf1Dir 10\"")
+        else {
+          maintainLayouts(sf1Dir)
+          val fw = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SF1_WARMUPS", "1").toInt
+          val fr = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SF1_ROUNDS", "3").toInt
+          (1 to fw).foreach(_ => floorRows.foreach(timeOneAt(_, sf1Dir)))
+          val fs = scala.collection.mutable.Map[String,
+            scala.collection.mutable.ArrayBuffer[Double]]()
+          (1 to fr).foreach { _ =>
+            floorRows.foreach { n =>
+              timeOneAt(n, sf1Dir).foreach(fs.getOrElseUpdate(
+                n, scala.collection.mutable.ArrayBuffer[Double]()) += _)
+            }
+          }
+          val duckSf1 = duckdbColumn(sf1Dir, floorRows)
+          val sf1Ratios: Seq[(String, Option[Double])] = floorRows.map { n =>
+            n -> (for {
+              ss <- fs.get(n).map(_.min)
+              d <- duckSf1.flatMap(_.get(n)) if d > 0
+            } yield r3(ss / d))
+          }
+          val breaches = sf1Ratios.collect {
+            case (n, Some(r)) if r > 2.0 => s"$n ${r}x"
+          }
+          val unmeasured = sf1Ratios.collect { case (n, None) => n }
+          val gate =
+            if (breaches.nonEmpty)
+              s"FAIL: ${breaches.mkString(", ")} exceed 2x at sf1"
+            else if (unmeasured.nonEmpty)
+              s"INCOMPLETE: no sf1 ratio for ${unmeasured.mkString(", ")}"
+            else "pass"
+          if (gate != "pass")
+            System.err.println(s"[bench] floor sf1 gate: $gate")
+          val ratiosMap = sf1Ratios.map { case (n, r) =>
+            "\"" + n + "\":" + r.map(_.toString).getOrElse("null")
+          }.mkString("{", ",", "}")
+          val sparkMins = floorRows.map(n => "\"" + n + "\":" +
+            fs.get(n).map(s => r4(s.min).toString).getOrElse("null"))
+            .mkString("{", ",", "}")
+          val duckCol = duckSf1 match {
+            case Some(m) => floorRows.flatMap(n => m.get(n)
+              .map(v => "\"" + n + "\":" + v)).mkString("{", ",", "}")
+            case None => "null"
+          }
+          s""","floor_sf1":$ratiosMap,"floor_sf1_spark":$sparkMins,""" +
+            s""""floor_sf1_duckdb":$duckCol,"floor_sf1_gate":${escJson(gate)}"""
+        }
+      }
+    val ratiosJson = floorJson + floorSf1Json + (
       if (ratioPairs.isEmpty) ""
       else ",\"ratios_worst_first\":" + ratioPairs.map { case (k, v) =>
         "\"" + k + "\":" + v }.mkString("{", ",", "}"))

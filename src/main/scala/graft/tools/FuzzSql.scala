@@ -653,12 +653,131 @@ object FuzzSql {
       s"WHERE $where GROUP BY $sets"
   }
 
+  // ---- round-12 grammar growth: the remaining physical join/subquery
+  // paths (r11 verdict task 5) --------------------------------------------
+
+  /** EXISTS/NOT EXISTS in a DISJUNCTION or in SELECT's CASE — the
+    * ExistenceJoin physical path. A conjunctive correlated EXISTS
+    * ([[qExists]]) plans as a plain semi/anti join; only when the
+    * EXISTS result must survive as a BOOLEAN (OR'd with another
+    * predicate, or computed in the projection) does Spark emit
+    * ExistenceJoin (the exists-flag join), a join shape nothing else
+    * in the grammar reaches. */
+  private def qExistenceJoin(r: scala.util.Random): String = {
+    val (lt, fk, rt, pk) = pick(r, fks)
+    val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
+    val not = if (r.nextBoolean()) "NOT " else ""
+    val sub = s"${not}EXISTS (SELECT 1 FROM ${rr.name} " +
+      s"WHERE ${rr.name}.$pk = ${l.name}.$fk AND ${pred(r, rr, 1)})"
+    if (r.nextBoolean())
+      // disjunctive: the flag feeds an OR, so the join must produce it
+      s"SELECT ${l.name}.${l.key} AS k, ${scalarExpr(r, l)} AS c0 " +
+        s"FROM ${l.name} WHERE ($sub OR ${pred(r, l, 1)})"
+    else
+      // projected: CASE WHEN EXISTS — the flag IS an output value
+      s"SELECT ${l.name}.${l.key} AS k, " +
+        s"CAST(CASE WHEN $sub THEN 1 ELSE 0 END AS BIGINT) AS c0, " +
+        s"${scalarExpr(r, l)} AS c1 " +
+        s"FROM ${l.name} WHERE ${pred(r, l, 1)}"
+  }
+
+  /** FULL OUTER join on NULLABLE keys: NULLIF carves NULLs out of both
+    * sides' join keys — a NULL key matches nothing (no NULL = NULL),
+    * so those rows null-extend on their own side; unmatched non-null
+    * keys null-extend too. COALESCE sentinels keep the output columns
+    * non-null for the compare. Both sides are filtered subqueries, so
+    * the unmatched sets are non-trivial in both directions. */
+  private def qFullOuter(r: scala.util.Random): String = {
+    val (lt, fk, rt, pk) = pick(r, fks)
+    val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
+    val aKey =
+      if (r.nextInt(2) == 0) s"NULLIF(${l.name}.$fk, ${r.nextInt(100)})"
+      else s"${l.name}.$fk"
+    val bKey =
+      if (r.nextInt(2) == 0) s"NULLIF(${rr.name}.$pk, ${r.nextInt(100)})"
+      else s"${rr.name}.$pk"
+    s"SELECT COALESCE(a.k, -1) AS ak, COALESCE(b.k, -1) AS bk, " +
+      s"COALESCE(a.c0, -1) AS c0, COALESCE(b.c1, -1) AS c1 FROM " +
+      s"(SELECT $aKey AS k, CAST(${intExpr(r, l, 1)} AS BIGINT) AS c0 " +
+      s"FROM ${l.name} WHERE ${pred(r, l, 1)}) a " +
+      s"FULL OUTER JOIN " +
+      s"(SELECT $bKey AS k, CAST(${intExpr(r, rr, 1)} AS BIGINT) AS c1 " +
+      s"FROM ${rr.name} WHERE ${pred(r, rr, 1)}) b ON a.k = b.k"
+  }
+
+  /** HAVING without GROUP BY: the implicit global aggregate — one
+    * group over the whole input (present even when the input is
+    * EMPTY), then HAVING keeps or drops that single row. A distinct
+    * analyzer path (HAVING resolved against an Aggregate with no
+    * grouping expressions) nothing else in the grammar reaches;
+    * sometimes a statically-false WHERE probes the empty-input row. */
+  private def qHavingNoGroup(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val where = if (r.nextInt(4) == 0) "length('x') < 0" // statically empty
+      else pred(r, t, 0)
+    val having = r.nextInt(3) match {
+      case 0 => s"count(*) > ${r.nextInt(100)}"
+      case 1 => s"min(${intExpr(r, t, 0)}) <= ${r.nextInt(2000)}"
+      case _ => s"(count(*) >= ${r.nextInt(3)} AND " +
+        s"max(${strExpr(r, t, 0)}) > '${pick(r, strLitPool)}')"
+    }
+    s"SELECT CAST(count(*) AS BIGINT) AS c, " +
+      s"CAST(sum(${intExpr(r, t, 1)}) AS BIGINT) AS s, " +
+      s"min(${strExpr(r, t, 1)}) AS m " +
+      s"FROM ${t.name} WHERE $where HAVING $having"
+  }
+
+  /** ORDER BY on EXPRESSIONS, select-list ALIASES, and ORDINALS under
+    * LIMIT — [[qOrderLimit]] only ever orders by one alias. Sort keys
+    * not in the projection, computed keys, and positional references
+    * each resolve through a different analyzer path; the table key is
+    * always the final tiebreak so the LIMIT cut is total-ordered. */
+  private def qOrderByExpr(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val dir = pick(r, Seq("", " DESC"))
+    val items = s"${t.name}.${t.key} AS k, ${scalarExpr(r, t)} AS c0, " +
+      s"${strExpr(r, t, 1)} AS c1"
+    val order = r.nextInt(3) match {
+      case 0 => // raw expression, possibly absent from the projection
+        s"(${intExpr(r, t, 1)} % ${r.nextInt(50) + 3})$dir, " +
+          s"length(${strExpr(r, t, 0)})$dir, k"
+      case 1 => // ordinals (2 = c0, 3 = c1), key tiebreak by alias
+        s"2$dir, 3, 1"
+      case _ => // alias mixed with an expression over an alias's source
+        s"c1$dir, (${intExpr(r, t, 0)} + 1), k"
+    }
+    s"SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"ORDER BY $order LIMIT ${r.nextInt(400) + 20}"
+  }
+
+  /** Correlated scalar subquery in SELECT over GROUPED input: the
+    * correlation key IS the grouping key, so the rewrite must join the
+    * subquery onto the AGGREGATE's output (RewriteCorrelatedScalar-
+    * Subquery above an Aggregate — a plan shape [[qScalarSub]] never
+    * makes). COALESCE pins the empty-correlation NULL on both engines;
+    * the count variant probes the count-bug shape (0, not NULL). */
+  private def qScalarSubOverGrouped(r: scala.util.Random): String = {
+    val (lt, fk, rt, pk) = pick(r, fks)
+    val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
+    val sub = r.nextInt(2) match {
+      case 0 => s"COALESCE((SELECT min(${intExpr(r, rr, 1)}) " +
+        s"FROM ${rr.name} WHERE ${rr.name}.$pk = ${l.name}.$fk " +
+        s"AND ${pred(r, rr, 1)}), -1)"
+      case _ => s"(SELECT count(*) FROM ${rr.name} " +
+        s"WHERE ${rr.name}.$pk = ${l.name}.$fk AND ${pred(r, rr, 1)})"
+    }
+    s"SELECT ${l.name}.$fk AS g, CAST(count(*) AS BIGINT) AS c, " +
+      s"CAST(max(${intExpr(r, l, 1)}) AS BIGINT) AS mx, " +
+      s"CAST($sub AS BIGINT) AS sub " +
+      s"FROM ${l.name} WHERE ${pred(r, l, 1)} GROUP BY ${l.name}.$fk"
+  }
+
   /** The full seeded batch — pure function of (n, seed), so a recorded
     * run is reproducible bit-for-bit and the spec can pin determinism. */
   def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(26) match {
+      val sql = r.nextInt(31) match {
         case 0 | 1 => qFilterProject(r)
         case 2 | 3 => qGroupAgg(r)
         case 4 | 5 => qJoin(r)
@@ -681,7 +800,12 @@ object FuzzSql {
         case 22    => qWindowFrames(r)
         case 23    => qWindowOverGrouped(r)
         case 24    => qGroupingSetsExplicit(r)
-        case _     => qNullAwareIn(r)
+        case 25    => qNullAwareIn(r)
+        case 26    => qExistenceJoin(r)
+        case 27    => qFullOuter(r)
+        case 28    => qHavingNoGroup(r)
+        case 29    => qOrderByExpr(r)
+        case _     => qScalarSubOverGrouped(r)
       }
       (f"fz$i%03d", sql)
     }

@@ -212,12 +212,46 @@ class OpsSpec extends AnyFunSuite {
     assert(VectorOps.autoPlanes(200000L) == 9)  // sf10 fixture
     assert(VectorOps.autoPlanes(Long.MaxValue) == 16)
     val emb = Tables.load(spark, dir, "embeddings")
-    val auto = VectorOps.cosineNearDups(emb, threshold = 0.95)
-      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
-    val six = VectorOps.cosineNearDups(emb, threshold = 0.95, nPlanes = 6)
-      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    // job-count pin (r11 verdict task 8, the q132 pattern): auto mode
+    // pays exactly ONE extra Spark job over explicit mode — the
+    // vectors.count() that feeds the plane law. A regression that adds
+    // a second derivation pass (or evaluates the corpus twice at build
+    // time) breaks this count.
+    def jobsDuring[T](body: => T): (T, Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = body
+        // listener events ride the async bus — wait until stable
+        var prev = -1
+        val deadline = System.nanoTime() + 10000000000L
+        while (prev != jobs.get() && System.nanoTime() < deadline) {
+          prev = jobs.get(); Thread.sleep(200)
+        }
+        (r, jobs.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val (auto, autoJobs) = jobsDuring {
+      VectorOps.cosineNearDups(emb, threshold = 0.95)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    }
+    val (six, sixJobs) = jobsDuring {
+      VectorOps.cosineNearDups(emb, threshold = 0.95, nPlanes = 6)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    }
     assert(auto.sameElements(six),
       "auto planes must floor to 6 at fixture scale")
+    // one count() = one corpus pass = at most TWO Spark jobs (AQE
+    // materializes the partial-agg exchange as its own job); anything
+    // beyond that means a second derivation pass crept in
+    assert(autoJobs > sixJobs && autoJobs <= sixJobs + 2,
+      s"auto mode ran $autoJobs jobs vs explicit $sixJobs — the plane " +
+        "law must cost exactly one count pass (≤2 AQE jobs)")
   }
 
   test("nearDuplicates (LSH-verified) agrees with the exhaustive jaccard baseline") {
