@@ -21,9 +21,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: dev knob for scale studies — at a
+    // fixed 32, an sf100 fixture's shuffle partitions are 100× fatter
+    // than the sf1 ones, and spill (not the operator) dominates; a real
+    // cluster sizes partition count by bytes, which AQE coalesce
+    // emulates downward but nothing emulates upward from a fixed 32
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // Coalesce post-shuffle partitions to the advisory size instead of

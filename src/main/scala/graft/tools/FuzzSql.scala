@@ -751,25 +751,33 @@ object FuzzSql {
   }
 
   /** Correlated scalar subquery in SELECT over GROUPED input: the
-    * correlation key IS the grouping key, so the rewrite must join the
-    * subquery onto the AGGREGATE's output (RewriteCorrelatedScalar-
-    * Subquery above an Aggregate — a plan shape [[qScalarSub]] never
-    * makes). COALESCE pins the empty-correlation NULL on both engines;
-    * the count variant probes the count-bug shape (0, not NULL). */
+    * aggregate runs in a CTE and the subquery correlates to its GROUP
+    * KEY in the outer select, so the rewrite must join the subquery
+    * onto the AGGREGATE's output (RewriteCorrelatedScalarSubquery above
+    * an Aggregate — a plan shape [[qScalarSub]] never makes). The
+    * same-level form (subquery directly in the grouped SELECT) is a
+    * documented Spark restriction — SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_
+    * AGGREGATE_FUNCTION — where DuckDB accepts it; the CTE form is the
+    * shape both engines speak (first sweep of this template found
+    * that, 11/300 rejected). COALESCE pins the empty-correlation NULL
+    * on both engines; the count variant probes the count-bug shape
+    * (0, not NULL). */
   private def qScalarSubOverGrouped(r: scala.util.Random): String = {
     val (lt, fk, rt, pk) = pick(r, fks)
     val l = tabs.find(_.name == lt).get; val rr = tabs.find(_.name == rt).get
     val sub = r.nextInt(2) match {
       case 0 => s"COALESCE((SELECT min(${intExpr(r, rr, 1)}) " +
-        s"FROM ${rr.name} WHERE ${rr.name}.$pk = ${l.name}.$fk " +
+        s"FROM ${rr.name} WHERE ${rr.name}.$pk = a.g " +
         s"AND ${pred(r, rr, 1)}), -1)"
       case _ => s"(SELECT count(*) FROM ${rr.name} " +
-        s"WHERE ${rr.name}.$pk = ${l.name}.$fk AND ${pred(r, rr, 1)})"
+        s"WHERE ${rr.name}.$pk = a.g AND ${pred(r, rr, 1)})"
     }
-    s"SELECT ${l.name}.$fk AS g, CAST(count(*) AS BIGINT) AS c, " +
-      s"CAST(max(${intExpr(r, l, 1)}) AS BIGINT) AS mx, " +
-      s"CAST($sub AS BIGINT) AS sub " +
-      s"FROM ${l.name} WHERE ${pred(r, l, 1)} GROUP BY ${l.name}.$fk"
+    s"WITH a AS (SELECT ${l.name}.$fk AS g, " +
+      s"CAST(count(*) AS BIGINT) AS c, " +
+      s"CAST(max(${intExpr(r, l, 1)}) AS BIGINT) AS mx " +
+      s"FROM ${l.name} WHERE ${pred(r, l, 1)} GROUP BY ${l.name}.$fk) " +
+      s"SELECT a.g AS g, a.c AS c, a.mx AS mx, " +
+      s"CAST($sub AS BIGINT) AS sub FROM a"
   }
 
   /** The full seeded batch — pure function of (n, seed), so a recorded

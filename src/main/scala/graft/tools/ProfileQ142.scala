@@ -12,7 +12,8 @@ import graft.sources.Tables
   * join → distinct → verification join). */
 object ProfileQ142 {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val countsOnly = args.length > 1 && args(1) == "counts"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -40,6 +41,53 @@ object ProfileQ142 {
              slice(w, 3, size(w)-2),
              (ab, c) -> xxhash64(concat(ab, ' ', c)))"""
       )).as("tk"))
+
+    if (countsOnly) {
+      // volume diagnosis for the sf100 growth study: where does the
+      // candidate count go super-linear? (tauNum/tauDen = 4/5, the
+      // query's values)
+      val sets = graft.queries.Q.fan(sets0)
+      val posts = sets.select(col("doc_id"), explode(col("tk")).as("tok"))
+      val dfc = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[counts] docs=${sets.count()} postings=${posts.count()} " +
+        s"vocab=${dfc.count()}")
+      // df distribution head: the shared-across-replicas tokens show up
+      // as df >> docs/replicas
+      dfc.orderBy(col("df").desc).limit(10).collect()
+        .foreach(r => println(s"[counts] top-df tok=${r.get(0)} df=${r.get(1)}"))
+      val lists = posts.join(dfc, "tok")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+        .select(col("doc_id"),
+          expr("transform(st, x -> x.tok)").as("tk"),
+          size(col("st")).cast("long").as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ceilTauN = floor((lit(4L) * col("n") + lit(4L)) / lit(5L))
+      val prefLen = least(col("n"), col("n") - ceilTauN + 2).cast("int")
+      val pref = lists.select(col("doc_id").as("p_id"), col("n").as("p_n"),
+        explode(slice(col("tk"), lit(1), prefLen)).as("tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[counts] prefix_postings=${pref.count()}")
+      // candidate volume BEFORE dedup: sum over tokens of prefix-pair
+      // counts (the join's real work) — computed from per-token counts,
+      // not the join itself
+      val perTok = pref.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val pairVolume = perTok.select(
+        sum((col("c") * (col("c") - lit(1L)) / lit(2L)).cast("long"))
+          .as("v")).head().getLong(0)
+      println(s"[counts] prefix_pair_volume=$pairVolume")
+      val prefB = pref.select(col("p_id").as("f_id"), col("p_n").as("f_n"),
+        col("tok").as("f_tok"))
+      val cand = pref.join(prefB,
+          col("tok") === col("f_tok") && col("p_id") < col("f_id")
+            && lit(4L) * greatest(col("p_n"), col("f_n"))
+               <= lit(5L) * least(col("p_n"), col("f_n")))
+        .select(col("p_id").as("a"), col("f_id").as("b"))
+      println(s"[counts] candidates_distinct=${cand.distinct().count()}")
+      spark.stop()
+      return
+    }
 
     // warmup full path twice
     (1 to 2).foreach { _ =>
