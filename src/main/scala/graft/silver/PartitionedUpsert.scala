@@ -24,8 +24,18 @@ import org.apache.spark.sql.functions.col
   */
 object PartitionedUpsert {
 
+  /** Fencing (r12): the whole read→merge→write runs under the table's
+    * monitor, so concurrent writers SERIALIZE — each one's target scan
+    * lists and reads the previous writer's committed files (the
+    * lost-update shape the fenced swap stores reject is impossible
+    * here because the later writer reads the earlier one's output).
+    * Commit-level atomicity within one write is Spark's dynamic
+    * partition overwrite; an object-store deployment gets old-or-new
+    * per-partition visibility from its table format's commit instead
+    * of the committer's per-directory renames. */
   def writeMerged(source: DataFrame, tablePath: String, keys: Seq[String],
-      partitionCol: String): Unit = {
+      partitionCol: String): Unit =
+      graft.core.Fence.withMonitor(Paths.get(tablePath)) {
     val spark = source.sparkSession
     val path = Paths.get(tablePath)
     if (!graft.core.Fs.nonEmpty(path)) {

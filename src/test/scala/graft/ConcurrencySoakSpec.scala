@@ -65,7 +65,7 @@ class ConcurrencySoakSpec extends AnyFunSuite {
         .createTempDirectory("graft-soak-").toString
       new Lake(spark, root)
     }
-    lake.registry.create(core.EndpointSchema("orders", "sales", 1,
+    lake.registry.create(core.EndpointSchema("soak_orders", "soaksales", 1,
       core.SchemaMode.Manual, core.SchemaDefinition(Seq(
         core.ColumnDefinition("order_id", core.RefType.IntegerT,
           required = true, primaryKey = true),
@@ -108,10 +108,10 @@ class ConcurrencySoakSpec extends AnyFunSuite {
     // writer 1: ingest → silver upsert, one batch per round
     val w1 = Future {
       (0 until nRounds).foreach { r =>
-        lake.ingest.ingest("sales", "orders", ids(r).map(i =>
+        lake.ingest.ingest("soaksales", "soak_orders", ids(r).map(i =>
           s"""{"order_id": $i, "total_amount": ${i % 97}.5}"""))
         lake.ingest.flushAll()
-        lake.silver.processEndpoint("sales", "orders")
+        lake.silver.processEndpoint("soaksales", "soak_orders")
       }
     }
     // writer 2: bucket-scoped derived-layout maintenance per batch
@@ -128,7 +128,7 @@ class ConcurrencySoakSpec extends AnyFunSuite {
         try {
           val res = lake.query.run("SELECT CAST(count(*) AS BIGINT) AS c, " +
             "CAST(coalesce(sum(order_id), 0) AS BIGINT) AS s " +
-            "FROM sales.silver.orders")
+            "FROM soaksales.silver.soak_orders")
           res match {
             case Right(q) =>
               val pair = (q.rows.head.head.asInstanceOf[Long],
@@ -206,7 +206,7 @@ class ConcurrencySoakSpec extends AnyFunSuite {
     // serialized-execution equality at the end state
     val finalPair = {
       val q = lake.query.run("SELECT CAST(count(*) AS BIGINT) AS c, " +
-        "CAST(sum(order_id) AS BIGINT) AS s FROM sales.silver.orders")
+        "CAST(sum(order_id) AS BIGINT) AS s FROM soaksales.silver.soak_orders")
         .toOption.get
       (q.rows.head.head.asInstanceOf[Long],
         q.rows.head(1).asInstanceOf[Long])

@@ -148,6 +148,34 @@ class FencingSpec extends AnyFunSuite {
       s"non-monotonic version sizes: $sizes")
   }
 
+  test("racing partition-scoped merges: writers serialize under the " +
+      "table monitor, final table is the merge of EVERY batch") {
+    import graft.silver.PartitionedUpsert
+    import org.apache.spark.sql.functions.lit
+    val path = Files.createTempDirectory("fence-part-")
+      .resolve("t").toString
+    PartitionedUpsert.writeMerged(
+      df(Seq(0L -> "seed")).withColumn("day", lit("d0")),
+      path, Seq("id"), "day")
+    val nWriters = 4
+    val perWriter = 3
+    race((0 until nWriters).map { w => () =>
+      (0 until perWriter).foreach { r =>
+        val base = (w * perWriter + r) * 100 + 1
+        // every batch lands in the SAME partition — the maximally
+        // contended shape (all writers rewrite one partition)
+        val batch = df((base until base + 10).map(i => i.toLong -> s"w$w"))
+          .withColumn("day", lit("d0"))
+        retrying() {
+          PartitionedUpsert.writeMerged(batch, path, Seq("id"), "day")
+        }
+      }
+    })
+    val rows = spark.read.parquet(path).select(col("id")).collect()
+    assert(rows.length == 1 + nWriters * perWriter * 10,
+      "lost update in the partition-scoped merge")
+  }
+
   test("racing bucket-scoped catalog merges: serialize or reject, " +
       "final table is the merge of EVERY batch") {
     import graft.silver.BucketedTables
