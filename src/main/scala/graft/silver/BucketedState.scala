@@ -33,6 +33,20 @@ object BucketedState {
   /** Marker naming the bucket law a state dir was written under. */
   private def markerName(numBuckets: Int) = s"_graft_state_buckets_$numBuckets"
 
+  private val markerRe = """_graft_state_buckets_(\d+)""".r
+
+  /** The bucket count the live store was written under (None = legacy
+    * or empty dir). */
+  private[graft] def markerBuckets(statePath: String): Option[Int] =
+    graft.core.Fs.children(Paths.get(statePath))
+      .map(_.getFileName.toString)
+      .collectFirst { case markerRe(n) => n.toInt }
+
+  /** Total data bytes of the live store (driver-side listing). */
+  private[graft] def storeBytes(statePath: String): Long =
+    bucketFiles(statePath).values.flatten
+      .map(p => Files.size(p)).sum
+
   private val partIdxRe = """part-(\d+)-.*""".r
 
   /** Footer-only parquet row count (no Spark job). */

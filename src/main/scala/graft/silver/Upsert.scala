@@ -56,11 +56,23 @@ object Upsert {
     *
     * No keys = full replace (overwrite semantics), staged + swapped.
     *
+    * BUCKET-COUNT GROWTH LAW: a fixed bucket count is the one knob a
+    * growing table outlives (32 buckets over 100 TB = 3 TB/bucket —
+    * every merge would rewrite terabytes). Each merge therefore sizes
+    * the effective count as the smallest power-of-2 multiple of
+    * `numBuckets` keeping buckets under `targetBucketBytes` (256 MB
+    * default — the shuffle-partition sizing rule applied to the
+    * layout), capped at 4096, never shrinking below the live marker.
+    * Crossing a boundary pays ONE full (bucketed) rewrite at the new
+    * count — doublings are logarithmic in table growth, so the
+    * amortized per-batch cost stays O(batch + touched buckets).
+    *
     * Cost note: `source` is evaluated twice on the keyed path (bucket
     * probe + staged write) — parquet/JSON-backed batches re-scan
     * cheaply; persist an expensive computed source before calling. */
   def writeMerged(source: DataFrame, tablePath: String, keys: Seq[String],
-      numBuckets: Int = 32): Unit = {
+      numBuckets: Int = 32,
+      targetBucketBytes: Long = 256L * 1024 * 1024): Unit = {
     val spark = source.sparkSession
     val path = Paths.get(tablePath)
     healSwap(path)
@@ -84,15 +96,26 @@ object Upsert {
         BucketedState.fold(spark, tablePath, source, keys, numBuckets,
           expectedGen = Some(gen0))(foldMerge)
       } else {
+        // effective bucket count under the growth law (scaladoc above):
+        // smallest power-of-2 multiple of numBuckets that keeps buckets
+        // under targetBucketBytes, clamped to 4096, never below the
+        // live marker's count (no shrink churn)
+        val live = BucketedState.markerBuckets(tablePath)
+        var eff = math.max(numBuckets, live.getOrElse(numBuckets))
+        val bytes = BucketedState.storeBytes(tablePath)
+        while (eff < 4096 && bytes > eff.toLong * targetBucketBytes)
+          eff *= 2
         val state = spark.read.parquet(tablePath)
         def sig(s: org.apache.spark.sql.types.StructType) =
           s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSet
         lazy val full = merge(state, source, keys)
-        if (sig(full.schema) != sig(state.schema))
-          // schema evolution: every carried file would carry the OLD
-          // schema — rewrite the whole table once, bucketed, so the
-          // next batch folds incrementally again
-          BucketedState.rewriteAll(tablePath, full, keys, numBuckets,
+        if (sig(full.schema) != sig(state.schema)
+            || !live.contains(eff))
+          // schema evolution, legacy layout, or a bucket-count boundary
+          // crossing: every carried file would be wrong (old schema or
+          // old hash law) — rewrite the whole table once, bucketed at
+          // the effective count, so the next batch folds incrementally
+          BucketedState.rewriteAll(tablePath, full, keys, eff,
             expectedGen = Some(gen0))
         else {
           // batch ALIGNED to the (== target, per the gate) schema:
@@ -100,7 +123,7 @@ object Upsert {
           // the bucket probe hashes the TABLE's key type (murmur3(INT)
           // != murmur3(BIGINT) — the silent-duplicate trap)
           val aligned = merge(state.limit(0), source, keys)
-          BucketedState.fold(spark, tablePath, aligned, keys, numBuckets,
+          BucketedState.fold(spark, tablePath, aligned, keys, eff,
             expectedGen = Some(gen0))(foldMerge)
         }
       }

@@ -128,7 +128,17 @@ object Compaction {
     *
     * Returns (filesBefore, filesAfter). At 100 TB this runs per
     * PARTITION of a date-partitioned table (only partitions whose
-    * small-file count crossed a threshold), not whole-table. */
+    * small-file count crossed a threshold), not whole-table.
+    *
+    * Interaction with the bucket-scoped silver default (r12): a keyed
+    * silver table maintained by `Upsert.writeMerged` already holds AT
+    * MOST ONE FILE PER KEY-HASH BUCKET (the fold stages one file per
+    * touched bucket and carries the rest), so small files never
+    * accumulate there and compaction is rarely needed. Compacting one
+    * anyway flattens the bucket layout (this rewrite is keys = Nil);
+    * the table then reads as legacy and the NEXT keyed merge pays one
+    * full-but-bucketed upgrade rewrite — content is correct throughout
+    * (PipelineSpec's maintenance-loop e2e covers the sequence). */
   def compactTable(spark: SparkSession, tablePath: String,
       targetRows: Long = Compaction.targetRows): (Int, Int) = {
     def partFiles = graft.core.Fs.children(Paths.get(tablePath))

@@ -126,6 +126,57 @@ class SilverBucketedSpec extends AnyFunSuite {
     assert(got.size == 100 && got(1L) == "new-1" && got(2L) == "old-2")
   }
 
+  test("bucket-count growth law: crossing the per-bucket byte target " +
+      "re-buckets with ONE full rewrite (power-of-2, never shrinking), " +
+      "then folds incrementally at the new count") {
+    import spark.implicits._
+    val path = tmpTable()
+    val tiny = 4096L // per-bucket target small enough to force growth
+    // poorly-compressible payload so parquet bytes track data volume
+    def pay(i: Long) = (1 to 6)
+      .map(s => ((i * 2654435761L + s * 40503L) & 0xffffffffL).toHexString)
+      .mkString("-")
+    Upsert.writeMerged((1L to 30000L).map(i => (i, pay(i)))
+      .toDF("id", "v"), path, Seq("id"), targetBucketBytes = tiny)
+    assert(BucketedState.markerBuckets(path).contains(32),
+      "bootstrap must start at the requested count")
+    // the law reads the LIVE store's bytes — compute the expected count
+    // from the measured size, and require the fixture actually crosses
+    // the first boundary (non-degenerate)
+    val bytes = BucketedState.storeBytes(path)
+    assert(bytes > 32L * tiny, s"degenerate fixture: $bytes bytes")
+    var expect = 32
+    while (expect < 4096 && bytes > expect.toLong * tiny) expect *= 2
+    Upsert.writeMerged(Seq((30001L, "one-more")).toDF("id", "v"), path,
+      Seq("id"), targetBucketBytes = tiny)
+    val grown = BucketedState.markerBuckets(path).get
+    assert(grown == expect,
+      s"expected growth to $expect buckets for $bytes bytes, got $grown")
+    assert(spark.read.parquet(path).count() == 30001)
+    // subsequent narrow batch folds at the NEW count: untouched files
+    // carried by exact name (no further rewrites)
+    val before = fileNames(path)
+    val touched = spark.range(1, 2)
+      .select(pmod(hash(col("id")), lit(grown)).cast("int").as("b"))
+      .collect().map(_.getInt(0)).toSet
+    Upsert.writeMerged(Seq((1L, "post-growth")).toDF("id", "v"), path,
+      Seq("id"), targetBucketBytes = tiny)
+    assert(BucketedState.markerBuckets(path).contains(grown),
+      "count must not move when bytes stay under the boundary")
+    val after = fileNames(path)
+    for ((b, names) <- before if !touched(b))
+      assert(after.get(b).contains(names),
+        s"bucket $b rewritten after the growth rewrite — the table did " +
+          "not return to incremental folds at the new count")
+    val got = idsOf(spark.read.parquet(path))
+    assert(got(1L) == "post-growth" && got.size == 30001)
+    // a smaller REQUESTED count never shrinks the live layout
+    Upsert.writeMerged(Seq((2L, "x")).toDF("id", "v"), path, Seq("id"),
+      numBuckets = 8, targetBucketBytes = tiny)
+    assert(BucketedState.markerBuckets(path).contains(grown),
+      "a smaller requested count must not shrink the live store")
+  }
+
   test("silver e2e: a narrow batch's upsert reads less than HALF the " +
       "store (bytes-read budget on the DEFAULT silver path)") {
     val root = Files.createTempDirectory("graft-silver-io-").toString
