@@ -65,6 +65,11 @@ object GoldStream {
     // renames leaves no state dir, and reading the (then-missing) marker
     // as ("", -1) would silently rebuild from only the replayed batch
     Upsert.healSwap(Paths.get(statePath))
+    // fence token captured WITH the watermark read: the stream itself
+    // serializes its own foldBatch calls, but a second (misconfigured)
+    // writer on the same state path would otherwise last-win silently —
+    // with the token its swap (or ours) rejects loudly instead
+    val gen0 = graft.core.Fence.generation(Paths.get(statePath))
     val (recordedCkpt, last) = readMarker(statePath)
     if (checkpointId.nonEmpty && recordedCkpt.nonEmpty
         && recordedCkpt != checkpointId)
@@ -95,7 +100,7 @@ object GoldStream {
         // atomically
         Files.write(Paths.get(tmp).resolve("_last_batch_id"),
           s"$batchId\n$checkpointId".getBytes(StandardCharsets.UTF_8))
-        Upsert.atomicSwap(Paths.get(tmp), path)
+        Upsert.atomicSwap(Paths.get(tmp), path, Some(gen0))
       }
       true
     }
