@@ -377,19 +377,25 @@ object Bench {
     // LOUDLY in the JSON and on stderr. Skip with
     // SPARK_GRAFT_FLOOR_SF1=off (dev subsets); point elsewhere with
     // SPARK_GRAFT_FLOOR_SF1_DIR.
-    val floorSf1Json: String =
-      if (floorRows.isEmpty) ""
+    val (floorSf1Json, floorSf1Compact): (String, String) =
+      if (floorRows.isEmpty) ("", "")
       else {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SF1_DIR",
           "target/sfscaled/sf1")
         if (sys.env.getOrElse("SPARK_GRAFT_FLOOR_SF1", "on") == "off")
-          ",\"floor_sf1\":null,\"floor_sf1_note\":" +
-            escJson("disabled by SPARK_GRAFT_FLOOR_SF1=off")
+          {
+            val j = ",\"floor_sf1\":null,\"floor_sf1_note\":" +
+              escJson("disabled by SPARK_GRAFT_FLOOR_SF1=off")
+            (j, j)
+          }
         else if (!java.nio.file.Files.exists(
             java.nio.file.Paths.get(s"$sf1Dir/lineitem.parquet")))
-          ",\"floor_sf1\":null,\"floor_sf1_note\":" + escJson(
-            s"sf1 fixture absent at $sf1Dir — build with: sbt \"runMain " +
-              s"graft.tools.MakeScaled /root/testdata/sf0.1 $sf1Dir 10\"")
+          {
+            val j = ",\"floor_sf1\":null,\"floor_sf1_note\":" + escJson(
+              s"sf1 fixture absent at $sf1Dir — build with: sbt \"runMain " +
+                s"graft.tools.MakeScaled /root/testdata/sf0.1 $sf1Dir 10\"")
+            (j, j)
+          }
         else {
           maintainLayouts(sf1Dir)
           val fw = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SF1_WARMUPS", "1").toInt
@@ -433,14 +439,19 @@ object Bench {
               .map(v => "\"" + n + "\":" + v)).mkString("{", ",", "}")
             case None => "null"
           }
-          s""","floor_sf1":$ratiosMap,"floor_sf1_spark":$sparkMins,""" +
-            s""""floor_sf1_duckdb":$duckCol,"floor_sf1_gate":${escJson(gate)}"""
+          (s""","floor_sf1":$ratiosMap,"floor_sf1_spark":$sparkMins,""" +
+            s""""floor_sf1_duckdb":$duckCol,"floor_sf1_gate":${escJson(gate)}""",
+           // compact: the per-row sf1 ratios + verdict, without the
+           // raw spark/duckdb second columns (those live in fullJson)
+           s""","floor_sf1":$ratiosMap,"floor_sf1_gate":${escJson(gate)}""")
         }
       }
-    val ratiosJson = floorJson + floorSf1Json + (
+    val worstFirst =
       if (ratioPairs.isEmpty) ""
       else ",\"ratios_worst_first\":" + ratioPairs.map { case (k, v) =>
-        "\"" + k + "\":" + v }.mkString("{", ",", "}"))
+        "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ratiosJson = floorJson + floorSf1Json + worstFirst
+    val ratiosCompact = floorJson + floorSf1Compact + worstFirst
 
     val duckJson = duckdb match {
       case Some(m) =>
@@ -470,15 +481,6 @@ object Bench {
     // seconds maps near the front are clipped (r9's driver artifact lost
     // exactly those; verdict task 1).
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"total_median":$totalMedian,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset$failedJson$noLayoutJson$notesJson$duckJson$ratiosJson}"""
-    // Compact self-grading summary FIRST (fits any capture window):
-    // totals + overall ratio + per-query ratios, worst rows first.
-    val dTotalStr = duckdb.map(m => names.flatMap(m.get).sum.toString)
-      .getOrElse("null")
-    val overallRatio = duckdb.map { m =>
-      val dt = names.flatMap(m.get).sum
-      if (dt > 0) (total / dt).toString else "null"
-    }.getOrElse("null")
-    println(s"""{"metric":"summary","total":${r4(total)},"total_median":$totalMedian,"duckdb_total":$dTotalStr,"ratio":$overallRatio${ratiosJson}$failedJson}""")
     // Full artifact on disk: immune to capture windows entirely.
     scala.util.Try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
@@ -486,6 +488,20 @@ object Bench {
         java.nio.file.Paths.get("target/bench_summary.json"), fullJson + "\n")
     }
     println(fullJson)
+    // Compact self-grading summary LAST (r12 verdict task 3: a
+    // fixed-size TAIL capture keeps the END of the output, so the last
+    // line printed is the one guaranteed to survive whole — r12's
+    // artifact kept the clipped middle of the long line above and lost
+    // the headline totals). This line alone satisfies the driver
+    // contract ({"metric","value","unit","queries","sf"}) and carries
+    // the grading-critical totals + worst-first ratios.
+    val dTotalStr = duckdb.map(m => names.flatMap(m.get).sum.toString)
+      .getOrElse("null")
+    val overallRatio = duckdb.map { m =>
+      val dt = names.flatMap(m.get).sum
+      if (dt > 0) (total / dt).toString else "null"
+    }.getOrElse("null")
+    println(s"""{"metric":"summary","value":${r4(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"total":${r4(total)},"total_median":$totalMedian,"duckdb_total":$dTotalStr,"ratio":$overallRatio${ratiosCompact}$failedJson}""")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.stop()
     // drop this run's warehouse copy of the layouts

@@ -56,5 +56,8 @@ final class Lake(val spark: SparkSession, val root: String) {
     // another Lake instance in the same session) used a different location
     spark.sql(s"DROP TABLE IF EXISTS $db.$table")
     spark.catalog.createTable(s"$db.$table", path, "parquet")
+    // lets path-level writers scope post-merge cache invalidation to
+    // this one relation instead of the whole catalog
+    graft.core.TableIndex.register(path, s"$db.$table")
   }
 }

@@ -1,6 +1,7 @@
 package graft.core
 
-import java.nio.file.{Files, Path}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
 /** A concurrent writer lost the optimistic-concurrency race on a swapped
   * store: the state it merged from was replaced by another commit before
@@ -9,7 +10,8 @@ import java.nio.file.{Files, Path}
 final class ConcurrentWriteException(msg: String)
   extends RuntimeException(msg)
 
-/** Writer-writer fencing for the swapped stores (r11 verdict task 2).
+/** Writer-writer fencing for the swapped stores (r11 verdict task 2;
+  * cross-process since r13).
   *
   * Every swapped store (bucketed state folds, snapshot commits, layout
   * refreshes, plain merge swaps) stages a full next generation and
@@ -25,28 +27,36 @@ final class ConcurrentWriteException(msg: String)
   *    (underscore-prefixed: invisible to Spark's file index, travels
   *    with the directory through every rename/heal);
   *  - a writer captures the token WHEN IT READS the state it merges from;
-  *  - the swap runs under a per-path JVM monitor and re-reads the token:
-  *    unchanged → bump and install; changed → [[ConcurrentWriteException]]
-  *    (clean rejection — never a silent discard).
+  *  - the swap runs under a per-path JVM monitor AND an OS-level
+  *    `FileChannel` lock on a `<dir>.lock` sibling, and re-reads the
+  *    token: unchanged → bump and install; changed →
+  *    [[ConcurrentWriteException]] (clean rejection — never a silent
+  *    discard).
   *
-  * The monitor makes check-and-swap atomic within one JVM — which is the
-  * deployment the in-memory catalog already implies (one driver owns a
-  * table's writes; Spark itself serializes nothing across drivers). A
-  * multi-driver deployment gets the identical semantics from its table
-  * format's CAS commit (Iceberg/Delta metadata pointer); the token file
-  * IS that pointer expressed on a local filesystem.
+  * The monitor makes check-and-swap atomic within one JVM; the file lock
+  * extends the SAME serialize-or-reject contract across processes
+  * sharing a filesystem (the token file is the pointer a table format's
+  * CAS commit would guard; `FileChannel.lock` is the local-FS
+  * conditional-put). On an object store the file lock is replaced by the
+  * store's own conditional-put — the caller-visible semantics are
+  * unchanged.
   */
 object Fence {
 
   private[graft] val GenFile = "_graft_writer_gen"
 
-  private val monitors =
-    scala.collection.concurrent.TrieMap.empty[String, Object]
-
   /** The monitor serializing check-and-swap for `key` (canonicalized
-    * path or qualified table name). */
-  def monitorFor(key: String): Object =
-    monitors.getOrElseUpdate(key, new Object)
+    * path or qualified table name) within this JVM.
+    *
+    * Interned strings ARE the monitors: `String.intern` returns one
+    * canonical heap object per value, collected by the GC once nothing
+    * references it (JDK 7+ keeps the pool on the heap) — so unlike a
+    * grow-only map there is no per-path leak in a long-lived driver
+    * churning ephemeral table paths (r12 advisor), and a thread inside
+    * `synchronized` holds a strong reference, so the canonical mapping
+    * cannot be swapped out mid-critical-section. The namespace prefix
+    * keeps foreign code from plausibly locking the same literal. */
+  def monitorFor(key: String): Object = ("graft.fence.monitor:" + key).intern()
 
   def withMonitor[T](key: String)(body: => T): T =
     monitorFor(key).synchronized(body)
@@ -57,12 +67,63 @@ object Fence {
   def withMonitor[T](p: Path)(body: => T): T =
     withMonitor(canonical(p))(body)
 
+  // ------------------------------------------------------------------
+  // Cross-process lock (r12 verdict task 5). Callers MUST already hold
+  // withMonitor(dir) — the monitor guarantees at most one thread per
+  // JVM is here, so JVM-level reentrancy is a simple per-path count
+  // (FileChannel.lock throws OverlappingFileLockException on a second
+  // same-JVM acquisition; the count makes nested fenced sections —
+  // fold's carry wrapping atomicSwap — reuse the held lock).
+  // ------------------------------------------------------------------
+
+  private val heldLocks = scala.collection.concurrent.TrieMap
+    .empty[String, (FileChannel, java.nio.channels.FileLock, Int)]
+
+  /** Run `body` holding an exclusive OS lock on `<dir>.lock` (a sibling
+    * — the dir itself is renamed away mid-swap, so the lock must live
+    * outside it). The lock file is never deleted: unlinking a lock file
+    * another process holds silently splits the lock on POSIX. */
+  def withFileLock[T](dir: Path)(body: => T): T = {
+    val key = canonical(dir)
+    heldLocks.get(key) match {
+      case Some((ch, l, n)) => // reentrant: the monitor made us the owner
+        heldLocks.put(key, (ch, l, n + 1))
+        try body
+        finally heldLocks.put(key, (ch, l, n))
+      case None =>
+        val lockPath = Paths.get(dir.toAbsolutePath.normalize.toString + ".lock")
+        Option(lockPath.getParent).foreach(Files.createDirectories(_))
+        val ch = FileChannel.open(lockPath,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val l = ch.lock() // blocks until any other PROCESS releases
+          heldLocks.put(key, (ch, l, 1))
+          try body
+          finally { heldLocks.remove(key); l.release() }
+        } finally ch.close()
+    }
+  }
+
   /** The current writer generation of a fenced directory (0 when the
     * directory or token is absent — pre-fence stores start at 0 and get
-    * their first token on the next commit). */
+    * their first token on the next commit). A token that vanishes
+    * MID-READ was retired by a concurrent commit; retry the read (the
+    * new generation's token is already in place after the atomic
+    * rename), then fail with the retryable fence rejection. */
   def generation(dir: Path): Long = {
-    val f = dir.resolve(GenFile)
-    if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+    var attempts = 3
+    while (true) {
+      val f = dir.resolve(GenFile)
+      try return if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempts -= 1
+          if (attempts == 0) throw new ConcurrentWriteException(
+            s"$dir is being committed by another writer (token vanished " +
+              "mid-read) — re-read the state and retry: " + e)
+      }
+    }
+    0L // unreachable
   }
 
   /** Stamp the STAGED directory with the successor token before it is
@@ -70,22 +131,77 @@ object Fence {
   private[graft] def stampNext(staged: Path, expected: Long): Unit =
     Files.writeString(staged.resolve(GenFile), (expected + 1L).toString)
 
+  // ------------------------------------------------------------------
   // Live staging dirs: a concurrent writer's in-flight .tmp- sibling
   // must never be swept by another writer's healSwap (the sweep is for
   // CRASH leftovers, which have no live registration). Without this, a
   // heal could delete a fully-staged tmp while its owner waits on the
   // swap monitor — the owner would then install an empty dir as the
-  // table (found building the r12 fencing spec).
+  // table (found building the r12 fencing spec). Registration is
+  // two-level: a JVM-local map (exact, same-process) plus an on-disk
+  // `.live-` sibling marker with a staleness grace window, so ANOTHER
+  // process's heal also skips an in-flight stage (r12 advisor: the
+  // JVM-local-only registry made a cross-process misconfiguration
+  // worse than the pre-fence lost update — a dangling sweep of a live
+  // writer's staging dir). A crashed process leaves its marker behind;
+  // after the grace window the stage sweeps like any other leftover.
+  // ------------------------------------------------------------------
+
   private val liveStages =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  private[graft] def isLiveStage(p: Path): Boolean =
-    liveStages.contains(canonical(p))
+  /** Grace before an on-disk stage marker is considered a crash
+    * leftover (overridable for tests). In-process crashes clear their
+    * marker in `withStage`'s finally, so only a hard process kill pays
+    * the wait. */
+  private[graft] def staleStageMs: Long =
+    sys.props.get("graft.fence.staleStageMs").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
 
-  /** Run `body` with `p` registered as a live staging dir. */
+  /** On-disk liveness marker for staged dir `p`: `X.tmp-N` → sibling
+    * `X.live-N` (never inside `p` — the dir may not exist yet when the
+    * stage registers, and its content must stay byte-identical to a
+    * full rebuild). */
+  private[graft] def stageMarker(p: Path): Path = {
+    val n = p.getFileName.toString
+    val m = if (n.contains(".tmp-")) n.replaceFirst("""\.tmp-""", ".live-")
+      else n + ".live"
+    p.toAbsolutePath.normalize.resolveSibling(m)
+  }
+
+  private def markerFresh(m: Path): Boolean =
+    try System.currentTimeMillis -
+      Files.getLastModifiedTime(m).toMillis < staleStageMs
+    catch { case _: java.nio.file.NoSuchFileException => false }
+
+  private[graft] def isLiveStage(p: Path): Boolean =
+    liveStages.contains(canonical(p)) || {
+      val m = stageMarker(p)
+      Files.exists(m) && markerFresh(m)
+    }
+
+  /** True for an orphaned on-disk `.live-` marker (stale, or from a
+    * process that died) — healSwap sweeps these with their stage. */
+  private[graft] def isStaleMarker(m: Path): Boolean = !markerFresh(m)
+
+  private[graft] def clearStageMarker(p: Path): Unit =
+    Files.deleteIfExists(stageMarker(p))
+
+  /** Run `body` with `p` registered as a live staging dir (in-memory +
+    * on-disk marker; both cleared on ANY in-process exit, so injected
+    * crashes still sweep immediately). */
   private[graft] def withStage[T](p: Path)(body: => T): T = {
-    liveStages.put(canonical(p), ())
-    try body finally liveStages.remove(canonical(p))
+    val key = canonical(p)
+    liveStages.put(key, ())
+    val marker = stageMarker(p)
+    try {
+      Option(marker.getParent).foreach(Files.createDirectories(_))
+      Files.writeString(marker, java.lang.Long.toString(System.currentTimeMillis))
+      body
+    } finally {
+      liveStages.remove(key)
+      Files.deleteIfExists(marker)
+    }
   }
 
   /** Inside the swap monitor: reject if `dir`'s token moved past

@@ -42,10 +42,21 @@ object BucketedState {
       .map(_.getFileName.toString)
       .collectFirst { case markerRe(n) => n.toInt }
 
-  /** Total data bytes of the live store (driver-side listing). */
+  /** Total data bytes of the live store (driver-side listing). Runs
+    * WITHOUT the table monitor (it's a sizing pass, not a commit), so a
+    * concurrent fenced commit can retire a listed file between the
+    * listing and the stat — surface that as the one retryable failure
+    * type the fence already gives callers, not a raw
+    * NoSuchFileException (r12 advisor). */
   private[graft] def storeBytes(statePath: String): Long =
-    bucketFiles(statePath).values.flatten
+    try bucketFiles(statePath).values.flatten
       .map(p => Files.size(p)).sum
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new graft.core.ConcurrentWriteException(
+          s"$statePath was committed by another writer during the " +
+            "sizing pass — re-read the state and retry")
+    }
 
   private val partIdxRe = """part-(\d+)-.*""".r
 
@@ -106,9 +117,13 @@ object BucketedState {
     // key would probe the wrong buckets and commit the same logical key
     // into two of them. Widen the delta's keys to the state's dtypes
     // up front (plan-time; one driver-side footer read for the schema);
-    // a narrowing mismatch is a caller bug and fails loud.
+    // a narrowing mismatch is a caller bug and fails loud. The LEGACY
+    // branch aligns too (r12 advisor): its full rewrite repartitions
+    // with the merged — possibly widened — dtype, so the touched set a
+    // derived-layout caller gets back must be probed under that same
+    // dtype, not the delta's.
     val aligned =
-      if (existing.isEmpty) delta
+      if (!hasState) delta
       else {
         val stateSchema = spark.read.parquet(statePath).schema
         keyCols.foldLeft(delta) { (d, k) =>
@@ -161,13 +176,15 @@ object BucketedState {
           }
         }
       }
-      // carry + swap under the monitor, AFTER the fence check: the
-      // link sources are `existing`'s files, which a CONCURRENT
-      // writer's swap would retire (delete) — checking first means a
-      // stale fold rejects before touching them, and holding the
-      // monitor means nobody retires them mid-carry (the FencingSpec
+      // carry + swap under the monitor AND the cross-process file
+      // lock, AFTER the fence check: the link sources are `existing`'s
+      // files, which a CONCURRENT writer's swap would retire (delete)
+      // — checking first means a stale fold rejects before touching
+      // them, and holding the monitor/lock means nobody (in this JVM
+      // or another process) retires them mid-carry (the FencingSpec
       // race caught the unfenced carry dying on vanished sources)
       graft.core.Fence.withMonitor(path) {
+       graft.core.Fence.withFileLock(path) {
         try graft.core.Fence.check(path, gen0)
         catch {
           case e: graft.core.ConcurrentWriteException =>
@@ -180,6 +197,7 @@ object BucketedState {
         Files.writeString(tmp.resolve(markerName(numBuckets)),
           numBuckets.toString)
         Upsert.atomicSwap(tmp, path, Some(gen0))
+       }
       }
     }
     spark.catalog.refreshByPath(statePath)

@@ -28,53 +28,88 @@ object Snapshots {
   private def pointer(table: String): Path = Paths.get(table, "_latest")
 
   // ------------------------------------------------------------------
-  // Writer-writer fencing (r11 verdict task 2). Every commit CLAIMS its
-  // version number under the table's monitor before staging: a second
-  // writer that raced to the same number is REJECTED loudly
-  // (ConcurrentWriteException) instead of last-writer-wins silently
-  // discarding the first's merge. The pointer move re-checks that the
-  // version it publishes succeeds the CURRENT latest — the
-  // expected-generation compare, which on an object store is the table
-  // format's conditional-put. Crash repair: a version dir beyond the
-  // pointer with no live claim is a dead stage and is swept before the
-  // next claim (it was never readable — `versions` filters past the
-  // pointer — so deleting it loses nothing; its batch replays).
+  // Writer-writer fencing (r11 verdict task 2; on-disk since r13).
+  // Every commit CLAIMS its version number under the table's monitor
+  // before staging: a second writer that raced to the same number is
+  // REJECTED loudly (ConcurrentWriteException) instead of
+  // last-writer-wins silently discarding the first's merge. The claim
+  // is an on-disk `_claim_v{n}` file created with the atomic
+  // create-if-absent the filesystem gives — so the claim ALSO holds
+  // against a writer in another process (the r12 advisor's scenario:
+  // a JVM-local registry let a second driver's heal sweep a live
+  // staged dir, whose pointer-publish then dangled), and the registry
+  // no longer grows per table path for the JVM's lifetime. The pointer
+  // move re-checks that the version it publishes succeeds the CURRENT
+  // latest — the expected-generation compare, which on an object store
+  // is the table format's conditional-put. Crash repair: a version dir
+  // beyond the pointer with no claim file is a dead stage and is swept
+  // before the next claim (it was never readable — `versions` filters
+  // past the pointer — so deleting it loses nothing; its batch
+  // replays). A claim file from a writer that DIED with its process
+  // ages out after the [[graft.core.Fence.staleStageMs]] grace window
+  // (in-process failures, injected crashes included, unclaim in a
+  // finally and sweep immediately).
   // ------------------------------------------------------------------
-
-  private val claims =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Unit]
 
   private def tableKey(table: String): String =
     "snapshots:" + Paths.get(table).toAbsolutePath.normalize.toString
 
-  /** Sweep crash leftovers: stranded pointer tmps and unclaimed version
-    * dirs beyond the pointer. Call under the table monitor. */
+  private def claimFile(table: String, v: Long): Path =
+    Paths.get(table, f"_claim_v$v%06d")
+
+  private val claimRe = """_claim_v(\d{6})""".r
+
+  private def claimFresh(p: Path): Boolean =
+    try System.currentTimeMillis -
+      Files.getLastModifiedTime(p).toMillis < graft.core.Fence.staleStageMs
+    catch { case _: java.nio.file.NoSuchFileException => false }
+
+  /** Sweep crash leftovers: stranded pointer tmps, version dirs beyond
+    * the pointer with no live claim, and dead claim files. Call under
+    * the table monitor. */
   private def healStage(table: String): Unit = {
     val latest = latestVersion(table)
+    def liveClaim(v: Long): Boolean = {
+      val c = claimFile(table, v)
+      Files.exists(c) && claimFresh(c)
+    }
     graft.core.Fs.children(Paths.get(table)).foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("_latest.tmp-")) Files.delete(p)
       else if (n.matches("_v\\d{6}") && n.drop(2).toLong > latest
-          && !claims.contains((tableKey(table), n.drop(2).toLong)))
+          && !liveClaim(n.drop(2).toLong))
         Upsert.deleteRecursively(p)
+      else n match {
+        // a claim at/below the pointer is committed history (its writer
+        // died between publish and unclaim); a stale one beyond it is a
+        // crashed stage's — either way, dead weight
+        case claimRe(v) if v.toLong <= latest || !claimFresh(p) =>
+          Files.deleteIfExists(p)
+        case _ =>
+      }
     }
   }
 
-  /** Claim the next version number (atomically, under the monitor);
-    * rejects if another in-flight writer already claimed it. */
+  /** Claim the next version number (atomically — the claim file's
+    * create-if-absent holds against writers in this JVM and any other
+    * process); rejects if another in-flight writer already claimed it. */
   private def claimNext(table: String): Long =
     graft.core.Fence.withMonitor(tableKey(table)) {
+      Files.createDirectories(Paths.get(table))
       healStage(table)
       val next = latestVersion(table) + 1
-      if (claims.putIfAbsent((tableKey(table), next), ()).isDefined)
-        throw new graft.core.ConcurrentWriteException(
-          s"version $next of $table is being staged by another writer — " +
-            "commit rejected; re-read the latest version and retry")
+      try Files.createFile(claimFile(table, next))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new graft.core.ConcurrentWriteException(
+            s"version $next of $table is being staged by another writer — " +
+              "commit rejected; re-read the latest version and retry")
+      }
       next
     }
 
   private def unclaim(table: String, v: Long): Unit =
-    claims.remove((tableKey(table), v))
+    Files.deleteIfExists(claimFile(table, v))
 
   /** Stage-and-publish with claim bookkeeping and crash cleanup. */
   private def committed(table: String, next: Long)(stage: Path => Unit): Long = {

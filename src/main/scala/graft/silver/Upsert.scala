@@ -103,7 +103,9 @@ object Upsert {
         val live = BucketedState.markerBuckets(tablePath)
         var eff = math.max(numBuckets, live.getOrElse(numBuckets))
         val bytes = BucketedState.storeBytes(tablePath)
-        while (eff < 4096 && bytes > eff.toLong * targetBucketBytes)
+        // the doubling itself must respect the cap: a non-power-of-2
+        // start (e.g. 3072) would otherwise overshoot to 6144
+        while (eff * 2 <= 4096 && bytes > eff.toLong * targetBucketBytes)
           eff *= 2
         val state = spark.read.parquet(tablePath)
         def sig(s: org.apache.spark.sql.types.StructType) =
@@ -130,14 +132,24 @@ object Upsert {
     }
     // any catalog table registered over this path has a cached file
     // listing that now names the swapped-out files; drop cached data for
-    // the path and the catalog's cached relations so the next query
-    // re-lists instead of failing on FILE_NOT_EXIST. (The relation cache
-    // is keyed by table NAME, which a path-level writer can't know, so
-    // the invalidation is catalog-wide — re-listing is lazy and cheap
-    // next to the rewrite that just happened; a transactional catalog
-    // would scope this to one table.)
+    // the path and the relation cache entries so the next query re-lists
+    // instead of failing on FILE_NOT_EXIST. The relation cache is keyed
+    // by table NAME; [[graft.core.TableIndex]] (fed by Lake's
+    // registrations) maps the path back to its names so the refresh is
+    // scoped to THIS table — at 100× scale with many registered tables
+    // and per-minute micro-batches, a catalog-wide invalidation per
+    // merge evicts every cached relation engine-wide (r12 verdict
+    // finding 2). Unregistered paths fall back to the coarse drop.
     spark.catalog.refreshByPath(tablePath)
-    spark.sessionState.catalog.invalidateAllCachedTables()
+    graft.core.TableIndex.namesFor(tablePath) match {
+      case names if names.nonEmpty =>
+        names.foreach { n =>
+          // a registered name may have been dropped since — best-effort
+          try spark.catalog.refreshTable(n)
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+      case _ => spark.sessionState.catalog.invalidateAllCachedTables()
+    }
   }
 
   /** Replace `dest` with `src` via rename; best-effort atomic on local FS
@@ -161,22 +173,26 @@ object Upsert {
   private[graft] def atomicSwap(src: Path, dest: Path,
       expectedGen: Option[Long] = None): Unit = {
     graft.core.CrashPoints.hit("swap.staged")
+    // monitor = in-JVM serialization; file lock = the same
+    // serialize-or-reject contract across processes (r12 verdict task 5)
     graft.core.Fence.withMonitor(dest) {
-      expectedGen.foreach { g =>
-        try graft.core.Fence.check(dest, g)
-        catch {
-          case e: graft.core.ConcurrentWriteException =>
-            deleteRecursively(src); throw e
+      graft.core.Fence.withFileLock(dest) {
+        expectedGen.foreach { g =>
+          try graft.core.Fence.check(dest, g)
+          catch {
+            case e: graft.core.ConcurrentWriteException =>
+              deleteRecursively(src); throw e
+          }
         }
+        graft.core.Fence.stampNext(src,
+          expectedGen.getOrElse(graft.core.Fence.generation(dest)))
+        val old = Paths.get(dest.toString + ".old-" + System.nanoTime())
+        if (Files.exists(dest)) Files.move(dest, old)
+        graft.core.CrashPoints.hit("swap.between-renames")
+        Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+        graft.core.CrashPoints.hit("swap.before-retire")
+        if (Files.exists(old)) deleteRecursively(old)
       }
-      graft.core.Fence.stampNext(src,
-        expectedGen.getOrElse(graft.core.Fence.generation(dest)))
-      val old = Paths.get(dest.toString + ".old-" + System.nanoTime())
-      if (Files.exists(dest)) Files.move(dest, old)
-      graft.core.CrashPoints.hit("swap.between-renames")
-      Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-      graft.core.CrashPoints.hit("swap.before-retire")
-      if (Files.exists(old)) deleteRecursively(old)
     }
   }
 
@@ -212,8 +228,13 @@ object Upsert {
     * from only the replayed batch — total, undetected state loss. */
   private[graft] def healSwap(dest: Path): Unit =
       graft.core.Fence.withMonitor(dest) {
-    // under the swap monitor: a heal racing a live writer's two-rename
-    // window would otherwise "restore" the .old dir mid-swap
+      graft.core.Fence.withFileLock(dest) {
+    // under the swap monitor + cross-process file lock: a heal racing a
+    // live writer's two-rename window would otherwise "restore" the
+    // .old dir mid-swap
+    def sweepStage(p: Path): Unit = {
+      deleteRecursively(p); graft.core.Fence.clearStageMarker(p)
+    }
     val olds = siblings(dest, ".old-")
     if (!graft.core.Fs.nonEmpty(dest)) {
       olds.lastOption.foreach { newest =>
@@ -223,16 +244,22 @@ object Upsert {
       // stale staging dirs (their content was never committed) and any
       // older .old generations are dead weight either way
       siblings(dest, ".tmp-").filterNot(graft.core.Fence.isLiveStage)
-        .foreach(deleteRecursively)
+        .foreach(sweepStage)
       siblings(dest, ".old-").foreach(deleteRecursively)
     } else {
       // swap completed but cleanup didn't: drop the orphans — except a
-      // LIVE concurrent writer's staging dir (Fence.isLiveStage), which
-      // only LOOKS like a crash leftover
+      // LIVE concurrent writer's staging dir (Fence.isLiveStage: the
+      // in-JVM registry, or another PROCESS's fresh on-disk marker),
+      // which only LOOKS like a crash leftover
       olds.foreach(deleteRecursively)
       siblings(dest, ".tmp-").filterNot(graft.core.Fence.isLiveStage)
-        .foreach(deleteRecursively)
+        .foreach(sweepStage)
     }
+    // on-disk liveness markers whose stage is gone (or that aged past
+    // the grace window) are crash leftovers themselves
+    siblings(dest, ".live-").filter(graft.core.Fence.isStaleMarker)
+      .foreach(m => Files.deleteIfExists(m))
+      }
   }
 
   private[graft] def deleteRecursively(p: Path): Unit =
