@@ -26,6 +26,8 @@ import graft.silver.SilverProcessor
   */
 final class Lake(val spark: SparkSession, val root: String) {
   val registry = new SchemaRegistry(s"$root/registry")
+  /** Ingestion-plan store (lambdas/ingestion_plans/main.py:56-125). */
+  val plans = new graft.extract.PlanRegistry(s"$root/registry")
 
   // enable Catalyst-level three-part-name resolution for sessions built
   // with graft.plans.LakeExtensions (string-level rewrite stays the

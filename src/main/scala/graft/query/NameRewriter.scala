@@ -16,37 +16,62 @@ import graft.Lake
   *    `read_json_auto(..., union_by_name=true)` equivalent (S1).
   *
   * Kept as a pre-parse string rewrite for fidelity with the reference's
-  * observable behavior; the regex requires word boundaries so quoted
-  * strings with dots in user data are untouched in practice (same
-  * limitation as the reference).
+  * observable behavior. Unlike the reference's bare regex, matches
+  * INSIDE quoted literals/identifiers are skipped (r13: the reference's
+  * lookbehind only refuses a name that starts right AFTER the quote —
+  * `' d.silver.t'` would be rewritten inside the string value, a silent
+  * result change the QueryService-path fuzz is built to catch).
   */
 object NameRewriter {
   private val threePart: Regex =
     """(?<![a-zA-Z0-9_.'"])([a-z][a-z0-9_]*)\.(bronze|silver|gold)\.([a-z][a-z0-9_]*)""".r
 
-  def rewrite(lake: Lake, sql: String): String =
-    threePart.replaceAllIn(sql, m => {
-      val (domain, layer, table) = (m.group(1), m.group(2), m.group(3))
-      layer match {
-        case "bronze" =>
-          val view = s"${domain}_bronze_$table"
-          val dir = lake.bronzePath(domain, table)
-          if (Files.exists(Paths.get(dir))) {
-            lake.spark.read
-              .option("recursiveFileLookup", "true")
-              .json(s"$dir/*.jsonl")
-              .createOrReplaceTempView(view)
-          }
-          view
-        case _ => s"${domain}_${layer}.$table"
+  /** Per-char in-quote flags ('...', "...", `...`). */
+  private def quoteFlags(sql: String): Array[Boolean] = {
+    val in = new Array[Boolean](sql.length)
+    var q: Char = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (q != 0) { in(i) = true; if (c == q) q = 0 }
+      else if (c == '\'' || c == '"' || c == '`') { q = c; in(i) = true }
+      i += 1
+    }
+    in
+  }
+
+  def rewrite(lake: Lake, sql: String): String = {
+    val quoted = quoteFlags(sql)
+    threePart.replaceSomeIn(sql, m => {
+      if (quoted(m.start)) None
+      else {
+        val (domain, layer, table) = (m.group(1), m.group(2), m.group(3))
+        Some(layer match {
+          case "bronze" =>
+            val view = s"${domain}_bronze_$table"
+            val dir = lake.bronzePath(domain, table)
+            if (Files.exists(Paths.get(dir))) {
+              lake.spark.read
+                .option("recursiveFileLookup", "true")
+                .json(s"$dir/*.jsonl")
+                .createOrReplaceTempView(view)
+            }
+            view
+          case _ => s"${domain}_${layer}.$table"
+        })
       }
     })
+  }
 
   /** Pure rewrite (no side effects) for tests/oracles: bronze names map to
     * their view name, silver/gold to catalog names. */
-  def rewritePure(sql: String): String =
-    threePart.replaceAllIn(sql, m => m.group(2) match {
-      case "bronze" => s"${m.group(1)}_bronze_${m.group(3)}"
-      case layer    => s"${m.group(1)}_${layer}.${m.group(3)}"
-    })
+  def rewritePure(sql: String): String = {
+    val quoted = quoteFlags(sql)
+    threePart.replaceSomeIn(sql, m =>
+      if (quoted(m.start)) None
+      else Some(m.group(2) match {
+        case "bronze" => s"${m.group(1)}_bronze_${m.group(3)}"
+        case layer    => s"${m.group(1)}_${layer}.${m.group(3)}"
+      }))
+  }
 }

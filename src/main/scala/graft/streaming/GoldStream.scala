@@ -78,8 +78,18 @@ object GoldStream {
           s"this stream uses '$checkpointId'; batch ids are only " +
           "monotonic per checkpoint — delete the state or restore the " +
           "original checkpoint")
-    if (batchId <= last) false
-    else {
+    if (batchId <= last) {
+      // replay of an already-folded batch: skip the fold but still RUN
+      // the batch plan. An upstream stateful operator (dedup, stream
+      // join) commits its state stores per-partition WITH the batch's
+      // execution, and Spark validates those commits at trigger end —
+      // returning without touching the DataFrame fails the restarted
+      // query (STATE_STORE_COMMIT_VALIDATION_FAILED; found by
+      // StreamingCrashMatrixSpec's swap.before-retire kill, where the
+      // fold landed but the checkpoint didn't).
+      batch.foreach(_ => ())
+      false
+    } else {
       val delta = IncrementalAgg.partials(batch, keys, measures)
       val path = Paths.get(statePath)
       val merged =

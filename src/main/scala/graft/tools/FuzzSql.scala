@@ -780,12 +780,59 @@ object FuzzSql {
       s"CAST($sub AS BIGINT) AS sub FROM a"
   }
 
+  // ---- round-13 grammar growth: set-op nesting + lateral (verdict 7) ----
+
+  /** UNION [ALL] hidden inside a FROM-subquery or a CTE body, with an
+    * outer aggregate/DISTINCT over it — the set op is no longer the
+    * statement's top-level shape, so it exercises the rewriters' and
+    * analyzer's handling of nested set-op scopes. */
+  private def qUnionInSub(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val item = s"${t.name}.${t.key} AS k, CAST(${intExpr(r, t, 1)} " +
+      s"AS BIGINT) AS c0"
+    val u = pick(r, Seq("UNION", "UNION ALL"))
+    val body = s"SELECT $item FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"$u SELECT $item FROM ${t.name} WHERE ${pred(r, t, 0)}"
+    r.nextInt(2) match {
+      case 0 => s"SELECT CAST(k % ${r.nextInt(7) + 3} AS BIGINT) AS g, " +
+        s"CAST(count(*) AS BIGINT) AS cnt, min(c0) AS m " +
+        s"FROM ($body) u GROUP BY 1"
+      case _ => s"WITH u AS ($body) SELECT DISTINCT " +
+        s"CAST(k % ${r.nextInt(5) + 2} AS BIGINT) AS g, c0 FROM u"
+    }
+  }
+
+  /** LATERAL joins — both engines speak `FROM t, LATERAL (subquery)`:
+    * a computed single-row lateral (the common "reuse an expression"
+    * idiom) and an explode-like multi-row correlated lateral over a
+    * referential edge (each parent row fans out to its children). */
+  private def qLateral(r: scala.util.Random): String = {
+    if (r.nextBoolean()) {
+      val t = pick(r, tabs)
+      s"SELECT ${t.name}.${t.key} AS k, lat.lx AS lx, lat.ly AS ly " +
+        s"FROM ${t.name}, LATERAL (SELECT CAST(${intExpr(r, t, 1)} " +
+        s"AS BIGINT) AS lx, ${strExpr(r, t, 1)} AS ly) lat " +
+        s"WHERE ${pred(r, t, 0)}"
+    } else {
+      val (ct, fk, pt, pk) = pick(r, fks)
+      val child = tabs.find(_.name == ct).get
+      val parent = tabs.find(_.name == pt).get
+      s"SELECT ${parent.name}.$pk AS k, lat.lk AS lk, lat.c0 AS c0 " +
+        s"FROM ${parent.name}, LATERAL (SELECT " +
+        s"${child.name}.${child.key} AS lk, CAST(${intExpr(r, child, 0)} " +
+        s"AS BIGINT) AS c0 FROM ${child.name} " +
+        s"WHERE ${child.name}.$fk = ${parent.name}.$pk " +
+        s"AND ${pred(r, child, 1)}) lat " +
+        s"WHERE ${pred(r, parent, 1)}"
+    }
+  }
+
   /** The full seeded batch — pure function of (n, seed), so a recorded
     * run is reproducible bit-for-bit and the spec can pin determinism. */
   def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(31) match {
+      val sql = r.nextInt(33) match {
         case 0 | 1 => qFilterProject(r)
         case 2 | 3 => qGroupAgg(r)
         case 4 | 5 => qJoin(r)
@@ -813,16 +860,141 @@ object FuzzSql {
         case 27    => qFullOuter(r)
         case 28    => qHavingNoGroup(r)
         case 29    => qOrderByExpr(r)
-        case _     => qScalarSubOverGrouped(r)
+        case 30    => qScalarSubOverGrouped(r)
+        case 31    => qUnionInSub(r)
+        case _     => qLateral(r)
       }
       (f"fz$i%03d", sql)
     }
   }
 
+  // ---- QueryService-path fuzz (r12 verdict task 1) -----------------------
+  //
+  // The plain mode above executes `spark.sql` + the analyzed-stage
+  // grouping-sets rewrite directly. A real user's SQL traverses MORE:
+  // QueryGuard → QualifyRewriter → StarRewriter → NameRewriter (three-part
+  // `domain.layer.table` names) → 10k truncation — string-level rewriters,
+  // which is exactly where silent result-changing bugs live (keywords
+  // inside literals, nested QUALIFY, three-part names in odd positions).
+  // Service mode registers the fixture tables under `fuzz.silver.<t>`,
+  // rewrites every generated query's RELATION references to those
+  // three-part names, and runs it through QueryService itself; the oracle
+  // JSON keeps the PLAIN text, which DuckDB executes natively.
+
+  private val relRef =
+    ("(?i)\\b(FROM|JOIN)\\s+(" + tabs.map(_.name).mkString("|") + ")\\b").r
+
+  /** Relation references → `fuzz.silver.<table>` (column qualifiers stay
+    * table-named, which Spark resolves against the catalog relation). */
+  def toServiceNames(sql: String): String =
+    relRef.replaceAllIn(sql, m => scala.util.matching.Regex.quoteReplacement(
+      s"${m.group(1)} fuzz.silver.${m.group(2).toLowerCase}"))
+
+  /** Literals whose CONTENT is rewriter bait: QUALIFY/EXCLUDE keywords,
+    * three-part names (including the exact registered ones), ORDER/LIMIT
+    * — all inside quotes, where every rewriter must leave them alone.
+    * (Guard-blocked keywords like `replace` stay out: the reference's
+    * text guard rejects them anywhere, literals included — faithful.) */
+  private val baitLits = Seq(
+    "qualify rn = 1",
+    "* exclude (x) from y",
+    " fuzz.silver.lineitem",
+    "x.silver.y join z",
+    "order by 1 limit 5",
+    "with w as (select 1)")
+
+  private def qSvcKeywordLiterals(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val l1 = pick(r, baitLits); val l2 = pick(r, baitLits)
+    s"SELECT ${t.name}.${t.key} AS k, '$l1' AS lit1, " +
+      s"('$l2' || ${strExpr(r, t, 0)}) AS lit2, ${scalarExpr(r, t)} AS c0 " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)} AND '$l1' <> ''"
+  }
+
+  /** QUALIFY nested in a CTE body or FROM-subquery (plus literals) —
+    * DuckDB takes these natively; the rewriter must find them at depth. */
+  private def qSvcNestedQualify(r: scala.util.Random): String = {
+    val t = pick(r, tabs.filter(x => x.uniqueKey && x.of('i').size >= 2))
+    val g = s"(${t.name}.${pick(r, t.of('i')).name} % ${r.nextInt(5) + 2})"
+    val inner = s"SELECT ${t.name}.${t.key} AS k, CAST($g AS BIGINT) AS g, " +
+      s"CAST(row_number() OVER (PARTITION BY $g " +
+      s"ORDER BY ${t.name}.${t.key}) AS BIGINT) AS rn " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"QUALIFY rn <= ${r.nextInt(3) + 1}"
+    r.nextInt(2) match {
+      case 0 => s"WITH w AS ($inner) SELECT g, CAST(count(*) AS BIGINT) " +
+        s"AS cnt, min(k) AS mk FROM w GROUP BY 1"
+      case _ => s"SELECT x.k AS k, x.g AS g, '${pick(r, baitLits)}' AS lit " +
+        s"FROM ($inner) x WHERE x.rn = 1"
+    }
+  }
+
+  /** Star modifiers at subquery depth with an outer consumer. */
+  private def qSvcStarDeep(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val ts = t.of('t').map(_.name)
+    val ex = (r.shuffle(t.cols.filter(c => c.name != t.key && c.kind != 't'))
+      .take(r.nextInt(2) + 1).map(_.name) ++ ts).distinct
+    val sc = t.of('s').filter(s => !ex.contains(s.name))
+    val rep =
+      if (sc.nonEmpty && r.nextBoolean()) {
+        val col = pick(r, sc).name
+        s" REPLACE (upper($col) AS $col)"
+      } else ""
+    s"SELECT s.* FROM (SELECT * EXCLUDE (${ex.mkString(", ")})$rep " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)}) s " +
+      s"WHERE s.${t.key} % ${r.nextInt(4) + 2} <> 1"
+  }
+
+  /** Aliased three-part relations: after the name rewrite the ALIAS is
+    * the only valid qualifier — a different resolution path from the
+    * table-name-qualified templates. */
+  private def qSvcAliasJoin(r: scala.util.Random): String = {
+    val (lt, fk, rt, pk) = pick(r, fks)
+    val l = tabs.find(_.name == lt).get
+    val rr = tabs.find(_.name == rt).get
+    val li = pick(r, l.of('i')).name
+    val ri = pick(r, rr.of('i')).name
+    s"SELECT a.${l.key} AS k0, b.${rr.key} AS k1, " +
+      s"CAST(a.$li % 13 AS BIGINT) AS c0, " +
+      s"CAST(b.$ri % 7 AS BIGINT) AS c1 " +
+      s"FROM ${l.name} a JOIN ${rr.name} b ON a.$fk = b.$pk " +
+      s"WHERE a.${pick(r, l.of('i')).name} % ${r.nextInt(5) + 2} = 0"
+  }
+
+  /** The service-only batch: rewriter-stressing shapes, seeded like
+    * [[genQueries]] (distinct stream so the two batches don't overlap). */
+  def genServiceExtras(n: Int, seed: Long): Seq[(String, String)] = {
+    val r = new scala.util.Random(seed * 31 + 7)
+    (0 until n).map { i =>
+      val sql = r.nextInt(4) match {
+        case 0 => qSvcKeywordLiterals(r)
+        case 1 => qSvcNestedQualify(r)
+        case 2 => qSvcStarDeep(r)
+        case _ => qSvcAliasJoin(r)
+      }
+      (f"fs$i%03d", sql)
+    }
+  }
+
+  /** Duplicate output aliases (verdict 7): legal in both engines' SELECT
+    * lists but unwritable as parquet, so they are asserted through
+    * QueryService.run alone (columns + row count), not value-compared. */
+  private[graft] val dupAliasProbes = Seq(
+    ("dup0", "SELECT r_regionkey AS c, r_regionkey AS c FROM " +
+      "fuzz.silver.region", 5L, Seq("c", "c")),
+    ("dup1", "SELECT n_nationkey AS x, n_name AS x, " +
+      "CAST(n_regionkey AS BIGINT) AS g FROM fuzz.silver.nation " +
+      "WHERE n_nationkey < 10", 10L, Seq("x", "x", "g")))
+
+  /** Usage: FuzzSql <sfDir> <outDir> [n=300] [seed=20260815]
+    * [mode=plain|service]. Service mode (r12 verdict task 1) drives the
+    * FULL QueryService path with `fuzz.silver.<t>` three-part names. */
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 300
     val seed = if (args.length > 3) args(3).toLong else 20260815L
+    val mode = if (args.length > 4) args(4) else "plain"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -836,8 +1008,59 @@ object FuzzSql {
       .createOrReplaceTempView(t.name))
     new java.io.File(outDir).mkdirs()
     var bad = 0
-    val qs = genQueries(n, seed)
-    qs.foreach { case (name, sql) =>
+    val qs =
+      if (mode == "service") genQueries(n, seed) ++
+        genServiceExtras(math.max(n / 3, 60), seed)
+      else genQueries(n, seed)
+    if (mode == "service") {
+      // a real lake: normalized parquet registered as fuzz.silver.<t>
+      val root = java.nio.file.Files
+        .createTempDirectory("fuzz-lake-").toString
+      val lake = new graft.Lake(spark, root)
+      tabs.foreach { t =>
+        val p = s"$root/silver/fuzz/${t.name}"
+        graft.sources.Tables.load(spark, sfDir, t.name)
+          .write.mode("overwrite").parquet(p)
+        lake.registerTable("fuzz", "silver", t.name, p)
+      }
+      val svc = lake.query
+      qs.foreach { case (name, sql) =>
+        val svcSql = toServiceNames(sql)
+        svc.run(svcSql) match {
+          case Left(err) =>
+            System.err.println(s"[fuzz] $name SERVICE-REJECTED: $err\n  $svcSql")
+            bad += 1
+          case Right(res) => try {
+            // the value-compare dump goes through the SAME rewrite chain
+            // (dataFrame is run()'s plan, minus the take)
+            svc.dataFrame(svcSql).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            val full = spark.read.parquet(s"$outDir/$name").count()
+            val wantRows = math.min(full, svc.MaxResultRows.toLong)
+            if (res.rowCount.toLong != wantRows ||
+                res.truncated != (full > svc.MaxResultRows)) {
+              System.err.println(s"[fuzz] $name TRUNCATION-CONTRACT: " +
+                s"rowCount=${res.rowCount} truncated=${res.truncated} " +
+                s"fullRows=$full\n  $svcSql")
+              bad += 1
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[fuzz] $name FAILED: ${e.getMessage}\n  $svcSql")
+            bad += 1
+          }
+        }
+      }
+      // duplicate output aliases: service-run assertions (no dump)
+      dupAliasProbes.foreach { case (name, sql, wantRows, wantCols) =>
+        svc.run(sql) match {
+          case Right(res)
+            if res.columns == wantCols && res.rowCount.toLong == wantRows =>
+          case other =>
+            System.err.println(s"[fuzz] $name DUP-ALIAS: got $other\n  $sql")
+            bad += 1
+        }
+      }
+    } else qs.foreach { case (name, sql) =>
       // the product pipeline: QUALIFY → star modifiers → guard → Catalyst
       val sql2 = graft.query.StarRewriter.rewrite(
         graft.query.QualifyRewriter.rewrite(sql))

@@ -56,4 +56,31 @@ class FuzzSqlSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"${bad.length} illegal queries, first 3:\n" +
       bad.take(3).mkString("\n"))
   }
+
+  test("service batch: deterministic, relation-rewritten to three-part " +
+      "names, and analyzable through the FULL QueryService rewrite chain") {
+    val extras = FuzzSql.genServiceExtras(60, 20260815L)
+    assert(extras == FuzzSql.genServiceExtras(60, 20260815L))
+    // every fixture relation reference becomes fuzz.silver.<t>, and the
+    // pure name rewrite maps those to fuzz_silver.<t>
+    val qs = (FuzzSql.genQueries(120, 42L) ++ extras).map(_._2)
+    qs.foreach { sql =>
+      val svc = FuzzSql.toServiceNames(sql)
+      val resolved = graft.query.NameRewriter.rewritePure(
+        graft.query.StarRewriter.rewrite(
+          graft.query.QualifyRewriter.rewrite(svc)))
+      assert(!"""(?i)\bFROM\s+fuzz\.silver""".r.findFirstIn(resolved).isDefined,
+        s"three-part name survived the rewrite chain: $svc")
+    }
+    // rewriter bait stays inside its quotes end-to-end
+    val bait = "SELECT ' fuzz.silver.lineitem' AS a, 'qualify rn = 1' AS b, " +
+      "'* exclude (x) from y' AS c FROM region"
+    val through = graft.query.NameRewriter.rewritePure(
+      graft.query.StarRewriter.rewrite(
+        graft.query.QualifyRewriter.rewrite(FuzzSql.toServiceNames(bait))))
+    assert(through.contains("' fuzz.silver.lineitem'") &&
+      through.contains("'qualify rn = 1'") &&
+      through.contains("'* exclude (x) from y'"),
+      s"a rewriter mutated literal content: $through")
+  }
 }

@@ -24,11 +24,45 @@ class QualifySpec extends AnyFunSuite {
     assert(QualifyRewriter.rewrite(
       "SELECT a, rn FROM t QUALIFY rn <= 2 ORDER BY a LIMIT 5") ==
       "SELECT * FROM (SELECT a, rn FROM t) __qualify WHERE rn <= 2 ORDER BY a LIMIT 5")
-    // quoted literal and subquery-depth QUALIFY untouched
+    // quoted literal and identifier-substring occurrences untouched
     assert(QualifyRewriter.rewrite("SELECT 'QUALIFY' AS s FROM t") ==
       "SELECT 'QUALIFY' AS s FROM t")
     assert(QualifyRewriter.rewrite("SELECT * FROM (SELECT 1 AS qualify_x) t") ==
       "SELECT * FROM (SELECT 1 AS qualify_x) t")
+  }
+
+  test("nested QUALIFY rewrites at any depth (r12 verdict task 1: the " +
+      "user-facing path must take the CTE/subquery forms DuckDB takes)") {
+    import QualifyRewriter.rewrite
+    // inside a CTE body
+    assert(rewrite(
+      "WITH w AS (SELECT a, rn FROM t QUALIFY rn = 1) SELECT a FROM w") ==
+      "WITH w AS (SELECT * FROM (SELECT a, rn FROM t) __qualify " +
+        "WHERE rn = 1) SELECT a FROM w")
+    // inside a FROM subquery
+    assert(rewrite(
+      "SELECT x.a FROM (SELECT a, rn FROM t QUALIFY rn <= 2) x") ==
+      "SELECT x.a FROM (SELECT * FROM (SELECT a, rn FROM t) __qualify " +
+        "WHERE rn <= 2) x")
+    // nested AND top-level in one statement; literal stays untouched
+    assert(rewrite("WITH w AS (SELECT a, rn FROM t QUALIFY rn = 1) " +
+      "SELECT a, 'qualify me' AS s, r2 FROM w QUALIFY r2 = 1") ==
+      "SELECT * FROM (WITH w AS (SELECT * FROM (SELECT a, rn FROM t) " +
+        "__qualify WHERE rn = 1) SELECT a, 'qualify me' AS s, r2 FROM w) " +
+        "__qualify WHERE r2 = 1")
+  }
+
+  test("NameRewriter skips three-part names inside quoted literals") {
+    import graft.query.NameRewriter.rewritePure
+    assert(rewritePure("SELECT x FROM sales.silver.orders") ==
+      "SELECT x FROM sales_silver.orders")
+    // the lookbehind already refused '<quote>d.l.t'; the in-quote scan
+    // must also refuse '<quote> d.l.t' (space after the quote)
+    assert(rewritePure("SELECT ' sales.silver.orders' AS s FROM t") ==
+      "SELECT ' sales.silver.orders' AS s FROM t")
+    assert(rewritePure(
+      "SELECT 'see sales.gold.rollup here' AS s FROM sales.silver.orders") ==
+      "SELECT 'see sales.gold.rollup here' AS s FROM sales_silver.orders")
   }
 
   test("QUALIFY runs end-to-end through the query service and gold jobs") {
