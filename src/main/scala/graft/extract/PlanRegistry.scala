@@ -23,18 +23,42 @@ import graft.extract.RestExtract._
   * api-key/basic configs persist inline exactly as the reference's plan
   * dict does.
   */
-final class PlanRegistry(root: String) {
-
-  private val yaml = {
-    val f = new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()
-    new com.fasterxml.jackson.databind.ObjectMapper(f)
-  }
-
+object PlanRegistry {
+  /** The persisted shape (main.py:184-194: plan_name, domain, schedule
+    * tags, the IngestionPlan dict). */
   final case class PlanConfig(
       planName: String,
       domain: String,
       tags: Seq[String] = Nil,
       plan: IngestionPlan = IngestionPlan(""))
+
+  /** Single-run trigger — the engine face of
+    * `POST /ingestion/plans/{name}/run` (main.py:222-240, which starts
+    * the ingestion state machine once): fetch every endpoint of the
+    * stored plan through the injected transport and land the records
+    * in bronze via the lake's ingest service. Returns records per
+    * resource. */
+  def run(lake: graft.Lake, planName: String,
+      fetch: RestExtract.HttpFetcher): Map[String, Int] = {
+    val cfg = lake.plans.get(planName).getOrElse(throw
+      new NoSuchElementException(s"ingestion plan '$planName' not found"))
+    val counts = cfg.plan.endpoints.map { ep =>
+      val recs = RestExtract.fetchEndpointHttp(cfg.plan, ep, fetch)
+      lake.ingest.ingest(cfg.domain, ep.resourceName, recs)
+      ep.resourceName -> recs.size
+    }.toMap
+    lake.ingest.flushAll()
+    counts
+  }
+}
+
+final class PlanRegistry(root: String) {
+  import PlanRegistry.PlanConfig
+
+  private val yaml = {
+    val f = new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()
+    new com.fasterxml.jackson.databind.ObjectMapper(f)
+  }
 
   private def planDir(name: String): Path =
     Paths.get(root, "ingestion_plans", name)

@@ -41,7 +41,7 @@ class PlanRegistrySpec extends AnyFunSuite {
       ("p_hcursor", HeaderCursor("X-Next-Cursor", "cursor"), NoAuth),
       ("p_hlink", HeaderLink, NoAuth))
     shapes.foreach { case (name, pag, auth) =>
-      val v = reg.save(reg.PlanConfig(name, "sales",
+      val v = reg.save(PlanRegistry.PlanConfig(name, "sales",
         Seq("daily", "backfill"), samplePlan(pag, auth)))
       assert(v == 1)
       val got = reg.get(name).get
@@ -59,7 +59,7 @@ class PlanRegistrySpec extends AnyFunSuite {
 
   test("save versions like endpoint schemas; get defaults to latest") {
     val reg = freshRegistry()
-    val p1 = reg.PlanConfig("evolving", "ops", Seq("hourly"),
+    val p1 = PlanRegistry.PlanConfig("evolving", "ops", Seq("hourly"),
       samplePlan(Auto, NoAuth))
     assert(reg.save(p1) == 1)
     val p2 = p1.copy(tags = Seq("daily"),
@@ -77,7 +77,7 @@ class PlanRegistrySpec extends AnyFunSuite {
     val reg = new PlanRegistry(root)
     val secret = OAuth2("https://idp/token", "client-id", "SECRET-VALUE",
       "svc-user", "SECRET-PASSWORD")
-    reg.save(reg.PlanConfig("secure", "sales", Nil,
+    reg.save(PlanRegistry.PlanConfig("secure", "sales", Nil,
       samplePlan(Cursor("c", "cursor"), secret)))
     val raw = Files.readString(java.nio.file.Paths.get(
       root, "ingestion_plans", "secure", "config_v1.yaml"))
@@ -88,5 +88,29 @@ class PlanRegistrySpec extends AnyFunSuite {
     assert(raw.contains("oauth2"), "auth type marker missing")
     // a read returns the marker form, never credentials
     assert(reg.get("secure").get.plan.auth == OAuth2("", "", "", "", ""))
+  }
+
+  test("single-run trigger: a stored plan fetches its endpoints and " +
+      "lands records in bronze (main.py run endpoint)") {
+    val root = Files.createTempDirectory("plan-run-").toString
+    val lake = new Lake(null, root)
+    lake.registry.create(core.EndpointSchema("orders", "sales", 1,
+      core.SchemaMode.Manual, core.SchemaDefinition(Seq(
+        core.ColumnDefinition("id", core.RefType.IntegerT,
+          required = true, primaryKey = true)))))
+    lake.plans.save(PlanRegistry.PlanConfig("sales_api", "sales", Seq("daily"),
+      IngestionPlan("https://api.example.com",
+        pagination = SinglePage,
+        endpoints = Seq(Endpoint("/orders", "orders",
+          primaryKey = Some("id"), dataPath = Some("data"))))))
+    val fetch: HttpFetcher = req =>
+      Response("""{"data": [{"id": 1}, {"id": 2}, {"id": 3}]}""")
+    val counts = PlanRegistry.run(lake, "sales_api", fetch)
+    assert(counts == Map("orders" -> 3))
+    val bronze = java.nio.file.Paths.get(lake.bronzePath("sales", "orders"))
+    assert(graft.core.Fs.nonEmpty(bronze), "no bronze JSONL landed")
+    intercept[NoSuchElementException] {
+      PlanRegistry.run(lake, "absent_plan", fetch)
+    }
   }
 }
