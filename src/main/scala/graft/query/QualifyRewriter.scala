@@ -44,8 +44,28 @@ object QualifyRewriter {
       case Some(c) => (rest.substring(0, c).trim, rest.substring(c).trim)
       case None    => (rest.trim, "")
     }
-    s"SELECT * FROM ($body) __qualify WHERE $cond" +
-      (if (tail.nonEmpty) s" $tail" else "")
+    val tailSql = if (tail.nonEmpty) s" $tail" else ""
+    // INLINE window functions in the condition (DuckDB:
+    // `QUALIFY row_number() OVER (...) = 1`, no select-list alias):
+    // a window is illegal in WHERE, so the condition is injected into
+    // the body's select list as a hidden boolean item and filtered one
+    // level up, then dropped via Spark's native `* EXCEPT`. Applies
+    // only to plain (non-DISTINCT) select bodies with a FROM — DuckDB
+    // orders DISTINCT after QUALIFY, which the injection would invert.
+    // Conditions referencing select ALIASES keep the subquery-WHERE
+    // form below (the dialect's `QUALIFY rn = 1` idiom).
+    val fromIdx = topLevelIndex(body, "from")
+    val isDistinct =
+      body.toLowerCase.replaceAll("\\s+", " ").startsWith("select distinct ")
+    if (anyIndex(cond, "over").isDefined && fromIdx.isDefined &&
+        !isDistinct) {
+      val f = fromIdx.get
+      val injected = body.substring(0, f).trim +
+        s", ($cond) AS __qp " + body.substring(f)
+      s"SELECT * EXCEPT (__qp) FROM ($injected) __qualify WHERE __qp" +
+        tailSql
+    } else
+      s"SELECT * FROM ($body) __qualify WHERE $cond" + tailSql
   }
 
   /** Innermost paren group strictly containing `idx`: (openIdx,

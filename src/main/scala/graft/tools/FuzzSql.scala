@@ -231,7 +231,16 @@ object FuzzSql {
     }
     val sel = s"SELECT ${t.name}.${t.key} AS k, CAST($g AS BIGINT) AS g, " +
       s"CAST($fn AS BIGINT) AS rn FROM ${t.name} WHERE ${pred(r, t, 0)}"
-    if (r.nextBoolean()) s"$sel QUALIFY rn <= ${r.nextInt(3) + 1}" else sel
+    r.nextInt(3) match {
+      case 0 => sel
+      case 1 => s"$sel QUALIFY rn <= ${r.nextInt(3) + 1}"
+      case _ => // INLINE window in the condition (no select alias) —
+        // DuckDB evaluates it directly; the rewriter must inject it
+        // into the select list (windows are illegal in WHERE)
+        s"SELECT ${t.name}.${t.key} AS k, CAST($g AS BIGINT) AS g " +
+          s"FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+          s"QUALIFY $fn <= ${r.nextInt(3) + 1}"
+    }
   }
 
   private def qStarModifier(r: scala.util.Random): String = {
@@ -921,9 +930,17 @@ object FuzzSql {
       s"ORDER BY ${t.name}.${t.key}) AS BIGINT) AS rn " +
       s"FROM ${t.name} WHERE ${pred(r, t, 0)} " +
       s"QUALIFY rn <= ${r.nextInt(3) + 1}"
-    r.nextInt(2) match {
+    // inline-window form: no alias, the window lives in the condition
+    val innerInline = s"SELECT ${t.name}.${t.key} AS k, " +
+      s"CAST($g AS BIGINT) AS g " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"QUALIFY rank() OVER (PARTITION BY $g " +
+      s"ORDER BY ${t.name}.${t.key}) <= ${r.nextInt(3) + 1}"
+    r.nextInt(3) match {
       case 0 => s"WITH w AS ($inner) SELECT g, CAST(count(*) AS BIGINT) " +
         s"AS cnt, min(k) AS mk FROM w GROUP BY 1"
+      case 1 => s"WITH w AS ($innerInline) SELECT g, " +
+        s"CAST(count(*) AS BIGINT) AS cnt, min(k) AS mk FROM w GROUP BY 1"
       case _ => s"SELECT x.k AS k, x.g AS g, '${pick(r, baitLits)}' AS lit " +
         s"FROM ($inner) x WHERE x.rn = 1"
     }

@@ -52,6 +52,30 @@ class QualifySpec extends AnyFunSuite {
         "__qualify WHERE r2 = 1")
   }
 
+  test("inline-window QUALIFY (no select alias) injects the condition " +
+      "into the select list — the DuckDB direct form") {
+    import QualifyRewriter.rewrite
+    assert(rewrite("SELECT g, x FROM t QUALIFY row_number() OVER " +
+      "(PARTITION BY g ORDER BY x DESC) = 1") ==
+      "SELECT * EXCEPT (__qp) FROM (SELECT g, x, (row_number() OVER " +
+        "(PARTITION BY g ORDER BY x DESC) = 1) AS __qp FROM t) " +
+        "__qualify WHERE __qp")
+    // end-to-end vs the known DuckDB answer on the same rows
+    spark.sql("SELECT * FROM (VALUES (1,10),(1,20),(2,5)) v(g,x)")
+      .createOrReplaceTempView("qwin")
+    val got = spark.sql(rewrite("SELECT g, x FROM qwin QUALIFY " +
+      "row_number() OVER (PARTITION BY g ORDER BY x DESC) = 1 ORDER BY g"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((1, 20), (2, 5)))
+    assert(spark.sql(rewrite("SELECT g, x FROM qwin QUALIFY rank() OVER " +
+      "(PARTITION BY g ORDER BY x) <= 1 ORDER BY g"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 10), (2, 5)))
+    // alias form unchanged; DISTINCT bodies keep the subquery-WHERE form
+    assert(rewrite("SELECT DISTINCT g FROM t QUALIFY rn = 1") ==
+      "SELECT * FROM (SELECT DISTINCT g FROM t) __qualify WHERE rn = 1")
+  }
+
   test("NameRewriter skips three-part names inside quoted literals") {
     import graft.query.NameRewriter.rewritePure
     assert(rewritePure("SELECT x FROM sales.silver.orders") ==
