@@ -73,6 +73,89 @@ class CrossProcessFenceSpec extends AnyFunSuite {
     graft.silver.Upsert.deleteRecursively(dir)
   }
 
+  test("lock holder killed -9 mid-run: the OS releases the lock, the " +
+      "survivor heals and keeps committing, state stays consistent") {
+    val dir = Files.createTempDirectory("xproc-kill-")
+    val dest = dir.resolve("table")
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+    // a child that would run for a long time — we kill it mid-commit
+    val child = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.tools.FenceRace",
+      dest.toString, "1000000")
+      .redirectErrorStream(true).start()
+    // let it land a few commits so the kill hits a busy protocol
+    val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+    def counter: Long =
+      try Files.readString(dest.resolve("counter")).trim.toLong
+      catch { case _: Exception => -1L }
+    while (counter < 5 && System.nanoTime < deadline) Thread.sleep(5)
+    assert(counter >= 5, "child never got going")
+    child.destroyForcibly()
+    child.waitFor()
+
+    // the survivor must be able to take the file lock (a stuck OS lock
+    // would block here forever → suite timeout), heal whatever the kill
+    // left (missing dest between renames, orphan .old/.tmp/.live), and
+    // commit. The invariant gen == counter (each fenced commit bumps
+    // both atomically) proves the killed writer tore nothing.
+    val rejected = FenceRace.race(dest, commits = 25,
+      maxAttempts = 25 * 1000)
+    val finalCounter = counter
+    assert(Fence.generation(dest) == finalCounter,
+      s"generation ${Fence.generation(dest)} != counter $finalCounter " +
+        "after kill -9 recovery — a commit tore")
+    assert(finalCounter >= 25 + 5)
+    info(s"survivor committed 25 (rejected $rejected attempts), " +
+      s"final counter $finalCounter")
+    // a stage marker orphaned by the kill ages out: with grace 0 the
+    // next heal sweeps any leftover .live-/.tmp- siblings
+    sys.props.put("graft.fence.staleStageMs", "0")
+    try graft.silver.Upsert.healSwap(dest)
+    finally sys.props.remove("graft.fence.staleStageMs")
+    val strays = graft.core.Fs.children(dir)
+      .map(_.getFileName.toString)
+      .filter(n => n.contains(".tmp-") || n.contains(".live-") ||
+        n.contains(".old-"))
+    assert(strays.isEmpty, s"kill leftovers survived the stale heal: $strays")
+    graft.silver.Upsert.deleteRecursively(dir)
+  }
+
+  test("chaos: kill -9 a concurrent writer WHILE the survivor races — " +
+      "a waiter blocked on the dead holder's lock must unblock") {
+    val dir = Files.createTempDirectory("xproc-chaos-")
+    val dest = dir.resolve("table")
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+    FenceRace.race(dest, commits = 3, maxAttempts = 3000) // seed
+    def counter: Long =
+      Files.readString(dest.resolve("counter")).trim.toLong
+    (1 to 3).foreach { round =>
+      val child = new ProcessBuilder(
+        javaBin, "-cp", cp, "graft.tools.FenceRace",
+        dest.toString, "1000000")
+        .redirectErrorStream(true).start()
+      // kill at a different phase each round, while the parent below is
+      // mid-race: if the child dies holding the OS lock, the parent is
+      // the blocked waiter that must unblock
+      val killer = new Thread(() => {
+        Thread.sleep(150L + round * 211L)
+        child.destroyForcibly(): Unit
+      })
+      killer.start()
+      val before = counter
+      FenceRace.race(dest, commits = 30, maxAttempts = 300000)
+      killer.join(); child.waitFor()
+      graft.silver.Upsert.healSwap(dest)
+      val after = counter
+      assert(Fence.generation(dest) == after,
+        s"round $round: generation != counter after mid-race kill")
+      assert(after >= before + 30,
+        s"round $round: survivor's commits went missing")
+    }
+    graft.silver.Upsert.deleteRecursively(dir)
+  }
+
   test("file lock is reentrant within the owning section and the stage " +
       "marker protects a foreign live stage from heals") {
     val dir = Files.createTempDirectory("xproc-marker-")
