@@ -836,12 +836,37 @@ object FuzzSql {
     }
   }
 
+  /** GROUP BY ALL (both engines: group by every non-aggregated select
+    * item) — the grouping list is implicit, so a rewriter/analyzer slip
+    * that reorders or injects select items would silently change it. */
+  private def qGroupByAll(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    s"SELECT ${strExpr(r, t, 1)} AS g0, " +
+      s"CAST(${intExpr(r, t, 1)} % ${r.nextInt(7) + 2} AS BIGINT) AS g1, " +
+      s"CAST(count(*) AS BIGINT) AS cnt, ${aggExpr(r, t)} AS a0 " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)} GROUP BY ALL"
+  }
+
+  /** Inline VALUES table joined against a fixture — both engines take
+    * `(VALUES ...) AS v(cols)` as a FROM relation. */
+  private def qValuesJoin(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val m = r.nextInt(3) + 3
+    val vals = (0 until m).map(i =>
+      s"($i, '${pick(r, strLitPool)}')").mkString(", ")
+    s"SELECT v.a AS a, v.b AS b, CAST(count(*) AS BIGINT) AS cnt, " +
+      s"min(${t.name}.${t.key}) AS mk " +
+      s"FROM ${t.name} JOIN (VALUES $vals) AS v(a, b) " +
+      s"ON ${intExpr(r, t, 0)} % $m = v.a " +
+      s"WHERE ${pred(r, t, 0)} GROUP BY 1, 2"
+  }
+
   /** The full seeded batch — pure function of (n, seed), so a recorded
     * run is reproducible bit-for-bit and the spec can pin determinism. */
   def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(33) match {
+      val sql = r.nextInt(35) match {
         case 0 | 1 => qFilterProject(r)
         case 2 | 3 => qGroupAgg(r)
         case 4 | 5 => qJoin(r)
@@ -871,7 +896,9 @@ object FuzzSql {
         case 29    => qOrderByExpr(r)
         case 30    => qScalarSubOverGrouped(r)
         case 31    => qUnionInSub(r)
-        case _     => qLateral(r)
+        case 32    => qLateral(r)
+        case 33    => qGroupByAll(r)
+        case _     => qValuesJoin(r)
       }
       (f"fz$i%03d", sql)
     }
