@@ -700,6 +700,31 @@ object Relational {
                  REPLACE (CAST(o_orderdate AS DATE) AS o_orderdate)
         FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""")),
 
+    // ---- dialect: INLINE-window QUALIFY (DuckDB's aliasless form;
+    //      analyzer.py:38-39 advertises QUALIFY without constraining it
+    //      to alias conditions). The rewriter injects the condition
+    //      into the select list — windows are illegal in WHERE — and
+    //      drops it one level up; the oracle runs the original text. --
+    "q191_qualify_inline" -> QueryDef(
+      build = (spark, dir) => {
+        t(spark, dir, "orders").createOrReplaceTempView("orders")
+        val duckSql = """
+          SELECT o_custkey, o_orderkey,
+                 CAST(o_orderdate AS DATE) AS od
+          FROM orders
+          QUALIFY row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+          ORDER BY o_custkey"""
+        spark.sql(graft.query.QualifyRewriter.rewrite(duckSql))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS od
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        ORDER BY o_custkey""")),
+
     // ---- §2.4 note: approx sketches exposed (no oracle — HLL sketches
     //      differ across engines by construction; accuracy bound is
     //      asserted in RelationalSpec instead) --------------------------
