@@ -80,6 +80,110 @@ object BucketedState {
       }
       .groupBy(_._1).map { case (b, kvs) => b -> kvs.map(_._2).toSeq }
 
+  // ------------------------------------------------------------------
+  // Touched-bucket staged writes (r13 verdict task 1): the staged write
+  // used to repartition the merged frame to the FULL bucket count, so a
+  // one-bucket merge on a 4096-bucket store paid ~4096 write tasks per
+  // batch (almost all empty) — per-merge BYTES were flat across the
+  // r13 ladder but WALL grew 0.9→17.5 s with the cap. The staged frame
+  // is now shuffled to |touched| partitions, placed EXACTLY (partition
+  // r = rank-r touched bucket) via probe ints, and the staged files are
+  // renamed so their part index is the bucket id the store's filename
+  // law expects. Wall is then O(touched), matching the bytes law.
+  // ------------------------------------------------------------------
+
+  /** For each rank r in [0, n), an int probe j with
+    * pmod(murmur3(j), n) == r. Spark's `repartition(n, expr)` is
+    * HashPartitioning: partition = pmod(Murmur3Hash(expr, seed=42), n)
+    * — the exact law `functions.hash` exposes and
+    * `Murmur3_x86_32.hashInt` computes for an int column — so shuffling
+    * on a probe column places rank r's rows in partition r exactly.
+    * Coupon-collector search (~n·ln n hashInt calls, ≤4096 ranks);
+    * cached per n. Pinned against Spark's own placement in
+    * SilverBucketedSpec. */
+  private val probeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Int]]
+
+  private[graft] def partitionProbes(n: Int): Array[Int] =
+    probeCache.getOrElseUpdate(n, {
+      val probes = new Array[Int](n)
+      val found = new Array[Boolean](n)
+      var remaining = n
+      var j = 0
+      while (remaining > 0) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(j, 42)
+        val r = ((h % n) + n) % n
+        if (!found(r)) { found(r) = true; probes(r) = j; remaining -= 1 }
+        j += 1
+      }
+      probes
+    })
+
+  /** Stage ONLY the touched buckets of `merged` into `dir`: |touched|
+    * write tasks (not the full bucket count), rank r's partition holding
+    * exactly bucket touchedSorted(r), then each staged file renamed so
+    * its part index IS the bucket id. A merged row hashing OUTSIDE the
+    * touched set fails the write loudly (`assert_true` inside the
+    * shuffle key — the repartition/hash-law guard, evaluated where the
+    * old staged-file sweep checked filenames); a rank file with zero
+    * rows (SPARK-21435's partition-0 artifact, or a bucket the fold
+    * emptied) is dropped — an empty bucket holds no file. */
+  private[graft] def writeTouchedBuckets(merged: DataFrame, dir: Path,
+      keyCols: Seq[String], numBuckets: Int, touched: Set[Int]): Unit = {
+    import org.apache.spark.sql.functions.{assert_true, concat, element_at,
+      lit, typedLit, when}
+    val touchedSorted = touched.toSeq.sorted
+    val n = touchedSorted.size
+    val probes = partitionProbes(n)
+    val bucketToProbe = Array.fill(numBuckets)(-1)
+    touchedSorted.zipWithIndex.foreach { case (b, r) =>
+      bucketToProbe(b) = probes(r) }
+    val bucketOf =
+      pmod(hash(keyCols.map(col): _*), lit(numBuckets)).cast("int")
+    val probe = element_at(typedLit(bucketToProbe.toSeq), bucketOf + lit(1))
+    // the guard is a FILTER, not part of the shuffle key: a 1-bucket
+    // merge plans `Exchange SinglePartition`, which never evaluates the
+    // partitioning expression at all. assert_true returns NULL when the
+    // predicate holds (so the filter keeps every row) and kills the
+    // task otherwise — evaluated per row wherever the plan runs it.
+    val guarded = merged.filter(
+      assert_true(probe >= 0,
+        concat(lit("staged row escaped the touched buckets "),
+          lit(touchedSorted.mkString("{", ",", "}")), lit(" (bucket "),
+          bucketOf.cast("string"),
+          lit(") — repartition/hash law mismatch"))).isNull)
+    guarded.repartition(n, probe)
+      .write.mode("errorifexists").parquet(dir.toString)
+    // DESCENDING rank order: one write job shares one uuid across its
+    // files, so rank r's target name `part-<bucket>` can collide with
+    // rank `bucket`'s not-yet-renamed file — but touchedSorted is
+    // strictly increasing, hence bucket ≥ rank, and processing high
+    // ranks first vacates every target slot before a lower rank claims
+    // it (bucket == rank needs no rename at all)
+    bucketFiles(dir.toString).toSeq.sortBy(-_._1).foreach { case (rank, ps) =>
+      require(rank < n,
+        s"staged file with part index $rank beyond $n rank partitions")
+      val bucket = touchedSorted(rank)
+      ps.foreach { p =>
+        val name = p.getFileName.toString
+        // Hadoop's ChecksumFileSystem keeps a `.<name>.crc` sidecar —
+        // it must travel with (or die with) its data file, or the next
+        // read fails with a ChecksumException against the wrong file's
+        // checksum
+        val crc = dir.resolve("." + name + ".crc")
+        if (parquetRowCount(p) == 0L) {
+          Files.delete(p); Files.deleteIfExists(crc)
+        } else if (bucket != rank) {
+          val digits = name.drop(5).takeWhile(_.isDigit) // after "part-"
+          val rest = name.drop(5 + digits.length)
+          Files.move(p, dir.resolve(f"part-$bucket%05d$rest"))
+          if (Files.exists(crc))
+            Files.move(crc, dir.resolve(f".part-$bucket%05d$rest.crc"))
+        }
+      }
+    }
+  }
+
   /** Fold `delta` into the bucketed state at `statePath`, touching only
     * the delta's key-hash buckets. `mergeTouched(stateSlice, delta)`
     * produces the touched buckets' NEW content — `stateSlice` is None
@@ -159,23 +263,14 @@ object BucketedState {
     // hard link per untouched bucket file, then ONE atomic swap
     val tmp = Paths.get(statePath + ".tmp-" + System.nanoTime())
     graft.core.Fence.withStage(tmp) {
-      merged.repartition(numBuckets, keyCols.map(col): _*)
-        .write.mode("overwrite").parquet(tmp.toString)
-      if (!legacy) {
-        // partition 0 always writes a schema-preserving file even when
-        // it holds no rows (SPARK-21435; other empty partitions write
-        // none): a zero-row escapee is that artifact — drop it. A
-        // NON-empty file outside the touched set is a hash-law
-        // violation and must fail.
-        bucketFiles(tmp.toString).foreach { case (b, ps) =>
-          if (!touched(b)) ps.foreach { p =>
-            require(parquetRowCount(p) == 0L,
-              s"staged state bucket $b escaped the touched set $touched " +
-                s"with data rows — repartition/hash law mismatch")
-            Files.delete(p)
-          }
-        }
-      }
+      if (legacy)
+        // one-time upgrade writes the FULL state: every bucket is live,
+        // so the full-count repartition is the honest cost here
+        merged.repartition(numBuckets, keyCols.map(col): _*)
+          .write.mode("overwrite").parquet(tmp.toString)
+      else
+        // O(touched) write tasks — the r13 ladder's wall fix
+        writeTouchedBuckets(merged, tmp, keyCols, numBuckets, touched)
       // carry + swap under the monitor AND the cross-process file
       // lock, AFTER the fence check: the link sources are `existing`'s
       // files, which a CONCURRENT writer's swap would retire (delete)

@@ -258,19 +258,11 @@ object Snapshots {
           "being prepared — commit rejected; re-read and retry")
     }
     committed(table, next) { nextDir =>
-      merged.repartition(numBuckets,
-          keys.map(org.apache.spark.sql.functions.col): _*)
-        .write.mode("errorifexists").parquet(nextDir.toString)
-      // staged-file containment (partition 0's zero-row schema file is
-      // the SPARK-21435 artifact — drop it; data rows outside the
-      // touched set are a hash-law violation and must fail)
-      bucketFilesIn(nextDir).foreach { case (b, ps) =>
-        if (!touched(b)) ps.foreach { p =>
-          require(BucketedState.parquetRowCount(p) == 0L,
-            s"staged snapshot bucket $b escaped the touched set $touched")
-          Files.delete(p)
-        }
-      }
+      // |touched| write tasks, staged files named by bucket id, escapees
+      // fail in-task, emptied buckets drop their file (r13 verdict
+      // task 1 — same wall law as the state-store fold)
+      BucketedState.writeTouchedBuckets(merged, nextDir, keys,
+        numBuckets, touched)
       prevFiles.foreach { case (b, ps) =>
         if (!touched(b)) ps.foreach(p =>
           graft.core.Fs.linkOrCopy(p, nextDir.resolve(p.getFileName)))

@@ -177,6 +177,79 @@ class SilverBucketedSpec extends AnyFunSuite {
       "a smaller requested count must not shrink the live store")
   }
 
+  test("partition probes reproduce Spark's own shuffle placement (the " +
+      "law writeTouchedBuckets stakes the staged filenames on)") {
+    import spark.implicits._
+    for (n <- Seq(1, 2, 3, 7, 32, 101)) {
+      val probes = BucketedState.partitionProbes(n)
+      val placed = probes.toSeq.zipWithIndex.toDF("probe", "rank")
+        .repartition(n, col("probe"))
+        .select(spark_partition_id().as("pid"), col("rank"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1))
+      placed.foreach { case (pid, rank) =>
+        assert(pid == rank,
+          s"n=$n: probe for rank $rank landed in partition $pid — " +
+            "HashPartitioning law drifted from Murmur3_x86_32.hashInt")
+      }
+    }
+  }
+
+  test("staged write runs |touched| tasks, names files by bucket id, " +
+      "and a row escaping the touched set fails loud") {
+    import spark.implicits._
+    val path = tmpTable()
+    val base = (1L to 500L).map(i => (i, s"base-$i")).toDF("id", "v")
+    Upsert.writeMerged(base, path, Seq("id"))
+    // count the write-stage tasks of a narrow fold: must be |touched|,
+    // not the 32-bucket cap (the r13 ladder's wall law)
+    val batch = Seq((1L, "n1"), (2L, "n2")).toDF("id", "v")
+    val touched = batch
+      .select(pmod(hash(col("id")), lit(32)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val maxTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null && m.outputMetrics.bytesWritten > 0)
+          maxTasks.getAndUpdate(math.max(_, sc.stageInfo.numTasks))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Upsert.writeMerged(batch, path, Seq("id"))
+      var prev = -1
+      val deadline = System.nanoTime() + 10000000000L
+      while (prev != maxTasks.get() && System.nanoTime() < deadline) {
+        prev = maxTasks.get(); Thread.sleep(200)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(maxTasks.get() == touched.size,
+      s"write stage ran ${maxTasks.get()} tasks for ${touched.size} " +
+        "touched buckets — the staged write is not touched-scoped")
+    // staged files carry the BUCKET id in their name (the store law)
+    val after = fileNames(path)
+    assert(touched.forall(after.contains), s"missing bucket files: $after")
+    val got = idsOf(spark.read.parquet(path))
+    assert(got.size == 500 && got(1L) == "n1" && got(2L) == "n2" &&
+      got(3L) == "base-3")
+    // escapee: a mergeTouched that injects a key OUTSIDE the probed
+    // touched set must fail the write, not silently mislabel the row
+    val gen = graft.core.Fence.generation(java.nio.file.Paths.get(path))
+    val e = intercept[Exception] {
+      BucketedState.fold(spark, path, Seq((1L, "x")).toDF("id", "v"),
+        Seq("id"), 32, expectedGen = Some(gen)) { (_, delta) =>
+        delta.unionByName(Seq((999999L, "escapee")).toDF("id", "v"))
+      }
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("escaped the touched buckets")),
+      s"escapee did not fail with the hash-law guard: $e")
+  }
+
   test("silver e2e: a narrow batch's upsert reads less than HALF the " +
       "store (bytes-read budget on the DEFAULT silver path)") {
     val root = Files.createTempDirectory("graft-silver-io-").toString
