@@ -10,6 +10,52 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 final class ConcurrentWriteException(msg: String)
   extends RuntimeException(msg)
 
+/** The cross-process commit-exclusion seam (r13 verdict task 8): how a
+  * writer gets the exclusive lease under which it runs its
+  * check-generation-and-swap. The local-FS default is an OS
+  * `FileChannel` lock on a `<dir>.lock` sibling; an object-store
+  * deployment substitutes the store's own conditional-put/CAS lease
+  * (S3 If-Match, GCS generation preconditions) by installing another
+  * guard — the fence protocol above it is unchanged. Implementations
+  * must BLOCK until the current holder (in any process) releases. */
+trait CommitGuard {
+  /** Acquire the exclusive lease for `key` (a canonicalized store
+    * path); returns the release action. */
+  def acquire(key: String): () => Unit
+}
+
+/** Default guard: OS-level `FileChannel` lock on `<key>.lock`. The lock
+  * file is a SIBLING (the dir itself is renamed away mid-swap) and is
+  * never deleted: unlinking a lock file another process holds silently
+  * splits the lock on POSIX. */
+object FileLockGuard extends CommitGuard {
+  def acquire(key: String): () => Unit = {
+    val lockPath = Paths.get(key + ".lock")
+    Option(lockPath.getParent).foreach(Files.createDirectories(_))
+    val ch = FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val l = ch.lock() // blocks until any other PROCESS releases
+      () => try l.release() finally ch.close()
+    } catch { case e: Throwable => ch.close(); throw e }
+  }
+}
+
+/** In-memory guard with CAS-lease semantics, for specs that prove the
+  * seam: the same serialize-or-reject behavior the FileChannel guard
+  * gives, minus the filesystem — what an object-store conditional-put
+  * backend looks like to the fence. Driven by the FencingSpec races. */
+object InMemoryCasGuard extends CommitGuard {
+  private val leases = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.locks.ReentrantLock]
+  def acquire(key: String): () => Unit = {
+    val l = leases.getOrElseUpdate(key,
+      new java.util.concurrent.locks.ReentrantLock())
+    l.lock()
+    () => l.unlock()
+  }
+}
+
 /** Writer-writer fencing for the swapped stores (r11 verdict task 2;
   * cross-process since r13).
   *
@@ -76,31 +122,55 @@ object Fence {
   // fold's carry wrapping atomicSwap — reuse the held lock).
   // ------------------------------------------------------------------
 
-  private val heldLocks = scala.collection.concurrent.TrieMap
-    .empty[String, (FileChannel, java.nio.channels.FileLock, Int)]
+  /** The installed [[CommitGuard]] — [[FileLockGuard]] by default;
+    * specs (and object-store deployments) install their own. */
+  @volatile private[graft] var commitGuard: CommitGuard = FileLockGuard
 
-  /** Run `body` holding an exclusive OS lock on `<dir>.lock` (a sibling
-    * — the dir itself is renamed away mid-swap, so the lock must live
-    * outside it). The lock file is never deleted: unlinking a lock file
-    * another process holds silently splits the lock on POSIX. */
+  private val heldLocks = scala.collection.concurrent.TrieMap
+    .empty[String, (() => Unit, Thread, Int)]
+
+  /** The lease key for `dir`: real-pathed so two symlink aliases of one
+    * store converge on ONE lock (r13 advisor — `normalize` alone keeps
+    * aliased paths on independent locks). The dir itself may not exist
+    * yet (bootstrap) or be renamed away mid-swap, so fall back to the
+    * real-pathed PARENT + leaf name, then to the normalized path. */
+  private[graft] def lockKey(dir: Path): String = {
+    val abs = dir.toAbsolutePath.normalize
+    try {
+      if (Files.exists(abs)) abs.toRealPath().toString
+      else {
+        val parent = abs.getParent
+        if (parent != null && Files.exists(parent))
+          parent.toRealPath().resolve(abs.getFileName).toString
+        else abs.toString
+      }
+    } catch { case _: java.io.IOException => abs.toString }
+  }
+
+  /** Run `body` holding the exclusive cross-process lease for `dir`
+    * (the installed [[CommitGuard]]; OS file lock by default).
+    * Reentrant for the OWNING thread only: callers MUST already hold
+    * `withMonitor(dir)`, and a second thread reaching the held lease
+    * (i.e. a caller that skipped the monitor) fails loud instead of
+    * silently sharing the critical section (r13 advisor). */
   def withFileLock[T](dir: Path)(body: => T): T = {
-    val key = canonical(dir)
+    val key = lockKey(dir)
     heldLocks.get(key) match {
-      case Some((ch, l, n)) => // reentrant: the monitor made us the owner
-        heldLocks.put(key, (ch, l, n + 1))
+      case Some((release, owner, n)) =>
+        if (owner ne Thread.currentThread())
+          throw new IllegalStateException(
+            s"withFileLock($dir) entered by thread " +
+              s"'${Thread.currentThread().getName}' while '${owner.getName}' " +
+              "holds the lease — the caller skipped withMonitor(dir), " +
+              "which makes the reentrant branch a no-exclusion hole")
+        heldLocks.put(key, (release, owner, n + 1))
         try body
-        finally heldLocks.put(key, (ch, l, n))
+        finally heldLocks.put(key, (release, owner, n))
       case None =>
-        val lockPath = Paths.get(dir.toAbsolutePath.normalize.toString + ".lock")
-        Option(lockPath.getParent).foreach(Files.createDirectories(_))
-        val ch = FileChannel.open(lockPath,
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-        try {
-          val l = ch.lock() // blocks until any other PROCESS releases
-          heldLocks.put(key, (ch, l, 1))
-          try body
-          finally { heldLocks.remove(key); l.release() }
-        } finally ch.close()
+        val release = commitGuard.acquire(key)
+        heldLocks.put(key, (release, Thread.currentThread(), 1))
+        try body
+        finally { heldLocks.remove(key); release() }
     }
   }
 
@@ -180,16 +250,68 @@ object Fence {
       Files.exists(m) && markerFresh(m)
     }
 
-  /** True for an orphaned on-disk `.live-` marker (stale, or from a
-    * process that died) — healSwap sweeps these with their stage. */
-  private[graft] def isStaleMarker(m: Path): Boolean = !markerFresh(m)
+  /** The staging dir a `.live-` marker belongs to (inverse of
+    * [[stageMarker]]). A marker whose stage is GONE is an orphan —
+    * that, not mere age, is what healSwap sweeps on: a long-running
+    * stage's marker is kept fresh by [[withHeartbeat]], and its stage
+    * sweep (which clears the marker with it) is the aging path. */
+  private[graft] def stageFor(m: Path): Path = {
+    val n = m.getFileName.toString
+    val s = if (n.contains(".live-")) n.replaceFirst("""\.live-""", ".tmp-")
+      else n.stripSuffix(".live")
+    m.resolveSibling(s)
+  }
 
   private[graft] def clearStageMarker(p: Path): Unit =
     Files.deleteIfExists(stageMarker(p))
 
+  // single shared daemon thread: touching a file every few minutes per
+  // in-flight stage is not worth a pool
+  private lazy val heartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-fence-heartbeat")
+      t.setDaemon(true); t
+    })
+
+  /** Keep `file`'s mtime fresh (every staleStageMs/3) while `body`
+    * runs, so a stage or snapshot claim that legitimately outlives the
+    * grace window — a multi-minute commit on a big store — is never
+    * mistaken for a crash leftover by another process's heal (r13
+    * advisor: markers were written once at stage start). Skipped when
+    * the window is test-tiny: a sub-second grace means the test WANTS
+    * immediate sweeps. A vanished file is NOT resurrected by the
+    * heartbeat — the owner's own swap-time check decides. */
+  private[graft] def withHeartbeat[T](file: Path)(body: => T): T = {
+    val period = staleStageMs / 3
+    if (period < 300) body
+    else {
+      val task = heartbeats.scheduleAtFixedRate(() => {
+        try {
+          if (Files.exists(file))
+            Files.setLastModifiedTime(file, java.nio.file.attribute
+              .FileTime.fromMillis(System.currentTimeMillis))
+        } catch { case _: java.io.IOException => () }
+      }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      try body finally task.cancel(false)
+    }
+  }
+
+  /** The owner-side complement of the heartbeat: called under the swap
+    * lock before installing a staged dir. If OUR stage's on-disk marker
+    * is gone, another process's heal judged the stage dead and may have
+    * deleted (then partially recreated, via late tasks) the staging dir
+    * — installing it would be silent data loss, the exact failure the
+    * markers guard against. Reject instead; the batch replays. */
+  private[graft] def assertStageIntact(p: Path): Unit =
+    if (liveStages.contains(canonical(p)) && !Files.exists(stageMarker(p)))
+      throw new ConcurrentWriteException(
+        s"staged dir $p lost its liveness marker — another process's " +
+          "heal swept this stage mid-write, so its content cannot be " +
+          "trusted; swap rejected, re-stage and retry")
+
   /** Run `body` with `p` registered as a live staging dir (in-memory +
-    * on-disk marker; both cleared on ANY in-process exit, so injected
-    * crashes still sweep immediately). */
+    * on-disk marker, heartbeat-refreshed; all cleared on ANY in-process
+    * exit, so injected crashes still sweep immediately). */
   private[graft] def withStage[T](p: Path)(body: => T): T = {
     val key = canonical(p)
     liveStages.put(key, ())
@@ -197,7 +319,7 @@ object Fence {
     try {
       Option(marker.getParent).foreach(Files.createDirectories(_))
       Files.writeString(marker, java.lang.Long.toString(System.currentTimeMillis))
-      body
+      withHeartbeat(marker)(body)
     } finally {
       liveStages.remove(key)
       Files.deleteIfExists(marker)

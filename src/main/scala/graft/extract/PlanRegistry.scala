@@ -50,6 +50,34 @@ object PlanRegistry {
     lake.ingest.flushAll()
     counts
   }
+
+  final case class ScheduledRun(planName: String, status: String,
+      counts: Map[String, Int], error: Option[String] = None)
+
+  /** Scheduled ingestion sweep (r13 verdict task 5) — the engine face
+    * of the reference's EventBridge cron on the ingestion state machine
+    * (stack/serverless_data_lake_stack.py:1060-1063), mirroring
+    * [[graft.gold.GoldRunner.runScheduled]]'s tag selection: run every
+    * stored plan carrying `tag`, each in ISOLATION (the reference's
+    * per-pipeline state-machine runs are independent — one failing
+    * endpoint must not kill the sweep), and record a `last_execution`
+    * status file per plan, the gold-job discipline applied to
+    * ingestion. */
+  def runScheduled(lake: graft.Lake, tag: String,
+      fetch: RestExtract.HttpFetcher): Seq[ScheduledRun] =
+    lake.plans.list().flatMap { name =>
+      lake.plans.get(name).filter(_.tags.contains(tag)).map { cfg =>
+        val res =
+          try ScheduledRun(cfg.planName, "success", run(lake, name, fetch))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              ScheduledRun(cfg.planName, "failed", Map.empty,
+                Some(Option(e.getMessage).getOrElse(e.toString).take(5000)))
+          }
+        lake.plans.writeStatus(name, res)
+        res
+      }
+    }
 }
 
 final class PlanRegistry(root: String) {
@@ -103,6 +131,28 @@ final class PlanRegistry(root: String) {
     val dir = planDir(name)
     if (!Files.exists(dir)) false
     else { graft.silver.Upsert.deleteRecursively(dir); true }
+  }
+
+  /** `last_execution.yaml` per plan — status, timestamp, per-resource
+    * record counts, error ≤5000 chars (the gold-job status-file shape,
+    * entrypoint.py:465-488, applied to ingestion plans). */
+  def writeStatus(name: String, run: PlanRegistry.ScheduledRun): Unit = {
+    val f = planDir(name).resolve("last_execution.yaml")
+    Files.createDirectories(f.getParent)
+    val n = yaml.createObjectNode()
+    n.put("status", run.status)
+    n.put("timestamp", java.time.Instant.now().toString)
+    val c = n.putObject("records")
+    run.counts.toSeq.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
+    run.error.foreach(e => n.put("error", e))
+    Files.writeString(f,
+      yaml.writerWithDefaultPrettyPrinter().writeValueAsString(n))
+  }
+
+  /** The raw last_execution.yaml text, if the plan has ever run. */
+  def lastExecution(name: String): Option[String] = {
+    val f = planDir(name).resolve("last_execution.yaml")
+    if (Files.exists(f)) Some(Files.readString(f)) else None
   }
 
   // ---- YAML serde (snake_case keys mirroring the reference's dicts) ----

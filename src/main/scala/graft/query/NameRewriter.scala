@@ -26,19 +26,10 @@ object NameRewriter {
   private val threePart: Regex =
     """(?<![a-zA-Z0-9_.'"])([a-z][a-z0-9_]*)\.(bronze|silver|gold)\.([a-z][a-z0-9_]*)""".r
 
-  /** Per-char in-quote flags ('...', "...", `...`). */
-  private def quoteFlags(sql: String): Array[Boolean] = {
-    val in = new Array[Boolean](sql.length)
-    var q: Char = 0
-    var i = 0
-    while (i < sql.length) {
-      val c = sql(i)
-      if (q != 0) { in(i) = true; if (c == q) q = 0 }
-      else if (c == '\'' || c == '"' || c == '`') { q = c; in(i) = true }
-      i += 1
-    }
-    in
-  }
+  /** Per-char in-quote flags — the shared Spark-lexer-faithful scanner
+    * (backslash + doubled-quote escapes; see [[SqlScan]]). */
+  private def quoteFlags(sql: String): Array[Boolean] =
+    SqlScan.quoteFlags(sql)
 
   def rewrite(lake: Lake, sql: String): String = {
     val quoted = quoteFlags(sql)

@@ -34,20 +34,17 @@ object StarRewriter {
 
   private def rewriteOnce(sql: String): Option[String] = {
     val lower = sql.toLowerCase
-    var quote: Char = 0
+    val flags = SqlScan.quoteFlags(sql) // Spark escape rules, backslash incl.
     var lastNonSpace: Char = 0
     var i = 0
     while (i < sql.length) {
       val c = sql(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' | '`' => quote = c; lastNonSpace = c
-        case ch if ch.isWhitespace => // keep lastNonSpace
-        case _ =>
-          if (lastNonSpace == '*' && (startsWord(lower, i, "exclude") ||
-              startsWord(lower, i, "replace")))
-            return Some(foldModifiers(sql, lower, i))
-          lastNonSpace = c
+      if (flags(i)) lastNonSpace = c
+      else if (!c.isWhitespace) {
+        if (lastNonSpace == '*' && (startsWord(lower, i, "exclude") ||
+            startsWord(lower, i, "replace")))
+          return Some(foldModifiers(sql, lower, i))
+        lastNonSpace = c
       }
       i += 1
     }
@@ -93,14 +90,12 @@ object StarRewriter {
   }
 
   private def lastTopLevelAs(s: String): Int = {
-    var depth = 0; var quote: Char = 0; var found = -1
+    var depth = 0; var found = -1
     val lower = s.toLowerCase
+    val flags = SqlScan.quoteFlags(s)
     var i = 0
     while (i < s.length) {
-      val c = s(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' | '`' => quote = c
+      if (!flags(i)) s(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -117,15 +112,15 @@ object StarRewriter {
     var i = from
     while (i < sql.length && sql(i).isWhitespace) i += 1
     if (i < sql.length && sql(i) == '(') {
-      var depth = 0; var quote: Char = 0
+      var depth = 0
+      val flags = SqlScan.quoteFlags(sql)
       val args = Seq.newBuilder[String]
       val item = new StringBuilder
       var j = i
       while (j < sql.length) {
         val c = sql(j)
-        if (quote != 0) { if (c == quote) quote = 0; item.append(c) }
+        if (flags(j)) item.append(c)
         else c match {
-          case '\'' | '"' | '`' => quote = c; item.append(c)
           case '(' =>
             depth += 1; if (depth > 1) item.append(c)
           case ')' =>

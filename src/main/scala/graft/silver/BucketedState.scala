@@ -171,7 +171,11 @@ object BucketedState {
         // read fails with a ChecksumException against the wrong file's
         // checksum
         val crc = dir.resolve("." + name + ".crc")
-        if (parquetRowCount(p) == 0L) {
+        // only partition 0 writes a file when it holds no rows
+        // (SPARK-21435) — every other rank's file is non-empty by
+        // construction, so the footer read is skipped (it was ~10 ms
+        // of driver time PER FILE on an all-buckets merge)
+        if (rank == 0 && parquetRowCount(p) == 0L) {
           Files.delete(p); Files.deleteIfExists(crc)
         } else if (bucket != rank) {
           val digits = name.drop(5).takeWhile(_.isDigit) // after "part-"

@@ -73,9 +73,24 @@ object Snapshots {
       val c = claimFile(table, v)
       Files.exists(c) && claimFresh(c)
     }
-    graft.core.Fs.children(Paths.get(table)).foreach { p =>
+    val children = graft.core.Fs.children(Paths.get(table))
+    // is any commit in flight? movePointer runs UNDER its claim (the
+    // unclaim is the last act of `committed`), so a fresh claim beyond
+    // the pointer means a writer may be between its pointer-tmp write
+    // and the atomic move — sweeping its tmp then would fail that
+    // commit with a raw NoSuchFileException instead of the advertised
+    // rejection (r13 advisor). No live claim = every tmp is a crash
+    // leftover, whatever its age.
+    val commitInFlight = children.exists { p =>
+      p.getFileName.toString match {
+        case claimRe(v) => v.toLong > latest && claimFresh(p)
+        case _ => false
+      }
+    }
+    children.foreach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("_latest.tmp-")) Files.delete(p)
+      if (n.startsWith("_latest.tmp-") &&
+          (!commitInFlight || !claimFresh(p))) Files.delete(p)
       else if (n.matches("_v\\d{6}") && n.drop(2).toLong > latest
           && !liveClaim(n.drop(2).toLong))
         Upsert.deleteRecursively(p)
@@ -111,10 +126,14 @@ object Snapshots {
   private def unclaim(table: String, v: Long): Unit =
     Files.deleteIfExists(claimFile(table, v))
 
-  /** Stage-and-publish with claim bookkeeping and crash cleanup. */
+  /** Stage-and-publish with claim bookkeeping and crash cleanup. The
+    * claim's mtime is heartbeat-refreshed for the duration: a commit
+    * that legitimately outlives the staleness grace (a multi-minute
+    * stage on a big store) must not age into "crashed" and have its
+    * version dir swept by a concurrent claimNext's heal (r13 advisor). */
   private def committed(table: String, next: Long)(stage: Path => Unit): Long = {
     val dir = versionDir(table, next)
-    try {
+    try graft.core.Fence.withHeartbeat(claimFile(table, next)) {
       stage(dir)
       graft.core.CrashPoints.hit("snapshot.staged")
       movePointer(table, next)

@@ -177,6 +177,14 @@ object Upsert {
     // serialize-or-reject contract across processes (r12 verdict task 5)
     graft.core.Fence.withMonitor(dest) {
       graft.core.Fence.withFileLock(dest) {
+        // our own stage must still be live: if another process's heal
+        // swept it (marker gone), the staged content may be a partial
+        // recreation by late tasks — never install it (r13 advisor)
+        try graft.core.Fence.assertStageIntact(src)
+        catch {
+          case e: graft.core.ConcurrentWriteException =>
+            deleteRecursively(src); throw e
+        }
         expectedGen.foreach { g =>
           try graft.core.Fence.check(dest, g)
           catch {
@@ -255,9 +263,13 @@ object Upsert {
       siblings(dest, ".tmp-").filterNot(graft.core.Fence.isLiveStage)
         .foreach(sweepStage)
     }
-    // on-disk liveness markers whose stage is gone (or that aged past
-    // the grace window) are crash leftovers themselves
-    siblings(dest, ".live-").filter(graft.core.Fence.isStaleMarker)
+    // on-disk liveness markers whose stage is GONE are crash leftovers
+    // (a stale marker with a live stage is the .tmp- sweep's job above,
+    // which clears the marker with the stage — sweeping by age alone
+    // here would remove a long-running writer's marker out from under
+    // it, failing its swap spuriously)
+    siblings(dest, ".live-")
+      .filter(m => !Files.exists(graft.core.Fence.stageFor(m)))
       .foreach(m => Files.deleteIfExists(m))
       }
   }

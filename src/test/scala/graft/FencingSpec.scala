@@ -200,4 +200,91 @@ class FencingSpec extends AnyFunSuite {
       "lost update in the catalog-table merge")
     spark.sql(s"DROP TABLE $db.$tbl")
   }
+
+  test("CommitGuard seam: the in-memory CAS-lease guard drives the same " +
+      "writeMerged race with no lost update (object-store drop-in, " +
+      "r13 verdict task 8)") {
+    graft.core.Fence.commitGuard = graft.core.InMemoryCasGuard
+    try {
+      val path = Files.createTempDirectory("fence-cas-")
+        .resolve("t").toString
+      Upsert.writeMerged(df(Seq(0L -> "seed")), path, Seq("id"))
+      val nWriters = 3
+      val perWriter = 3
+      race((0 until nWriters).map { w => () =>
+        (0 until perWriter).foreach { r =>
+          val base = (w * perWriter + r) * 1000 + 1
+          retrying() {
+            Upsert.writeMerged(
+              df((base until base + 10).map(i => i.toLong -> s"w$w")),
+              path, Seq("id"))
+          }
+        }
+      })
+      assert(spark.read.parquet(path).count() ==
+        1 + nWriters * perWriter * 10,
+        "lost update under the in-memory CAS guard")
+    } finally graft.core.Fence.commitGuard = graft.core.FileLockGuard
+  }
+
+  test("withFileLock is reentrant for the OWNING thread only: a thread " +
+      "that skipped the monitor fails loud instead of sharing the " +
+      "critical section (r13 advisor)") {
+    val dir = Files.createTempDirectory("fence-owner-").resolve("t")
+    val inLock = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var intruderError: Throwable = null
+    val holder = new Thread(() =>
+      graft.core.Fence.withMonitor(dir) {
+        graft.core.Fence.withFileLock(dir) {
+          // reentrant on the SAME thread still works
+          graft.core.Fence.withFileLock(dir) { () }
+          inLock.countDown()
+          done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+      })
+    holder.start()
+    assert(inLock.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try intercept[IllegalStateException] {
+      try graft.core.Fence.withFileLock(dir) { () }
+      finally done.countDown()
+    } finally holder.join(30000)
+  }
+
+  test("stage heartbeat keeps the liveness marker fresh, and a swept " +
+      "marker fails the owner's swap instead of installing a partial " +
+      "stage (r13 advisor, medium)") {
+    val prev = sys.props.get("graft.fence.staleStageMs")
+    sys.props("graft.fence.staleStageMs") = "1500" // heartbeat ~500ms
+    try {
+      val dest = Files.createTempDirectory("fence-hb-").resolve("t")
+      val tmp = java.nio.file.Paths.get(dest.toString + ".tmp-1")
+      val marker = java.nio.file.Paths
+        .get(dest.toString + ".live-1")
+      graft.core.Fence.withStage(tmp) {
+        Files.createDirectories(tmp)
+        Files.writeString(tmp.resolve("data"), "x")
+        val t0 = Files.getLastModifiedTime(marker).toMillis
+        Thread.sleep(1300)
+        val t1 = Files.getLastModifiedTime(marker).toMillis
+        assert(t1 > t0,
+          "the stage marker's mtime was never refreshed — a stage " +
+            "longer than the grace window would be swept as a crash " +
+            "leftover")
+        // a foreign heal sweeping OUR marker must fail the swap loudly
+        Files.delete(marker)
+        val e = intercept[ConcurrentWriteException] {
+          Upsert.atomicSwap(tmp, dest)
+        }
+        assert(e.getMessage.contains("lost its liveness marker"))
+        assert(!Files.exists(dest.resolve("data")),
+          "the swept stage was installed anyway")
+      }
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.fence.staleStageMs") = v
+        case None => sys.props.remove("graft.fence.staleStageMs")
+      }
+    }
+  }
 }

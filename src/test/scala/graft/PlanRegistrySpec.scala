@@ -113,4 +113,43 @@ class PlanRegistrySpec extends AnyFunSuite {
       PlanRegistry.run(lake, "absent_plan", fetch)
     }
   }
+
+  test("scheduled runs select plans by tag, isolate failures, and " +
+      "record status files (r13 verdict task 5: the EventBridge-cron " +
+      "analog gold jobs already have)") {
+    val root = Files.createTempDirectory("plan-sched-").toString
+    val lake = new Lake(null, root)
+    lake.registry.create(core.EndpointSchema("orders", "sched",
+      1, core.SchemaMode.Manual, core.SchemaDefinition(Seq(
+        core.ColumnDefinition("id", core.RefType.IntegerT,
+          required = true, primaryKey = true)))))
+    def plan(name: String, tags: Seq[String], path: String) =
+      PlanRegistry.PlanConfig(name, "sched", tags,
+        IngestionPlan("https://api.example.com", pagination = SinglePage,
+          endpoints = Seq(Endpoint(path, "orders",
+            primaryKey = Some("id"), dataPath = Some("data")))))
+    lake.plans.save(plan("good_daily", Seq("daily"), "/ok"))
+    lake.plans.save(plan("bad_daily", Seq("daily"), "/boom"))
+    lake.plans.save(plan("weekly_only", Seq("weekly"), "/ok"))
+    val fetch: HttpFetcher = req =>
+      if (req.url.contains("/boom")) sys.error("upstream 500")
+      else Response("""{"data": [{"id": 1}, {"id": 2}]}""")
+    val runs = PlanRegistry.runScheduled(lake, "daily", fetch)
+    // tag selection: weekly_only not run; list() order is sorted
+    assert(runs.map(_.planName) == Seq("bad_daily", "good_daily"))
+    val byName = runs.map(r => r.planName -> r).toMap
+    // isolation: the failing plan did not kill the sweep
+    assert(byName("good_daily").status == "success" &&
+      byName("good_daily").counts == Map("orders" -> 2))
+    assert(byName("bad_daily").status == "failed" &&
+      byName("bad_daily").error.exists(_.contains("upstream 500")))
+    // status files, the gold-job discipline
+    assert(lake.plans.lastExecution("good_daily")
+      .exists(s => s.contains("success") && s.contains("orders")))
+    assert(lake.plans.lastExecution("bad_daily")
+      .exists(_.contains("failed")))
+    assert(lake.plans.lastExecution("weekly_only").isEmpty)
+    // status files must not pollute the version list
+    assert(lake.plans.listVersions("good_daily") == Seq(1))
+  }
 }

@@ -76,6 +76,82 @@ class QualifySpec extends AnyFunSuite {
       "SELECT * FROM (SELECT DISTINCT g FROM t) __qualify WHERE rn = 1")
   }
 
+  test("inline-window QUALIFY under DISTINCT: window sees pre-distinct " +
+      "rows, DISTINCT re-applies above (DuckDB order, r13 verdict #1)") {
+    import QualifyRewriter.rewrite
+    assert(rewrite("SELECT DISTINCT g, v FROM t QUALIFY row_number() " +
+      "OVER (PARTITION BY g ORDER BY v) = 1") ==
+      "SELECT DISTINCT * EXCEPT (__qp) FROM (SELECT  g, v, (row_number() " +
+        "OVER (PARTITION BY g ORDER BY v) = 1) AS __qp FROM t) " +
+        "__qualify WHERE __qp")
+    // end-to-end vs DuckDB's measured answers on the same rows:
+    // c = (1,5),(1,5),(1,7),(2,9),(2,9) — rn runs over PRE-distinct rows,
+    // so rn=2 keeps the duplicate (1,5) and (2,9), NOT (1,7)
+    spark.sql("SELECT * FROM (VALUES (1,5),(1,5),(1,7),(2,9),(2,9)) " +
+      "v(g, v)").createOrReplaceTempView("qdist")
+    def run(q: String) = spark.sql(rewrite(q)).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    assert(run("SELECT DISTINCT g, v FROM qdist QUALIFY row_number() " +
+      "OVER (PARTITION BY g ORDER BY v) = 1") == Seq((1, 5), (2, 9)))
+    assert(run("SELECT DISTINCT g, v FROM qdist QUALIFY row_number() " +
+      "OVER (PARTITION BY g ORDER BY v) = 2") == Seq((1, 5), (2, 9)))
+  }
+
+  test("QUALIFY after a set operation binds to the LAST branch " +
+      "(DuckDB, measured — r13 advisor: the injected form must not " +
+      "break the union's column count)") {
+    import QualifyRewriter.rewrite
+    assert(rewrite("SELECT x FROM a UNION ALL SELECT x FROM b " +
+      "QUALIFY row_number() OVER (ORDER BY x) = 1") ==
+      "SELECT x FROM a UNION ALL SELECT * EXCEPT (__qp) FROM (SELECT x, " +
+        "(row_number() OVER (ORDER BY x) = 1) AS __qp FROM b) " +
+        "__qualify WHERE __qp")
+    // a star-modifier EXCEPT is NOT a set operation
+    assert(rewrite("SELECT * EXCEPT (b) FROM t QUALIFY rn = 1") ==
+      "SELECT * FROM (SELECT * EXCEPT (b) FROM t) __qualify WHERE rn = 1")
+    // end-to-end vs DuckDB's measured answers: a={1,2,3}, b={10,20};
+    // QUALIFY filters b only — a passes through whole
+    spark.sql("SELECT * FROM (VALUES (1),(2),(3)) v(x)")
+      .createOrReplaceTempView("qua")
+    spark.sql("SELECT * FROM (VALUES (10),(20)) v(x)")
+      .createOrReplaceTempView("qub")
+    def run(q: String) = spark.sql(rewrite(q)).collect()
+      .map(_.getInt(0)).toSeq.sorted
+    assert(run("SELECT x FROM qua UNION ALL SELECT x FROM qub " +
+      "QUALIFY row_number() OVER (ORDER BY x) = 1") == Seq(1, 2, 3, 10))
+    assert(run("SELECT x FROM qua UNION ALL SELECT x FROM qub " +
+      "QUALIFY row_number() OVER (ORDER BY x DESC) <= 2") ==
+      Seq(1, 2, 3, 10, 20))
+    // ORDER BY / LIMIT after the QUALIFY still bind to the whole union
+    assert(spark.sql(rewrite("SELECT x FROM qua UNION ALL SELECT x FROM " +
+      "qub QUALIFY row_number() OVER (ORDER BY x) = 1 ORDER BY x DESC " +
+      "LIMIT 2")).collect().map(_.getInt(0)).toSeq == Seq(10, 3))
+  }
+
+  test("backslash-escaped quotes: rewriters honor Spark's default " +
+      "lexer, never editing inside a literal (r13 verdict #3)") {
+    import graft.query.{NameRewriter, StarRewriter}
+    // one literal under Spark's lexer: 'it\'s d.silver.t' — the old
+    // scanners closed the quote at \' and rewrote the tail
+    val probes = Seq(
+      """SELECT 'it\'s sales.silver.orders' AS s FROM sales.silver.orders""",
+      """SELECT 'a\\' AS s, x FROM sales.silver.orders""",
+      """SELECT 'p\'q QUALIFY rn = 1' AS s FROM t""",
+      """SELECT 'p\'q * EXCLUDE (b)' AS s FROM t""")
+    assert(NameRewriter.rewritePure(probes.head) ==
+      """SELECT 'it\'s sales.silver.orders' AS s FROM sales_silver.orders""")
+    // after '\\' the quote IS closed: the three-part name is real SQL
+    assert(NameRewriter.rewritePure(probes(1)) ==
+      """SELECT 'a\\' AS s, x FROM sales_silver.orders""")
+    assert(QualifyRewriter.rewrite(probes(2)) == probes(2))
+    assert(StarRewriter.rewrite(probes(3)) == probes(3))
+    // and Spark agrees the literal survived: execute the rewritten text
+    val v = spark.sql(NameRewriter.rewritePure(
+      """SELECT 'it\'s x.silver.t' AS s""").replace("x_silver.t", "t"))
+      .head().getString(0)
+    assert(v == "it's x.silver.t")
+  }
+
   test("NameRewriter skips three-part names inside quoted literals") {
     import graft.query.NameRewriter.rewritePure
     assert(rewritePure("SELECT x FROM sales.silver.orders") ==
