@@ -72,11 +72,24 @@ object Quantile {
     val (mn, mx) = (head.getLong(1), head.getLong(2))
     require(BigInt(mx) - BigInt(mn) <= (BigInt(1) << 62),
       s"value domain [$mn, $mx] spans more than 2^62")
-    // per-quantile state: (lo, hi, remaining rank kk)
+    val ranks = qs.map(q => rankOf(q, n))
+    val values = bisectRanks(vdf, mn, mx, ranks)
+    qs.zip(ranks).map { case (q, k) => (q, k, values(k)) }
+    } finally vdf.unpersist()
+  }
+
+  /** The shared bisection core: exact values at the given 1-based ranks
+    * of the persisted long column `vdf("v")` (all ranks ride their own
+    * [lo, hi, k] state through shared per-round histogram passes).
+    * Returns rank → value. */
+  private def bisectRanks(vdf: DataFrame, mn: Long, mx: Long,
+      ranks: Seq[Long]): Map[Long, Long] = {
+    val spark = vdf.sparkSession
+    import spark.implicits._
+    // per-rank state: (lo, hi, remaining rank kk), keyed by rank index
+    val distinct = ranks.distinct
     val state = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
-    qs.zipWithIndex.foreach { case (q, i) =>
-      state(i) = (mn, mx, rankOf(q, n))
-    }
+    distinct.zipWithIndex.foreach { case (k, i) => state(i) = (mn, mx, k) }
     while (state.exists { case (_, (lo, hi, _)) => hi > lo }) {
       val open = state.filter { case (_, (lo, hi, _)) => hi > lo }
       val bounds = open.toSeq.map { case (qi, (lo, hi, _)) =>
@@ -85,8 +98,8 @@ object Quantile {
         (qi, lo, hi, shift)
       }
       val boundsDf = bounds.toDF("qi", "lo", "hi", "shift")
-      // ranges may overlap: a row contributes to every open quantile
-      // whose window contains it (fan-out ≤ |qs|, map-side)
+      // ranges may overlap: a row contributes to every open rank
+      // whose window contains it (fan-out ≤ |ranks|, map-side)
       val hist = vdf.crossJoin(broadcast(boundsDf))
         .where(col("v").between(col("lo"), col("hi")))
         .groupBy(col("qi"),
@@ -113,9 +126,55 @@ object Quantile {
           (newLo, if (shift == 0) newLo else newHi, kk - acc)
       }
     }
-    qs.zipWithIndex.map { case (q, i) =>
-      (q, rankOf(q, n), state(i)._1)
-    }
+    distinct.zipWithIndex.map { case (k, i) => k -> state(i)._1 }.toMap
+  }
+
+  /** NTILE(k) OVER (ORDER BY value) without the single-partition window
+    * (r13 verdict task 6: a global NTILE plans every row through ONE
+    * task — Spark itself warns "No Partition Defined for Window" — fine
+    * at report scale, lethal on a corpus-sized column).
+    *
+    * The k−1 exact NTILE boundary ranks (first n mod k buckets hold
+    * ⌈n/k⌉ rows, the rest ⌊n/k⌋) are solved by the histogram bisection
+    * above — ALL boundaries share each round's histogram pass, so the
+    * total stays ≤ ⌈64/13⌉ + 1 aggregations — and buckets are assigned
+    * with a broadcast range lookup (`size(filter(bounds, b < v)) + 1`):
+    * no global sort, no single-partition exchange, map-only assignment.
+    *
+    * Contract: `value` must be UNIQUE and non-null — with ties across a
+    * boundary NTILE's split is order-dependent (nondeterministic in any
+    * engine), and a tie AT a boundary value would put all tied rows in
+    * the boundary's bucket. Matches NTILE bit-exactly on unique input
+    * (oracle row q192). */
+  def bucketize(df: DataFrame, value: Column, k: Int,
+      as: String = "bucket"): DataFrame = {
+    require(k >= 1, "bucket count must be ≥ 1")
+    if (k == 1) return df.withColumn(as, lit(1))
+    val vdf = df.select(value.cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = vdf.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx")).head()
+      val n = head.getLong(0)
+      require(n > 0, "bucketize needs at least one non-null row")
+      val (mn, mx) = (head.getLong(1), head.getLong(2))
+      require(BigInt(mx) - BigInt(mn) <= (BigInt(1) << 62),
+        s"value domain [$mn, $mx] spans more than 2^62")
+      // cumulative row counts at each bucket's END — rank of the last
+      // row of buckets 1..k-1 (bucket k's end needs no boundary)
+      val big = n / k + 1
+      val small = n / k
+      val r = n % k
+      val cum = (1L until k.toLong)
+        .map(j => if (j <= r) j * big else r * big + (j - r) * small)
+        .filter(c => c >= 1 && c < n)
+      val values = if (cum.isEmpty) Map.empty[Long, Long]
+        else bisectRanks(vdf, mn, mx, cum)
+      val boundVals = cum.map(values).toSeq // ascending (unique input)
+      df.withColumn(as,
+        (size(filter(typedLit(boundVals), b => b < value.cast("long")))
+          + 1).cast("int"))
     } finally vdf.unpersist()
   }
 

@@ -146,6 +146,26 @@ object Statistics {
               FROM orders)
         GROUP BY decile ORDER BY decile""")),
 
+    // ---- Scale-safe NTILE (range bucketing via exact boundaries) --------
+    // q75 is the Catalyst-parity row: a GLOBAL ntile plans a
+    // single-partition window (Spark warns about it in Verify). This row
+    // is the engine's scale path for the same semantics:
+    // Quantile.bucketize solves the k-1 exact boundary ranks by
+    // histogram bisection (≤ ⌈64/13⌉+1 shared passes) and assigns
+    // buckets with a broadcast range lookup — no global sort, no
+    // one-task window. Bit-exact vs NTILE on the unique o_orderkey.
+    "q192_ntile_bucketize" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.Quantile.bucketize(
+            t(spark, dir, "orders"), col("o_orderkey"), 8)
+          .select(col("o_orderkey"),
+            col("bucket").cast(LongType).as("bucket"))
+          .orderBy(col("o_orderkey")),
+      oracle = Some("""
+        SELECT o_orderkey,
+               NTILE(8) OVER (ORDER BY o_orderkey) AS bucket
+        FROM orders ORDER BY o_orderkey""")),
+
     // ---- Lead/lag inter-event gaps --------------------------------------
     // Per-user event cadence: microsecond gaps from LAG over the total
     // (ts, event_id) order; the mean divides an exact int64 gap sum.

@@ -231,9 +231,21 @@ object FuzzSql {
     }
     val sel = s"SELECT ${t.name}.${t.key} AS k, CAST($g AS BIGINT) AS g, " +
       s"CAST($fn AS BIGINT) AS rn FROM ${t.name} WHERE ${pred(r, t, 0)}"
-    r.nextInt(3) match {
+    r.nextInt(4) match {
       case 0 => sel
       case 1 => s"$sel QUALIFY rn <= ${r.nextInt(3) + 1}"
+      case 2 => // DISTINCT body + INLINE window (r14: QUALIFY evaluates
+        // BEFORE DISTINCT — DuckDB order, measured; the rewriter strips
+        // DISTINCT, injects, filters, re-applies DISTINCT above).
+        // rank/dense_rank only: ties pass or fail TOGETHER, so the
+        // filtered set is value-determined even on dup-row tables.
+        val rfn = (if (r.nextBoolean()) "rank" else "dense_rank") +
+          s"() OVER (PARTITION BY $g ORDER BY ${intExpr(r, t, 0)}, " +
+          s"${t.name}.${t.key})"
+        s"SELECT DISTINCT CAST($g AS BIGINT) AS g, " +
+          s"CAST(${intExpr(r, t, 1)} % ${r.nextInt(5) + 2} AS BIGINT) AS c0 " +
+          s"FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+          s"QUALIFY $rfn <= ${r.nextInt(3) + 1}"
       case _ => // INLINE window in the condition (no select alias) —
         // DuckDB evaluates it directly; the rewriter must inject it
         // into the select list (windows are illegal in WHERE)
@@ -836,6 +848,36 @@ object FuzzSql {
     }
   }
 
+  /** INTERSECT / EXCEPT [ALL] hidden inside a CTE body or a derived
+    * table (r13 verdict task 7 — [[qUnionInSub]] nests only UNION), and
+    * the set-op + trailing-QUALIFY shape: the QUALIFY binds to the LAST
+    * branch (DuckDB, measured — the r14 rewriter fix). rank() only in
+    * that arm: ties pass or fail together, so the filtered set stays
+    * value-determined on dup-row tables. */
+  private def qSetOpInSub(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val op = pick(r, Seq("INTERSECT", "EXCEPT", "INTERSECT ALL",
+      "EXCEPT ALL"))
+    val items =
+      if (r.nextBoolean()) s"${t.name}.${t.key} AS k, ${scalarExpr(r, t)} AS c0"
+      else s"${strExpr(r, t, 1)} AS k, CAST(${intExpr(r, t, 1)} % 13 " +
+        s"AS BIGINT) AS c0"
+    val body = s"SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"$op SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)}"
+    r.nextInt(3) match {
+      case 0 => s"WITH w AS ($body) SELECT CAST(count(*) AS BIGINT) " +
+        s"AS cnt, min(c0) AS m, max(k) AS mk FROM w"
+      case 1 => s"SELECT CAST(count(*) AS BIGINT) AS cnt, max(c0) AS m " +
+        s"FROM ($body) u"
+      case _ =>
+        val rfn = s"rank() OVER (ORDER BY ${intExpr(r, t, 0)}, " +
+          s"${t.name}.${t.key})"
+        s"SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+          s"UNION ALL SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+          s"QUALIFY $rfn <= ${r.nextInt(4) + 1}"
+    }
+  }
+
   /** GROUP BY ALL (both engines: group by every non-aggregated select
     * item) — the grouping list is implicit, so a rewriter/analyzer slip
     * that reorders or injects select items would silently change it. */
@@ -866,7 +908,7 @@ object FuzzSql {
   def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(35) match {
+      val sql = r.nextInt(36) match {
         case 0 | 1 => qFilterProject(r)
         case 2 | 3 => qGroupAgg(r)
         case 4 | 5 => qJoin(r)
@@ -898,7 +940,8 @@ object FuzzSql {
         case 31    => qUnionInSub(r)
         case 32    => qLateral(r)
         case 33    => qGroupByAll(r)
-        case _     => qValuesJoin(r)
+        case 34    => qValuesJoin(r)
+        case _     => qSetOpInSub(r)
       }
       (f"fz$i%03d", sql)
     }
@@ -1031,6 +1074,31 @@ object FuzzSql {
       "CAST(n_regionkey AS BIGINT) AS g FROM fuzz.silver.nation " +
       "WHERE n_nationkey < 10", 10L, Seq("x", "x", "g")))
 
+  /** Backslash-escape adversarial probes (r13 verdict task 3): Spark's
+    * default lexer reads `\'` as an escaped quote; DuckDB does NOT
+    * speak backslash escapes, so the differential dump can never cover
+    * these — they are service-run VALUE assertions instead. Every
+    * rewriter (guard, QUALIFY, star, names, truncation) must pass the
+    * literal through byte-identically; the expected value is what
+    * Spark's lexer yields. */
+  private[graft] val escapeProbes: Seq[(String, String, String)] = Seq(
+    ("esc0", """SELECT 'it\'s fuzz.silver.region' AS s """ +
+      "FROM fuzz.silver.region WHERE r_regionkey = 0",
+      "it's fuzz.silver.region"),
+    ("esc1", """SELECT 'p\'q qualify rn = 1' AS s """ +
+      "FROM fuzz.silver.region WHERE r_regionkey = 0",
+      "p'q qualify rn = 1"),
+    ("esc2", """SELECT 'a\\' AS s """ +
+      "FROM fuzz.silver.region WHERE r_regionkey = 0",
+      """a\"""),
+    ("esc3", """SELECT 'x\'y * exclude (b) order by 1' AS s """ +
+      "FROM fuzz.silver.region WHERE r_regionkey = 0",
+      "x'y * exclude (b) order by 1"),
+    ("esc4", """SELECT 'w\'z' AS s, r_regionkey AS k """ +
+      "FROM fuzz.silver.region QUALIFY row_number() OVER " +
+      "(ORDER BY r_regionkey) = 1",
+      "w'z"))
+
   /** Usage: FuzzSql <sfDir> <outDir> [n=300] [seed=20260815]
     * [mode=plain|service]. Service mode (r12 verdict task 1) drives the
     * FULL QueryService path with `fuzz.silver.<t>` three-part names. */
@@ -1101,6 +1169,17 @@ object FuzzSql {
             if res.columns == wantCols && res.rowCount.toLong == wantRows =>
           case other =>
             System.err.println(s"[fuzz] $name DUP-ALIAS: got $other\n  $sql")
+            bad += 1
+        }
+      }
+      // backslash escapes: the literal's VALUE must survive the chain
+      escapeProbes.foreach { case (name, sql, want) =>
+        svc.run(sql) match {
+          case Right(res) if res.rows.nonEmpty &&
+            res.rows.head.headOption.contains(want) =>
+          case other =>
+            System.err.println(
+              s"[fuzz] $name ESCAPE-PROBE: want '$want', got $other\n  $sql")
             bad += 1
         }
       }
