@@ -135,6 +135,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketize == NTILE on a unique total order (including n < k " +
+      "and boundary-adjacent ranks), in a BOUNDED number of jobs") {
+    import spark.implicits._
+    def ntileRef(n: Int, k: Int): Seq[Int] = {
+      // SQL-standard NTILE: first (n mod k) buckets get ceil(n/k) rows
+      val big = n / k + 1; val small = n / k; val r = n % k
+      (1 to n).map { i =>
+        if (i <= r * big) (i - 1) / big + 1
+        else r + (i - r * big - 1) / math.max(small, 1) + 1
+      }
+    }
+    for ((n, k) <- Seq((100, 10), (101, 7), (3, 8), (4096, 3), (17, 17))) {
+      // unique, shuffled, negative-spanning domain
+      val values = (1 to n).map(i => ((i * 2654435761L) % 100000) - 50000)
+        .distinct
+      val m = values.size
+      val df = values.toDF("x").repartition(5)
+      val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .length
+      val got = graft.ops.Quantile.bucketize(df, col("x"), k)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .length - jobs0
+      // one count/min/max agg + ≤ ⌈64/13⌉+1 shared bisection rounds
+      // (+ the test's collect, + AQE's per-stage job splits, measured
+      // ~12): ALL k−1 boundaries must share each round's pass — the
+      // unshared alternative costs ≥ 2·(k−1) jobs (32+ at k=17)
+      assert(jobs <= 15,
+        s"n=$m k=$k: bucketize ran $jobs jobs — boundaries not sharing " +
+          "bisection passes")
+      val ref = values.sorted.zip(ntileRef(m, k)).toMap
+      values.foreach(v => assert(got(v) == ref(v),
+        s"n=$m k=$k value=$v: got ${got(v)}, want ${ref(v)}"))
+    }
+  }
+
   test("exactGroupedQuantile: rejects group cardinality beyond the " +
       "driver-state bound with a clear error, not an OOM") {
     import spark.implicits._
