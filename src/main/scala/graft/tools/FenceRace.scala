@@ -59,11 +59,28 @@ object FenceRace {
     rejected
   }
 
-  /** args: <tableDir> <commits>. Prints one parseable result line. */
+  /** args: <tableDir> <commits>, or <tableDir> slowstage <holdMs> —
+    * the slow-stage mode holds a LIVE stage open past the staleness
+    * grace window (the heartbeat must keep its marker fresh against a
+    * foreign process's heals, r13 advisor) before swapping it in.
+    * Prints one parseable result line. */
   def main(args: Array[String]): Unit = {
     val dest = Paths.get(args(0))
-    val commits = args(1).toInt
-    val rejected = race(dest, commits, maxAttempts = commits * 1000)
-    println(s"FENCE_RACE landed=$commits rejected=$rejected")
+    if (args.length > 2 && args(1) == "slowstage") {
+      val holdMs = args(2).toLong
+      val gen = graft.core.Fence.generation(dest)
+      val tmp = Paths.get(dest.toString + ".tmp-" + System.nanoTime())
+      graft.core.Fence.withStage(tmp) {
+        Files.createDirectories(tmp)
+        Files.writeString(tmp.resolve("counter"), "777")
+        Thread.sleep(holdMs) // outlive the grace window mid-stage
+        graft.silver.Upsert.atomicSwap(tmp, dest, Some(gen))
+      }
+      println("SLOW_STAGE_OK")
+    } else {
+      val commits = args(1).toInt
+      val rejected = race(dest, commits, maxAttempts = commits * 1000)
+      println(s"FENCE_RACE landed=$commits rejected=$rejected")
+    }
   }
 }

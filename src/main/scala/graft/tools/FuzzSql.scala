@@ -358,10 +358,22 @@ object FuzzSql {
   private def qOrderLimit(r: scala.util.Random): String = {
     val t = pick(r, tabs)
     // unique-key tiebreak makes the LIMIT cut deterministic on both sides
-    s"SELECT ${t.name}.${t.key} AS k, ${scalarExpr(r, t)} AS c0 " +
-      s"FROM ${t.name} WHERE ${pred(r, t, 0)} " +
-      s"ORDER BY c0${if (r.nextBoolean()) " DESC" else ""}, k " +
-      s"LIMIT ${r.nextInt(500) + 10}"
+    val base = s"SELECT ${t.name}.${t.key} AS k, ${scalarExpr(r, t)} AS c0 " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)} "
+    r.nextInt(3) match {
+      case 0 => base +
+        s"ORDER BY c0${if (r.nextBoolean()) " DESC" else ""}, k " +
+        s"LIMIT ${r.nextInt(500) + 10}"
+      case 1 => // ORDER BY ALL (the DuckDB idiom; Spark 4 parses it
+        // natively, r14 probe) — every select item left-to-right, so
+        // (k, c0) totally orders up to full-duplicate pairs and the
+        // LIMIT cut stays value-determined on dup-row tables too
+        base + s"ORDER BY ALL${if (r.nextBoolean()) " DESC" else ""} " +
+          s"LIMIT ${r.nextInt(500) + 10}"
+      case _ => // LIMIT + OFFSET pagination (both engines)
+        base + s"ORDER BY c0, k LIMIT ${r.nextInt(200) + 5} " +
+          s"OFFSET ${r.nextInt(50)}"
+    }
   }
 
   private def qInSubquery(r: scala.util.Random): String = {

@@ -189,4 +189,41 @@ class CrossProcessFenceSpec extends AnyFunSuite {
     assert(!Files.exists(marker), "stale stage marker survived the heal")
     graft.silver.Upsert.deleteRecursively(dir)
   }
+
+  test("heartbeat across processes: a stage held open PAST the grace " +
+      "window survives a foreign JVM's aggressive heals and its swap " +
+      "lands (r13 advisor, medium)") {
+    val prev = sys.props.get("graft.fence.staleStageMs")
+    sys.props.put("graft.fence.staleStageMs", "1500") // heartbeat ~500ms
+    try {
+      val dir = Files.createTempDirectory("xproc-hb-")
+      val dest = dir.resolve("t")
+      FenceRace.race(dest, commits = 1, maxAttempts = 100) // seed
+      val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+      val cp = sys.props("java.class.path")
+      // the child holds a live stage for 4s — 2.6× the grace window
+      val child = new ProcessBuilder(
+        javaBin, "-Dgraft.fence.staleStageMs=1500", "-cp", cp,
+        "graft.tools.FenceRace", dest.toString, "slowstage", "4000")
+        .redirectErrorStream(true).start()
+      // heal aggressively from THIS process the whole time: without the
+      // heartbeat the child's marker ages out at 1.5s and these heals
+      // sweep its staging dir mid-write
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (child.isAlive && System.nanoTime < deadline) {
+        graft.silver.Upsert.healSwap(dest)
+        Thread.sleep(200)
+      }
+      val out = new String(child.getInputStream.readAllBytes())
+      assert(child.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+        && child.exitValue == 0, s"slow-stage child failed:\n$out")
+      assert(out.contains("SLOW_STAGE_OK"), out)
+      assert(Files.readString(dest.resolve("counter")).trim == "777",
+        "the heartbeated slow stage's swap did not land")
+      graft.silver.Upsert.deleteRecursively(dir)
+    } finally prev match {
+      case Some(v) => sys.props.put("graft.fence.staleStageMs", v)
+      case None => sys.props.remove("graft.fence.staleStageMs")
+    }
+  }
 }
