@@ -161,20 +161,126 @@ object Quantile {
       val (mn, mx) = (head.getLong(1), head.getLong(2))
       require(BigInt(mx) - BigInt(mn) <= (BigInt(1) << 62),
         s"value domain [$mn, $mx] spans more than 2^62")
-      // cumulative row counts at each bucket's END — rank of the last
-      // row of buckets 1..k-1 (bucket k's end needs no boundary)
-      val big = n / k + 1
-      val small = n / k
-      val r = n % k
-      val cum = (1L until k.toLong)
-        .map(j => if (j <= r) j * big else r * big + (j - r) * small)
-        .filter(c => c >= 1 && c < n)
+      val cum = ntileCumRanks(n, k)
       val values = if (cum.isEmpty) Map.empty[Long, Long]
         else bisectRanks(vdf, mn, mx, cum)
       val boundVals = cum.map(values).toSeq // ascending (unique input)
       df.withColumn(as,
         (size(filter(typedLit(boundVals), b => b < value.cast("long")))
           + 1).cast("int"))
+    } finally vdf.unpersist()
+  }
+
+  /** NTILE boundary ranks: cumulative row count at the END of buckets
+    * 1..k−1 (SQL-standard NTILE — the first n mod k buckets hold
+    * ⌈n/k⌉ rows, the rest ⌊n/k⌋; bucket k needs no boundary). */
+  private def ntileCumRanks(n: Long, k: Int): Seq[Long] = {
+    val big = n / k + 1
+    val small = n / k
+    val r = n % k
+    (1L until k.toLong)
+      .map(j => if (j <= r) j * big else r * big + (j - r) * small)
+      .filter(c => c >= 1 && c < n)
+  }
+
+  /** Per-GROUP [[bucketize]]: NTILE(k) OVER (PARTITION BY group ORDER
+    * BY value) without per-group single-task windows — a partitioned
+    * window is only as parallel as its groups, so ONE corpus-sized
+    * group (a dominant source in a quality-decile split) recreates the
+    * global window's one-task pathology. Every (group, boundary) pair
+    * bisects simultaneously through shared histogram passes (the
+    * [[exactGroupedQuantile]] trick × k−1 ranks; round count stays
+    * ≤ ⌈64/13⌉ + 1 TOTAL), then buckets are assigned by a broadcast
+    * range lookup per group. Driver state is groups × (k−1) boundary
+    * rows — bounded loudly, like every grouped-report operator here.
+    *
+    * Contract: `value` UNIQUE within each group and non-null, non-null
+    * groups (the [[bucketize]] tie contract, per group). Matches NTILE
+    * bit-exactly on such input (oracle row q193). */
+  def bucketizeGrouped(df: DataFrame, group: Column, value: Column,
+      k: Int, as: String = "bucket"): DataFrame = {
+    require(k >= 1, "bucket count must be ≥ 1")
+    if (k == 1) return df.withColumn(as, lit(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vdf = df.select(group.cast("string").as("g"),
+        value.cast("long").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxStates = 8192
+      val initRows = vdf.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+          max(col("v")).as("mx"))
+        .limit(maxStates + 1)
+        .collect()
+      require(initRows.length.toLong * (k - 1) <= maxStates,
+        s"bucketizeGrouped holds groups × (k−1) boundary states on the " +
+          s"driver; ${initRows.length} groups × ${k - 1} exceeds the " +
+          s"$maxStates bound — use a partitioned NTILE window (groups " +
+          "that numerous are small) or percentile_approx buckets")
+      val init = initRows.map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      init.foreach { case (g, (_, mn, mx)) =>
+        require(BigInt(mx) - BigInt(mn) <= (BigInt(1) << 62),
+          s"group $g: value domain spans more than 2^62")
+      }
+      // per-(group, rank) state: (lo, hi, remaining rank kk)
+      val state =
+        scala.collection.mutable.Map[(String, Long), (Long, Long, Long)]()
+      init.foreach { case (g, (n, mn, mx)) =>
+        ntileCumRanks(n, k).foreach(c => state((g, c)) = (mn, mx, c))
+      }
+      while (state.exists { case (_, (lo, hi, _)) => hi > lo }) {
+        val open = state.filter { case (_, (lo, hi, _)) => hi > lo }
+        val bounds = open.toSeq.map { case ((g, c), (lo, hi, _)) =>
+          val shift =
+            math.max(0, (BigInt(hi) - BigInt(lo) + 1).bitLength - 13)
+          (g, c, lo, hi, shift)
+        }
+        val boundsDf = bounds.toDF("g", "qk", "lo", "hi", "shift")
+        // one bounds row per open (group, rank): the group join fans a
+        // row out to every open window containing it, ≤ k−1 per group
+        val hist = vdf.join(broadcast(boundsDf), "g")
+          .where(col("v").between(col("lo"), col("hi")))
+          .groupBy(col("g"), col("qk"),
+            expr("(v - lo) div shiftleft(1L, shift)").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2),
+            r.getLong(3)))
+          .groupBy(_._1)
+        bounds.foreach { case (g, cRank, lo, hi, shift) =>
+          val key = (g, cRank)
+          val (_, _, kk) = state(key)
+          val hs = hist(key).map(t => (t._2, t._3)).sortBy(_._1)
+          var acc = 0L
+          var i = 0
+          while (i < hs.length && acc + hs(i)._2 < kk) {
+            acc += hs(i)._2
+            i += 1
+          }
+          require(i < hs.length,
+            s"group $g: rank $kk exceeds rows in [$lo, $hi]")
+          val b = hs(i)._1
+          val newLo = (BigInt(lo) + BigInt(b) * (BigInt(1) << shift)).toLong
+          val cap = BigInt(newLo) + (BigInt(1) << shift) - 1
+          val newHi = if (cap >= BigInt(hi)) hi else cap.toLong
+          state(key) =
+            (newLo, if (shift == 0) newLo else newHi, kk - acc)
+        }
+      }
+      // per-group ascending boundary VALUE arrays → broadcast lookup
+      val boundsRows = init.toSeq.map { case (g, (n, _, _)) =>
+        (g, ntileCumRanks(n, k).map(c => state((g, c))._1))
+      }
+      val boundsDf = boundsRows.toDF("__g", "__bounds")
+      df.join(broadcast(boundsDf),
+          group.cast("string") === col("__g"), "left")
+        .withColumn(as,
+          (size(filter(col("__bounds"), b => b < value.cast("long")))
+            + 1).cast("int"))
+        .drop("__g", "__bounds")
     } finally vdf.unpersist()
   }
 

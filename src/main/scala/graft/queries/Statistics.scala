@@ -166,6 +166,26 @@ object Statistics {
                NTILE(8) OVER (ORDER BY o_orderkey) AS bucket
         FROM orders ORDER BY o_orderkey""")),
 
+    // ---- Per-group scale-safe NTILE -------------------------------------
+    // A PARTITIONED window is only as parallel as its groups: one
+    // corpus-sized group (the dominant source in a per-source quality
+    // split) is still one task. bucketizeGrouped bisects every
+    // (group, boundary) pair through shared histogram passes and
+    // assigns buckets with a broadcast per-group range lookup.
+    // Bit-exact vs NTILE on the per-group-unique doc_id.
+    "q193_grouped_ntile" -> QueryDef(
+      build = (spark, dir) =>
+        graft.ops.Quantile.bucketizeGrouped(
+            t(spark, dir, "documents"), col("source"), col("doc_id"), 4)
+          .select(col("doc_id"), col("source"),
+            col("bucket").cast(LongType).as("bucket"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, source,
+               NTILE(4) OVER (PARTITION BY source ORDER BY doc_id)
+                 AS bucket
+        FROM documents ORDER BY doc_id""")),
+
     // ---- Lead/lag inter-event gaps --------------------------------------
     // Per-user event cadence: microsecond gaps from LAG over the total
     // (ts, event_id) order; the mean divides an exact int64 gap sum.

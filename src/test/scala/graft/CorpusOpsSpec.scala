@@ -171,6 +171,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketizeGrouped == per-group NTILE (skewed group sizes, " +
+      "singleton groups, n < k), all groups sharing bisection passes") {
+    import spark.implicits._
+    def ntileRef(n: Int, k: Int): Seq[Int] = {
+      val big = n / k + 1; val small = n / k; val r = n % k
+      (1 to n).map { i =>
+        if (i <= r * big) (i - 1) / big + 1
+        else r + (i - r * big - 1) / math.max(small, 1) + 1
+      }
+    }
+    val k = 5
+    // group sizes spanning three decades + n<k + singleton; unique
+    // per-group values with overlapping ranges across groups
+    val rows: Seq[(String, Long)] =
+      (1 to 2000).map(i => ("big", i * 7L - 7000)) ++
+        (1 to 83).map(i => ("mid", i * 13L)) ++
+        (1 to 3).map(i => ("tiny", i * 1000L)) ++
+        Seq(("single", -5L))
+    val df = rows.toDF("grp", "x").repartition(5)
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    val got = graft.ops.Quantile
+      .bucketizeGrouped(df, col("grp"), col("x"), k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length - jobs0
+    assert(jobs <= 15,
+      s"bucketizeGrouped ran $jobs jobs — groups/boundaries not " +
+        "sharing bisection passes")
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val ref = sorted.zip(ntileRef(sorted.size, k)).toMap
+      sorted.foreach(v => assert(got((g, v)) == ref(v),
+        s"group $g value $v: got ${got((g, v))}, want ${ref(v)}"))
+    }
+    // driver-state bound fails loud, not OOM
+    val wide = (1 to 3000).map(i => (s"g$i", i.toLong)).toDF("grp", "x")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Quantile.bucketizeGrouped(wide, col("grp"), col("x"), 5)
+    }
+    assert(ex.getMessage.contains("bound"))
+  }
+
   test("exactGroupedQuantile: rejects group cardinality beyond the " +
       "driver-state bound with a clear error, not an OOM") {
     import spark.implicits._
