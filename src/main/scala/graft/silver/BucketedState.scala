@@ -154,6 +154,12 @@ object BucketedState {
           lit(") — repartition/hash law mismatch"))).isNull)
     guarded.repartition(n, probe)
       .write.mode("errorifexists").parquet(dir.toString)
+    // a crash anywhere in the rename pass leaves a staging dir with
+    // MIXED rank/bucket names — benign by construction: the stage was
+    // never swapped in, its liveness marker clears with the process,
+    // and the next writer's healSwap sweeps the whole dir
+    // (CrashMatrixSpec pins the kill-mid-rename replay)
+    graft.core.CrashPoints.hit("state.touched-rename")
     // DESCENDING rank order: one write job shares one uuid across its
     // files, so rank r's target name `part-<bucket>` can collide with
     // rank `bucket`'s not-yet-renamed file — but touchedSorted is

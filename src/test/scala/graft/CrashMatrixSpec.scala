@@ -54,8 +54,12 @@ class CrashMatrixSpec extends AnyFunSuite {
   // Protocol 1: the path-store atomic swap (keyed writeMerged → fold)
   // ------------------------------------------------------------------
 
+  // state.touched-rename is the r14 touched-bucket write's new crash
+  // surface: a kill mid-rename leaves a staging dir with MIXED
+  // rank/bucket file names — never swapped in, so the reader still
+  // sees the old state and the heal sweeps the whole stage
   for (point <- Seq("swap.staged", "swap.between-renames",
-      "swap.before-retire")) {
+      "swap.before-retire", "state.touched-rename")) {
     test(s"path swap killed at $point: reader sees old-or-new, heal " +
         "repairs, next merge lands") {
       val path = Files.createTempDirectory("crash-swap-")

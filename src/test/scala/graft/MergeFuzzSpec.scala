@@ -118,7 +118,7 @@ class MergeFuzzSpec extends AnyFunSuite {
   test("crash-injected replays: a batch interrupted at a random swap " +
       "point re-applies idempotently; the final state equals the fold") {
     val points = Seq("swap.staged", "swap.between-renames",
-      "swap.before-retire")
+      "swap.before-retire", "state.touched-rename")
     for (seed <- Seq(55L, 66L)) {
       val r = new scala.util.Random(seed)
       val path = Files.createTempDirectory(s"merge-crash-$seed-")
@@ -128,15 +128,26 @@ class MergeFuzzSpec extends AnyFunSuite {
       batches.zipWithIndex.foreach { case (b, i) =>
         if (i > 0 && r.nextInt(2) == 0) {
           CrashPoints.armOnce(points(r.nextInt(points.length)))
-          try intercept[CrashPoints.InjectedCrash] {
-            Upsert.writeMerged(toDf(b), path, Seq("id"), numBuckets = 4,
-              targetBucketBytes = 1024)
-          } finally CrashPoints.disarmAll()
-          // the table must still read cleanly as SOME prefix state
-          // (old or new) — after the heal every real read path runs
-          // first (the between-renames window legitimately has no dest)
-          Upsert.healSwap(java.nio.file.Paths.get(path))
-          readState(path)
+          // state.touched-rename fires only on the incremental fold
+          // path (a growth-boundary or evolution batch takes
+          // rewriteAll instead) — a non-firing point means the merge
+          // simply landed, and the unconditional replay below
+          // re-applies idempotently either way
+          val crashed =
+            try {
+              Upsert.writeMerged(toDf(b), path, Seq("id"), numBuckets = 4,
+                targetBucketBytes = 1024)
+              false
+            } catch { case _: CrashPoints.InjectedCrash => true }
+            finally CrashPoints.disarmAll()
+          if (crashed) {
+            // the table must still read cleanly as SOME prefix state
+            // (old or new) — after the heal every real read path runs
+            // first (the between-renames window legitimately has no
+            // dest)
+            Upsert.healSwap(java.nio.file.Paths.get(path))
+            readState(path)
+          }
         }
         Upsert.writeMerged(toDf(b), path, Seq("id"), numBuckets = 4,
           targetBucketBytes = 1024)
