@@ -90,9 +90,14 @@ class MergeFuzzSpec extends AnyFunSuite {
       k -> (r.getString(r.fieldIndex("v")), e)
     }.toMap
 
+  // extra seeds for one-off recorded soaks: -Dgraft.mergefuzz.seeds=1,2,3
+  private def extraSeeds: Seq[Long] =
+    sys.props.get("graft.mergefuzz.seeds").toSeq
+      .flatMap(_.split(",")).map(_.trim.toLong)
+
   test("seeded random batch sequences through writeMerged equal the " +
       "pure fold (evolution, key widening, growth-law doublings)") {
-    for (seed <- Seq(11L, 22L, 33L, 44L)) {
+    for (seed <- Seq(11L, 22L, 33L, 44L) ++ extraSeeds) {
       val path = Files.createTempDirectory(s"merge-fuzz-$seed-")
         .resolve("t").toString
       val batches = genBatches(seed, 10)
@@ -119,7 +124,7 @@ class MergeFuzzSpec extends AnyFunSuite {
       "point re-applies idempotently; the final state equals the fold") {
     val points = Seq("swap.staged", "swap.between-renames",
       "swap.before-retire", "state.touched-rename")
-    for (seed <- Seq(55L, 66L)) {
+    for (seed <- Seq(55L, 66L) ++ extraSeeds.map(_ + 1000L)) {
       val r = new scala.util.Random(seed)
       val path = Files.createTempDirectory(s"merge-crash-$seed-")
         .resolve("t").toString
