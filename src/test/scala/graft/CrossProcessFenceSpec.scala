@@ -194,17 +194,20 @@ class CrossProcessFenceSpec extends AnyFunSuite {
       "window survives a foreign JVM's aggressive heals and its swap " +
       "lands (r13 advisor, medium)") {
     val prev = sys.props.get("graft.fence.staleStageMs")
-    sys.props.put("graft.fence.staleStageMs", "1500") // heartbeat ~500ms
+    // grace 4s, heartbeat ~1.33s: a 3× tick margin, so a JIT-slow or
+    // loaded child JVM delaying a tick by a second still never ages out
+    // (1.5s grace flaked once in a full-suite run)
+    sys.props.put("graft.fence.staleStageMs", "4000")
     try {
       val dir = Files.createTempDirectory("xproc-hb-")
       val dest = dir.resolve("t")
       FenceRace.race(dest, commits = 1, maxAttempts = 100) // seed
       val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
       val cp = sys.props("java.class.path")
-      // the child holds a live stage for 4s — 2.6× the grace window
+      // the child holds a live stage for 9s — 2.25× the grace window
       val child = new ProcessBuilder(
-        javaBin, "-Dgraft.fence.staleStageMs=1500", "-cp", cp,
-        "graft.tools.FenceRace", dest.toString, "slowstage", "4000")
+        javaBin, "-Dgraft.fence.staleStageMs=4000", "-cp", cp,
+        "graft.tools.FenceRace", dest.toString, "slowstage", "9000")
         .redirectErrorStream(true).start()
       // heal aggressively from THIS process the whole time: without the
       // heartbeat the child's marker ages out at 1.5s and these heals
