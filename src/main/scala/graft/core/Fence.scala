@@ -129,21 +129,26 @@ object Fence {
   private val heldLocks = scala.collection.concurrent.TrieMap
     .empty[String, (() => Unit, Thread, Int)]
 
-  /** The lease key for `dir`: real-pathed so two symlink aliases of one
-    * store converge on ONE lock (r13 advisor — `normalize` alone keeps
-    * aliased paths on independent locks). The dir itself may not exist
-    * yet (bootstrap) or be renamed away mid-swap, so fall back to the
-    * real-pathed PARENT + leaf name, then to the normalized path. */
+  /** The lease key for `dir`: the real-pathed PARENT plus the literal
+    * leaf name — NEVER the real-pathed leaf. The leaf is renamed away
+    * mid-swap as a matter of protocol, so an existence-dependent key
+    * (realpath the leaf when present, parent+leaf when not) would hand
+    * two processes DIFFERENT `<key>.lock` files for the same store
+    * depending on when each looked — splitting the cross-process lease
+    * exactly when it matters, and flipping the `heldLocks` reentrancy
+    * key between nested calls (r14 advisor). Keying on the parent makes
+    * the key stable across every existence state of the leaf; symlink
+    * aliases of the PARENT directory still converge on one lock (r13
+    * advisor). A store whose LEAF is itself a symlink is unsupported —
+    * aliasing the final path component cannot be detected without
+    * resolving it, which is what breaks mid-swap. */
   private[graft] def lockKey(dir: Path): String = {
     val abs = dir.toAbsolutePath.normalize
     try {
-      if (Files.exists(abs)) abs.toRealPath().toString
-      else {
-        val parent = abs.getParent
-        if (parent != null && Files.exists(parent))
-          parent.toRealPath().resolve(abs.getFileName).toString
-        else abs.toString
-      }
+      val parent = abs.getParent
+      if (parent != null && Files.exists(parent))
+        parent.toRealPath().resolve(abs.getFileName).toString
+      else abs.toString
     } catch { case _: java.io.IOException => abs.toString }
   }
 
@@ -264,6 +269,18 @@ object Fence {
 
   private[graft] def clearStageMarker(p: Path): Unit =
     Files.deleteIfExists(stageMarker(p))
+
+  /** A `.live-` marker healSwap may sweep as a crash leftover: its
+    * stage dir is gone AND it has aged past the grace window. Both are
+    * required — `withStage` writes the marker BEFORE the staging dir
+    * exists (Spark's write job creates the dir at setup), so a fresh
+    * orphan may be a live writer still in that window; sweeping it
+    * would let a later heal delete the stage mid-write and the owner's
+    * swap would be spuriously rejected by [[assertStageIntact]] (r14
+    * advisor). The heartbeat keeps a live owner's marker fresh, so age
+    * + orphanhood together identify a real crash. */
+  private[graft] def isOrphanMarker(m: Path): Boolean =
+    !Files.exists(stageFor(m)) && !markerFresh(m)
 
   // single shared daemon thread: touching a file every few minutes per
   // in-flight stage is not worth a pool

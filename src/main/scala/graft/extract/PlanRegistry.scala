@@ -74,8 +74,17 @@ object PlanRegistry {
               ScheduledRun(cfg.planName, "failed", Map.empty,
                 Some(Option(e.getMessage).getOrElse(e.toString).take(5000)))
           }
-        lake.plans.writeStatus(name, res)
-        res
+        // the status file is bookkeeping, not the run: an IO error
+        // writing ONE plan's last_execution.yaml must not abort the
+        // rest of the sweep (isolation covers the whole per-plan unit,
+        // r14 advisor) — surface it in the returned record instead
+        try { lake.plans.writeStatus(name, res); res }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            res.copy(error = Some((res.error.fold("")(_ + "; ") +
+              "status write failed: " +
+              Option(e.getMessage).getOrElse(e.toString)).take(5000)))
+        }
       }
     }
 }
@@ -145,8 +154,15 @@ final class PlanRegistry(root: String) {
     val c = n.putObject("records")
     run.counts.toSeq.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
     run.error.foreach(e => n.put("error", e))
-    Files.writeString(f,
+    // stage-and-swap, not write-in-place: a crash mid-write must never
+    // leave a truncated YAML for lastExecution to return as-is (r14
+    // advisor) — same discipline as every other committed file here
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.writeString(tmp,
       yaml.writerWithDefaultPrettyPrinter().writeValueAsString(n))
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The raw last_execution.yaml text, if the plan has ever run. */

@@ -151,14 +151,27 @@ object Quantile {
     require(k >= 1, "bucket count must be ≥ 1")
     if (k == 1) return df.withColumn(as, lit(1))
     val vdf = df.select(value.cast("long").as("v"))
-      .where(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val head = vdf.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
-        max(col("v")).as("mx")).head()
-      val n = head.getLong(0)
+      // the contract (unique, non-null) is ENFORCED, not just
+      // documented: a null would silently land in bucket 1 (the
+      // range-lookup filter drops null predicates) and a tie at a
+      // boundary silently diverges from NTILE — loud beats silent
+      // wrong results (r14 advisor). Both checks ride the existing
+      // single aggregation pass.
+      val head = vdf.agg(count(lit(1)).as("total"),
+        count(col("v")).as("n"), countDistinct(col("v")).as("nd"),
+        min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+      val (total, n, nd) = (head.getLong(0), head.getLong(1), head.getLong(2))
       require(n > 0, "bucketize needs at least one non-null row")
-      val (mn, mx) = (head.getLong(1), head.getLong(2))
+      require(total == n, s"bucketize contract: value must be non-null " +
+        s"(${total - n} null rows of $total — a null would silently land " +
+        "in bucket 1); filter or flag nulls upstream")
+      require(nd == n, s"bucketize contract: value must be unique " +
+        s"($n rows, $nd distinct — NTILE's split of ties across a " +
+        "boundary is order-dependent in any engine); disambiguate the " +
+        "ordering key upstream")
+      val (mn, mx) = (head.getLong(3), head.getLong(4))
       require(BigInt(mx) - BigInt(mn) <= (BigInt(1) << 62),
         s"value domain [$mn, $mx] spans more than 2^62")
       val cum = ntileCumRanks(n, k)
@@ -205,22 +218,41 @@ object Quantile {
     import spark.implicits._
     val vdf = df.select(group.cast("string").as("g"),
         value.cast("long").as("v"))
-      .where(col("v").isNotNull && col("g").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val maxStates = 8192
+      // the per-group contract (unique, non-null values; non-null
+      // groups) is ENFORCED on the same initial groupBy pass: a null
+      // value would silently land in bucket 1, a null group would get
+      // a null bucket via the left join, and a boundary tie silently
+      // diverges from NTILE (r14 advisor).
       val initRows = vdf.groupBy(col("g"))
-        .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        .agg(count(lit(1)).as("total"), count(col("v")).as("n"),
+          countDistinct(col("v")).as("nd"), min(col("v")).as("mn"),
           max(col("v")).as("mx"))
         .limit(maxStates + 1)
         .collect()
+      initRows.foreach { r =>
+        require(!r.isNullAt(0), "bucketizeGrouped contract: group must " +
+          "be non-null (a null group would get a null bucket); filter " +
+          "or flag null groups upstream")
+        val (g, total, n, nd) =
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        require(total == n, s"bucketizeGrouped contract: group $g has " +
+          s"${total - n} null values of $total rows — a null would " +
+          "silently land in bucket 1; filter or flag nulls upstream")
+        require(nd == n, s"bucketizeGrouped contract: group $g has $n " +
+          s"rows but $nd distinct values — NTILE's split of ties " +
+          "across a boundary is order-dependent in any engine; " +
+          "disambiguate the ordering key upstream")
+      }
       require(initRows.length.toLong * (k - 1) <= maxStates,
         s"bucketizeGrouped holds groups × (k−1) boundary states on the " +
           s"driver; ${initRows.length} groups × ${k - 1} exceeds the " +
           s"$maxStates bound — use a partitioned NTILE window (groups " +
           "that numerous are small) or percentile_approx buckets")
       val init = initRows.map(r =>
-        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        r.getString(0) -> (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
       init.foreach { case (g, (_, mn, mx)) =>
         require(BigInt(mx) - BigInt(mn) <= (BigInt(1) << 62),
           s"group $g: value domain spans more than 2^62")

@@ -215,6 +215,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("bound"))
   }
 
+  test("bucketize/bucketizeGrouped enforce the unique non-null " +
+      "contract loudly (r14 advisor: silent bucket-1 nulls, silent " +
+      "tie divergence)") {
+    import spark.implicits._
+    // duplicate value → loud, names the tie problem
+    val dup = Seq(1L, 2L, 2L, 3L).toDF("x")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Quantile.bucketize(dup, col("x"), 2)
+    }
+    assert(e1.getMessage.contains("unique"))
+    // null value → loud, not silently bucket 1
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("x")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Quantile.bucketize(withNull, col("x"), 2)
+    }
+    assert(e2.getMessage.contains("non-null"))
+    // grouped: per-group duplicate → loud with the group named
+    val gdup = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("grp", "x")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.Quantile.bucketizeGrouped(gdup, col("grp"), col("x"), 2)
+    }
+    assert(e3.getMessage.contains("group a") &&
+      e3.getMessage.contains("distinct"))
+    // grouped: null value inside a group → loud
+    val gnull = Seq(("a", Some(1L)), ("a", None)).toDF("grp", "x")
+    val e4 = intercept[IllegalArgumentException] {
+      graft.ops.Quantile.bucketizeGrouped(gnull, col("grp"), col("x"), 2)
+    }
+    assert(e4.getMessage.contains("null values"))
+    // grouped: null GROUP → loud, not a silent null bucket
+    val gnullg = Seq((Option.empty[String], 1L), (Some("b"), 2L))
+      .toDF("grp", "x")
+    val e5 = intercept[IllegalArgumentException] {
+      graft.ops.Quantile.bucketizeGrouped(gnullg, col("grp"), col("x"), 2)
+    }
+    assert(e5.getMessage.contains("group must be non-null"))
+  }
+
   test("exactGroupedQuantile: rejects group cardinality beyond the " +
       "driver-state bound with a clear error, not an OOM") {
     import spark.implicits._
