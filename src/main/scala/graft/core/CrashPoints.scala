@@ -15,6 +15,9 @@ package graft.core
   *  - `buckets.staged`       — staged catalog table written, swap not begun
   *  - `buckets.dropped`      — live table DROPped, staged not yet renamed
   *  - `buckets.renamed`      — staged renamed in, old gen not yet retired
+  *  - `state.touched-rename` — touched-bucket files staged, rank→bucket
+  *                             renames not yet run
+  *  - `state.manifest`       — staged manifest written, swap not begun
   */
 object CrashPoints {
 

@@ -42,20 +42,168 @@ object BucketedState {
       .map(_.getFileName.toString)
       .collectFirst { case markerRe(n) => n.toInt }
 
-  /** Total data bytes of the live store (driver-side listing). Runs
-    * WITHOUT the table monitor (it's a sizing pass, not a commit), so a
-    * concurrent fenced commit can retire a listed file between the
-    * listing and the stat — surface that as the one retryable failure
-    * type the fence already gives callers, not a raw
-    * NoSuchFileException (r12 advisor). */
-  private[graft] def storeBytes(statePath: String): Long =
-    try bucketFiles(statePath).values.flatten
-      .map(p => Files.size(p)).sum
-    catch {
-      case _: java.nio.file.NoSuchFileException =>
+  // ------------------------------------------------------------------
+  // Per-generation manifest (r14 verdict tasks 2+6): every committed
+  // generation carries a `_graft_manifest` JSON file (underscore name —
+  // invisible to Spark's file index, like _SUCCESS) naming each
+  // bucket's data files WITH their byte sizes plus the store's read
+  // schema. A fold then needs NO full-store directory listing (the r14
+  // ladder attributed part of the residual concentrated-regime constant
+  // to 4,096-file listings ×2–3 per merge), NO per-file stat sweep for
+  // the growth-law sizing pass, and NO footer read for key-dtype
+  // alignment. The manifest is staged INSIDE the next generation's
+  // `.tmp-` dir after the rename pass and commits with the same atomic
+  // swap as the data — a crash between manifest write and swap leaves
+  // an unswapped stage that healSwap sweeps whole, so a committed store
+  // and its manifest can never diverge. Stores written before the
+  // manifest existed (no `_graft_manifest`) fall back to the listing
+  // path once and upgrade on their next fold.
+  // ------------------------------------------------------------------
+
+  private[graft] val ManifestName = "_graft_manifest"
+
+  /** One committed generation's self-description. `schemaJson` records
+    * the READ schema (all-nullable, as Spark's file sources report), so
+    * schema-gate comparisons against it match `spark.read.parquet`
+    * exactly without touching a footer. */
+  private[graft] final case class Manifest(numBuckets: Int,
+      schemaJson: String, buckets: Map[Int, Seq[(String, Long)]]) {
+    def schema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def totalBytes: Long = buckets.values.flatten.map(_._2).sum
+    def files(dir: Path): Map[Int, Seq[Path]] =
+      buckets.map { case (b, es) => b -> es.map(e => dir.resolve(e._1)) }
+  }
+
+  /** Spark's file sources report every column nullable
+    * (`HadoopFsRelation` applies `asNullable` to the data schema) — the
+    * manifest must record that READ-side shape, not the writer frame's,
+    * or nested nullability flags would trip the schema gate spuriously. */
+  private[graft] def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = asNullable(m.keyType),
+        valueType = asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private[graft] def readSchemaOf(df: DataFrame)
+      : org.apache.spark.sql.types.StructType =
+    asNullable(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private val json = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[graft] def writeManifest(dir: Path, m: Manifest): Unit = {
+    val root = json.createObjectNode()
+    root.put("num_buckets", m.numBuckets)
+    root.put("schema", m.schemaJson)
+    val bs = root.putObject("buckets")
+    m.buckets.toSeq.sortBy(_._1).foreach { case (b, es) =>
+      val arr = bs.putArray(b.toString)
+      es.foreach { case (n, sz) =>
+        val e = arr.addObject(); e.put("name", n); e.put("bytes", sz) }
+    }
+    Files.writeString(dir.resolve(ManifestName), root.toString)
+  }
+
+  /** The live generation's manifest (None = pre-manifest store; callers
+    * fall back to the listing path). A manifest that vanishes MID-READ
+    * was retired by a concurrent swap — the new generation's manifest
+    * (or its absence) is already in place, so retry the read. */
+  private[graft] def readManifest(statePath: String): Option[Manifest] = {
+    val f = Paths.get(statePath).resolve(ManifestName)
+    var attempts = 3
+    while (true) {
+      try {
+        if (!Files.exists(f)) return None
+        val root = json.readTree(Files.readString(f))
+        val buckets = Map.newBuilder[Int, Seq[(String, Long)]]
+        val it = root.get("buckets").properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val es = Seq.newBuilder[(String, Long)]
+          e.getValue.forEach(n =>
+            es += ((n.get("name").asText, n.get("bytes").asLong)))
+          buckets += e.getKey.toInt -> es.result()
+        }
+        return Some(Manifest(root.get("num_buckets").asInt,
+          root.get("schema").asText, buckets.result()))
+      } catch {
+        case _: java.nio.file.NoSuchFileException =>
+          attempts -= 1
+          if (attempts <= 0)
+            throw new graft.core.ConcurrentWriteException(
+              s"$statePath's manifest kept vanishing mid-read — " +
+                "concurrent commits are racing this reader; retry")
+      }
+    }
+    None // unreachable
+  }
+
+  /** True when `e`'s cause chain (or embedded task-failure text) is a
+    * missing-file failure — the shapes a concurrent writer's swap
+    * retiring files mid-read produces, depending on WHERE the race
+    * lands: AnalysisException PATH_NOT_FOUND (relation resolution of
+    * explicit file names), FileNotFoundException (the schema-inference
+    * footer job), FAILED_READ_FILE sub-codes (scan tasks). */
+  private[graft] def isRetiredGenRace(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
+      .exists { t =>
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+        t.isInstanceOf[java.nio.file.NoSuchFileException] ||
+        Option(t.getMessage).exists(m => m.contains("PATH_NOT_FOUND") ||
+          m.contains("FAILED_READ_FILE") ||
+          m.contains("FileNotFoundException"))
+      }
+
+  /** Within the fenced merge protocol a missing state file DURING a
+    * fold/rewrite means exactly one thing: a concurrent writer's
+    * commit retired the generation this merge was reading. Map every
+    * such shape to the ONE retryable failure type the fence gives
+    * callers (a genuinely corrupt store re-surfaces identically on
+    * every retry and starves the caller's bounded loop loudly). */
+  private[graft] def retiredGenGuard[T](statePath: String)(body: => T): T =
+    try body catch {
+      case e: Exception if isRetiredGenRace(e) =>
         throw new graft.core.ConcurrentWriteException(
-          s"$statePath was committed by another writer during the " +
-            "sizing pass — re-read the state and retry")
+          s"$statePath was committed by another writer while this " +
+            "merge was reading it — re-read the state and retry")
+    }
+
+  /** Manifest built by listing a freshly STAGED dir (full writes:
+    * rewriteAll and the legacy upgrade, where every file was just
+    * written and a one-time stat sweep is the honest cost). */
+  private[graft] def manifestFromListing(dir: Path, numBuckets: Int,
+      schema: org.apache.spark.sql.types.StructType): Manifest =
+    Manifest(numBuckets, schema.json,
+      bucketFiles(dir.toString).map { case (b, ps) =>
+        b -> ps.map(p => (p.getFileName.toString, Files.size(p)))
+      })
+
+  /** Total data bytes of the live store — manifest-backed (zero I/O
+    * beyond one small file read) for the growth-law sizing pass; the
+    * pre-manifest fallback lists and stats. Runs WITHOUT the table
+    * monitor (it's a sizing pass, not a commit), so a concurrent fenced
+    * commit can retire a listed file between the listing and the stat —
+    * surface that as the one retryable failure type the fence already
+    * gives callers, not a raw NoSuchFileException (r12 advisor). */
+  private[graft] def storeBytes(statePath: String): Long =
+    readManifest(statePath).map(_.totalBytes).getOrElse {
+      try bucketFiles(statePath).values.flatten
+        .map(p => Files.size(p)).sum
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new graft.core.ConcurrentWriteException(
+            s"$statePath was committed by another writer during the " +
+              "sizing pass — re-read the state and retry")
+      }
     }
 
   private val partIdxRe = """part-(\d+)-.*""".r
@@ -127,9 +275,15 @@ object BucketedState {
     * shuffle key — the repartition/hash-law guard, evaluated where the
     * old staged-file sweep checked filenames); a rank file with zero
     * rows (SPARK-21435's partition-0 artifact, or a bucket the fold
-    * emptied) is dropped — an empty bucket holds no file. */
+    * emptied) is dropped — an empty bucket holds no file.
+    *
+    * Returns the staged bucket → (file name, bytes) entries — the
+    * touched half of the next generation's [[Manifest]], collected here
+    * because the rename pass already has every final name and a stat of
+    * a just-written local file is free (no later listing needed). */
   private[graft] def writeTouchedBuckets(merged: DataFrame, dir: Path,
-      keyCols: Seq[String], numBuckets: Int, touched: Set[Int]): Unit = {
+      keyCols: Seq[String], numBuckets: Int, touched: Set[Int])
+      : Map[Int, Seq[(String, Long)]] = {
     import org.apache.spark.sql.functions.{assert_true, concat, element_at,
       lit, typedLit, when}
     val touchedSorted = touched.toSeq.sorted
@@ -166,11 +320,12 @@ object BucketedState {
     // strictly increasing, hence bucket ≥ rank, and processing high
     // ranks first vacates every target slot before a lower rank claims
     // it (bucket == rank needs no rename at all)
+    val entries = Map.newBuilder[Int, Seq[(String, Long)]]
     bucketFiles(dir.toString).toSeq.sortBy(-_._1).foreach { case (rank, ps) =>
       require(rank < n,
         s"staged file with part index $rank beyond $n rank partitions")
       val bucket = touchedSorted(rank)
-      ps.foreach { p =>
+      val kept = ps.flatMap { p =>
         val name = p.getFileName.toString
         // Hadoop's ChecksumFileSystem keeps a `.<name>.crc` sidecar —
         // it must travel with (or die with) its data file, or the next
@@ -182,16 +337,21 @@ object BucketedState {
         // construction, so the footer read is skipped (it was ~10 ms
         // of driver time PER FILE on an all-buckets merge)
         if (rank == 0 && parquetRowCount(p) == 0L) {
-          Files.delete(p); Files.deleteIfExists(crc)
+          Files.delete(p); Files.deleteIfExists(crc); None
         } else if (bucket != rank) {
+          val bytes = Files.size(p)
           val digits = name.drop(5).takeWhile(_.isDigit) // after "part-"
           val rest = name.drop(5 + digits.length)
-          Files.move(p, dir.resolve(f"part-$bucket%05d$rest"))
+          val target = f"part-$bucket%05d$rest"
+          Files.move(p, dir.resolve(target))
           if (Files.exists(crc))
-            Files.move(crc, dir.resolve(f".part-$bucket%05d$rest.crc"))
-        }
+            Files.move(crc, dir.resolve(s".$target.crc"))
+          Some((target, bytes))
+        } else Some((name, Files.size(p)))
       }
+      if (kept.nonEmpty) entries += bucket -> kept
     }
+    entries.result()
   }
 
   /** Fold `delta` into the bucketed state at `statePath`, touching only
@@ -223,7 +383,12 @@ object BucketedState {
     val hasState = graft.core.Fs.nonEmpty(path)
     val legacy =
       hasState && !Files.exists(path.resolve(markerName(numBuckets)))
-    val existing = if (hasState && !legacy) bucketFiles(statePath)
+    // manifest-backed layout: no full-store listing on the steady path
+    // (pre-manifest stores list once and upgrade on this fold's commit)
+    val manifest0 = if (hasState && !legacy)
+      readManifest(statePath).filter(_.numBuckets == numBuckets) else None
+    val existing = if (hasState && !legacy)
+      manifest0.map(_.files(path)).getOrElse(bucketFiles(statePath))
       else Map.empty[Int, Seq[Path]]
     // Key-dtype alignment (r11 advisor): the probe below hashes the
     // DELTA's key dtype, but the persisted buckets were laid out under
@@ -239,7 +404,8 @@ object BucketedState {
     val aligned =
       if (!hasState) delta
       else {
-        val stateSchema = spark.read.parquet(statePath).schema
+        val stateSchema = manifest0.map(_.schema)
+          .getOrElse(spark.read.parquet(statePath).schema)
         keyCols.foldLeft(delta) { (d, k) =>
           (d.schema.fields.find(_.name.equalsIgnoreCase(k)),
             stateSchema.fields.find(_.name.equalsIgnoreCase(k))) match {
@@ -265,22 +431,30 @@ object BucketedState {
     val merged =
       if (legacy) // one-time upgrade: the last full-state read+rewrite
         mergeTouched(Some(spark.read.parquet(statePath)), aligned)
-      else if (touchedFiles.nonEmpty)
-        mergeTouched(
-          Some(spark.read.parquet(touchedFiles.map(_.toString): _*)), aligned)
-      else mergeTouched(None, aligned)
+      else if (touchedFiles.nonEmpty) {
+        // explicit schema when the manifest has it: skips the slice
+        // read's footer-based inference pass
+        val reader = manifest0.map(m => spark.read.schema(m.schema))
+          .getOrElse(spark.read)
+        val slice = retiredGenGuard(statePath)(
+          reader.parquet(touchedFiles.map(_.toString): _*))
+        mergeTouched(Some(slice), aligned)
+      } else mergeTouched(None, aligned)
     // stage the next generation: fresh files for written buckets, a
     // hard link per untouched bucket file, then ONE atomic swap
     val tmp = Paths.get(statePath + ".tmp-" + System.nanoTime())
+    var newManifest: Manifest = null
     graft.core.Fence.withStage(tmp) {
-      if (legacy)
-        // one-time upgrade writes the FULL state: every bucket is live,
-        // so the full-count repartition is the honest cost here
-        merged.repartition(numBuckets, keyCols.map(col): _*)
-          .write.mode("overwrite").parquet(tmp.toString)
-      else
-        // O(touched) write tasks — the r13 ladder's wall fix
-        writeTouchedBuckets(merged, tmp, keyCols, numBuckets, touched)
+      val touchedEntries: Map[Int, Seq[(String, Long)]] =
+        if (legacy) {
+          // one-time upgrade writes the FULL state: every bucket is
+          // live, so the full-count repartition is the honest cost here
+          merged.repartition(numBuckets, keyCols.map(col): _*)
+            .write.mode("overwrite").parquet(tmp.toString)
+          Map.empty
+        } else
+          // O(touched) write tasks — the r13 ladder's wall fix
+          writeTouchedBuckets(merged, tmp, keyCols, numBuckets, touched)
       // carry + swap under the monitor AND the cross-process file
       // lock, AFTER the fence check: the link sources are `existing`'s
       // files, which a CONCURRENT writer's swap would retire (delete)
@@ -299,6 +473,25 @@ object BucketedState {
           if (!touched(b)) ps.foreach(p =>
             graft.core.Fs.linkOrCopy(p, tmp.resolve(p.getFileName)))
         }
+        // the next generation's manifest: untouched entries carried
+        // from the previous manifest (or a one-time stat of the link
+        // sources — safe here, under the lock nobody retires them),
+        // touched entries straight from the rename pass. Written
+        // INSIDE the stage so it commits with the data or not at all.
+        newManifest =
+          if (legacy)
+            manifestFromListing(tmp, numBuckets, readSchemaOf(merged))
+          else {
+            val untouched = existing.collect {
+              case (b, ps) if !touched(b) =>
+                b -> manifest0.map(_.buckets(b)).getOrElse(
+                  ps.map(p => (p.getFileName.toString, Files.size(p))))
+            }
+            Manifest(numBuckets, readSchemaOf(merged).json,
+              untouched ++ touchedEntries)
+          }
+        writeManifest(tmp, newManifest)
+        graft.core.CrashPoints.hit("state.manifest")
         Files.writeString(tmp.resolve(markerName(numBuckets)),
           numBuckets.toString)
         Upsert.atomicSwap(tmp, path, Some(gen0))
@@ -306,15 +499,22 @@ object BucketedState {
       }
     }
     spark.catalog.refreshByPath(statePath)
-    // one listing, getOrElse: a mergeTouched that deletes every row of
-    // a touched bucket (expiry folds) legitimately leaves it file-less
-    // — the fold committed, so the caller must not see a throw
-    val committed = bucketFiles(statePath)
+    // manifest, not listing: the staged entries ARE the committed files
+    // (the swap was atomic and fence-checked). getOrElse: a mergeTouched
+    // that deletes every row of a touched bucket (expiry folds)
+    // legitimately leaves it file-less — the fold committed, so the
+    // caller must not see a throw
+    val committed = newManifest.files(path)
     val newTouched =
       touched.toSeq.sorted.flatMap(committed.getOrElse(_, Nil))
     val newContent =
       if (newTouched.isEmpty) delta.limit(0)
-      else spark.read.parquet(newTouched.map(_.toString): _*)
+      else retiredGenGuard(statePath)(
+        // THIS fold committed; a concurrent writer can still retire its
+        // files before the returned frame resolves — the replay a
+        // rejected caller runs is idempotent
+        spark.read.schema(newManifest.schema)
+          .parquet(newTouched.map(_.toString): _*))
     (touched, newContent)
   }
 
@@ -332,6 +532,10 @@ object BucketedState {
     graft.core.Fence.withStage(tmp) {
       full.repartition(numBuckets, keyCols.map(col): _*)
         .write.mode("overwrite").parquet(tmp.toString)
+      // manifest from the freshly staged listing: a full rewrite is
+      // the one place a stat sweep is the honest cost
+      writeManifest(tmp,
+        manifestFromListing(tmp, numBuckets, readSchemaOf(full)))
       Files.writeString(tmp.resolve(markerName(numBuckets)),
         numBuckets.toString)
       Upsert.atomicSwap(tmp, path, Some(gen0))

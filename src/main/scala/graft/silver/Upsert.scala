@@ -92,42 +92,56 @@ object Upsert {
       val gen0 = graft.core.Fence.generation(path)
       def foldMerge(slice: Option[DataFrame], delta: DataFrame): DataFrame =
         slice.map(s => merge(s, delta, keys)).getOrElse(delta)
+      BucketedState.retiredGenGuard(tablePath) {
       if (!graft.core.Fs.nonEmpty(path)) {
         BucketedState.fold(spark, tablePath, source, keys, numBuckets,
           expectedGen = Some(gen0))(foldMerge)
       } else {
         // effective bucket count under the growth law (scaladoc above):
         // smallest power-of-2 multiple of numBuckets that keeps buckets
-        // under targetBucketBytes, clamped to 4096, never below the
-        // live marker's count (no shrink churn)
-        val live = BucketedState.markerBuckets(tablePath)
+        // under targetBucketBytes, clamped to 4096, never shrinking
+        // below the live layout's count. The live count, store bytes,
+        // and read schema all come from the generation's manifest when
+        // present (r14 verdict tasks 2+6: zero listings, zero stats,
+        // zero footer reads on the steady merge path); pre-manifest
+        // stores pay the listing once more and upgrade on this commit.
+        val manifest0 = BucketedState.readManifest(tablePath)
+        val live = manifest0.map(_.numBuckets)
+          .orElse(BucketedState.markerBuckets(tablePath))
         var eff = math.max(numBuckets, live.getOrElse(numBuckets))
-        val bytes = BucketedState.storeBytes(tablePath)
+        val bytes = manifest0.map(_.totalBytes)
+          .getOrElse(BucketedState.storeBytes(tablePath))
         // the doubling itself must respect the cap: a non-power-of-2
         // start (e.g. 3072) would otherwise overshoot to 6144
         while (eff * 2 <= 4096 && bytes > eff.toLong * targetBucketBytes)
           eff *= 2
-        val state = spark.read.parquet(tablePath)
+        val stateSchema = manifest0.map(_.schema)
+          .getOrElse(spark.read.parquet(tablePath).schema)
         def sig(s: org.apache.spark.sql.types.StructType) =
           s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSet
-        lazy val full = merge(state, source, keys)
-        if (sig(full.schema) != sig(state.schema)
+        // schema-only stand-in for the state: merge() is schema-
+        // deterministic, so the gate and the alignment need no scan
+        val stateEmpty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          stateSchema)
+        // batch ALIGNED to the (== target, per the gate) schema:
+        // restores omitted columns as NULLs and widens key dtypes so
+        // the bucket probe hashes the TABLE's key type (murmur3(INT)
+        // != murmur3(BIGINT) — the silent-duplicate trap)
+        val aligned = merge(stateEmpty, source, keys)
+        if (sig(aligned.schema) != sig(stateSchema)
             || !live.contains(eff))
           // schema evolution, legacy layout, or a bucket-count boundary
           // crossing: every carried file would be wrong (old schema or
           // old hash law) — rewrite the whole table once, bucketed at
           // the effective count, so the next batch folds incrementally
-          BucketedState.rewriteAll(tablePath, full, keys, eff,
-            expectedGen = Some(gen0))
-        else {
-          // batch ALIGNED to the (== target, per the gate) schema:
-          // restores omitted columns as NULLs and widens key dtypes so
-          // the bucket probe hashes the TABLE's key type (murmur3(INT)
-          // != murmur3(BIGINT) — the silent-duplicate trap)
-          val aligned = merge(state.limit(0), source, keys)
+          BucketedState.rewriteAll(tablePath,
+            merge(spark.read.parquet(tablePath), source, keys), keys,
+            eff, expectedGen = Some(gen0))
+        else
           BucketedState.fold(spark, tablePath, aligned, keys, eff,
             expectedGen = Some(gen0))(foldMerge)
-        }
+      }
       }
     }
     // any catalog table registered over this path has a cached file
@@ -263,13 +277,15 @@ object Upsert {
       siblings(dest, ".tmp-").filterNot(graft.core.Fence.isLiveStage)
         .foreach(sweepStage)
     }
-    // on-disk liveness markers whose stage is GONE are crash leftovers
-    // (a stale marker with a live stage is the .tmp- sweep's job above,
-    // which clears the marker with the stage — sweeping by age alone
-    // here would remove a long-running writer's marker out from under
-    // it, failing its swap spuriously)
+    // on-disk liveness markers whose stage is GONE *and* whose age is
+    // past the grace window are crash leftovers (a stale marker with a
+    // live stage is the .tmp- sweep's job above, which clears the
+    // marker with the stage). BOTH conditions matter: withStage writes
+    // the marker before Spark's write job creates the staging dir, so a
+    // fresh orphan may be a live writer in that setup window — sweeping
+    // it would fail that writer's swap spuriously (r14 advisor).
     siblings(dest, ".live-")
-      .filter(m => !Files.exists(graft.core.Fence.stageFor(m)))
+      .filter(graft.core.Fence.isOrphanMarker)
       .foreach(m => Files.deleteIfExists(m))
       }
   }

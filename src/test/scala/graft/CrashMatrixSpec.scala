@@ -57,9 +57,12 @@ class CrashMatrixSpec extends AnyFunSuite {
   // state.touched-rename is the r14 touched-bucket write's new crash
   // surface: a kill mid-rename leaves a staging dir with MIXED
   // rank/bucket file names — never swapped in, so the reader still
-  // sees the old state and the heal sweeps the whole stage
+  // sees the old state and the heal sweeps the whole stage.
+  // state.manifest is the r15 manifest's: a kill AFTER the staged
+  // `_graft_manifest` is written but BEFORE the swap must sweep the
+  // stage whole — a committed store and its manifest never diverge
   for (point <- Seq("swap.staged", "swap.between-renames",
-      "swap.before-retire", "state.touched-rename")) {
+      "swap.before-retire", "state.touched-rename", "state.manifest")) {
     test(s"path swap killed at $point: reader sees old-or-new, heal " +
         "repairs, next merge lands") {
       val path = Files.createTempDirectory("crash-swap-")
