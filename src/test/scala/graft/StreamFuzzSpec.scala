@@ -136,4 +136,156 @@ class StreamFuzzSpec extends AnyFunSuite {
       graft.silver.Upsert.deleteRecursively(dir)
     }}
   }
+
+  // --------------------------------------------------------------------
+  // Event-time watermark-late rows (r14 verdict task 3): the generator
+  // above replays EVENT IDS but never emits a row whose event TIME is
+  // behind the watermark. This fuzz drives a watermarked tumbling-window
+  // aggregation (append mode — the drop-vs-fold-vs-emit boundary) with a
+  // configurable late-row rate, deliberate boundary-exact rows
+  // (window.end == watermark), and the crash/restart matrix, against an
+  // in-memory reference that models Spark's rule exactly:
+  //  - a batch is filtered with the PRE-batch watermark: a row whose
+  //    window END is <= W is dropped (a row later than W whose window is
+  //    still open FOLDS — the asymmetry SURVEY §2.9 pins);
+  //  - the watermark then advances to max(W, maxEventTime − delay),
+  //    where maxEventTime includes DROPPED rows (the watermark node
+  //    sits upstream of the late filter);
+  //  - windows with end <= W finalize and emit (the trailing no-data
+  //    micro-batch inside processAllAvailable applies the advanced
+  //    watermark), and an emitted window can never reopen.
+  // The sink is foreachBatch → keyed writeMerged (upsert on
+  // (window_start, key)), so the swap-point crash injections and
+  // checkpoint replays of the existing matrix apply unchanged — a
+  // replayed batch re-emits the same finalized windows and the upsert
+  // is value-idempotent.
+  // --------------------------------------------------------------------
+
+  private def lateSeeds: Seq[Long] =
+    Seq(20260817L, 7777L) ++ sys.props.get("graft.streamfuzz.seeds")
+      .toSeq.flatMap(_.split(",")).map(_.trim.toLong)
+
+  for (seed <- lateSeeds) {
+    test(s"seed $seed: watermark-late rows — drop/fold/emit boundary " +
+        "under crash/restart equals the in-memory watermark model " +
+        "(RocksDB)") { withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"stream-late-$seed-")
+      val goldPath = dir.resolve("gold").toString
+      val ckpt = dir.resolve("ckpt").toString
+      val WindowSec = 10L
+      val DelaySec = 20L
+      val keys = Vector("a", "b", "c")
+
+      val input = MemoryStream[(String, Long, Long)] // (k, tsSec, v)
+      val agg = input.toDF().toDF("k", "ts_sec", "v")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_seconds(col("ts_sec")))
+        .withWatermark("ts", s"$DelaySec seconds")
+        .groupBy(org.apache.spark.sql.functions
+          .window(col("ts"), s"$WindowSec seconds"), col("k"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(col("v")).as("sv"))
+        .select(col("window.start").as("ws"), col("k"), col("n"), col("sv"))
+      def start() = agg.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.silver.Upsert.writeMerged(batch, goldPath, Seq("ws", "k"))
+        }
+        .start()
+
+      // ---- in-memory watermark model ----
+      var wMs = 0L // Spark's initial event-time watermark
+      val open = scala.collection.mutable.Map
+        .empty[(Long, String), (Long, Long)].withDefaultValue((0L, 0L))
+      val emitted = scala.collection.mutable.Map
+        .empty[(Long, String), (Long, Long)]
+      var droppedRows = 0
+      def winStart(tsSec: Long): Long = tsSec / WindowSec * WindowSec
+      def applyRef(batch: Seq[(String, Long, Long)]): Unit = {
+        batch.foreach { case (k, ts, v) =>
+          val ws = winStart(ts)
+          if ((ws + WindowSec) * 1000 <= wMs) droppedRows += 1 // late
+          else {
+            require(!emitted.contains((ws, k)),
+              "model bug: open window already emitted")
+            val (n, sv) = open((ws, k)); open((ws, k)) = (n + 1, sv + v)
+          }
+        }
+        val maxMs = batch.map(_._2).max * 1000
+        wMs = math.max(wMs, maxMs - DelaySec * 1000)
+        val closing = open.keys.filter { case (ws, _) =>
+          (ws + WindowSec) * 1000 <= wMs }.toSeq
+        closing.foreach { key =>
+          emitted(key) = open(key); open.remove(key) }
+      }
+
+      def gold(): Map[(Long, String), (Long, Long)] =
+        if (!Files.exists(java.nio.file.Paths.get(goldPath)))
+          Map.empty
+        else spark.read.parquet(goldPath).collect().map { r =>
+          (r.getAs[java.sql.Timestamp]("ws").getTime / 1000,
+            r.getAs[String]("k")) ->
+            ((r.getAs[Long]("n"), r.getAs[Long]("sv")))
+        }.toMap
+
+      var q = start()
+      var maxTs = 100000L // generator clock (seconds)
+      try {
+        (1 to 14).foreach { step =>
+          val batch = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long)]
+          maxTs += 1 + rnd.nextInt(20)
+          (0 until (1 + rnd.nextInt(4))).foreach { _ =>
+            val k = keys(rnd.nextInt(keys.size))
+            val ts = rnd.nextInt(10) match {
+              case n if n < 3 => // configurable late rate: ~30% deep-late
+                maxTs - DelaySec - WindowSec - rnd.nextInt(40)
+              case n if n < 5 && wMs > 0 && (wMs / 1000) % WindowSec == 0 =>
+                // boundary-exact: window.end == current watermark (DROP)
+                wMs / 1000 - 1 - rnd.nextInt(WindowSec.toInt - 1)
+              case _ => maxTs - rnd.nextInt(15) // on-time-ish
+            }
+            batch += ((k, math.max(0L, ts), 1L + rnd.nextInt(50)))
+          }
+          batch += ((keys(rnd.nextInt(keys.size)), maxTs,
+            1L + rnd.nextInt(50))) // the clock row
+          val action = rnd.nextInt(10)
+          if (action < 3) {
+            val point = crashPoints(rnd.nextInt(crashPoints.size))
+            CrashPoints.armOnce(point)
+            input.addData(batch.toSeq: _*)
+            try {
+              scala.util.Try(q.processAllAvailable())
+              // the crash point fires only if this batch EMITS a closed
+              // window (writeMerged runs per emission); otherwise the
+              // batch just lands — disarm and continue either way
+            } finally { CrashPoints.disarmAll(); q.stop() }
+            q = start()
+            q.processAllAvailable()
+          } else {
+            input.addData(batch.toSeq: _*)
+            q.processAllAvailable()
+            if (action == 3) { q.stop(); q = start(); q.processAllAvailable() }
+          }
+          applyRef(batch.toSeq)
+          assert(gold() == emitted.toMap,
+            s"step $step (seed $seed): emitted windows diverged from " +
+              s"the watermark model (wMs=$wMs, open=${open.size})")
+        }
+        // the run exercised both sides of the boundary
+        assert(droppedRows > 0,
+          s"seed $seed: no late row was ever dropped — the fuzz lost " +
+            "its late-data coverage")
+        assert(emitted.nonEmpty,
+          s"seed $seed: no window ever closed — watermark never advanced")
+      } finally { CrashPoints.disarmAll(); q.stop() }
+      graft.silver.Upsert.deleteRecursively(dir)
+    }}
+  }
 }
