@@ -915,12 +915,84 @@ object FuzzSql {
       s"WHERE ${pred(r, t, 0)} GROUP BY 1, 2"
   }
 
+  /** Set-op whose LAST branch composes BOTH r14 dialect corners in ONE
+    * body: a DISTINCT select carrying an INLINE QUALIFY window (QUALIFY
+    * evaluates BEFORE DISTINCT; after a set operation it binds to the
+    * LAST branch only — both measured DuckDB semantics, r14). The two
+    * rewriter paths were closed separately; this exercises their
+    * composition (r14 verdict task 4). rank/dense_rank only: ties pass
+    * or fail together, so the branch set stays value-determined under
+    * DISTINCT even on dup-row tables. */
+  private def qSetOpDistinctQualify(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val g = s"(${t.name}.${pick(r, t.of('i')).name} % ${r.nextInt(7) + 2})"
+    val items = s"CAST($g AS BIGINT) AS g, " +
+      s"CAST(${intExpr(r, t, 1)} % ${r.nextInt(5) + 2} AS BIGINT) AS c0"
+    val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+    val rfn = (if (r.nextBoolean()) "rank" else "dense_rank") +
+      s"() OVER (PARTITION BY $g ORDER BY ${intExpr(r, t, 0)}, " +
+      s"${t.name}.${t.key})"
+    s"SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"$op SELECT DISTINCT $items FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"QUALIFY $rfn <= ${r.nextInt(3) + 1}"
+  }
+
+  /** Windowed AGGREGATES (`sum(x) OVER (...)` and kin) as set-op branch
+    * select items and inside the trailing QUALIFY condition — they
+    * stress the rewriters' paren/OVER scanning differently than
+    * `row_number()`: an argument expression with nested parens and
+    * commas inside OVER, and a function name that also exists as a
+    * plain aggregate (r14 verdict task 8). Default RANGE running
+    * windows ordered by a possibly-tied key are peer-inclusive, hence
+    * value-determined on dup-row tables; explicit ROWS frames draw only
+    * unique-key tables (the lineitem tie trap). */
+  private def qWindowAggSetOp(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val g = s"(${t.name}.${pick(r, t.of('i')).name} % ${r.nextInt(5) + 2})"
+    def wAgg(): String = {
+      val fn = pick(r, Seq("sum", "min", "max", "count"))
+      val arg = intExpr(r, t, 1)
+      if (t.uniqueKey && r.nextBoolean())
+        s"$fn($arg) OVER (PARTITION BY $g ORDER BY ${t.name}.${t.key} " +
+          s"ROWS BETWEEN ${r.nextInt(3) + 1} PRECEDING AND CURRENT ROW)"
+      else
+        s"$fn($arg) OVER (PARTITION BY $g ORDER BY ${t.name}.${t.key})"
+    }
+    val items = s"${t.name}.${t.key} AS k, CAST($g AS BIGINT) AS g, " +
+      s"CAST(${wAgg()} AS BIGINT) AS w"
+    val base = s"SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"UNION ALL SELECT $items FROM ${t.name} WHERE ${pred(r, t, 0)}"
+    if (r.nextBoolean()) base
+    else base + s" QUALIFY ${wAgg()} % ${r.nextInt(7) + 2} = 0"
+  }
+
+  /** GROUPING SETS under a TOTAL ORDER BY + LIMIT — the result-order
+    * corner: subtotal rows' NULL group keys interleave with data rows
+    * under the engines' DIFFERENT null-ordering defaults (Spark ASC =
+    * NULLS FIRST, DuckDB = NULLS LAST), so every sort key pins NULLS
+    * explicitly; (gid, g0, g1) totally orders the result, which makes
+    * the LIMIT'd row SET deterministic (r14 verdict task 8). */
+  private def qGroupingSetsOrdered(r: scala.util.Random): String = {
+    val t = pick(r, tabs)
+    val g0 = s"(${t.name}.${pick(r, t.of('i')).name} % ${r.nextInt(5) + 2})"
+    val g1 = strExpr(r, t, 1)
+    val nf = if (r.nextBoolean()) "NULLS FIRST" else "NULLS LAST"
+    val dir = if (r.nextBoolean()) "ASC" else "DESC"
+    s"SELECT CAST($g0 AS BIGINT) AS g0, $g1 AS g1, " +
+      s"CAST(count(*) AS BIGINT) AS cnt, " +
+      s"CAST(grouping_id($g0, $g1) AS BIGINT) AS gid " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 0)} " +
+      s"GROUP BY GROUPING SETS (($g0, $g1), ($g0), ()) " +
+      s"ORDER BY gid $dir $nf, g0 $dir $nf, g1 $dir $nf " +
+      s"LIMIT ${r.nextInt(20) + 5}"
+  }
+
   /** The full seeded batch — pure function of (n, seed), so a recorded
     * run is reproducible bit-for-bit and the spec can pin determinism. */
   def genQueries(n: Int, seed: Long): Seq[(String, String)] = {
     val r = new scala.util.Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(36) match {
+      val sql = r.nextInt(39) match {
         case 0 | 1 => qFilterProject(r)
         case 2 | 3 => qGroupAgg(r)
         case 4 | 5 => qJoin(r)
@@ -953,7 +1025,10 @@ object FuzzSql {
         case 32    => qLateral(r)
         case 33    => qGroupByAll(r)
         case 34    => qValuesJoin(r)
-        case _     => qSetOpInSub(r)
+        case 35    => qSetOpInSub(r)
+        case 36    => qSetOpDistinctQualify(r)
+        case 37    => qWindowAggSetOp(r)
+        case _     => qGroupingSetsOrdered(r)
       }
       (f"fz$i%03d", sql)
     }

@@ -128,6 +128,42 @@ class QualifySpec extends AnyFunSuite {
       "LIMIT 2")).collect().map(_.getInt(0)).toSeq == Seq(10, 3))
   }
 
+  test("COMPOSED corner: set-op whose LAST branch is DISTINCT + inline " +
+      "QUALIFY — both r14 paths in one body (DuckDB, measured; r14 " +
+      "verdict task 4)") {
+    import QualifyRewriter.rewrite
+    // rewrite shape: DISTINCT strip + inline injection + __qp filter,
+    // applied to the LAST branch only
+    assert(rewrite("SELECT g, v FROM a UNION ALL SELECT DISTINCT g, v " +
+      "FROM b QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) = 2")
+      == "SELECT g, v FROM a UNION ALL SELECT DISTINCT * EXCEPT (__qp) " +
+        "FROM (SELECT  g, v, (row_number() OVER (PARTITION BY g ORDER " +
+        "BY v) = 2) AS __qp FROM b) __qualify WHERE __qp")
+    // end-to-end vs DuckDB's measured answers on the same rows:
+    // qa = {(0,0)}; qdist = (1,5),(1,5),(1,7),(2,9),(2,9) — the window
+    // runs over PRE-distinct rows of the LAST branch only, so rn=2
+    // keeps the duplicates (1,5),(2,9), then DISTINCT collapses them
+    spark.sql("SELECT * FROM (VALUES (0, 0)) v(g, v)")
+      .createOrReplaceTempView("qa2")
+    spark.sql("SELECT * FROM (VALUES (1,5),(1,5),(1,7),(2,9),(2,9)) " +
+      "v(g, v)").createOrReplaceTempView("qdist2")
+    def run(q: String) = spark.sql(rewrite(q)).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    assert(run("SELECT g, v FROM qa2 UNION ALL SELECT DISTINCT g, v " +
+      "FROM qdist2 QUALIFY row_number() OVER (PARTITION BY g ORDER BY " +
+      "v) = 2") == Seq((0, 0), (1, 5), (2, 9)))
+    assert(run("SELECT g, v FROM qa2 UNION ALL SELECT DISTINCT g, v " +
+      "FROM qdist2 QUALIFY row_number() OVER (PARTITION BY g ORDER BY " +
+      "v) = 1") == Seq((0, 0), (1, 5), (2, 9)))
+    // other set operators bind the same way (measured)
+    assert(run("SELECT g, v FROM qdist2 EXCEPT SELECT DISTINCT g, v " +
+      "FROM qdist2 QUALIFY row_number() OVER (PARTITION BY g ORDER BY " +
+      "v) = 2") == Seq((1, 7)))
+    assert(spark.sql(rewrite("SELECT g, v FROM qa2 INTERSECT SELECT " +
+      "DISTINCT g, v FROM qdist2 QUALIFY row_number() OVER (PARTITION " +
+      "BY g ORDER BY v) = 2")).count() == 0)
+  }
+
   test("backslash-escaped quotes: rewriters honor Spark's default " +
       "lexer, never editing inside a literal (r13 verdict #3)") {
     import graft.query.{NameRewriter, StarRewriter}
