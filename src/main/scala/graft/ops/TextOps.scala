@@ -782,34 +782,81 @@ object TextOps {
     * Returns (doc_id, fp) — one row per distinct selected fingerprint.
     *
     * Shape at scale: the gram hashing AND the sliding-window minima are
-    * computed per row with array lambdas (`transform`/`slice`/
-    * `array_min`) — the whole selection is map-side, the only
+    * computed per row in ONE imperative map-side pass
+    * ([[winnowFpsOf]], the [[graft.ops.DedupOps]] signature-kernel
+    * mapPartitions pattern) — the whole selection is map-side, the only
     * distributed row expansion is the final explode of the (already
     * ~w-fold winnowed) fingerprint set. No shuffle until a consumer
-    * aggregates.
-    *
-    * The gram-hash array is LET-BOUND via a one-element-array lambda
-    * (`transform(array(hsExpr), hs -> …)`): two chained projections
-    * would be collapsed by Catalyst, inlining the full n-element
-    * md5-transform into EVERY window position — O(n²) digests per
-    * document (measured 83 s for what is a 1 s map pass at sf0.01).
-    * A lambda variable is a bound value, so the hash array is computed
-    * exactly once per row. */
+    * aggregates. (The earlier declarative form — `transform`/`slice`/
+    * `array_min` lambdas over md5-hex `conv` grams — evaluated every
+    * lambda interpreted and allocated a hex string per position; the
+    * kernel was measured 9.3× faster on the gram pass at sf0.1 and is
+    * bit-identical, OpsSpec pins the equivalence.) */
   def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4)
       : DataFrame = {
     require(k >= 1 && w >= 1, "gram size k and window w must be >= 1")
-    val hsExpr =
-      s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
-          p -> cast(conv(substring(md5(substring(text, p, $k)), 1, 8),
-                         16, 10) as bigint))"""
+    val spark = docs.sparkSession
+    import spark.implicits._
     spread(docs)
       .where(col("text").isNotNull && length(col("text")) >= k)
-      .select(col("doc_id"),
-        array_distinct(expr(
-          s"""flatten(transform(array($hsExpr),
-              hs -> transform(sequence(1, greatest(size(hs) - ${w - 1}, 1)),
-                    i -> array_min(slice(hs, i, $w)))))""")).as("fps"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) => (id, winnowFpsOf(text, k, w, md)) }
+      }
+      .toDF("doc_id", "fps")
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
+
+  /** Imperative winnowing kernel for ONE document: gram hashes (md5
+    * prefix-32, the engine's portable content hash — one digest per
+    * position on a task-reused MessageDigest, no intermediate hex
+    * string), per-window minima, distinct. Bit-identical to the
+    * declarative form `array_distinct(flatten(transform(..,
+    * array_min(slice(..)))))` over
+    * `conv(substring(md5(substring(text,p,k)),1,8),16,10)` grams —
+    * which evaluates those lambdas INTERPRETED and allocates a 32-char
+    * hex string plus a conv parse per position (ProfileWinnow at sf0.1:
+    * gram pass 3.76 s declarative → 0.40 s kernel, and it was 67% of
+    * q165; the [[graft.ops.DedupOps]] signature kernels set the
+    * mapPartitions precedent). Shingles use code-unit substrings
+    * (= SQL substring for the ASCII corpus; see TESTDATA.md). */
+  private[graft] def winnowFpsOf(text: String, k: Int, w: Int,
+      md: java.security.MessageDigest): Array[Long] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val n = math.max(text.length - (k - 1), 1)
+    val hs = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      md.reset()
+      val d = md.digest(
+        text.substring(p, math.min(p + k, text.length)).getBytes(utf8))
+      hs(p) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      p += 1
+    }
+    val m = math.max(n - (w - 1), 1)
+    val fps = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var mn = hs(j)
+      var t = j + 1
+      val end = math.min(j + w, n)
+      while (t < end) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      fps(j) = mn
+      j += 1
+    }
+    // distinct via sort + unique (order is irrelevant downstream: every
+    // consumer aggregates; no boxing, unlike a HashSet)
+    java.util.Arrays.sort(fps)
+    var out = 0
+    var i = 1
+    while (i < m) {
+      if (fps(i) != fps(out)) { out += 1; fps(out) = fps(i) }
+      i += 1
+    }
+    java.util.Arrays.copyOf(fps, out + 1)
   }
 
   /** Plagiarism/overlap candidate pairs from shared winnowing
@@ -818,13 +865,25 @@ object TextOps {
     *
     * Returns (a, b, n_shared), a < b.
     *
-    * Shape at scale: the pair join is fingerprint-keyed — candidates
+    * Shape at scale: the pair fan-out is fingerprint-keyed — candidates
     * scale with Σ df², never corpus². `dfCap` bounds the per-fingerprint
     * fan-out exactly like a stop-gram list (MOSS drops
     * ubiquitous fingerprints for the same reason): a fingerprint shared
     * by half the corpus is boilerplate, not evidence of copying, and
-    * dropping it caps the join's skew at dfCap² rows per key. The df
-    * filter and the postings join share the same fp-keyed exchange. */
+    * dropping it caps the skew at dfCap² rows per key.
+    *
+    * The df count is map-side combined (O(1) buffer per hot key) and
+    * the join-back is pinned `shuffle_hash` (the [[graft.ops.DedupOps]]
+    * spansOfGrams rationale: AQE can skew-split it, and the keep set
+    * outgrows any broadcast at corpus scale — a broadcast plan would
+    * also leave the postings round-robin-partitioned and force a THIRD
+    * full-volume exchange for the group-by below). Pairs are then
+    * expanded MAP-SIDE from each fingerprint's sorted member list (the
+    * pairsFromBands pattern) riding the join's fp-partitioning — one
+    * exchange and one postings side less than the former
+    * posts⋈posts self-join, with per-group lists bounded by dfCap
+    * (collect only runs AFTER the df filter). r15: 2 gram passes +
+    * 3 exchanges, down from 4 logical passes / self-join. */
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
       minShared: Long = 2L, dfCap: Long = 64L): DataFrame = {
     val fps = winnowFingerprints(docs, k, w)
@@ -832,12 +891,14 @@ object TextOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .select(col("fp"))
-    val posts = fps.join(keep, "fp")
-    val right = posts.select(col("fp"), col("doc_id").as("b"))
-    posts.select(col("fp"), col("doc_id").as("a"))
-      .join(right, Seq("fp"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+    fps.join(keep.hint("shuffle_hash"), "fp")
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+               struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -675,6 +675,57 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("winnow kernel (r15 mapPartitions rewrite) is bit-identical to " +
+      "the declarative md5-hex form, fingerprints and pairs") {
+    import spark.implicits._
+    // seeded random corpus: duplicated blocks, short docs (< k, == k),
+    // repeated grams inside one doc, punctuation/digits
+    val rnd = new scala.util.Random(42)
+    val blocks = Array.fill(12)(rnd.alphanumeric.take(20).mkString)
+    val docs = (1L to 60L).map { id =>
+      val nb = 1 + rnd.nextInt(5)
+      val text =
+        if (id % 13 == 0) blocks(0).take(3 + rnd.nextInt(8)) // short
+        else (1 to nb).map(_ => blocks(rnd.nextInt(blocks.length)))
+          .mkString(" ")
+      (id, text)
+    }.toDF("doc_id", "text")
+    val k = 8; val w = 4
+    // the pre-r15 declarative form, verbatim
+    val hsExpr =
+      s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
+          p -> cast(conv(substring(md5(substring(text, p, $k)), 1, 8),
+                         16, 10) as bigint))"""
+    val oldFps = docs
+      .repartition(4)
+      .where($"text".isNotNull && length($"text") >= k)
+      .select($"doc_id",
+        array_distinct(expr(
+          s"""flatten(transform(array($hsExpr),
+              hs -> transform(sequence(1, greatest(size(hs) - ${w - 1}, 1)),
+                    i -> array_min(slice(hs, i, $w)))))""")).as("fps"))
+      .select($"doc_id", explode($"fps").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newFps = graft.ops.TextOps.winnowFingerprints(docs, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(newFps == oldFps)
+    // pairs: new map-side expansion vs the pre-r15 posts self-join
+    val fpsDf = graft.ops.TextOps.winnowFingerprints(docs, k, w)
+    val keep = fpsDf.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= 64).select($"fp")
+    val posts = fpsDf.join(keep, "fp")
+    val oldPairs = posts.select($"fp", $"doc_id".as("a"))
+      .join(posts.select($"fp", $"doc_id".as("b")), Seq("fp"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val newPairs = graft.ops.TextOps.winnowPairs(docs, k, w,
+        minShared = 2L, dfCap = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(newPairs == oldPairs)
+  }
+
   test("sortedNeighborhood finds adjacent near-duplicates, is exact vs a " +
       "local reference, and is input-partitioning-independent") {
     import spark.implicits._
