@@ -1046,27 +1046,46 @@ object DedupOps extends Serializable {
     // Rebuild MAP-SIDE: join the span lists back (unhinted — AQE
     // broadcasts the typical sparse-span case and keeps a shuffle join
     // when half the corpus carries spans, the nearDuplicates semi-join
-    // rule), then drop covered tokens with array lambdas per row. This
-    // replaces the round-2 shape (posexplode every token → range
-    // anti-join → doc-keyed sort-collect rebuild): one corpus-wide
-    // explode shuffle and one rebuild aggregation less, measured 24%
-    // faster at sf0.1 (ProfileQ127) and strictly fewer corpus-sized
-    // exchanges at any scale. The per-token lambda work is the same
-    // coverage test the anti-join evaluated, just without moving rows.
+    // rule), then strip covered tokens in ONE imperative typed pass per
+    // row (r15; the signaturesOnly mapPartitions precedent). The prior
+    // declarative rebuild ran interpreted higher-order lambdas —
+    // sequence + struct-per-token + exists() per token × span — and was
+    // measured 19% slower end-to-end at sf0.1 (ProfileQ127 variant 12:
+    // 1.76 s → 1.43 s); the kernel is the same coverage test without
+    // per-token allocation. Tokenization is exactly tokens():
+    // split(trim(x), "\s+") with Spark's keep-trailing-empties limit.
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.select(col("doc_id"), col("text"))
       .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"), tokens(col("text")).as("tk"),
+      .select(col("doc_id"), col("text"),
         coalesce(col("sp"), expr("array()")).as("sp"))
-      .select(col("doc_id"),
-        size(col("tk")).cast("long").as("n_tok"),
-        expr("""filter(transform(sequence(1, size(tk)),
-                  i -> struct(i AS pos, tk[i - 1] AS tok)),
-                x -> NOT exists(sp, s -> x.pos >= s.start_tok
-                  AND x.pos <= s.end_tok))""").as("kept"))
-      .select(col("doc_id"), col("n_tok"),
-        (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
-        concat_ws(" ", expr("transform(kept, x -> x.tok)"))
-          .as("clean_text"))
+      .as[(Long, String, Seq[(Long, Long)])]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, sp) =>
+          val tk = text.trim.split("\\s+", -1)
+          val n = tk.length.toLong
+          val sb = new java.lang.StringBuilder
+          var kept = 0L
+          var pos = 1L
+          var i = 0
+          while (i < tk.length) {
+            var covered = false
+            val it = sp.iterator
+            while (!covered && it.hasNext) {
+              val s = it.next()
+              if (pos >= s._1 && pos <= s._2) covered = true
+            }
+            if (!covered) {
+              if (kept > 0L) sb.append(' ')
+              sb.append(tk(i)); kept += 1L
+            }
+            pos += 1L; i += 1
+          }
+          (id, n, n - kept, sb.toString)
+        }
+      }
+      .toDF("doc_id", "n_tok", "n_removed", "clean_text")
   }
 
   /** SimHash near-dup pairs within a Hamming radius: OR-banded candidate

@@ -102,5 +102,125 @@ object ProfileQ127 {
         .orderBy(col("doc_id"))
     }
     bench("7 strip variant: broadcast spans, map-side rebuild")(stripVariant)
+
+    // r15 variants -----------------------------------------------------
+    // 8: dup detection via ONE kg-keyed window count (normalizedDedup
+    // shape) instead of agg + shuffle_hash join-back — one exchange of
+    // the full gram stream vs two (unique-kg agg + full join-back)
+    val w = org.apache.spark.sql.expressions.Window
+    def dupPosWindow: DataFrame = gramFrame
+      .withColumn("c", count(lit(1)).over(w.partitionBy(col("kg"))))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("p"))
+    bench("8 dupPos via window-count (one exchange)")(dupPosWindow)
+    def dupPosJoin: DataFrame = {
+      val dup = gramFrame.groupBy(col("kg"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select(col("kg"))
+      gramFrame.join(dup.hint("shuffle_hash"), "kg")
+        .select(col("doc_id"), col("p"))
+    }
+    bench("9 dupPos via agg + shuffle_hash join-back (current)")(dupPosJoin)
+
+    // 10: full q125 with window-count dup detection
+    def spansFromDupPos(dupPos: DataFrame): DataFrame = {
+      val byDoc = w.partitionBy(col("doc_id")).orderBy(col("p"))
+      dupPos
+        .withColumn("prev_reach", max(col("p") + (k - 1))
+          .over(byDoc.rowsBetween(w.unboundedPreceding, -1)))
+        .withColumn("fresh",
+          when(col("prev_reach").isNull || col("p") > col("prev_reach"), 1L)
+            .otherwise(0L))
+        .withColumn("span_id", sum(col("fresh")).over(byDoc))
+        .groupBy(col("doc_id"), col("span_id"))
+        .agg(min(col("p")).as("start_tok"),
+          (max(col("p")) + (k - 1)).as("end_tok"))
+        .select(col("doc_id"), col("span_id"), col("start_tok"),
+          col("end_tok"),
+          (col("end_tok") - col("start_tok") + 1).as("n_toks"))
+        .filter(col("n_toks") >= 10)
+    }
+    bench("10 full q125 via window-count dup")(spansFromDupPos(dupPosWindow))
+
+    // 11: imperative rebuild kernel — strip spans per doc in one typed
+    // pass instead of interpreted sequence/filter/exists lambdas
+    def stripKernel: DataFrame = {
+      import spark.implicits._
+      val spans = spansFromDupPos(dupPosWindow)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("sp"))
+      val joined = docs.select(col("doc_id"), col("text"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("sp"), expr("array()")).as("sp"))
+        .as[(Long, String, Seq[(Long, Long)])]
+      joined.mapPartitions { rows =>
+        rows.map { case (id, text, sp) =>
+          // exactly tokens(): split(trim(x), "\s+") — limit -1 like
+          // Spark's split (keeps the single empty token of "")
+          val tk = text.trim.split("\\s+", -1)
+          val n = tk.length.toLong
+          val sb = new java.lang.StringBuilder
+          var kept = 0L
+          var pos = 1L
+          var i = 0
+          while (i < tk.length) {
+            var covered = false
+            val it = sp.iterator
+            while (!covered && it.hasNext) {
+              val s = it.next()
+              if (pos >= s._1 && pos <= s._2) covered = true
+            }
+            if (!covered) {
+              if (kept > 0L) sb.append(' ')
+              sb.append(tk(i)); kept += 1L
+            }
+            pos += 1L; i += 1
+          }
+          (id, n, n - kept, sb.toString)
+        }
+      }.toDF("doc_id", "n_tok", "n_removed", "clean_text")
+        .orderBy(col("doc_id"))
+    }
+    bench("11 FULL q127: window dup + imperative rebuild")(stripKernel)
+
+    // 12: current join-back dup detection + imperative rebuild kernel
+    def stripKernelJoinDup: DataFrame = {
+      import spark.implicits._
+      val spans = graft.ops.DedupOps.duplicateSpans(docs, 5, 10)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("sp"))
+      val joined = docs.select(col("doc_id"), col("text"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("sp"), expr("array()")).as("sp"))
+        .as[(Long, String, Seq[(Long, Long)])]
+      joined.mapPartitions { rows =>
+        rows.map { case (id, text, sp) =>
+          val tk = text.trim.split("\\s+", -1)
+          val n = tk.length.toLong
+          val sb = new java.lang.StringBuilder
+          var kept = 0L
+          var pos = 1L
+          var i = 0
+          while (i < tk.length) {
+            var covered = false
+            val it = sp.iterator
+            while (!covered && it.hasNext) {
+              val s = it.next()
+              if (pos >= s._1 && pos <= s._2) covered = true
+            }
+            if (!covered) {
+              if (kept > 0L) sb.append(' ')
+              sb.append(tk(i)); kept += 1L
+            }
+            pos += 1L; i += 1
+          }
+          (id, n, n - kept, sb.toString)
+        }
+      }.toDF("doc_id", "n_tok", "n_removed", "clean_text")
+        .orderBy(col("doc_id"))
+    }
+    bench("12 FULL q127: join dup + imperative rebuild")(stripKernelJoinDup)
   }
 }
