@@ -1183,8 +1183,13 @@ object DedupOps extends Serializable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id")))
+    // persisted (the containmentPairs pattern, r15): BOTH verification
+    // sides (sa, sb) read this frame, and without the barrier each side
+    // re-runs the semi-join + per-candidate shingling pass — the q151
+    // before-plan carried the subtree twice
     val sets = shingleSets(
       spread(docs.join(candIds, Seq("doc_id"), "left_semi")), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sa = sets.select(col("doc_id").as("a"), col("shset").as("seta"),
       col("n_sh").as("na"))
     val sb = sets.select(col("doc_id").as("b"), col("shset").as("setb"),
