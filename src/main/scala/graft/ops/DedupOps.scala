@@ -272,25 +272,40 @@ object DedupOps extends Serializable {
 
   private[graft] def candidatesFromSignatures(sig0: DataFrame, k: Int,
       rowsPerBand: Int): DataFrame = {
-    // sig is read three times (banding + both sides of the est_sim join)
-    // and is tiny (one k-int row per doc) — project to just the signature
-    // columns and persist instead of recomputing the pipeline per reference
+    // r15: est_sim is computed DURING the band-bucket pair expansion —
+    // each bucket's member list carries the full signature vector
+    // (12 longs of metadata per member, guide-§2.3 "shuffle metadata,
+    // not payloads"), so the former shape's sig persist + pair distinct
+    // + TWO signature joins collapse into the one bucket aggregation
+    // the banding already pays (ProfileQ151: the est block was +0.9 s
+    // of a 3.0 s run). est_sim = matching-position count / k, the same
+    // IEEE division as the join form; cross-band duplicates carry the
+    // pair-determined est, so the trailing distinct is exactly the old
+    // pair dedup.
     val sig = sig0
       .select(col("doc_id") +: (0 until k).map(i => col(s"s$i")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = pairsFromBands(sig, k, rowsPerBand)
-    val sa = sig.columns.filter(_ != "doc_id")
-      .foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
-      .withColumnRenamed("doc_id", "a")
-    val sb = sig.columns.filter(_ != "doc_id")
-      .foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-      .withColumnRenamed("doc_id", "b")
-    val matchCount = (0 until k)
-      .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs.join(sa, "a").join(sb, "b")
-      .select(col("a"), col("b"),
-        (matchCount.cast("double") / k).as("est_sim"))
+    val nBands = k / rowsPerBand
+    val keys = (0 until nBands).map { b =>
+      md5(concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i")): _*))
+    }
+    val bands = sig.select(col("doc_id"),
+      array((0 until k).map(i => col(s"s$i")): _*).as("sv"),
+      posexplode(array(keys: _*)).as(Seq("band", "bk")))
+    bands.groupBy(col("band"), col("bk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sv"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(ms, (x, i) ->
+             transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+               struct(x.doc_id AS a, y.doc_id AS b,
+                 cast(aggregate(zip_with(x.sv, y.sv,
+                   (p, q) -> if(p = q, 1, 0)), 0, (acc, e) -> acc + e)
+                   AS double) / $k AS est_sim))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.est_sim").as("est_sim"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard for ALL pairs sharing ≥1 shingle. O(Σ df²) —

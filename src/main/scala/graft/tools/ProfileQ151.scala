@@ -47,6 +47,10 @@ object ProfileQ151 {
 
     bench("1 empty job")(spark.range(32).toDF("i").repartition(32))
     bench("2 signaturesOnly")(DedupOps.minhashSignatures(docs, 12))
+    bench("2b raw band pairs (no distinct, no est)")(
+      DedupOps.rawPairsFromBands(DedupOps.minhashSignatures(docs, 12), 12, 3))
+    bench("2c distinct band pairs (no est)")(
+      DedupOps.pairsFromBands(DedupOps.minhashSignatures(docs, 12), 12, 3))
     bench("3 lshCandidates (sig + bands + est join)")(
       DedupOps.lshCandidates(docs, 12, 3))
     bench("4 FULL q151")(
