@@ -881,19 +881,27 @@ object TextOps {
     * expanded MAP-SIDE from each fingerprint's sorted member list (the
     * pairsFromBands pattern) riding the join's fp-partitioning — one
     * exchange and one postings side less than the former
-    * posts⋈posts self-join, with per-group lists bounded by dfCap
-    * (collect only runs AFTER the df filter). r15: 2 gram passes +
-    * 3 exchanges, down from 4 logical passes / self-join. */
+    * posts⋈posts self-join. r15 second cut: the df filter and the
+    * member list collapse into ONE aggregation via the df-capped
+    * [[graft.functions.MinKLongs]] typed Aggregator (state ≤ dfCap+1
+    * longs per key, so a corpus-hot boilerplate fingerprint costs a
+    * 65-long buffer, never a corpus-length list — the skew guarantee
+    * the df-filter-then-join shape existed to provide). A kept key
+    * (2 ≤ df ≤ dfCap) is under the cap, so its member list is COMPLETE
+    * and sorted — pair expansion is unchanged; an over-cap key shows
+    * exactly dfCap+1 members and the size filter drops it, which is the
+    * old `df <= dfCap` test verbatim. One gram pass + 2 exchanges
+    * (fp, pair), down from 2 passes + 3 exchanges + the join. */
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
       minShared: Long = 2L, dfCap: Long = 64L): DataFrame = {
-    val fps = winnowFingerprints(docs, k, w)
-    val keep = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= dfCap)
-      .select(col("fp"))
-    fps.join(keep.hint("shuffle_hash"), "fp")
+    require(dfCap >= 2 && dfCap < Int.MaxValue, s"dfCap out of range: $dfCap")
+    import org.apache.spark.sql.Encoders
+    val mink = udaf(new graft.functions.MinKLongs(dfCap.toInt + 1),
+      Encoders.scalaLong)
+    winnowFingerprints(docs, k, w)
       .groupBy(col("fp"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(mink(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= dfCap)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
              transform(slice(ids, i + 2, size(ids) - i - 1), y ->

@@ -726,6 +726,55 @@ class OpsSpec extends AnyFunSuite {
     assert(newPairs == oldPairs)
   }
 
+  test("winnowPairs MinKLongs fusion: a BINDING dfCap drops hot " +
+      "fingerprints exactly like the old df-filter + join shape") {
+    import spark.implicits._
+    // every doc repeats one shared block (fingerprints with df = 20,
+    // above the cap) plus per-pair blocks (df = 2, under the cap)
+    val shared = "QqWwEeRrTtYyUuIiOoPp"
+    val pairBlocks = Array.tabulate(10)(i => s"pairBlock${i}AaBbCcDdEe")
+    val docs = (0L until 20L).map { id =>
+      (id + 1L, s"$shared ${pairBlocks((id / 2L).toInt)}")
+    }.toDF("doc_id", "text")
+    val k = 8; val w = 4; val cap = 3L
+    // old shape, verbatim: df count -> filter -> join -> collect pairs
+    val fpsDf = graft.ops.TextOps.winnowFingerprints(docs, k, w)
+    val keep = fpsDf.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= cap).select($"fp")
+    val posts = fpsDf.join(keep, "fp")
+    val oldPairs = posts.select($"fp", $"doc_id".as("a"))
+      .join(posts.select($"fp", $"doc_id".as("b")), Seq("fp"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val newPairs = graft.ops.TextOps.winnowPairs(docs, k, w,
+        minShared = 1L, dfCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(newPairs == oldPairs)
+    // sanity: the shared-block fingerprints really were hot (df 20 > cap)
+    // and really were dropped — only the disjoint per-pair partners remain
+    assert(newPairs.nonEmpty && newPairs.forall { case (a, b, _) =>
+      (a + 1) / 2 == (b + 1) / 2 })
+  }
+
+  test("MinKLongs: k-smallest with duplicates, deterministic under " +
+      "partitioning, collect_list-complete under the cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    val mink = udaf(new graft.functions.MinKLongs(4), Encoders.scalaLong)
+    val rows = Seq((1L, 5L), (1L, 1L), (1L, 3L), (1L, 3L), (1L, 9L),
+      (1L, 2L), (2L, 7L), (2L, 7L), (3L, 4L)).toDF("g", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"g").agg(mink($"v").as("ks")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val out = run(rows)
+    assert(out(1L) == List(1L, 2L, 3L, 3L)) // capped at 4, dups kept, sorted
+    assert(out(2L) == List(7L, 7L))         // under cap: complete
+    assert(out(3L) == List(4L))
+    assert(run(rows.repartition(5)) == out) // merge-order independent
+  }
+
   test("sortedNeighborhood finds adjacent near-duplicates, is exact vs a " +
       "local reference, and is input-partitioning-independent") {
     import spark.implicits._
