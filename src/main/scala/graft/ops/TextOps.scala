@@ -859,6 +859,89 @@ object TextOps {
     java.util.Arrays.copyOf(fps, out + 1)
   }
 
+  /** Per-document DISTINCT word n-gram shingle sets, fingerprinted to
+    * int64 with Spark's own xxhash64 — the set representation q142's
+    * set-similarity join consumes, computed in ONE imperative
+    * mapPartitions pass (the [[winnowFingerprints]] kernel precedent).
+    *
+    * Bit-identical to the declarative form
+    * `array_distinct(transform(zip_with(zip_with(slice(w,1,…),
+    * slice(w,2,…), concat), slice(w,3,…), concat), s -> xxhash64(s)))`
+    * over `split(trim(text), "\s+")` tokens: tokenization replicates
+    * Spark's space-only `trim` + keep-trailing-empties split, the
+    * joined shingle bytes are token bytes separated by single spaces,
+    * and the hash is catalyst's XXH64 with the xxhash64 expression's
+    * seed (42) — pinned by an OpsSpec equivalence test. The declarative
+    * chain evaluated its lambdas INTERPRETED and allocated a shingle
+    * String per position; the kernel hashes through one reused byte
+    * buffer. Distinct via sort+unique: downstream consumers aggregate
+    * or rebuild canonically-sorted lists, so element order is free.
+    *
+    * Returns (doc_id, tk: array&lt;long&gt;); null text stays null
+    * (downstream explode drops both null and empty identically). */
+  def hashedWordNgramSets(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1; got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(rows => rows.map { case (id, text) =>
+        (id, ngramXxhashOf(text, n))
+      })
+      .toDF("doc_id", "tk")
+  }
+
+  /** Imperative kernel for ONE document of [[hashedWordNgramSets]]:
+    * space-only trim (Spark's `trim`), Java-regex `\s+` split with
+    * trailing empties kept (Spark's `split` limit −1), n-token shingles
+    * joined by single spaces, XXH64(seed 42) over the UTF-8 bytes via a
+    * task-reused buffer, sort+unique distinct. */
+  private[graft] def ngramXxhashOf(text: String, n: Int): Array[Long] = {
+    if (text == null) return null
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    var s0 = 0
+    var e0 = text.length
+    while (s0 < e0 && text.charAt(s0) == ' ') s0 += 1
+    while (e0 > s0 && text.charAt(e0 - 1) == ' ') e0 -= 1
+    val toks = text.substring(s0, e0).split("\\s+", -1)
+    val m = toks.length - (n - 1)
+    if (m <= 0) return Array.emptyLongArray
+    val tb = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) { tb(i) = toks(i).getBytes(utf8); i += 1 }
+    var buf = new Array[Byte](64)
+    val out = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += tb(p + j).length; j += 1 }
+      if (buf.length < len)
+        buf = new Array[Byte](math.max(len, buf.length * 2))
+      var o = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(o) = ' '; o += 1 }
+        val t = tb(p + j)
+        System.arraycopy(t, 0, buf, o, t.length)
+        o += t.length
+        j += 1
+      }
+      out(p) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          len, 42L)
+      p += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var q = 1
+    while (q < m) {
+      if (out(q) != out(w)) { w += 1; out(w) = out(q) }
+      q += 1
+    }
+    java.util.Arrays.copyOf(out, w + 1)
+  }
+
   /** Plagiarism/overlap candidate pairs from shared winnowing
     * fingerprints: documents sharing ≥ `minShared` selected fingerprints
     * (each of document frequency ≤ `dfCap`).

@@ -2288,16 +2288,10 @@ object LlmOps {
     // SQL — a fair algorithm-vs-algorithm engine comparison.
     "q142_setsim_shingles" -> QueryDef(
       build = (spark, dir) => {
-        // Fan BEFORE the shingle projection (the transform runs where
-        // its project sits — below any later repartition — so fanning
-        // afterwards would leave the corpus-scale string work on the
-        // scan's 1–2 partitions). Trigrams via zip_with over three
-        // slices, NOT transform+element_at(w, …): projection collapsing
-        // inlines `w` (a regex split) into every lambda-body reference
-        // and higher-order lambdas defeat subexpression elimination, so
-        // the element_at form re-splits the text ~2× per element
-        // (measured 5 s single-threaded at sf0.1); the slice args
-        // evaluate once per row.
+        // Fan BEFORE the shingle projection (the kernel runs where its
+        // map sits — below any later repartition — so fanning afterwards
+        // would leave the corpus-scale string work on the scan's 1–2
+        // partitions).
         val docs = Q.fan(Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text")))
         // Shingles are FINGERPRINTED to int64 (xxhash64) before the join
@@ -2307,18 +2301,12 @@ object LlmOps {
         // strings. 64-bit over a 27k vocabulary: collision odds ~4e-11.
         // The timed DuckDB baseline gets the same trick (hash(s)); the
         // correctness oracle stays on exact strings as the equivalence
-        // proof.
-        val sets = docs
-          .select(col("doc_id"), Q.tokens(col("text")).as("w"))
-          .select(col("doc_id"), array_distinct(expr(
-            """transform(
-                 zip_with(
-                   zip_with(slice(w, 1, size(w)-2), slice(w, 2, size(w)-2),
-                            (a, b) -> concat(a, ' ', b)),
-                   slice(w, 3, size(w)-2),
-                   (ab, c) -> concat(ab, ' ', c)),
-                 s -> xxhash64(s))"""
-          )).as("tk"))
+        // proof. r15: the declarative zip_with/concat/xxhash64 chain
+        // (interpreted lambdas, one shingle String per position) became
+        // the hashedWordNgramSets mapPartitions kernel — bit-identical
+        // hashes (OpsSpec pins the equivalence against the verbatim old
+        // expression).
+        val sets = graft.ops.TextOps.hashedWordNgramSets(docs, 3)
         DedupOps.setSimJoinSets(sets, tauNum = 4L, tauDen = 5L)
           .orderBy(col("a"), col("b"))
       },

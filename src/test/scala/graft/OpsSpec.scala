@@ -758,6 +758,67 @@ class OpsSpec extends AnyFunSuite {
       (a + 1) / 2 == (b + 1) / 2 })
   }
 
+  test("hashedWordNgramSets kernel is bit-identical to the declarative " +
+      "zip_with/concat/xxhash64 trigram chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.fill(15)(rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+    val corner = Seq(
+      (101L, null.asInstanceOf[String]),   // null text
+      (102L, ""),                          // empty
+      (103L, "   "),                       // spaces only
+      (104L, "one two"),                   // < n tokens
+      (105L, "one two three"),             // exactly n
+      (106L, "  lead trail  "),            // space trim
+      (107L, "\tlead tab x y z"),          // tab survives Spark trim
+      (108L, "a  b\t\tc d a  b\t\tc d"))   // multi-space + repeats
+    val docs = (corner ++ (1L to 40L).map { id =>
+      (id, (1 to 2 + rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }).toDF("doc_id", "text")
+    // the pre-r15 declarative form, verbatim (q142's old build). It is
+    // PARTIAL: slice(w, 1, size(w)-2) throws on docs under 3 tokens
+    // (negative length), so compare on the >= 3-token docs — the only
+    // ones the corpus contract admits — and pin the kernel's TOTAL
+    // behavior on the short docs separately below (DuckDB's oracle
+    // comprehension returns the empty set there, as the kernel does).
+    val longEnough = docs
+      .where(size(graft.queries.Q.tokens($"text")) >= 3)
+    val oldSets = longEnough
+      .select($"doc_id", graft.queries.Q.tokens($"text").as("w"))
+      .select($"doc_id", array_distinct(expr(
+        """transform(
+             zip_with(
+               zip_with(slice(w, 1, size(w)-2), slice(w, 2, size(w)-2),
+                        (a, b) -> concat(a, ' ', b)),
+               slice(w, 3, size(w)-2),
+               (ab, c) -> concat(ab, ' ', c)),
+             s -> xxhash64(s))"""
+      )).as("tk"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSet)).toMap
+    val newSets = graft.ops.TextOps.hashedWordNgramSets(docs, 3)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSet)).toMap
+    // sets are element-identical on every comparable doc (element ORDER
+    // is free: every consumer aggregates — the kernel sorts,
+    // array_distinct keeps first occurrence)
+    assert(oldSets.nonEmpty)
+    for ((id, old) <- oldSets) assert(newSets(id) == old, s"doc $id")
+    // total-function corners: null text stays null; short/empty docs
+    // yield the EMPTY set (the DuckDB oracle's semantics)
+    assert(newSets(101L).isEmpty)                 // null -> null
+    Seq(102L, 103L, 104L).foreach { id =>
+      assert(newSets(id) == Some(Set.empty[Long]), s"doc $id") }
+    assert(newSets(105L).exists(_.size == 1))     // exactly n -> 1 shingle
+    // and each array really is distinct (set size == array size)
+    graft.ops.TextOps.hashedWordNgramSets(docs, 3)
+      .collect().foreach { r =>
+        val a = Option(r.getSeq[Long](1))
+        a.foreach(s => assert(s.size == s.toSet.size))
+      }
+  }
+
   test("MinKLongs: k-smallest with duplicates, deterministic under " +
       "partitioning, collect_list-complete under the cap") {
     import spark.implicits._
