@@ -354,7 +354,28 @@ object LlmOps {
           FROM r x JOIN r y ON y.r - x.r BETWEEN 1 AND 4)
         SELECT a, b, rank_gap, round(inter * 1.0 / uni, 6) AS jac
         FROM p WHERE 2 * inter >= uni ORDER BY a, b"""),
-      bench = true),
+      bench = true,
+      // paired timed baseline (the q142/hashedVerifyBaseline treatment):
+      // the Spark side verifies neighbor pairs on int64 token
+      // fingerprints since r16, so the timed DuckDB column intersects
+      // hashed tokens too; the correctness oracle above stays on exact
+      // strings as the equivalence proof
+      benchOracle = Some(raw"""
+        WITH t AS (SELECT doc_id,
+            substr(regexp_replace(lower(text), '\s+', '', 'g'), 1, 16) AS bkey,
+            list_transform(
+              list_distinct(regexp_split_to_array(trim(text), '\s+')),
+              tok -> hash(tok)) AS tk
+          FROM documents),
+        r AS (SELECT doc_id, tk,
+            row_number() OVER (ORDER BY bkey, doc_id) - 1 AS r FROM t),
+        p AS (SELECT x.doc_id AS a, y.doc_id AS b, y.r - x.r AS rank_gap,
+            CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+            CAST(len(x.tk) + len(y.tk)
+              - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS uni
+          FROM r x JOIN r y ON y.r - x.r BETWEEN 1 AND 4)
+        SELECT a, b, rank_gap, round(inter * 1.0 / uni, 6) AS jac
+        FROM p WHERE 2 * inter >= uni ORDER BY a, b""")),
 
     // ---- leakage-free split (split by dup cluster, not by doc) ----------
     // the FIX for what q128 measures: whole near-dup families land in
