@@ -446,11 +446,55 @@ object Bench {
            s""","floor_sf1":$ratiosMap,"floor_sf1_gate":${escJson(gate)}""")
         }
       }
+    // sf1 scaling anchors (r16, r15-verdict item 4, additions-only): at
+    // sf0.1 EVERY query ran faster on 8 cores than on 32 in the r15
+    // driver runs — the bench SF is below the parallelism floor, so the
+    // low/high-core ratio demonstrates nothing about scale-safety. When
+    // the sf1 fixture is present, the same run re-times a fixed set of
+    // data-path-heavy anchors at sf1 (Spark column only; 1 warmup + 2
+    // rounds — informational, not a gate). The driver's low-core run
+    // emits the same block, so the cross-artifact core ratio is
+    // measured where the data path actually dominates. Skip with
+    // SPARK_GRAFT_SCALING_SF1=off.
+    val scalingSf1Json: String = {
+      val anchors = Seq("q108_dedup_survivorship", "q142_setsim_shingles",
+        "q165_winnow_pairs", "q166_sorted_neighborhood",
+        "q186_copurchase_triangles").filter(names.contains)
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SF1_DIR",
+        "target/sfscaled/sf1")
+      if (anchors.isEmpty) ""
+      else if (sys.env.getOrElse("SPARK_GRAFT_SCALING_SF1", "on") == "off")
+        ",\"scaling_sf1\":null,\"scaling_sf1_note\":" +
+          escJson("disabled by SPARK_GRAFT_SCALING_SF1=off")
+      else if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$sf1Dir/documents.parquet")))
+        ",\"scaling_sf1\":null,\"scaling_sf1_note\":" + escJson(
+          s"sf1 fixture absent at $sf1Dir — build with: sbt \"runMain " +
+            s"graft.tools.MakeScaled /root/testdata/sf0.1 $sf1Dir 10\"")
+      else {
+        maintainLayouts(sf1Dir)
+        val sw = sys.env.getOrElse("SPARK_GRAFT_SCALING_WARMUPS", "1").toInt
+        val sr = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "2").toInt
+        (1 to sw).foreach(_ => anchors.foreach(timeOneAt(_, sf1Dir)))
+        val ss = scala.collection.mutable.Map[String,
+          scala.collection.mutable.ArrayBuffer[Double]]()
+        (1 to sr).foreach { _ =>
+          anchors.foreach { n =>
+            timeOneAt(n, sf1Dir).foreach(ss.getOrElseUpdate(
+              n, scala.collection.mutable.ArrayBuffer[Double]()) += _)
+          }
+        }
+        val mins = anchors.map(n => "\"" + n + "\":" +
+          ss.get(n).map(s => r4(s.min).toString).getOrElse("null"))
+          .mkString("{", ",", "}")
+        s""","scaling_sf1":$mins,"scaling_sf1_cpus":$cpus"""
+      }
+    }
     val worstFirst =
       if (ratioPairs.isEmpty) ""
       else ",\"ratios_worst_first\":" + ratioPairs.map { case (k, v) =>
         "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val ratiosJson = floorJson + floorSf1Json + worstFirst
+    val ratiosJson = floorJson + floorSf1Json + scalingSf1Json + worstFirst
     val ratiosCompact = floorJson + floorSf1Compact + worstFirst
 
     val duckJson = duckdb match {
@@ -481,11 +525,18 @@ object Bench {
     // seconds maps near the front are clipped (r9's driver artifact lost
     // exactly those; verdict task 1).
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"total_median":$totalMedian,"sf":"$sfDir","warmups":$warmups,"rounds":$rounds,"subset":$subset$failedJson$noLayoutJson$notesJson$duckJson$ratiosJson}"""
-    // Full artifact on disk: immune to capture windows entirely.
+    // Full artifact on disk: immune to capture windows entirely. ALSO
+    // written to the repo root as BENCH_LAST.json (r15 verdict item 10:
+    // the driver's round-over-round PERF table lost r14↔r15
+    // comparability to a truncated 2000-char tail capture of this very
+    // line — a committed file defends the comparison; additions-only,
+    // the printed contract is unchanged).
     scala.util.Try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_summary.json"), fullJson + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LAST.json"), fullJson + "\n")
     }
     println(fullJson)
     // Compact self-grading summary LAST (r12 verdict task 3: a

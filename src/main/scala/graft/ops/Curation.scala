@@ -322,8 +322,16 @@ object Curation {
       .mapPartitions { rows =>
         val ws = java.util.regex.Pattern.compile("\\s+")
         rows.flatMap { case (id, text) =>
-          // exactly tokens(): split(trim(x), "\s+"), keep-empties limit
-          val tk = ws.split(text.trim, -1)
+          // exactly tokens(): split(trim(x), "\s+"), keep-empties limit.
+          // Spark's trim strips SPACES only (Java String.trim strips all
+          // chars ≤ U+0020 — a \t/\n-edged text would tokenize
+          // differently); the manual loop is the ngramXxhashOf port,
+          // equivalence by construction (OpsSpec pins the \t/\n edge).
+          var s0 = 0
+          var e0 = text.length
+          while (s0 < e0 && text.charAt(s0) == ' ') s0 += 1
+          while (e0 > s0 && text.charAt(e0 - 1) == ' ') e0 -= 1
+          val tk = ws.split(text.substring(s0, e0), -1)
           val n = tk.length
           // starts 1, 1+stride, … ≤ max(n,1): (max-1)/stride+1 chunks
           val nChunks = (math.max(n, 1) + stride - 1) / stride

@@ -159,44 +159,74 @@ object DedupOps extends Serializable {
   }
 
   /** Per-document set of 64-bit shingle FINGERPRINTS (doc_id, shset,
-    * n_sh) — md5-prefix hashes of the distinct char n-gram shingles,
-    * computed in the same imperative pass as [[shingleSets]]. For
+    * n_sh) — distinct char n-gram shingles hashed to int64. For
     * consumers that only need shingle IDENTITY (ownership minima,
-    * novelty counts — never the shingle text), longs through the
-    * corpus-sized shuffle beat n-char strings: half the bytes and
-    * long-keyed hash aggregation. Collision odds for a ~10⁶-shingle
-    * corpus at 64 bits: ~10⁻⁷ — the md5 prefix keeps even that
-    * engine-agnostic. */
+    * novelty counts, candidate-pair intersection counts — never the
+    * shingle text), longs through the corpus-sized shuffle beat n-char
+    * strings: half the bytes and long-keyed hash aggregation. Collision
+    * odds for a ~10⁶-shingle corpus at 64 bits: ~10⁻⁷.
+    *
+    * Hash: catalyst XXH64 (seed 42) over the shingle's UTF-8 bytes —
+    * NOT md5. No oracle ever sees these values (every consumer emits
+    * counts), so engine-agnosticity buys nothing, and the r16 A/B
+    * showed the md5 form COSTING more than the narrower joins saved
+    * (family subset bench 5.64 → 7.01 s): one MessageDigest round per
+    * shingle is ~50× an XXH64 mix. Distinct via sort+unique on the
+    * hashes (== distinct shingles under the injectivity premise above,
+    * which OpsSpec checks on the real corpus); all-ASCII texts hash
+    * windows of one per-doc byte array with zero per-shingle
+    * allocation, the general path hashes per-position substrings. */
   private[graft] def shingleSetsHashed(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+        import org.apache.spark.sql.catalyst.expressions.XXH64
         rows.map { case (id, text) =>
-          val sh = distinctShingles(text, n)
-          val out = new Array[Long](sh.length)
-          var i = 0
-          while (i < sh.length) {
-            md.reset()
-            val d = md.digest(sh(i).getBytes(utf8))
-            out(i) = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-            i += 1
+          val nPos = math.max(text.length - (n - 1), 1)
+          val hs = new Array[Long](nPos)
+          val bytes = text.getBytes(utf8)
+          if (bytes.length == text.length) {
+            // all-ASCII: byte offsets == char offsets, hash windows of
+            // the one array directly
+            var p = 0
+            while (p < nPos) {
+              hs(p) = XXH64.hashUnsafeBytes(bytes, off + p,
+                math.min(n, text.length - p), 42L)
+              p += 1
+            }
+          } else {
+            var p = 0
+            while (p < nPos) {
+              val b = text.substring(p, math.min(p + n, text.length))
+                .getBytes(utf8)
+              hs(p) = XXH64.hashUnsafeBytes(b, off, b.length, 42L)
+              p += 1
+            }
           }
+          java.util.Arrays.sort(hs)
+          var w = 0
+          var q = 1
+          while (q < nPos) {
+            if (hs(q) != hs(w)) { w += 1; hs(w) = hs(q) }
+            q += 1
+          }
+          val out = java.util.Arrays.copyOf(hs, w + 1)
           (id, out, out.length)
         }
       }
       .toDF("doc_id", "shset", "n_sh")
   }
 
-  /** Per-document shingle set only (doc_id, shset, n_sh) — the
-    * verification-side pass, run over the (few) candidate documents, not
-    * the corpus. No spread: callers feed an already-filtered frame. */
+  /** Per-document RAW-STRING shingle set (doc_id, shset, n_sh) — the
+    * reference form of the verification pass (specs compare the hashed
+    * production path against it). Production verification uses
+    * [[shingleSetsHashed]] since r16: intersection counts are identical
+    * under the injective fingerprint and longs beat strings through the
+    * pair joins. No spread: callers feed an already-filtered frame. */
   private[graft] def shingleSets(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -368,10 +398,18 @@ object DedupOps extends Serializable {
     // semi-join leaves them in the scan's few partitions), and the persist
     // holds candidate sets only — both verification sides read it.
     // no distinct: the semi-join's hash build dedups ids anyway, and
-    // skipping it saves a shuffle in the build subtree
+    // skipping it saves a shuffle in the build subtree.
+    // r16: HASHED sets (int64 XXH64 fingerprints, shingleSetsHashed)
+    // — intersection COUNT is all verification needs, and it is exactly
+    // preserved under an injective hash of the shingles; longs through
+    // the two pair joins beat 8-char strings (half the shuffle bytes,
+    // long-equality intersects). Collision odds per candidate pair at
+    // 64 bits: ~|setA∪setB|²/2⁶⁵ ≈ 1e-11 for 1e4-shingle docs (the q142
+    // fingerprinting disclosure; OpsSpec pins hashed ≡ string
+    // verification on real data).
     val candIds = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id")))
-    val sets = shingleSets(
+    val sets = shingleSetsHashed(
       spread(docs.join(candIds, Seq("doc_id"), "left_semi")), n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verification: per-pair array_intersect on the two (small)
@@ -642,11 +680,14 @@ object DedupOps extends Serializable {
         Seq("band", "bk"))
       .select(col("new_id"), col("corpus_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val setsNew = shingleSets(spread(incoming.join(
+    // r16: hashed candidate sets — the nearDuplicates rationale (int64
+    // fingerprints through the verification joins, count-exact under an
+    // injective hash)
+    val setsNew = shingleSetsHashed(spread(incoming.join(
         pairs.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_semi")), n)
       .select(col("doc_id").as("new_id"), col("shset").as("seta"),
         col("n_sh").as("na"))
-    val setsCorp = shingleSets(spread(corpus.join(
+    val setsCorp = shingleSetsHashed(spread(corpus.join(
         pairs.select(col("corpus_id").as("doc_id")), Seq("doc_id"), "left_semi")), n)
       .select(col("doc_id").as("corpus_id"), col("shset").as("setb"),
         col("n_sh").as("nb"))
@@ -1077,8 +1118,17 @@ object DedupOps extends Serializable {
         coalesce(col("sp"), expr("array()")).as("sp"))
       .as[(Long, String, Seq[(Long, Long)])]
       .mapPartitions { rows =>
+        val ws = java.util.regex.Pattern.compile("\\s+")
         rows.map { case (id, text, sp) =>
-          val tk = text.trim.split("\\s+", -1)
+          // Spark-trim semantics: strip SPACES only (Java String.trim
+          // strips all ≤ U+0020) — the ngramXxhashOf port, so the kernel
+          // tokenizes \t/\n-edged texts exactly like the declarative
+          // tokens() form (OpsSpec pins it)
+          var s0 = 0
+          var e0 = text.length
+          while (s0 < e0 && text.charAt(s0) == ' ') s0 += 1
+          while (e0 > s0 && text.charAt(e0 - 1) == ' ') e0 -= 1
+          val tk = ws.split(text.substring(s0, e0), -1)
           val n = tk.length.toLong
           val sb = new java.lang.StringBuilder
           var kept = 0L
@@ -1156,7 +1206,8 @@ object DedupOps extends Serializable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id")))
-    val sets = shingleSets(
+    // hashed candidate sets (the nearDuplicates r16 rationale)
+    val sets = shingleSetsHashed(
       spread(docs.join(candIds, Seq("doc_id"), "left_semi")), n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sa = sets.select(col("doc_id").as("a"), col("shset").as("seta"),
@@ -1201,8 +1252,9 @@ object DedupOps extends Serializable {
     // persisted (the containmentPairs pattern, r15): BOTH verification
     // sides (sa, sb) read this frame, and without the barrier each side
     // re-runs the semi-join + per-candidate shingling pass — the q151
-    // before-plan carried the subtree twice
-    val sets = shingleSets(
+    // before-plan carried the subtree twice. Hashed (r16): the
+    // nearDuplicates rationale.
+    val sets = shingleSetsHashed(
       spread(docs.join(candIds, Seq("doc_id"), "left_semi")), n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sa = sets.select(col("doc_id").as("a"), col("shset").as("seta"),

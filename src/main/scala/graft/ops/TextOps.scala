@@ -974,7 +974,13 @@ object TextOps {
     * and sorted — pair expansion is unchanged; an over-cap key shows
     * exactly dfCap+1 members and the size filter drops it, which is the
     * old `df <= dfCap` test verbatim. One gram pass + 2 exchanges
-    * (fp, pair), down from 2 passes + 3 exchanges + the join. */
+    * (fp, pair), down from 2 passes + 3 exchanges + the join.
+    *
+    * Precondition (r15, with the MinKLongs fusion): `dfCap` must be in
+    * [2, Int.MaxValue) — the capped aggregator needs a positive int
+    * buffer bound, where the pre-fusion shape silently returned an
+    * empty frame for dfCap < 2. No current caller passes such a value;
+    * the `require` below makes the new contract explicit. */
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
       minShared: Long = 2L, dfCap: Long = 64L): DataFrame = {
     require(dfCap >= 2 && dfCap < Int.MaxValue, s"dfCap out of range: $dfCap")

@@ -37,6 +37,80 @@ object LlmOps {
       GROUP BY doc_id)"""
   }
 
+  // Paired TIMED baseline for the hashed-verification dedup family (the
+  // q142 treatment, r16): the Spark side now verifies candidate pairs on
+  // int64 shingle fingerprints (DedupOps.shingleSetsHashed), so the timed
+  // DuckDB column gets the same representation — hash(s) — in its
+  // verification intersections, keeping the ratio an algorithm-vs-
+  // algorithm engine comparison. The correctness `oracle` stays on exact
+  // strings as the equivalence proof (outputs are identical: intersection
+  // counts are preserved under an injective fingerprint; collision odds
+  // ~1e-11 per candidate pair at 64 bits). The rewrite adds one hashed
+  // CTE and re-points the two verification joins at it; the size counts
+  // and the md5-derived signature CTE still read the string shingles.
+  private def hashedVerifyBaseline(oracle: String): String = {
+    require(oracle.contains("JOIN sh x ON") && oracle.contains("JOIN sh y ON")
+        && oracle.contains("pairs AS ("),
+      "oracle shape changed: update hashedVerifyBaseline")
+    oracle
+      .replace("JOIN sh x ON", "JOIN shh x ON")
+      .replace("JOIN sh y ON", "JOIN shh y ON")
+      .replace("pairs AS (",
+        "shh AS (SELECT doc_id, hash(s) AS s FROM sh),\n        pairs AS (")
+  }
+
+  // q187's oracle, shared by its correctness `oracle` and the
+  // hashed-verification timed baseline derived from it
+  private val q187Oracle: String = {
+    val iters = 10
+    val iterCtes = (1 to iters).map { t =>
+      s"""v$t AS MATERIALIZED (SELECT e.dst AS id,
+           CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * v.r * e.w / o.ow)
+             AS BIGINT)) AS BIGINT)
+           + (SELECT CAST(round((CAST(1.0 AS DOUBLE)
+                 - CAST(0.85 AS DOUBLE))
+               * CAST(1000000000.0 AS DOUBLE) / n) AS BIGINT) FROM nn)
+             AS r
+         FROM ed e JOIN v${t - 1} v ON v.id = e.src
+                   JOIN ow o ON o.src = e.src
+         GROUP BY e.dst)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH $shinglesCte, $sigCte,
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a, b, COUNT(*) AS i
+          FROM pairs
+          JOIN sh x ON x.doc_id = a
+          JOIN sh y ON y.doc_id = b AND y.s = x.s
+          GROUP BY a, b),
+        verified AS (SELECT a, b,
+            CAST(round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i)
+              * 1000000.0) AS BIGINT) AS w
+          FROM inter JOIN sizes sa ON sa.doc_id = a
+                     JOIN sizes sb ON sb.doc_id = b
+          WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2),
+        ed AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM verified
+          UNION ALL SELECT b AS src, a AS dst, w FROM verified),
+        ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+          FROM ed GROUP BY src),
+        nn AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM ed),
+        v0 AS MATERIALIZED (SELECT src AS id,
+            (SELECT CAST(round(CAST(1000000000.0 AS DOUBLE) / n)
+               AS BIGINT) FROM nn) AS r
+          FROM (SELECT DISTINCT src FROM ed)),
+        $iterCtes
+        SELECT id AS doc_id, CAST(r AS DOUBLE) / 1000000000.0 AS rank
+        FROM v$iters ORDER BY doc_id"""
+  }
+
   // shared oracle CTE: int64 floor-quantized embedding components, 1-based
   private[queries] val quantCte = raw"""
     xv AS (SELECT vec_id, g,
@@ -205,11 +279,8 @@ object LlmOps {
         FROM cs GROUP BY 1 ORDER BY cluster_size""")),
 
     // ---- survivorship: keep the highest-quality member per cluster ------
-    "q108_dedup_survivorship" -> QueryDef(
-      build = (spark, dir) =>
-        DedupOps.survivorship(Tables.load(spark, dir, "documents"))
-          .orderBy(col("doc_id")),
-      oracle = Some(s"""
+    "q108_dedup_survivorship" -> {
+      val o = s"""
         WITH RECURSIVE $shinglesCte, $sigCte,
         bands AS (
           SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
@@ -243,15 +314,20 @@ object LlmOps {
               ORDER BY n_chars DESC, doc_id ASC) AS keep_id
           FROM j)
         SELECT doc_id, cluster_id, keep_id, (doc_id = keep_id) AS keep
-        FROM champ ORDER BY doc_id"""),
-      bench = true),
+        FROM champ ORDER BY doc_id"""
+      QueryDef(
+        build = (spark, dir) =>
+          DedupOps.survivorship(Tables.load(spark, dir, "documents"))
+            .orderBy(col("doc_id")),
+        oracle = Some(o),
+        bench = true,
+        benchOracle = Some(hashedVerifyBaseline(o)))
+    },
 
     // No ORDER BY: the driver's compare sorts rows itself, and a global
     // sort here would range-sample the whole LSH pipeline a second time.
-    "q25_jaccard_neardups" -> QueryDef(
-      build = (spark, dir) =>
-        DedupOps.nearDuplicates(Tables.load(spark, dir, "documents")),
-      oracle = Some(s"""
+    "q25_jaccard_neardups" -> {
+      val o = s"""
         WITH $shinglesCte, $sigCte,
         bands AS (
           SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
@@ -270,8 +346,14 @@ object LlmOps {
         SELECT a, b, i * 1.0 / (sa.n_sh + sb.n_sh - i) AS jaccard
         FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
-        ORDER BY a, b"""),
-      bench = true),
+        ORDER BY a, b"""
+      QueryDef(
+        build = (spark, dir) =>
+          DedupOps.nearDuplicates(Tables.load(spark, dir, "documents")),
+        oracle = Some(o),
+        bench = true,
+        benchOracle = Some(hashedVerifyBaseline(o)))
+    },
 
     // ---- C4-style normalized (fuzzy-exact) dedup ------------------------
     // normalization (lowercase, punct→space, collapse ws) + hash + keep-
@@ -441,60 +523,13 @@ object LlmOps {
           .select(col("id").as("doc_id"), col("rank"))
           .orderBy(col("doc_id"))
       },
-      oracle = Some {
-        val iters = 10
-        val iterCtes = (1 to iters).map { t =>
-          s"""v$t AS MATERIALIZED (SELECT e.dst AS id,
-               CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * v.r * e.w / o.ow)
-                 AS BIGINT)) AS BIGINT)
-               + (SELECT CAST(round((CAST(1.0 AS DOUBLE)
-                     - CAST(0.85 AS DOUBLE))
-                   * CAST(1000000000.0 AS DOUBLE) / n) AS BIGINT) FROM nn)
-                 AS r
-             FROM ed e JOIN v${t - 1} v ON v.id = e.src
-                       JOIN ow o ON o.src = e.src
-             GROUP BY e.dst)"""
-        }.mkString(",\n        ")
-        s"""
-        WITH $shinglesCte, $sigCte,
-        bands AS (
-          SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
-          UNION ALL SELECT doc_id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
-          UNION ALL SELECT doc_id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
-          UNION ALL SELECT doc_id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
-        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-          FROM bands x JOIN bands y
-            ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (SELECT a, b, COUNT(*) AS i
-          FROM pairs
-          JOIN sh x ON x.doc_id = a
-          JOIN sh y ON y.doc_id = b AND y.s = x.s
-          GROUP BY a, b),
-        verified AS (SELECT a, b,
-            CAST(round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i)
-              * 1000000.0) AS BIGINT) AS w
-          FROM inter JOIN sizes sa ON sa.doc_id = a
-                     JOIN sizes sb ON sb.doc_id = b
-          WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2),
-        ed AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM verified
-          UNION ALL SELECT b AS src, a AS dst, w FROM verified),
-        ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
-          FROM ed GROUP BY src),
-        nn AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM ed),
-        v0 AS MATERIALIZED (SELECT src AS id,
-            (SELECT CAST(round(CAST(1000000000.0 AS DOUBLE) / n)
-               AS BIGINT) FROM nn) AS r
-          FROM (SELECT DISTINCT src FROM ed)),
-        $iterCtes
-        SELECT id AS doc_id, CAST(r AS DOUBLE) / 1000000000.0 AS rank
-        FROM v$iters ORDER BY doc_id"""
-      },
+      oracle = Some(q187Oracle),
       // headline row (round 8): the oracle runs the SAME pipeline
       // (LSH near-dup pairs + unrolled integer PageRank), 1.8× at
       // sf0.1 on a 4.7 s absolute, and 0.11× (9× AHEAD) at sf1 —
       // DuckDB grows 46× for 10× data (SCALING.md §Round-8)
       bench = true,
+      benchOracle = Some(hashedVerifyBaseline(q187Oracle)),
       // keep cores on the near-dup pair aggregations (the q168 class)
       confs = Map(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst"
@@ -745,11 +780,8 @@ object LlmOps {
         ORDER BY a, b""")),
 
     // ---- sketch-calibration report (est vs exact Jaccard per decile) ----
-    "q151_minhash_calibration" -> QueryDef(
-      build = (spark, dir) =>
-        DedupOps.minhashCalibration(Tables.load(spark, dir, "documents"))
-          .orderBy(col("bucket")),
-      oracle = Some(s"""
+    "q151_minhash_calibration" -> {
+      val o = s"""
         WITH $shinglesCte, $sigCte,
         bands AS (
           SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
@@ -796,8 +828,15 @@ object LlmOps {
           CAST(SUM(j_ppm) AS DOUBLE) / COUNT(*) / 1e6 AS mean_exact,
           CAST(SUM(abs(est_ppm - j_ppm)) AS DOUBLE) / COUNT(*) / 1e6
             AS mean_abs_err
-        FROM ppm GROUP BY bucket ORDER BY bucket"""),
-      bench = true),
+        FROM ppm GROUP BY bucket ORDER BY bucket"""
+      QueryDef(
+        build = (spark, dir) =>
+          DedupOps.minhashCalibration(Tables.load(spark, dir, "documents"))
+            .orderBy(col("bucket")),
+        oracle = Some(o),
+        bench = true,
+        benchOracle = Some(hashedVerifyBaseline(o)))
+    },
 
     // ---- cross-corpus (incremental-ingest) near-dup screening -----------
     // The admission path: a synthetic incoming batch (docs 0-49 re-keyed
@@ -805,16 +844,8 @@ object LlmOps {
     // corpus. Every incoming doc is an exact copy of its original, so the
     // output deterministically contains (id+10000, id, 1.0) plus whatever
     // genuine near-dups of those 50 texts exist — nonzero by construction.
-    "q126_cross_neardups" -> QueryDef(
-      build = (spark, dir) => {
-        val docs = Tables.load(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        val incoming = docs.filter(col("doc_id") < 50)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-        DedupOps.crossNearDuplicates(incoming, docs)
-          .orderBy(col("new_id"), col("corpus_id"))
-      },
-      oracle = Some(s"""
+    "q126_cross_neardups" -> {
+      val o = s"""
         WITH all_docs AS (
           SELECT doc_id, text FROM documents
           UNION ALL
@@ -843,8 +874,20 @@ object LlmOps {
         FROM inter JOIN sizes sa ON sa.doc_id = new_id
         JOIN sizes sb ON sb.doc_id = corpus_id
         WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
-        ORDER BY new_id, corpus_id"""),
-      bench = true),
+        ORDER BY new_id, corpus_id"""
+      QueryDef(
+        build = (spark, dir) => {
+          val docs = Tables.load(spark, dir, "documents")
+            .select(col("doc_id"), col("text"))
+          val incoming = docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+          DedupOps.crossNearDuplicates(incoming, docs)
+            .orderBy(col("new_id"), col("corpus_id"))
+        },
+        oracle = Some(o),
+        bench = true,
+        benchOracle = Some(hashedVerifyBaseline(o)))
+    },
 
     // ---- train/test split leakage via near-duplication ------------------
     // Composition QA: a TEST-split document near-duplicating a TRAIN-split
@@ -853,19 +896,8 @@ object LlmOps {
     // from near-dup content straddling the split). Screens the test side
     // against the train side with the cross-corpus operator — candidate
     // volume scales with the (small) test split.
-    "q128_split_leakage" -> QueryDef(
-      build = (spark, dir) => {
-        import graft.ops.Curation
-        val docs = Tables.load(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        val split = Curation.splitAssign(col("doc_id"))
-        DedupOps.crossNearDuplicates(
-            docs.filter(split === "test"), docs.filter(split === "train"))
-          .select(col("new_id").as("test_id"),
-            col("corpus_id").as("train_id"), col("jaccard"))
-          .orderBy(col("test_id"), col("train_id"))
-      },
-      oracle = Some(s"""
+    "q128_split_leakage" -> {
+      val o = s"""
         WITH $shinglesCte, $sigCte,
         bands AS (
           SELECT doc_id, 0 AS band, md5(s0 || ',' || s1 || ',' || s2) AS bk FROM sig
@@ -890,8 +922,23 @@ object LlmOps {
         FROM inter JOIN sizes sa ON sa.doc_id = test_id
         JOIN sizes sb ON sb.doc_id = train_id
         WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
-        ORDER BY test_id, train_id"""),
-      bench = true),
+        ORDER BY test_id, train_id"""
+      QueryDef(
+        build = (spark, dir) => {
+          import graft.ops.Curation
+          val docs = Tables.load(spark, dir, "documents")
+            .select(col("doc_id"), col("text"))
+          val split = Curation.splitAssign(col("doc_id"))
+          DedupOps.crossNearDuplicates(
+              docs.filter(split === "test"), docs.filter(split === "train"))
+            .select(col("new_id").as("test_id"),
+              col("corpus_id").as("train_id"), col("jaccard"))
+            .orderBy(col("test_id"), col("train_id"))
+        },
+        oracle = Some(o),
+        bench = true,
+        benchOracle = Some(hashedVerifyBaseline(o)))
+    },
 
     // ---- SimHash ---------------------------------------------------------
     "q26_simhash" -> QueryDef(

@@ -18,10 +18,20 @@ object DumpBenchOracle {
   } + "\""
 
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.tools.DumpBenchOracle <outFile> [query,query...]")
+      sys.exit(2)
+    }
     val out = args(0)
     val names =
       if (args.length > 1 && args(1).nonEmpty) args(1).split(',').toSeq
       else SparkEntry.benchQueries
+    // fail loudly on unknown names — a typo would otherwise silently
+    // write fewer entries (r15 advisor)
+    val unknown = names.filterNot(SparkEntry.benchOracleSql.contains)
+    require(unknown.isEmpty,
+      s"unknown or oracle-less query name(s): ${unknown.mkString(", ")}")
     val sql = SparkEntry.benchOracleSql.filter(kv => names.contains(kv._1))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       sql.toSeq.sortBy(_._1).map { case (k, v) =>

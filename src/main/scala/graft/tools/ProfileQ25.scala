@@ -54,7 +54,7 @@ object ProfileQ25 {
       time(s"stage1 sig+rawpairs+persist run$i")(pairs.count())
       val candIds = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b").as("doc_id")))
-      val sets = DedupOps.shingleSets(
+      val sets = DedupOps.shingleSetsHashed(
         DedupOps.spread(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")), 8)
         .persist(StorageLevel.MEMORY_AND_DISK)
       time(s"stage2 candsets+persist run$i")(sets.count())

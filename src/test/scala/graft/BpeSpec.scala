@@ -93,7 +93,7 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("learnBatched is merge-for-merge identical to sequential learn " +
-      "across batch widths, fixtures and random corpora") {
+      "across batch widths, fixtures and random corpora", Slow) {
     import spark.implicits._
     val want = Bpe.learn(fixtureDocs, nMerges = 10)
     for (b <- Seq(1, 2, 256)) {

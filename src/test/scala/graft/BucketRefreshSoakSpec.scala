@@ -28,6 +28,7 @@ import graft.silver.{BucketedTables, IncrementalSessions}
   * transient catch (the r10 advisor's ConcurrencySoakSpec lesson
   * applied from birth here).
   */
+@SlowTest
 class BucketRefreshSoakSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()

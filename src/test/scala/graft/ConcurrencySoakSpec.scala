@@ -27,6 +27,7 @@ import graft.silver.IncrementalSessions
   *  - SERIALIZED RESULT: after the writers finish, silver and the
   *    layout equal the one-shot (serial) computation of all batches.
   */
+@SlowTest
 class ConcurrencySoakSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()

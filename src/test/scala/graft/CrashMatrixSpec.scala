@@ -25,6 +25,7 @@ import graft.silver.{BucketedTables, Snapshots, Upsert}
   * `buckets.staged` / `buckets.dropped` / `buckets.renamed` (the
   * catalog-table DROP+RENAME generation swap).
   */
+@SlowTest
 class CrashMatrixSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()

@@ -27,6 +27,7 @@ import graft.tools.MergeRace
   * ONE writer's last committed value — global commit order is
   * unobservable from per-process logs; the counter-based FenceRace
   * already pins global-order exactness), private ranges are exact. */
+@SlowTest
 class CrossProcessMergeFuzzSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()

@@ -53,7 +53,8 @@ class IncrementalSessionsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
 
-  test("mergeSessions fold over random splits equals one-shot sessionize") {
+  test("mergeSessions fold over random splits equals one-shot sessionize",
+      Slow) {
     for (seed <- Seq(1L, 7L, 42L)) {
       val all = clicks(seed)
       val oneShot = rows(IncrementalSessions.sessions(all))

@@ -23,6 +23,7 @@ import graft.silver.Upsert
   * idempotent per batch — same keys, same values), and the final state
   * must still equal the oracle.
   */
+@SlowTest
 class MergeFuzzSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()

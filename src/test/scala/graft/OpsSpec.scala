@@ -869,4 +869,154 @@ class OpsSpec extends AnyFunSuite {
     // global rank must not depend on how the input arrives partitioned
     assert(run(docs.repartition(7)) == out)
   }
+
+  test("hashed candidate-set verification (r16) is value-identical to the " +
+      "raw-string form: injective fingerprints, equal calibration and " +
+      "containment rows") {
+    val docs = Tables.load(spark, dir, "documents")
+    // injectivity of the 64-bit md5-prefix on this corpus's distinct
+    // shingles — the premise under which intersection counts (and so
+    // every verified jaccard/containment/est bucket) are EXACTLY equal
+    val nStr = DedupOps.shingleSets(docs.select(col("doc_id"), col("text")), 8)
+      .select(explode(col("shset")).as("s")).distinct().count()
+    val nHash = DedupOps.shingleSetsHashed(
+        docs.select(col("doc_id"), col("text")), 8)
+      .select(explode(col("shset")).as("h")).distinct().count()
+    assert(nStr == nHash, "64-bit shingle fingerprint collided on this corpus")
+    // minhashCalibration (hashed production path) vs the verbatim
+    // raw-string verification it replaced
+    val got = DedupOps.minhashCalibration(docs)
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val sig = DedupOps.signaturesOnly(docs, 8, 12)
+    val cand = DedupOps.candidatesFromSignatures(sig, 12, 3)
+    val candIds = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id")))
+    val sets = DedupOps.shingleSets(
+      DedupOps.spread(docs.join(candIds, Seq("doc_id"), "left_semi")), 8)
+    val sa = sets.select(col("doc_id").as("a"), col("shset").as("seta"),
+      col("n_sh").as("na"))
+    val sb = sets.select(col("doc_id").as("b"), col("shset").as("setb"),
+      col("n_sh").as("nb"))
+    val want = cand.join(sa, "a").join(sb, "b")
+      .select(col("est_sim"),
+        (size(array_intersect(col("seta"), col("setb"))).cast("double")
+          / (col("na") + col("nb")
+             - size(array_intersect(col("seta"), col("setb")))))
+          .as("jaccard"))
+      .select(
+        least(floor(col("est_sim") * 10), lit(9)).cast("long").as("bucket"),
+        round(col("est_sim") * 1e6).cast("long").as("est_ppm"),
+        round(col("jaccard") * 1e6).cast("long").as("j_ppm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("est_ppm")).cast("double") / count(lit(1)) / 1e6)
+          .as("mean_est"),
+        (sum(col("j_ppm")).cast("double") / count(lit(1)) / 1e6)
+          .as("mean_exact"),
+        (sum(abs(col("est_ppm") - col("j_ppm"))).cast("double")
+          / count(lit(1)) / 1e6).as("mean_abs_err"))
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty && got.toList == want.toList)
+    // containmentPairs (hashed) vs its raw-string verification
+    val gotC = DedupOps.containmentPairs(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairsC = DedupOps.rawPairsFromBands(sig, 12, 3)
+    val candIdsC = pairsC.select(col("a").as("doc_id"))
+      .union(pairsC.select(col("b").as("doc_id")))
+    val setsC = DedupOps.shingleSets(
+      DedupOps.spread(docs.join(candIdsC, Seq("doc_id"), "left_semi")), 8)
+    val wantC = pairsC
+      .join(setsC.select(col("doc_id").as("a"), col("shset").as("seta"),
+        col("n_sh").as("na")), Seq("a"))
+      .join(setsC.select(col("doc_id").as("b"), col("shset").as("setb"),
+        col("n_sh").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("seta"), col("setb"))).cast("double")
+          / least(col("na"), col("nb"))).as("containment"))
+      .filter(col("containment") >= 0.5)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotC == wantC)
+  }
+
+  test("kernel tokenization strips SPACES only at the edges (Spark trim " +
+      "semantics) — \\t/\\n-edged texts chunk and strip-rebuild exactly " +
+      "like the declarative tokens() forms") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "\talpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa\n"),
+      (3L, " \t mixed  edges\t\nhere and more words to fill the window \n "),
+      (4L, "plain middle words only"),
+      (5L, "\n\nleading newlines then words"))
+      .toDF("doc_id", "text")
+    // chunkDocuments kernel vs the pre-r15 declarative explode form
+    // (tokens() = split(trim(x), "\s+") — trim strips spaces only, so a
+    // leading \t yields a leading token that STARTS with \t, not an
+    // empty token)
+    val size0 = 16
+    val stride = 8
+    val declaredChunks = texts
+      .select(col("doc_id"), graft.queries.Q.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0),
+          ((greatest(size(col("tk")), lit(1)) + stride - 1) / stride - 1)
+            .cast("int"))).as("c"))
+      .select(col("doc_id"), (col("c") + 1).cast("long").as("chunk_id"),
+        (col("c") * stride + 1).cast("long").as("start"),
+        least(col("c") * stride + size0, size(col("tk"))).cast("long")
+          .as("end"),
+        col("tk"))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        (col("end") - col("start") + 1).as("chunk_len"),
+        concat_ws(" ", slice(col("tk"), col("start").cast("int"),
+          (col("end") - col("start") + 1).cast("int"))).as("chunk_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val kernelChunks = graft.ops.Curation.chunkDocuments(texts, size0, stride)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(kernelChunks == declaredChunks)
+    // stripDuplicateSpans on a \t-edged doc with a PLANTED duplicate
+    // span: span detection tokenizes declaratively (tokens() — the \t
+    // edge yields a leading "" token, shifting positions by one), so a
+    // Java-trim rebuild would strip the WRONG tokens. Compare the
+    // kernel against the verbatim pre-r15 declarative rebuild.
+    val common = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val texts2 = Seq(
+      (6L, s"\t$common tail six words here now"),
+      (7L, s"$common other seven tail distinct words"),
+      (8L, "wholly unrelated text with no repeats at all whatsoever"))
+      .toDF("doc_id", "text")
+    val spans2 = DedupOps.duplicateSpans(texts2, k = 5, minSpan = 10)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("sp"))
+    val declStrip = texts2.join(spans2, Seq("doc_id"), "left")
+      .select(col("doc_id"), graft.queries.Q.tokens(col("text")).as("tk"),
+        coalesce(col("sp"), expr("array()")).as("sp"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        expr("""size(filter(transform(tk, (t, i) ->
+                 struct(t AS t, CAST(i + 1 AS BIGINT) AS p)),
+               x -> exists(sp, s ->
+                 x.p >= s.start_tok AND x.p <= s.end_tok)))""")
+          .cast("long").as("n_removed"),
+        expr("""concat_ws(' ', transform(filter(transform(tk, (t, i) ->
+                 struct(t AS t, CAST(i + 1 AS BIGINT) AS p)),
+               x -> NOT exists(sp, s ->
+                 x.p >= s.start_tok AND x.p <= s.end_tok)), y -> y.t))""")
+          .as("clean_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val kernelStrip = DedupOps.stripDuplicateSpans(texts2, k = 5,
+        minSpan = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    // sanity: the planted span really was detected and stripped
+    assert(kernelStrip.exists(_._3 > 0L))
+    assert(kernelStrip == declStrip)
+  }
 }

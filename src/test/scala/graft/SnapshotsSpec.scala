@@ -122,7 +122,7 @@ class SnapshotsSpec extends AnyFunSuite {
 
   test("readers race bucket-scoped snapshot commits: the pointer " +
       "protocol serves only committed versions, every read equals a " +
-      "serialized prefix state") {
+      "serialized prefix state", Slow) {
     import spark.implicits._
     import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
     val table = tmp()

@@ -26,6 +26,7 @@ import graft.streaming.{GoldStream, StatefulDedup}
   * batch that carries the eid), summed per key. One double-fold, one
   * lost batch, or one byte of lost RocksDB dedup state breaks the sums.
   */
+@SlowTest
 class StreamFuzzSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
