@@ -28,16 +28,26 @@ class MinKLongs(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
   def zero: Seq[Long] = Vector.empty
 
-  def reduce(b: Seq[Long], x: Long): Seq[Long] =
-    if (b.size >= k && x >= b.last) b
+  def reduce(b: Seq[Long], x: Long): Seq[Long] = {
+    val n = b.size
+    if (n >= k && x >= b(n - 1)) b
     else {
-      val i = b.indexWhere(x < _) match {
-        case -1 => b.size
-        case j  => j
-      }
-      val grown = (b.take(i) :+ x) ++ b.drop(i)
-      if (grown.size > k) grown.take(k) else grown
+      // one pre-sized array + two arraycopies per insert (r16): this is
+      // the per-row hot path of winnowPairs' biggest aggregation, and
+      // the previous immutable take/:+/++/drop chain allocated four
+      // vectors per insert (r15 verdict item 8)
+      var i = 0
+      while (i < n && b(i) <= x) i += 1
+      val m = math.min(n + 1, k)
+      val out = new Array[Long](m)
+      var t = 0
+      while (t < i && t < m) { out(t) = b(t); t += 1 }
+      if (i < m) out(i) = x
+      t = i + 1
+      while (t < m) { out(t) = b(t - 1); t += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
+  }
 
   def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = {
     // k-bounded merge of two sorted-ascending runs

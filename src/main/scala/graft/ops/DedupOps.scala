@@ -281,6 +281,8 @@ object DedupOps extends Serializable {
     * its tiny verified output) or use `pairsFromBands`. */
   private[graft] def rawPairsFromBands(sig: DataFrame, k: Int,
       rowsPerBand: Int): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
     val nBands = k / rowsPerBand
     val keys = (0 until nBands).map { b =>
       md5(concat_ws(",",
@@ -292,12 +294,27 @@ object DedupOps extends Serializable {
     bands.groupBy(col("band"), col("bk"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      // all i<j member pairs; sort_array above makes a < b
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-               struct(x AS a, y AS b))))""")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      // all i<j member pairs (sort_array above makes a < b), expanded
+      // in a typed flatMap (r16): the declarative
+      // flatten(transform(.., transform(slice(..), struct))) evaluated
+      // its lambdas INTERPRETED with a struct per pair — the
+      // winnowPairs kernel pattern
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val n = ids.size
+        new Iterator[(Long, Long)] {
+          private var i = 0
+          private var j = 1
+          def hasNext: Boolean = i < n - 1
+          def next(): (Long, Long) = {
+            val p = (ids(i), ids(j))
+            j += 1
+            if (j >= n) { i += 1; j = i + 1 }
+            p
+          }
+        }
+      }
+      .toDF("a", "b")
   }
 
   private[graft] def candidatesFromSignatures(sig0: DataFrame, k: Int,
@@ -319,6 +336,8 @@ object DedupOps extends Serializable {
       md5(concat_ws(",",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i")): _*))
     }
+    val spark = sig0.sparkSession
+    import spark.implicits._
     val bands = sig.select(col("doc_id"),
       array((0 until k).map(i => col(s"s$i")): _*).as("sv"),
       posexplode(array(keys: _*)).as(Seq("band", "bk")))
@@ -326,15 +345,35 @@ object DedupOps extends Serializable {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sv"))))
         .as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(expr(
-        s"""flatten(transform(ms, (x, i) ->
-             transform(slice(ms, i + 2, size(ms) - i - 1), y ->
-               struct(x.doc_id AS a, y.doc_id AS b,
-                 cast(aggregate(zip_with(x.sv, y.sv,
-                   (p, q) -> if(p = q, 1, 0)), 0, (acc, e) -> acc + e)
-                   AS double) / $k AS est_sim))))""")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"),
-        col("p.est_sim").as("est_sim"))
+      // typed pair expansion (r16, the winnowPairs kernel pattern): the
+      // declarative nested-transform form evaluated interpreted — a
+      // struct per pair plus a zip_with/aggregate lambda chain per
+      // est_sim. Same i<j pairs (ms sorted by (doc_id, sv), doc_ids
+      // unique per bucket, so a < b), same matching-position count,
+      // same IEEE division by k.
+      .select(col("ms")).as[Seq[(Long, Seq[Long])]]
+      .flatMap { ms =>
+        val n = ms.size
+        new Iterator[(Long, Long, Double)] {
+          private var i = 0
+          private var j = 1
+          def hasNext: Boolean = i < n - 1
+          def next(): (Long, Long, Double) = {
+            val (a, sa) = ms(i)
+            val (b, sb) = ms(j)
+            var c = 0
+            var p = 0
+            while (p < k) {
+              if (sa(p) == sb(p)) c += 1
+              p += 1
+            }
+            j += 1
+            if (j >= n) { i += 1; j = i + 1 }
+            (a, b, c.toDouble / k)
+          }
+        }
+      }
+      .toDF("a", "b", "est_sim")
       .distinct()
   }
 

@@ -247,7 +247,19 @@ object Graph {
     * counts — trivially deterministic.
     *
     * Shape: two aggregations (degrees, wedge grouping is implicit in
-    * the self-join) and two equi-joins, all on node/edge keys. */
+    * the self-join) and two equi-joins, all on node/edge keys.
+    *
+    * The oriented edge frame is STAGED (one eager materialization):
+    * it feeds both wedge sides and the closure set, and everything the
+    * caller piped in sits below it — the r16 q186 before-plan
+    * re-executed the caller's ENTIRE co-purchase pair-mining pipeline
+    * once per consumer subtree (30 lineitem scans, 32 pair-expansion
+    * Generates in one plan). A `persist` was tried first and measured
+    * SLOWER than the recomputation at sf0.1 (1.68 → 2.4-3.4 s full
+    * q186: the InMemoryRelation pins pre-AQE plan choices below every
+    * consumer), while Stage hands AQE a materialized LogicalRDD with
+    * real sizes. The frame is the oriented dup/co-occurrence sliver —
+    * edge-sized, never corpus-sized. */
   def triangleCounts(undirected: DataFrame): DataFrame = {
     val e = undirected.select(
         least(col("a"), col("b")).as("a"),
@@ -258,7 +270,7 @@ object Graph {
       .unionAll(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
     // orient by the (degree, id) total order: lo -> hi
-    val oriented = e
+    val oriented = graft.core.Stage(e
       .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
       .select(
@@ -267,7 +279,7 @@ object Graph {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v")))
           .as("e"))
-      .select(col("e.u"), col("e.v"))
+      .select(col("e.u"), col("e.v")))
     // wedges u -> (v, w) from u's oriented neighbors, v < w in the
     // SAME orientation order is not needed: close (v, w) against the
     // oriented edge set directly (each triangle has exactly ONE node

@@ -985,17 +985,38 @@ object TextOps {
       minShared: Long = 2L, dfCap: Long = 64L): DataFrame = {
     require(dfCap >= 2 && dfCap < Int.MaxValue, s"dfCap out of range: $dfCap")
     import org.apache.spark.sql.Encoders
+    val spark = docs.sparkSession
+    import spark.implicits._
     val mink = udaf(new graft.functions.MinKLongs(dfCap.toInt + 1),
       Encoders.scalaLong)
+    // pair expansion as a typed flatMap (r16): the declarative
+    // flatten(transform(.., transform(slice(..), struct)))  evaluates
+    // its higher-order lambdas INTERPRETED, allocating a struct per
+    // pair and an array per member — the same class of cost the r15
+    // winnow/trigram kernels removed upstream. The kernel emits the
+    // identical i<j pairs from each kept fingerprint's sorted member
+    // list through the codegen'd tuple encoder.
     winnowFingerprints(docs, k, w)
       .groupBy(col("fp"))
       .agg(mink(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= dfCap)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-               struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val n = ids.size
+        new Iterator[(Long, Long)] {
+          private var i = 0
+          private var j = 1
+          def hasNext: Boolean = i < n - 1
+          def next(): (Long, Long) = {
+            val p = (ids(i), ids(j))
+            j += 1
+            if (j >= n) { i += 1; j = i + 1 }
+            p
+          }
+        }
+      }
+      .toDF("a", "b")
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -939,16 +939,31 @@ object Relational {
     // "curse of the last reducer" never happens. Exact integer counts.
     "q186_copurchase_triangles" -> QueryDef(
       build = (spark, dir) => {
+        import spark.implicits._
         val lp = t(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // per-order co-purchase pairs via the typed flatMap expansion
+        // (r16, the winnowPairs kernel pattern — the declarative
+        // nested-transform lambda chain evaluated interpreted)
         val pairs = lp
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(expr(
-            """flatten(transform(ps, (x, i) ->
-                 transform(slice(ps, i + 2, size(ps)),
-                           y -> struct(x AS a, y AS b))))""")).as("p"))
-          .select(col("p.a"), col("p.b"))
+          .select(col("ps")).as[Seq[Long]]
+          .flatMap { ps =>
+            val n = ps.size
+            new Iterator[(Long, Long)] {
+              private var i = 0
+              private var j = 1
+              def hasNext: Boolean = i < n - 1
+              def next(): (Long, Long) = {
+                val p = (ps(i), ps(j))
+                j += 1
+                if (j >= n) { i += 1; j = i + 1 }
+                p
+              }
+            }
+          }
+          .toDF("a", "b")
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("n"))
           .filter(col("n") >= 2)
