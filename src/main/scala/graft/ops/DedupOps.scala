@@ -317,6 +317,23 @@ object DedupOps extends Serializable {
       .toDF("a", "b")
   }
 
+  /** Hot-bucket state bound (r15 verdict item 7, disclosed): LSH
+    * banding inherently funnels every member of one band key into ONE
+    * aggregation buffer — a degenerate key (mass-duplicated boilerplate
+    * sharing a signature) costs m·(1+k)·8 bytes of list state in one
+    * task here (the id-only [[rawPairsFromBands]] buffer is m·8), e.g.
+    * ~100 MB for a million-member bucket at k=12 — far under an
+    * executor's working memory, and the pair EXPANSION streams (the
+    * typed iterator yields m²/2 pairs without materializing them). The
+    * quadratic pair count itself, not the buffer, is what degenerates
+    * first (10⁶ members → 5·10¹¹ pairs): that is LSH's documented
+    * operating contract — near-dup candidates are the duplicated
+    * sliver; run [[exactDedup]]/[[normalizedDedup]] ahead of banding on
+    * boilerplate-heavy corpora so exact copies never reach it. A member
+    * cap is deliberately NOT applied: it would silently drop true
+    * candidate pairs (winnowPairs' dfCap is a DECLARED semantic of that
+    * operator; here it would change query results). SkewSpec pins the
+    * mass-duplicated case end-to-end. */
   private[graft] def candidatesFromSignatures(sig0: DataFrame, k: Int,
       rowsPerBand: Int): DataFrame = {
     // r15: est_sim is computed DURING the band-bucket pair expansion —

@@ -40,4 +40,27 @@ class SkewSpec extends AnyFunSuite {
       .select(countDistinct(col("_salt"))).head().getLong(0)
     assert(spread > 4)
   }
+
+  test("mass-duplicated corpus: the fused band buckets complete and emit " +
+      "exactly the m-choose-2 pairs at est_sim 1.0 (r16 hot-bucket " +
+      "disclosure)") {
+    import spark.implicits._
+    // 400 byte-identical docs: every band key collides corpus-wide, so
+    // each of the 4 band buckets holds the WHOLE corpus — the
+    // degenerate hot bucket candidatesFromSignatures' state bound
+    // documents. 13 longs per member ⇒ ~42 KB of buffer per bucket
+    // here; the pair expansion streams 4 × m·(m−1)/2 rows pre-distinct.
+    val m = 400
+    val boiler = "the same boilerplate text repeated across the corpus " +
+      "with enough length to shingle"
+    val docs = (1L to m.toLong).map(id => (id, boiler)).toDF("doc_id", "text")
+    val cand = graft.ops.DedupOps.lshCandidates(docs)
+    val rows = cand.collect()
+    assert(rows.length == m * (m - 1) / 2)
+    assert(rows.forall(_.getDouble(2) == 1.0))
+    // the id-only path (nearDuplicates' generator) survives it too and
+    // verification confirms jaccard 1.0 on every pair
+    val nd = graft.ops.DedupOps.nearDuplicates(docs, threshold = 0.5)
+    assert(nd.count() == m * (m - 1) / 2)
+  }
 }
